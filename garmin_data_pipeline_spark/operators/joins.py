@@ -1,0 +1,62 @@
+"""Join operators (SURVEY.md §2.3).
+
+The reference's master-table build is a reduce of pairwise pandas full
+outer merges on ``calendarDate`` (MERGE cell 18). Spark-first shape:
+the same reduce over DataFrame.join — Catalyst + AQE pick broadcast vs
+sort-merge per pair; because every join keys on the same column, the
+shuffle partitioning is reused across the chain (one exchange, N-1
+merge stages), which is exactly the plan you want at scale.
+
+Pandas suffixes colliding columns (``_x``/``_y``); Spark errors on
+duplicates instead, so we pre-alias non-key overlaps explicitly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def master_outer_join(
+    dfs: Sequence[DataFrame] | dict[str, DataFrame],
+    on: str = "calendarDate",
+    how: str = "full_outer",
+) -> DataFrame:
+    """N-way outer join on a shared key (reference 7-way master-table
+    merge, MERGE cell 18; identical MERGE3/MERGEF cell 18).
+
+    When ``dfs`` is a dict, colliding non-key columns are renamed
+    ``<name>_<col>`` (deterministic, unlike pandas' positional _x/_y).
+    """
+    if isinstance(dfs, dict):
+        named = list(dfs.items())
+        seen: dict[str, int] = {}
+        for _, df in named:
+            for c in df.columns:
+                if c != on:
+                    seen[c] = seen.get(c, 0) + 1
+        renamed = []
+        for name, df in named:
+            cols = [
+                F.col(c).alias(f"{name}_{c}")
+                if c != on and seen[c] > 1
+                else F.col(c)
+                for c in df.columns
+            ]
+            renamed.append(df.select(*cols))
+        frames = renamed
+    else:
+        frames = list(dfs)
+    return reduce(lambda l, r: l.join(r, on, how), frames)
+
+
+def union_by_name(dfs: Sequence[DataFrame]) -> DataFrame:
+    """Union-all by column name with missing-column tolerance
+    (reference ``pd.concat(ignore_index=True)``, aggregate_json_files.py:91).
+    No shuffle — a pure concatenation of partitions."""
+    return reduce(
+        lambda l, r: l.unionByName(r, allowMissingColumns=True), dfs
+    )

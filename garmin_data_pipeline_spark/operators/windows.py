@@ -1,0 +1,124 @@
+"""Window operators: cumulative sums, lag-with-fill, LOCF forward-fill,
+daily densification (SURVEY.md §2.5 W1-W5).
+
+Every reference op that leaned on implicit pandas row order (cumsum,
+shift, ffill, reindex) gets an explicit deterministic ordering here.
+
+Scale notes:
+- All of these shuffle once on the partition key; the per-partition
+  sort is local. Unpartitioned windows (a global ffill) serialize onto
+  one task — fine for a per-user daily series (hundreds of rows), wrong
+  for a billion-row table; callers must supply a partition key at scale.
+- Densification generates the date scaffold *per group* with
+  ``sequence()`` — no driver-side date_range, no cross join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.window import WindowSpec
+
+
+def _window(
+    partition_by: Sequence[str], order_by: Sequence[Column | str]
+) -> WindowSpec:
+    if partition_by:
+        return Window.partitionBy(*partition_by).orderBy(*order_by)
+    return Window.orderBy(*order_by)
+
+
+def cumulative_sum(
+    df: DataFrame,
+    value_col: str,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    out_col: str,
+) -> DataFrame:
+    """Grouped running cumulative sum (reference Weekly/Monthly
+    cumulative run minutes, transform_running_data.py:194,199).
+    rowsBetween(unboundedPreceding, currentRow) — order must include a
+    unique tiebreaker for determinism."""
+    w = _window(partition_by, order_by).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(out_col, F.sum(value_col).over(w))
+
+
+def lag_with_default(
+    df: DataFrame,
+    value_col: str,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    out_col: str,
+    default: float = 0,
+) -> DataFrame:
+    """shift(1) with fill (reference Weekly_Mins_Prior_to_Run,
+    transform_running_data.py:195,200)."""
+    w = _window(partition_by, order_by)
+    return df.withColumn(
+        out_col, F.lag(F.col(value_col), 1, default).over(w)
+    )
+
+
+def forward_fill(
+    df: DataFrame,
+    cols: Sequence[str],
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+) -> DataFrame:
+    """LOCF forward-fill (reference ffill of vo2MaxValue/maxMet,
+    WRANGLE cell 101, MERGE cell 24): ``last(col, ignorenulls=True)``
+    over an unbounded-preceding frame."""
+    w = _window(partition_by, order_by).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return out
+
+
+def densify_daily(
+    df: DataFrame,
+    date_col: str,
+    partition_by: Sequence[str] = (),
+) -> DataFrame:
+    """Build the complete daily date scaffold spanning [min, max] of
+    ``date_col`` (per group if ``partition_by``) and left-join the
+    observations onto it (reference ``pd.date_range`` + ``reindex``,
+    WRANGLE cell 99, MLPREP cell 45).
+
+    Spark-first shape: ``sequence(min, max, interval 1 day)`` computed
+    inside a (grouped) aggregate, then ``explode`` — the scaffold is
+    generated distributed, sized by data, never collected. The join is
+    on (group, date): with few groups it broadcasts; at scale it's a
+    sort-merge on the same key the caller will ffill over.
+    """
+    group = list(partition_by)
+    span = df.groupBy(*group).agg(
+        F.min(date_col).alias("__d0"), F.max(date_col).alias("__d1")
+    )
+    scaffold = span.select(
+        *group,
+        F.explode(
+            F.sequence(
+                F.col("__d0"), F.col("__d1"), F.expr("interval 1 day")
+            )
+        ).alias(date_col),
+    )
+    return scaffold.join(df, group + [date_col], "left")
+
+
+def densify_daily_ffill(
+    df: DataFrame,
+    date_col: str,
+    fill_cols: Sequence[str],
+    partition_by: Sequence[str] = (),
+) -> DataFrame:
+    """Densify to a gap-free daily grid then LOCF-fill ``fill_cols``
+    (the reference's reindex+ffill composite, WRANGLE cell 99)."""
+    dense = densify_daily(df, date_col, partition_by)
+    return forward_fill(dense, fill_cols, list(partition_by), [date_col])

@@ -1,0 +1,73 @@
+"""Query registry: name -> (spark_fn, oracle_sql | None).
+
+Each query is one operator family from SURVEY.md §2 (or an LLM-pipeline
+operator) expressed over the driver's testdata tables. The oracle is
+ANSI SQL that DuckDB runs on the same parquet; ``None`` marks genuinely
+non-SQL-expressible ops (driver then records a rows-only check).
+
+Float discipline for hash-stable oracles: SUM/AVG of doubles accumulate
+in nondeterministic order on Spark (partition-parallel) and via segment
+trees in DuckDB windows, so any float *accumulation* goes through an
+exact DECIMAL(18,6) cast first and is cast back to DOUBLE at the end —
+bit-identical on both engines. Plain min/max/count/lag picks are exact
+already.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    doc: str
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = Query(name, fn, oracle, doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # Runtime-settable SQL conf; the driver's session may not have it.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); with
+        # spark.sql.legacy.parquet.nanosAsLong it surfaces as LongType
+        # nanos. Truncate to micros exactly like DuckDB does.
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+    return df
+
+
+# SQL fragment: exact decimal sum of a double expression, emitted as DOUBLE.
+def dsum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) AS {alias}"
+
+
+def davg(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )

@@ -1,0 +1,143 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
+DuckDB over the same parquet, then compares row count, column-name
+set, and order-insensitive values (rows sorted by all columns after
+normalization). Stricter-or-equal to the driver's value-hash check.
+
+Usage: python tools/check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object:
+            # datetime.date / Decimal / arrays -> canonical forms
+            def conv(v):
+                import datetime
+                import decimal
+
+                if isinstance(v, decimal.Decimal):
+                    return float(v)
+                if isinstance(v, datetime.datetime):
+                    return pd.Timestamp(v)
+                if isinstance(v, datetime.date):
+                    return pd.Timestamp(v)
+                if isinstance(v, (list, np.ndarray)):
+                    return tuple(np.asarray(v, dtype=np.float64).round(6))
+                return v
+
+            df[c] = s.map(conv)
+        elif str(s.dtype).startswith("datetime64"):
+            df[c] = s.astype("datetime64[us]")
+        elif s.dtype in (np.int32, np.int64, np.int16, np.int8):
+            df[c] = s.astype("int64")
+        elif s.dtype == np.float32:
+            df[c] = s.astype("float64")
+    sort_cols = list(df.columns)
+    try:
+        df = df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+    except TypeError:
+        df = df.iloc[
+            df.astype(str).apply(tuple, axis=1).argsort(kind="mergesort")
+        ].reset_index(drop=True)
+    return df
+
+
+def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_df) != len(oracle_df):
+        problems.append(f"row count: spark={len(spark_df)} oracle={len(oracle_df)}")
+    if sorted(spark_df.columns) != sorted(oracle_df.columns):
+        problems.append(
+            f"columns: spark={sorted(spark_df.columns)} oracle={sorted(oracle_df.columns)}"
+        )
+        return problems
+    a, b = normalize(spark_df), normalize(oracle_df)
+    if len(a) == len(b):
+        for c in a.columns:
+            av, bv = a[c], b[c]
+            if str(av.dtype).startswith("float") and str(bv.dtype).startswith("float"):
+                both_nan = av.isna() & bv.isna()
+                eq = (av == bv) | both_nan
+            else:
+                eq = (av.astype(object) == bv.astype(object)) | (
+                    av.isna() & bv.isna()
+                )
+            if not eq.all():
+                idx = (~eq).idxmax()
+                problems.append(
+                    f"values differ in '{c}' ({(~eq).sum()} rows), e.g. row {idx}: "
+                    f"spark={a[c][idx]!r} oracle={b[c][idx]!r}"
+                )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from garmin_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(sdf)} rows, no oracle)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL {name}: oracle error: {e}")
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            failed.append(name)
+            print(f"FAIL {name}:")
+            for p in problems:
+                print(f"     {p}")
+        else:
+            print(f"PASS {name} ({len(sdf)} rows)")
+
+    print(f"\n{len(failed)} failures" if failed else "\nall green")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
