@@ -341,6 +341,702 @@ def j1_master_daily_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("day", "click_n", "view_n", "purchase_n")
 
 
+# ---------------------------------------------------------------------------
+# P1/F19 — projection with computed columns & unit conversions
+# (extract_json_data.py:67-88 field extraction; transform_all_datasets.py:319-340).
+# ---------------------------------------------------------------------------
+@register(
+    "p1_projection_revenue",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           l_quantity / 1000.0 AS qty_km,
+           l_extendedprice / 100.0 AS price_m
+    FROM lineitem
+    """,
+    doc="Projection with arithmetic unit conversions (P1, F19).",
+)
+def p1_projection_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.functions import cm_to_m, m_to_km
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+        m_to_km("l_quantity").alias("qty_km"),
+        cm_to_m("l_extendedprice").alias("price_m"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P9/P10 — inequality + not-null filters (transform_all_datasets.py:165-181).
+# ---------------------------------------------------------------------------
+@register(
+    "p9_filter_status_neq",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderstatus <> 'F'
+    """,
+    doc="Inequality filter on a string code (P9: acwrStatus != 'NONE').",
+)
+def p9_filter_status_neq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") != "F")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+@register(
+    "p10_filter_notnull",
+    """
+    SELECT l_orderkey, l_linenumber, NULLIF(l_discount, 0.0) AS disc_or_null
+    FROM lineitem WHERE NULLIF(l_discount, 0.0) IS NOT NULL
+    """,
+    doc="Not-null filter (P10) over a synthesized nullable column.",
+)
+def p10_filter_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "disc_or_null", F.nullif(F.col("l_discount"), F.lit(0.0))
+    )
+    return li.filter(F.col("disc_or_null").isNotNull()).select(
+        "l_orderkey", "l_linenumber", "disc_or_null"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P12/F25 — date-threshold flag then keep flag==1 (IsTrainingPlan,
+# WRANGLE cell 36).
+# ---------------------------------------------------------------------------
+@register(
+    "p12_flag_date_threshold",
+    """
+    SELECT o_orderkey, o_orderdate,
+           CAST(o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' AS INT)
+               AS is_recent
+    FROM orders
+    WHERE CAST(o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' AS INT) = 1
+    """,
+    doc="Threshold flag column + filter on the flag (P12/F25).",
+)
+def p12_flag_date_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.functions import flag_when
+
+    orders = table(spark, sf_dir, "orders").withColumn(
+        "is_recent",
+        flag_when(
+            F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+        ),
+    )
+    return orders.filter(F.col("is_recent") == 1).select(
+        "o_orderkey", "o_orderdate", "is_recent"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P13/A9 — filtered row count (ANALYSIS cell 50: Calories >= 500 count).
+# ---------------------------------------------------------------------------
+@register(
+    "p13_threshold_count",
+    "SELECT COUNT(*) AS n_big FROM orders WHERE o_totalprice >= 400000",
+    doc="Numeric-threshold filter + count (P13/A9).",
+)
+def p13_threshold_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 400000)
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P14/A8 — boolean-mask subset mean (MLPREP cell 176).
+# ---------------------------------------------------------------------------
+@register(
+    "p14_masked_mean",
+    """
+    SELECT {m}
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    """.format(m=davg("c_acctbal", "avg_bal")),
+    doc="Mean of a masked subset (P14).",
+)
+def p14_masked_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .agg(_davg(F.col("c_acctbal")).alias("avg_bal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3 — data-dependent projection: drop all-null columns
+# (dropna(axis=1, how='all'), transform_all_datasets.py:47).
+# ---------------------------------------------------------------------------
+@register(
+    "p3_drop_all_null_columns",
+    """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    """,
+    doc="Drop all-null columns; a dead column vanishes, live ones stay (P3).",
+)
+def p3_drop_all_null_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators import drop_all_null_columns
+
+    cust = table(spark, sf_dir, "customer").withColumn(
+        "dead_col", F.lit(None).cast("double")
+    )
+    return drop_all_null_columns(cust)
+
+
+# ---------------------------------------------------------------------------
+# P4 — drop single-unique-value columns (nunique()==1, WRANGLE cell 29).
+# ---------------------------------------------------------------------------
+@register(
+    "p4_drop_constant_columns",
+    "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    doc="Drop constant columns; injected constant vanishes (P4).",
+)
+def p4_drop_constant_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators import drop_constant_columns
+
+    sup = table(spark, sf_dir, "supplier").withColumn(
+        "const_col", F.lit("SAME")
+    )
+    return drop_constant_columns(sup)
+
+
+# ---------------------------------------------------------------------------
+# P6 — header cleanup rename (spaces/specials regex,
+# transform_all_datasets.py:51-52).
+# ---------------------------------------------------------------------------
+@register(
+    "p6_clean_headers",
+    """
+    SELECT n_nationkey AS Nation_Key, n_name AS Nation_Name
+    FROM nation
+    """,
+    doc="Regex header normalization: 'Nation Key!' -> Nation_Key (P6).",
+)
+def p6_clean_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators import clean_headers
+
+    nat = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("Nation Key!"),
+        F.col("n_name").alias("Nation Name"),
+    )
+    return clean_headers(nat)
+
+
+# ---------------------------------------------------------------------------
+# A6 — per-column null counts in one pass (isna().sum()).
+# ---------------------------------------------------------------------------
+@register(
+    "a6_null_counts",
+    """
+    SELECT SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END)
+               AS disc_nulls,
+           SUM(CASE WHEN NULLIF(l_tax, 0.0) IS NULL THEN 1 ELSE 0 END)
+               AS tax_nulls,
+           SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS qty_nulls
+    FROM lineitem
+    """,
+    doc="Single-job per-column null counts (A6).",
+)
+def a6_null_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators import null_counts
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.nullif(F.col("l_discount"), F.lit(0.0)).alias("disc_nulls"),
+        F.nullif(F.col("l_tax"), F.lit(0.0)).alias("tax_nulls"),
+        F.col("l_quantity").alias("qty_nulls"),
+    )
+    return null_counts(li)
+
+
+# ---------------------------------------------------------------------------
+# A7 — per-column distinct counts (nunique()).
+# ---------------------------------------------------------------------------
+@register(
+    "a7_distinct_counts",
+    """
+    SELECT COUNT(DISTINCT o_orderstatus) AS o_orderstatus,
+           COUNT(DISTINCT o_orderpriority) AS o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS o_custkey
+    FROM orders
+    """,
+    doc="Per-column exact distinct counts (A7).",
+)
+def a7_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators import distinct_counts
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority", "o_custkey"
+    )
+    return distinct_counts(orders)
+
+
+# ---------------------------------------------------------------------------
+# A8/F26 — mean imputation of synthesized nulls (exact decimal mean so
+# the fill value hash-matches; transform_all_datasets.py:115-119).
+# ---------------------------------------------------------------------------
+@register(
+    "a8_impute_mean",
+    """
+    WITH t AS (
+        SELECT l_orderkey, l_linenumber,
+               NULLIF(l_discount, 0.0) AS disc_n
+        FROM lineitem
+    ), m AS (
+        SELECT CAST(SUM(CAST(disc_n AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(disc_n) AS mean_disc
+        FROM t
+    )
+    SELECT l_orderkey, l_linenumber,
+           COALESCE(disc_n, (SELECT mean_disc FROM m)) AS disc_filled
+    FROM t
+    """,
+    doc="Mean imputation with deterministic mean (A8/F26).",
+)
+def a8_impute_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.nullif(F.col("l_discount"), F.lit(0.0)).alias("disc_n"),
+    )
+    mean_row = li.agg(
+        (_dsum(F.col("disc_n")) / F.count("disc_n")).alias("m")
+    ).first()
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(F.col("disc_n"), F.lit(mean_row["m"])).alias(
+            "disc_filled"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A11 — correlation (df.corr(), ANALYSIS cell 66).
+# ---------------------------------------------------------------------------
+@register(
+    "a11_correlation",
+    """
+    SELECT ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(CORR(l_quantity, l_discount), 6) AS corr_qty_disc
+    FROM lineitem
+    """,
+    doc="Pearson correlation pairs, rounded for FP stability (A11).",
+)
+def a11_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias(
+            "corr_qty_disc"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O3 — top-k with deterministic tiebreak.
+# ---------------------------------------------------------------------------
+@register(
+    "o3_topk_orders",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="Global top-k by measure with key tiebreak (O3).",
+)
+def o3_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F3-F6 — date-part extraction suite (transform_running_data.py:97-103,
+# WRANGLE cells 122,158).
+# ---------------------------------------------------------------------------
+@register(
+    "f4_date_parts",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_day,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(month(o_orderdate) AS INT) AS mon,
+           monthname(o_orderdate) AS month_name,
+           strftime(o_orderdate, '%b') AS month_abbrev,
+           CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+           CAST(day(o_orderdate) AS INT) AS day_of_month
+    FROM orders
+    """,
+    doc="to_date / year / quarter / month / month names / ISO week (F3-F6).",
+)
+def f4_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.to_date(d).alias("order_day"),
+        F.year(d).alias("yr"),
+        F.quarter(d).alias("qtr"),
+        F.month(d).alias("mon"),
+        F.date_format(d, "MMMM").alias("month_name"),
+        F.date_format(d, "MMM").alias("month_abbrev"),
+        F.weekofyear(d).alias("iso_week"),
+        F.dayofmonth(d).alias("day_of_month"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F12-F16 — time-string parsing and duration/pace formatting
+# (transform_running_data.py:140-180, extract_json_data.py:168-205).
+# ---------------------------------------------------------------------------
+@register(
+    "f12_time_string_kit",
+    """
+    WITH t AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_quantity AS BIGINT) AS mm,
+               (l_linenumber * 7) % 60 AS ss,
+               CAST(l_quantity AS BIGINT) * 60 + (l_linenumber * 7) % 60
+                   AS total_s
+        FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(mm AS VARCHAR) || ':'
+               || lpad(CAST(ss AS VARCHAR), 2, '0') || '.5' AS raw_mmss,
+           total_s AS parsed_seconds,
+           CAST(total_s // 3600 AS VARCHAR) || ':'
+               || lpad(CAST((total_s % 3600) // 60 AS VARCHAR), 2, '0')
+               || ':'
+               || lpad(CAST(total_s % 60 AS VARCHAR), 2, '0')
+               AS duration_str
+    FROM t
+    """,
+    doc="mm:ss parse (fractional stripped) + H:MM:SS format (F12-F15).",
+)
+def f12_time_string_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.functions import (
+        format_duration,
+        parse_mmss_to_seconds,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("mm"),
+        ((F.col("l_linenumber") * 7) % 60).cast("long").alias("ss"),
+    )
+    raw = li.withColumn(
+        "raw_mmss",
+        F.concat(
+            F.col("mm").cast("string"),
+            F.lit(":"),
+            F.lpad(F.col("ss").cast("string"), 2, "0"),
+            F.lit(".5"),
+        ),
+    )
+    return raw.select(
+        "l_orderkey",
+        "l_linenumber",
+        "raw_mmss",
+        parse_mmss_to_seconds("raw_mmss").alias("parsed_seconds"),
+        format_duration(F.col("mm") * 60 + F.col("ss")).alias(
+            "duration_str"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2 — epoch-millis to timestamp (transform_all_datasets.py:313-316).
+# ---------------------------------------------------------------------------
+@register(
+    "f2_epoch_millis",
+    """
+    SELECT o_orderkey,
+           epoch_ms(o_orderkey * 86400000) AS ts_from_ms
+    FROM orders
+    """,
+    doc="Epoch-milliseconds parse (F2).",
+)
+def f2_epoch_millis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.functions import (
+        epoch_millis_to_timestamp,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        epoch_millis_to_timestamp(
+            F.col("o_orderkey") * F.lit(86400000)
+        ).alias("ts_from_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F22 — sentinel '--' replace (MLPREP cell 175).
+# ---------------------------------------------------------------------------
+@register(
+    "f22_sentinel_replace",
+    """
+    WITH t AS (
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_linenumber = 1 THEN '--'
+                    ELSE CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+               END AS raw_qty
+        FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, raw_qty,
+           CASE WHEN raw_qty = '--' THEN 0.0
+                ELSE CAST(raw_qty AS DOUBLE) END AS qty_clean
+    FROM t
+    """,
+    doc="Sentinel '--' -> 0 replace with numeric cast (F22).",
+)
+def f22_sentinel_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.functions import replace_sentinel
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_linenumber") == 1, F.lit("--"))
+        .otherwise(F.col("l_quantity").cast("long").cast("string"))
+        .alias("raw_qty"),
+    )
+    return li.withColumn(
+        "qty_clean", replace_sentinel("raw_qty", "--", 0.0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# F23/F24/A1 — binning + bin-id map + per-bin aggregates
+# (pd.cut mileage buckets, transform_all_datasets.py:60-69; groupBy mean,
+# ANALYSIS cells 48-58).
+# ---------------------------------------------------------------------------
+_QTY_BINS = [
+    (0.0, 10.0, "0-10 qty", 1),
+    (10.0, 20.0, "10-20 qty", 2),
+    (20.0, 30.0, "20-30 qty", 3),
+    (30.0, 40.0, "30-40 qty", 4),
+    (40.0, float("inf"), "40+ qty", 5),
+]
+
+@register(
+    "f23_binned_group_mean",
+    """
+    WITH t AS (
+        SELECT CASE WHEN l_quantity >= 40 THEN '40+ qty'
+                    WHEN l_quantity >= 30 THEN '30-40 qty'
+                    WHEN l_quantity >= 20 THEN '20-30 qty'
+                    WHEN l_quantity >= 10 THEN '10-20 qty'
+                    ELSE '0-10 qty' END AS qty_group,
+               CASE WHEN l_quantity >= 40 THEN 5
+                    WHEN l_quantity >= 30 THEN 4
+                    WHEN l_quantity >= 20 THEN 3
+                    WHEN l_quantity >= 10 THEN 2
+                    ELSE 1 END AS qty_group_id,
+               l_extendedprice
+        FROM lineitem
+    )
+    SELECT qty_group, qty_group_id,
+           COUNT(*) AS n,
+           {avg_price}
+    FROM t GROUP BY qty_group, qty_group_id
+    """.format(avg_price=davg("l_extendedprice", "avg_price")),
+    doc="Right-open binning to label+id, then per-bin mean (F23/F24/A1).",
+)
+def f23_binned_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.functions import bin_to_id, bin_to_label
+
+    li = table(spark, sf_dir, "lineitem").select(
+        bin_to_label("l_quantity", _QTY_BINS).alias("qty_group"),
+        bin_to_id("l_quantity", _QTY_BINS).alias("qty_group_id"),
+        "l_extendedprice",
+    )
+    return li.groupBy("qty_group", "qty_group_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        _davg(F.col("l_extendedprice")).alias("avg_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F26/F27 — constant null-fill + cross-column coalesce rebuild
+# (WRANGLE cells 53,58).
+# ---------------------------------------------------------------------------
+@register(
+    "f26_fill_and_coalesce",
+    """
+    WITH t AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderstatus = 'P' THEN NULL
+                    ELSE o_orderstatus END AS status_n,
+               CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                    ELSE CAST(o_orderkey % 7 AS BIGINT) * 3600 END
+                   AS dur_seconds,
+               CAST(o_orderkey % 7 AS DOUBLE) AS dur_hours
+        FROM orders
+    )
+    SELECT o_orderkey,
+           COALESCE(status_n, 'NONE') AS status_filled,
+           COALESCE(dur_seconds, CAST(dur_hours * 3600 AS BIGINT))
+               AS dur_rebuilt
+    FROM t
+    """,
+    doc="na.fill constant + coalesce(seconds, hours*3600) rebuild (F26/F27).",
+)
+def f26_fill_and_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.functions import (
+        coalesce_rebuild_seconds,
+    )
+
+    t = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "P", F.lit(None))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status_n"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None))
+        .otherwise((F.col("o_orderkey") % 7).cast("long") * 3600)
+        .alias("dur_seconds"),
+        (F.col("o_orderkey") % 7).cast("double").alias("dur_hours"),
+    )
+    return (
+        t.na.fill({"status_n": "NONE"})
+        .withColumn(
+            "dur_rebuilt",
+            coalesce_rebuild_seconds("dur_seconds", "dur_hours"),
+        )
+        .select(
+            "o_orderkey",
+            F.col("status_n").alias("status_filled"),
+            "dur_rebuilt",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W4/W5/J3 — daily densification + forward-fill (reindex(date_range) +
+# ffill, WRANGLE cell 99; scaffold left join J3; LOCF W4).
+# ---------------------------------------------------------------------------
+@register(
+    "w5_densify_ffill",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               {v}
+        FROM events
+        WHERE day(ts) % 7 <> 3
+        GROUP BY event_type, CAST(ts AS DATE)
+    ), span AS (
+        SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+        FROM daily GROUP BY event_type
+    ), scaffold AS (
+        SELECT event_type,
+               CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                   AS day
+        FROM span
+    )
+    SELECT s.event_type, s.day,
+           last_value(d.daily_value IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS daily_value
+    FROM scaffold s LEFT JOIN daily d
+        ON s.event_type = d.event_type AND s.day = d.day
+    """.format(v=dsum("value", "daily_value")),
+    doc="Daily scaffold via sequence+explode, left join, LOCF (W4/W5/J3).",
+)
+def w5_densify_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators import densify_daily_ffill
+
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.dayofmonth("ts") % 7 != 3)
+        .groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        )
+        .agg(_dsum(F.col("value")).alias("daily_value"))
+    )
+    return densify_daily_ffill(
+        daily, "day", ["daily_value"], partition_by=["event_type"]
+    ).select("event_type", "day", "daily_value")
+
+
+# ---------------------------------------------------------------------------
+# S3/F29 — JSON document scan: parse the props JSON envelope and
+# extract fields (spark.read.json + struct flatten on testdata's
+# stringly-typed props; reference envelope unwrap MLPREP cell 106).
+# ---------------------------------------------------------------------------
+@register(
+    "s3_json_props_extract",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS INT) AS k,
+           COUNT(*) AS n,
+           {v}
+    FROM events
+    GROUP BY 1
+    """.format(v=dsum("value", "sum_value")),
+    doc="JSON string column -> typed field -> aggregate (S3/F29 analog).",
+)
+def s3_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "k",
+        F.from_json(F.col("props"), "struct<k:int>").getField("k"),
+    )
+    return parsed.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("value")).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming batch-equivalent — tumbling daily window aggregate
+# (Structured Streaming semantics, SURVEY §2.10; the streaming module
+# runs the same plan with readStream + watermark, tests/test_streaming.py).
+# ---------------------------------------------------------------------------
+@register(
+    "st1_tumbling_daily",
+    """
+    SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           {v}
+    FROM events
+    GROUP BY 1, 2
+    """.format(v=dsum("value", "sum_value")),
+    doc="Tumbling 1-day window aggregate (streaming-equivalent batch plan).",
+)
+def st1_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def queries():
     return {name: q.fn for name, q in QUERIES.items()}
 
