@@ -1,0 +1,313 @@
+"""Deduplication operators for training-data pipelines at 100 TB:
+exact (hash groupBy), word-shingle n-gram Jaccard, MinHash + LSH
+banding, SimHash (BASELINE.json north-star additions).
+
+Scale design:
+- **Exact**: md5 of normalized text -> one hash-aggregate shuffle.
+  Map-side partial aggregation makes this scan-bound.
+- **n-gram Jaccard**: exact pairwise similarity via shingle inverted
+  index (explode -> self-join on shingle -> count intersections). The
+  self-join explodes on high-document-frequency shingles, so a
+  ``max_df`` cap drops stop-shingles first (standard trick); for
+  web-scale use MinHash below instead — this is the verifier.
+- **MinHash+LSH**: k hash functions simulated as (a_i * h + b_i) mod p
+  over one 64-bit base hash per shingle (Broder-style), banded so only
+  same-bucket docs are joined: shuffle cost O(docs * bands), never
+  O(docs^2).
+- **SimHash**: 64-bit signature via per-bit weighted sums of token
+  hashes; near-dup candidates = docs sharing any 16-bit chunk
+  (Hamming<=3 guarantee within 4 chunks by pigeonhole).
+
+Everything is DataFrame ops (explode / groupBy / join) — no Python in
+the hot path; xxhash64 is Spark's built-in 64-bit hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from garmin_data_pipeline_spark.operators.text import shingles, tokens
+
+# Mersenne prime 2^61-1: universal-hash modulus for MinHash permutations.
+_MERSENNE_P = (1 << 61) - 1
+
+
+def normalize_text(col):
+    """Normalization for exact dedup: lowercase + collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Exact-duplicate groups: one row per distinct normalized text,
+    with the canonical (min) id and the duplicate count. A plain
+    hash-aggregate: the canonical way to drop exact dups at any scale.
+    """
+    return (
+        df.select(
+            F.md5(normalize_text(text_col)).alias("text_hash"),
+            F.col(id_col),
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (id_a < id_b, jaccard >=
+    threshold) via a shingle inverted index.
+
+    ``max_df`` drops shingles appearing in more than that many docs
+    before the self-join (skew guard — a shingle in 1M docs would
+    produce 10^12 join rows). Exact only when max_df is None.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    if max_df is not None:
+        good = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(good, "shingle")
+    a = sh.toDF("doc_a", "shingle")
+    b = sh.toDF("doc_b", "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.toDF("doc_a", "sz_a")
+    sb = sizes.toDF("doc_b", "sz_b")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+
+
+def _minhash_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the k universal-hash permutations
+    (fixed small PRNG, no runtime randomness).
+
+    Bounds chosen for ANSI-safe long arithmetic: base hashes are 32-bit
+    and a < 2^30, so a*h + b < 2^62 + 2^61 — no 64-bit overflow."""
+    params = []
+    state = 0x9E3779B97F4A7C15
+    for _ in range(k):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = (state % ((1 << 30) - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = state % _MERSENNE_P
+        params.append((a, b))
+    return params
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: base-hash each shingle with
+    xxhash64, then k = num_hashes universal-hash permutations, min per
+    doc. One explode + one groupBy with k algebraic aggregates."""
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    ).withColumn(
+        # 32-bit non-negative base hash (pmod, not abs: abs(MIN_LONG)
+        # throws under ANSI) so the universal-hash multiply can't overflow.
+        "h", F.pmod(F.xxhash64("shingle"), F.lit(1 << 32).cast("long"))
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MERSENNE_P).alias(
+            f"mh_{i}"
+        )
+        for i, (a, b) in enumerate(_minhash_params(num_hashes))
+    ]
+    sig = sh.groupBy("doc").agg(*aggs)
+    return sig.select(
+        "doc",
+        F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding.
+
+    Signatures are banded (bands x rows = num_hashes); docs sharing a
+    band bucket become candidates (shuffle on (band, bucket-hash), not
+    all-pairs); candidates are scored by estimated Jaccard = fraction
+    of matching minhashes, kept at >= threshold.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    banded = sig.select(
+        "doc",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(
+                                        "signature", i * rows + j + 1
+                                    ).cast("string")
+                                    for j in range(rows)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "signature", "bb.band", "bb.bucket")
+    a = banded.select(
+        F.col("doc").alias("doc_a"),
+        F.col("signature").alias("sig_a"),
+        "band",
+        "bucket",
+    )
+    b = banded.select(
+        F.col("doc").alias("doc_b"),
+        F.col("signature").alias("sig_b"),
+        "band",
+        "bucket",
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda m: m,
+        )
+    ) / F.lit(num_hashes)
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document: per-bit majority vote over token
+    hashes (explode -> 64 conditional-sum aggregates -> bit pack)."""
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    ).withColumn("h", F.xxhash64("token"))
+    bit_sums = tok.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    # shiftleft(1L, 63) wraps to the sign bit in the JVM (no ANSI check)
+    # — exactly what bit-packing wants; a Python 1<<63 literal would
+    # overflow LongType.
+    one = F.lit(1).cast("long")
+    packed = bit_sums.select(
+        "doc",
+        sum(
+            [
+                F.when(F.col(f"b{i}") > 0, F.shiftleft(one, i))
+                .otherwise(F.lit(0).cast("long"))
+                for i in range(64)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return packed
+
+
+def simhash_candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str, chunks: int = 4
+) -> DataFrame:
+    """Near-dup candidates: docs whose SimHashes share at least one of
+    ``chunks`` 16-bit chunks (pigeonhole: catches all pairs with
+    Hamming distance < chunks), with the exact Hamming distance."""
+    sig = simhash(df, id_col, text_col)
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    chunked = sig.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc", "simhash", "cc.chunk", "cc.val")
+    a = chunked.select(
+        F.col("doc").alias("doc_a"), F.col("simhash").alias("sh_a"),
+        "chunk", "val",
+    )
+    b = chunked.select(
+        F.col("doc").alias("doc_b"), F.col("simhash").alias("sh_b"),
+        "chunk", "val",
+    )
+    pairs = (
+        a.join(b, ["chunk", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return pairs.withColumn(
+        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ).select("doc_a", "doc_b", "hamming")

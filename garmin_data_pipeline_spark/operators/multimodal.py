@@ -1,0 +1,127 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched pandas
+transforms (BASELINE.json north-star additions).
+
+The container has no image/audio codecs, so the *decode kernels* are
+stubbed (deterministic fakes or NotImplementedError), but everything
+Spark-side is real and tested: the schema convention, the
+``mapInPandas`` batch shape, partition sizing, and the metadata
+extraction path. Swapping the fake kernel for PIL/ffmpeg is a
+one-function change — the distributed plumbing stays identical.
+
+Schema convention for a multimodal asset column::
+
+    payload   BINARY            -- the opaque bytes
+    media_type STRING           -- 'image/png', 'audio/wav', ...
+    meta      STRUCT<width INT, height INT, n_bytes BIGINT, ...>
+
+Scale notes: binary payloads dominate partition size — repartition by
+``spark.sql.files.maxPartitionBytes`` at read, and NEVER collect
+payloads to the driver. mapInPandas streams Arrow batches, so peak
+executor memory is one batch of payloads, not one partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMAGE_META_SCHEMA = (
+    "width int, height int, n_bytes bigint, format string"
+)
+
+
+def attach_binary_payload(
+    df: DataFrame, source_col: str, media_type: str = "application/octet-stream"
+) -> DataFrame:
+    """Stand-in asset producer: encode a string column to bytes and tag
+    it with a media type (real pipelines read payloads via
+    ``spark.read.format('binaryFile')``)."""
+    return df.withColumn(
+        "payload", F.encode(F.col(source_col), "UTF-8")
+    ).withColumn("media_type", F.lit(media_type))
+
+
+def read_binary_assets(spark, path: str, glob: str = "*") -> DataFrame:
+    """Real binary-asset scan: one row per file with path, mtime,
+    length, content (the production entry point for image/audio dirs).
+    """
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+
+
+def fake_decode_image_meta(payload: bytes) -> tuple[int, int, int, str]:
+    """Deterministic stand-in for an image decoder: derives fake
+    dimensions from the payload bytes. Replace with PIL.Image.open for
+    real decoding — the surrounding plumbing is unchanged."""
+    n = len(payload)
+    checksum = sum(payload[:64]) if n else 0
+    width = 16 + (checksum % 64)
+    height = 16 + (n % 64)
+    return width, height, n, "fake"
+
+
+def decode_image_metadata(
+    df: DataFrame, payload_col: str = "payload", real: bool = False
+) -> DataFrame:
+    """Extract image metadata from binary payloads via mapInPandas
+    (Arrow-batched; the pattern for any decode/feature-extract kernel).
+
+    ``real=True`` requires an image library → NotImplementedError in
+    this container (clearly-marked stub per the build contract).
+    """
+    if real:
+        raise NotImplementedError(
+            "image codecs not available in this environment; "
+            "install PIL and replace fake_decode_image_meta"
+        )
+
+    in_cols = df.columns
+    out_schema = ", ".join(
+        [f"{c} {t}" for c, t in zip(df.schema.fieldNames(), _ddl_types(df))]
+        + ["width int", "height int", "n_bytes bigint", "format string"]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [
+                fake_decode_image_meta(p if p is not None else b"")
+                for p in pdf[payload_col]
+            ]
+            meta_df = pd.DataFrame(
+                metas, columns=["width", "height", "n_bytes", "format"],
+                index=pdf.index,
+            )
+            yield pd.concat([pdf[in_cols], meta_df], axis=1)
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
+def _ddl_types(df: DataFrame) -> list[str]:
+    return [f.dataType.simpleString() for f in df.schema.fields]
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, payload_col: str = "payload"
+) -> DataFrame:
+    """STUB: real implementation is a mapInPandas kernel calling an
+    image library per Arrow batch. Not available in this container."""
+    raise NotImplementedError(
+        "image resize requires an image codec; plumbing pattern is "
+        "decode_image_metadata()"
+    )
+
+
+def sample_video_frames(
+    df: DataFrame, every_n_seconds: float, payload_col: str = "payload"
+) -> DataFrame:
+    """STUB: frame sampling needs ffmpeg; kernel shape identical to
+    decode_image_metadata (one input row -> N output rows via
+    mapInPandas yielding exploded frames)."""
+    raise NotImplementedError("video codecs not available")

@@ -1,0 +1,273 @@
+"""Similarity search over embedding columns (``array<float>``):
+brute-force cosine top-k (the exact baseline) and LSH-bucketed /
+IVF-partitioned approximate variants (the scale path).
+
+Scale design:
+- **Brute force** broadcasts the (small) query set and streams the
+  corpus once: cost O(corpus x queries x dim) FLOPs, no shuffle except
+  the final per-query top-k (row_number over queries — tiny).
+  Dot products use ``F.zip_with`` + ``F.aggregate`` — JVM expressions,
+  sequential per-row summation (deterministic, oracle-reproducible).
+- **Random-hyperplane LSH** hashes vectors to sign-bit buckets using a
+  deterministic pseudo-random ±1 hyperplane matrix; only same-bucket
+  (query, vector) pairs are scored: shuffle O(corpus), candidates a
+  small fraction. Recall is tunable via n_planes (fewer bits = bigger
+  buckets = higher recall).
+- **IVF** (inverted file): partition the corpus by nearest of k
+  centroids (pyspark.ml KMeans, fixed seed), probe only the closest
+  ``n_probe`` centroid partitions per query.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def as_double_array(col):
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k by cosine per query. Query side is broadcast; the
+    corpus is scanned once; ties broken by corpus id ascending."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        as_double_array(vec_col).alias("v"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        as_double_array(query_vec_col).alias("qv"),
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        (
+            _dot(F.col("v"), F.col("qv"))
+            / (_norm(F.col("v")) * _norm(F.col("qv")))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplane matrix (hash-derived, no RNG state).
+    Exposed so oracle SQL can embed the identical literals."""
+    planes = []
+    state = 0x2545F4914F6CDD1D
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (
+                1 << 64
+            )
+            row.append(1.0 if (state >> 63) else -1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]):
+    """Sign-bit bucket id for a double-array column under ``planes``."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        d = _dot(
+            F.col(vec_col) if isinstance(vec_col, str) else vec_col,
+            lit_plane,
+        )
+        bucket = bucket + F.when(d >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: only candidates in the query's LSH bucket are
+    scored. At 100 TB the bucket join replaces the full cross product;
+    recall < 1 by construction (report alongside brute force)."""
+    dim = 64
+    planes = hyperplanes(n_planes, dim)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        as_double_array(vec_col).alias("v"),
+    ).withColumn("bucket", lsh_bucket("v", planes))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        as_double_array(query_vec_col).alias("qv"),
+    ).withColumn("bucket", lsh_bucket("qv", planes))
+    scored = c.join(F.broadcast(q), "bucket").select(
+        "query_id",
+        "vec_id",
+        (
+            _dot(F.col("v"), F.col("qv"))
+            / (_norm(F.col("v")) * _norm(F.col("qv")))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: KMeans-partition the corpus, score each
+    query only against its ``n_probe`` nearest centroid partitions."""
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector, vector_to_array
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "pyspark.ml unavailable; use cosine_topk_lsh instead"
+        ) from exc
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        as_double_array(vec_col).alias("v"),
+    ).withColumn("features", array_to_vector("v"))
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="features")
+    model = km.fit(c)
+    assigned = model.transform(c).select(
+        "vec_id", "v", F.col("prediction").alias("cell")
+    )
+    centroids = [
+        (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
+    ]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        centroids, "cell int, centroid array<double>"
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        as_double_array(query_vec_col).alias("qv"),
+    )
+    # nearest n_probe cells per query (tiny cross join vs centroids)
+    qc = (
+        q.join(F.broadcast(cent_df))
+        .select(
+            "query_id",
+            "qv",
+            "cell",
+            _dot(F.col("qv"), F.col("centroid")).alias("cdot"),
+        )
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cdot"), F.col("cell")
+                )
+            ),
+        )
+        .filter(F.col("crank") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    scored = assigned.join(F.broadcast(qc), "cell").select(
+        "query_id",
+        "vec_id",
+        (
+            _dot(F.col("v"), F.col("qv"))
+            / (_norm(F.col("v")) * _norm(F.col("qv")))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH self-join: pairs
+    in the same sign-bucket with cosine >= threshold (id_a < id_b)."""
+    planes = hyperplanes(n_planes, 64)
+    v = df.select(
+        F.col(id_col).alias("vid"),
+        as_double_array(vec_col).alias("v"),
+    ).withColumn("bucket", lsh_bucket("v", planes))
+    a = v.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"), "bucket"
+    )
+    b = v.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb")))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,187 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, language ID, quality scoring, token counting, document
+fingerprinting (BASELINE.json north-star additions; no reference
+counterpart — the reference is numeric-telemetry only).
+
+All pure Column expressions over `pyspark.sql.functions` — JVM-side,
+codegen'd, no Python UDFs — so a 100 TB documents table runs at scan
+speed. The module exposes the *same* token/stopword definitions the
+oracle SQL uses (plans build their DuckDB SQL from these constants),
+keeping Spark and oracle semantics single-sourced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tokenization contract (shared with oracle SQL): lowercase, collapse
+# non-alphanumerics to single spaces, split on spaces, drop empties.
+TOKEN_NORM_REGEX = "[^a-z0-9]+"
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small & deterministic.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"],
+    "es": ["el", "la", "los", "las", "y", "es", "de", "que", "un", "en"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "du", "que"],
+}
+LANG_PRIORITY = ["en", "de", "es", "fr"]
+
+
+def tokens(text: Column | str) -> Column:
+    """Normalized token array."""
+    c = F.col(text) if isinstance(text, str) else text
+    norm = F.trim(F.regexp_replace(F.lower(c), TOKEN_NORM_REGEX, " "))
+    return F.filter(F.split(norm, " "), lambda x: x != "")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace/regex token count (BPE-ish proxy for LLM token
+    budgeting: ~1 token per word at this granularity)."""
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def stopword_hits(toks: Column, lang: str) -> Column:
+    """Number of tokens (with repeats) in ``lang``'s stopword set."""
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+
+
+def language_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language stopword-ratio scores (hits / total tokens)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return {
+        lang: F.when(n > 0, stopword_hits(toks, lang) / n).otherwise(0.0)
+        for lang in LANG_PRIORITY
+    }
+
+
+def language_guess(text: Column | str) -> Column:
+    """Argmax language by stopword ratio, ties broken by LANG_PRIORITY
+    order (deterministic)."""
+    scores = language_scores(text)
+    expr = F.lit(LANG_PRIORITY[-1])
+    # build reverse CASE chain: en wins ties, then de, then es, then fr
+    for i in range(len(LANG_PRIORITY) - 2, -1, -1):
+        lang = LANG_PRIORITY[i]
+        cond = None
+        for other in LANG_PRIORITY[i + 1 :]:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Quality-scoring features: length, token stats, mean word length,
+    alpha ratio, stopword ratio, plus a composite [0,1] quality score.
+    Mirrors the length/punct/stopword heuristics used by LLM data
+    pipelines (e.g. C4/Gopher-style rules), as single-pass expressions.
+    """
+    t = tokens(F.col(text_col))
+    n_chars = F.length(F.col(text_col))
+    n_tokens = F.size(t)
+    n_distinct = F.size(F.array_distinct(t))
+    alpha_chars = F.length(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", "")
+    )
+    sw_en = stopword_hits(t, "en")
+    mean_word_len = F.when(
+        n_tokens > 0,
+        (
+            F.aggregate(
+                t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+            )
+            / n_tokens
+        ),
+    ).otherwise(0.0)
+    stop_ratio = F.when(n_tokens > 0, sw_en / n_tokens).otherwise(0.0)
+    distinct_ratio = F.when(n_tokens > 0, n_distinct / n_tokens).otherwise(
+        0.0
+    )
+    alpha_ratio = F.when(n_chars > 0, alpha_chars / n_chars).otherwise(0.0)
+    len_ok = F.when((n_tokens >= 10) & (n_tokens <= 100000), 1.0).otherwise(
+        0.0
+    )
+    wordlen_ok = F.when(
+        (mean_word_len >= 2.0) & (mean_word_len <= 12.0), 1.0
+    ).otherwise(0.0)
+    score = (
+        0.3 * len_ok
+        + 0.2 * wordlen_ok
+        + 0.2 * alpha_ratio
+        + 0.15 * F.least(stop_ratio * 5, F.lit(1.0))
+        + 0.15 * distinct_ratio
+    )
+    return df.select(
+        "*",
+        n_chars.alias("n_chars_q"),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        mean_word_len.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the sorted distinct
+    token bag. Two documents with the same vocabulary (any order /
+    multiplicity) collide — the classic bag-fingerprint for shuffled
+    near-dups; cheap (one expression) and exactly reproducible in SQL.
+    """
+    return F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text))))
+    )
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles."""
+    t = tokens(text)
+    return F.array_distinct(
+        F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", t))),
+    )
+
+
+# ---- Oracle-SQL mirrors (DuckDB) built from the same constants ----
+
+def sql_tokens(text_expr: str) -> str:
+    return (
+        "list_filter(string_split(trim(regexp_replace(lower("
+        f"{text_expr}), '{TOKEN_NORM_REGEX}', ' ', 'g')), ' '), "
+        "x -> x <> '')"
+    )
+
+
+def sql_stopword_hits(tokens_expr: str, lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return (
+        f"len(list_filter({tokens_expr}, "
+        f"x -> list_contains([{words}], x)))"
+    )
+
+
+def sql_shingles(tokens_expr: str, n: int = 3) -> str:
+    if n == 1:
+        return f"list_distinct({tokens_expr})"
+    return (
+        f"list_distinct(CASE WHEN len({tokens_expr}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({tokens_expr}) - {n} + 1), "
+        f"i -> array_to_string(list_slice({tokens_expr}, i, i + {n} - 1), ' ')) "
+        f"ELSE [array_to_string({tokens_expr}, ' ')] END)"
+    )

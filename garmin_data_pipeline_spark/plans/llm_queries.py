@@ -1,0 +1,413 @@
+"""LLM-data-pipeline driver-contract queries: text analysis, dedup,
+similarity search, multimodal plumbing — over the ``documents`` and
+``embeddings`` testdata tables.
+
+Oracle SQL is *generated from the same constants* as the Spark plans
+(stopword lists, hyperplane matrices, tokenization regex) so both
+sides compute identical semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from garmin_data_pipeline_spark.operators import text as T
+from garmin_data_pipeline_spark.operators.dedup_scale import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_candidate_pairs,
+)
+from garmin_data_pipeline_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_image_metadata,
+)
+from garmin_data_pipeline_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    embedding_near_dup_pairs,
+    hyperplanes,
+)
+from garmin_data_pipeline_spark.plans.registry import register, table
+
+_TOKS = T.sql_tokens("text")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: token counting + quality scoring (north-star ops).
+# ---------------------------------------------------------------------------
+@register(
+    "t1_token_quality",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text, {_TOKS} AS toks FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct_tokens,
+           CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT)
+               / len(toks) AS mean_word_len,
+           len(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+               / len(text) AS alpha_ratio,
+           {T.sql_stopword_hits("toks", "en")} / len(toks)
+               AS stopword_ratio,
+           len(list_distinct(toks)) / len(toks) AS distinct_ratio
+    FROM t
+    """,
+    doc="Token counts + quality features per document (text analysis).",
+)
+def t1_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    out = T.quality_features(docs, "text")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        "mean_word_len",
+        "alpha_ratio",
+        "stopword_ratio",
+        "distinct_ratio",
+    )
+
+
+def _sql_langid() -> str:
+    """Oracle mirror of text.language_guess (same priority/tie rules)."""
+    score = {
+        lang: f"({T.sql_stopword_hits('toks', lang)} / len(toks))"
+        for lang in T.LANG_PRIORITY
+    }
+    # same reverse CASE chain as language_guess
+    expr = f"'{T.LANG_PRIORITY[-1]}'"
+    for i in range(len(T.LANG_PRIORITY) - 2, -1, -1):
+        lang = T.LANG_PRIORITY[i]
+        conds = " AND ".join(
+            f"{score[lang]} >= {score[o]}" for o in T.LANG_PRIORITY[i + 1 :]
+        )
+        expr = f"CASE WHEN {conds} THEN '{lang}' ELSE {expr} END"
+    return expr
+
+
+@register(
+    "t2_language_id",
+    f"""
+    WITH t AS (
+        SELECT doc_id, lang, {_TOKS} AS toks FROM documents
+    )
+    SELECT doc_id, lang AS declared_lang,
+           {_sql_langid()} AS guessed_lang,
+           {T.sql_stopword_hits("toks", "en")} / len(toks) AS en_score
+    FROM t
+    """,
+    doc="Stopword-ratio language-ID heuristic (text analysis).",
+)
+def t2_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    scores = T.language_scores(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        T.language_guess(F.col("text")).alias("guessed_lang"),
+        scores["en"].alias("en_score"),
+    )
+
+
+@register(
+    "t3_fingerprint",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(toks)), ' '))
+               AS fingerprint
+    FROM t
+    """,
+    doc="Bag-of-tokens md5 document fingerprint (text analysis).",
+)
+def t3_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family.
+# ---------------------------------------------------------------------------
+@register(
+    "d1_exact_dedup",
+    r"""
+    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+               AS text_hash,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Exact dedup via normalized-text hash groupBy.",
+)
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicates(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+@register(
+    "d2_token_jaccard_pairs",
+    f"""
+    WITH sh AS (
+        SELECT doc_id AS doc, UNNEST(list_distinct({_TOKS})) AS shingle
+        FROM documents
+    ), sizes AS (
+        SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc
+    ), inter AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY a.doc, b.doc
+    )
+    SELECT doc_a, doc_b, inter,
+           inter / (sa.sz + sb.sz - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE inter / (sa.sz + sb.sz - inter) >= 0.8
+    """,
+    doc="Exact token-set Jaccard >= 0.8 pairs via inverted index.",
+)
+def d2_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=1,
+        threshold=0.8,
+    )
+
+
+@register(
+    "d3_minhash_lsh_pairs",
+    None,  # xxhash64-based; not reproducible in DuckDB -> rows-only check
+    doc="MinHash+LSH banded near-dup candidates (scale path for d2).",
+)
+def d3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        num_hashes=32,
+        bands=8,
+        shingle_n=1,
+        threshold=0.5,
+    ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "d4_simhash_candidates",
+    None,  # xxhash64-based; rows-only
+    doc="SimHash 16-bit-chunk near-dup candidates with Hamming distance.",
+)
+def d4_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        simhash_candidate_pairs(
+            table(spark, sf_dir, "documents"), "doc_id", "text", chunks=4
+        )
+        .filter(F.col("hamming") <= 16)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings.
+# ---------------------------------------------------------------------------
+_COS = (
+    "list_dot_product(v, qv) / "
+    "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))"
+)
+
+
+@register(
+    "v1_cosine_topk_bruteforce",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id < 5
+    ), c AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), scored AS (
+        SELECT query_id, vec_id, {_COS} AS cos_raw
+        FROM c CROSS JOIN q
+    )
+    SELECT query_id, vec_id, ROUND(cos_raw, 6) AS cosine,
+           CAST(rnk AS INT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos_raw DESC, vec_id
+        ) AS rnk FROM scored
+    ) WHERE rnk <= 10
+    """,
+    doc="Brute-force cosine top-10 per query vector (exact ANN baseline).",
+)
+def v1_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = cosine_topk_bruteforce(emb, queries, k=10)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 6).alias("cosine"),
+        "rank",
+    )
+
+
+def _sql_bucket(vec_expr: str, planes: list[list[float]]) -> str:
+    terms = []
+    for i, p in enumerate(planes):
+        lits = ", ".join(str(x) for x in p)
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, [{lits}]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_PLANES = hyperplanes(8, 64)
+
+
+@register(
+    "v2_cosine_topk_lsh",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id < 5
+    ), qb AS (
+        SELECT query_id, qv, {_sql_bucket("qv", _PLANES)} AS bucket FROM q
+    ), c AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), cb AS (
+        SELECT vec_id, v, {_sql_bucket("v", _PLANES)} AS bucket FROM c
+    ), scored AS (
+        SELECT query_id, vec_id, {_COS} AS cos_raw
+        FROM cb JOIN qb USING (bucket)
+    )
+    SELECT query_id, vec_id, ROUND(cos_raw, 6) AS cosine,
+           CAST(rnk AS INT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos_raw DESC, vec_id
+        ) AS rnk FROM scored
+    ) WHERE rnk <= 10
+    """,
+    doc="LSH-bucketed approximate cosine top-10 (identical hyperplanes "
+    "embedded in the oracle).",
+)
+def v2_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = cosine_topk_lsh(emb, queries, k=10, n_planes=8)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 6).alias("cosine"),
+        "rank",
+    )
+
+
+@register(
+    "v3_embedding_near_dups",
+    f"""
+    WITH c AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), cb AS (
+        SELECT vec_id, v, {_sql_bucket("v", _PLANES)} AS bucket FROM c
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) *
+                  sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+    FROM cb a JOIN cb b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) *
+           sqrt(list_dot_product(b.v, b.v))) >= 0.35
+    """,
+    doc="Embedding-cosine near-dup pairs via LSH self-join.",
+)
+def v3_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = embedding_near_dup_pairs(
+        table(spark, sf_dir, "embeddings"), threshold=0.35, n_planes=8
+    )
+    return out.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
+@register(
+    "v4_cosine_topk_ivf",
+    None,  # KMeans centroids not reproducible in SQL -> rows-only
+    doc="IVF (KMeans-partitioned) approximate cosine top-k.",
+)
+def v4_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    from garmin_data_pipeline_spark.operators.similarity import (
+        cosine_topk_ivf,
+    )
+
+    out = cosine_topk_ivf(emb, queries, k=10, n_centroids=8, n_probe=3)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 6).alias("cosine"),
+        "rank",
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: binary payload + Arrow-batched fake decode.
+# ---------------------------------------------------------------------------
+@register(
+    "m1_multimodal_metadata",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               CAST(list_sum(list_transform(
+                   generate_series(1, least(64, length(text))),
+                   i -> ascii(substr(text, i, 1))
+               )) AS BIGINT) AS checksum
+        FROM documents
+    )
+    SELECT doc_id,
+           'application/octet-stream' AS media_type,
+           CAST(16 + (checksum % 64) AS INT) AS width,
+           CAST(16 + (n_bytes % 64) AS INT) AS height,
+           n_bytes,
+           'fake' AS format
+    FROM t
+    """,
+    doc="Binary payload column + mapInPandas metadata decode (fake "
+    "kernel; real plumbing: Arrow batches, schema, partitioning).",
+)
+def m1_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    assets = attach_binary_payload(docs, "text")
+    decoded = decode_image_metadata(assets, "payload")
+    return decoded.select(
+        "doc_id", "media_type", "width", "height", "n_bytes", "format"
+    )
