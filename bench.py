@@ -1,0 +1,84 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1}
+
+Queries are executed with the noop sink (full plan runs, nothing is
+collected to the driver) after a small warm-up, so timings measure the
+engine, not JVM startup or driver materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+# Headline set: scan-heavy agg, window chains, multi-joins, streaming-
+# equivalent, plus the LLM ops that scale (exact dedup, minhash, text
+# quality, ANN top-k). Excludes the O(n^2)-ish exact-Jaccard verifier.
+HEADLINE = [
+    "a1_pricing_summary",
+    "a2_daily_min",
+    "a3_latest_order_per_customer",
+    "a4_dedupe_latest_lineitem",
+    "w1_cumulative_spend",
+    "w5_densify_ffill",
+    "j1_master_daily_join",
+    "st1_tumbling_daily",
+    "f23_binned_group_mean",
+    "d1_exact_dedup",
+    "d3_minhash_lsh_pairs",
+    "t1_token_quality",
+    "t3_fingerprint",
+    "v1_cosine_topk_bruteforce",
+    "m1_multimodal_metadata",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    from garmin_data_pipeline_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+
+    def run(df) -> None:
+        df.write.mode("overwrite").format("noop").save()
+
+    # Warm-up: spin the JVM/codegen once on a small plan.
+    run(qs["a2_daily_min"](spark, sf_dir).limit(10))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        run(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -86,7 +86,7 @@ def map_via_dict(col: Column | str, mapping: dict, default=None) -> Column:
         pairs.append(F.lit(k))
         pairs.append(F.lit(v))
     m = F.create_map(*pairs)
-    looked = m.getItem(c)
+    looked = m[c]
     return looked if default is None else F.coalesce(looked, F.lit(default))
 
 

@@ -86,9 +86,10 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") <= max_df)
             .select("shingle")
         )
-        sh = sh.join(good, "shingle")
-    a = sh.toDF("doc_a", "shingle")
-    b = sh.toDF("doc_b", "shingle")
+        # join(..., "shingle") reorders columns (key first) — reselect.
+        sh = sh.join(good, "shingle").select("doc", "shingle")
+    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc").alias("doc_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))

@@ -189,13 +189,16 @@ def d2_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="MinHash+LSH banded near-dup candidates (scale path for d2).",
 )
 def d3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 3-gram shingles: the realistic web-dedup config, and the one that
+    # keeps LSH buckets selective (unigram shingles over a small shared
+    # vocabulary collapse every doc into the same buckets -> all-pairs).
     return minhash_lsh_pairs(
         table(spark, sf_dir, "documents"),
         "doc_id",
         "text",
         num_hashes=32,
         bands=8,
-        shingle_n=1,
+        shingle_n=3,
         threshold=0.5,
     ).orderBy("doc_a", "doc_b")
 

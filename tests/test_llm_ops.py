@@ -1,0 +1,195 @@
+"""Tests for the LLM-data-pipeline operators: dedup recall on planted
+duplicates, ANN recall vs brute force, text metrics, multimodal
+plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from garmin_data_pipeline_spark.operators import dedup_scale as dd
+from garmin_data_pipeline_spark.operators import similarity as sim
+from garmin_data_pipeline_spark.operators import text as tx
+from garmin_data_pipeline_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_image_metadata,
+    resize_images,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "THE  QUICK  BROWN FOX jumps over the lazy dog"),  # case/ws dup
+    (3, "the quick brown fox leaps over the lazy dog"),  # near dup (1 word)
+    (4, "completely different text about spark engines and parquet"),
+    (5, "spark engines and parquet files power big analytics today"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id: long, text: string")
+
+
+def test_exact_duplicates(docs):
+    out = dd.exact_duplicates(docs, "doc_id", "text")
+    groups = {r["canonical_id"]: r["n_dups"] for r in out.collect()}
+    # 0,1,2 collapse (case/whitespace normalization); others singletons
+    assert groups[0] == 3
+    assert groups[3] == 1
+    assert out.count() == 4
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    out = dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=1, threshold=0.7
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.collect()}
+    # exact dups have jaccard 1.0; the one-word swap is high but < 1
+    assert pairs[(0, 1)] == 1.0
+    assert 0.7 <= pairs[(0, 3)] < 1.0
+
+
+def test_ngram_jaccard_max_df_guard(docs):
+    # with a max_df of 1 every shared shingle is dropped -> no pairs
+    out = dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=1, threshold=0.1, max_df=1
+    )
+    assert out.count() == 0
+
+
+def test_minhash_lsh_catches_exact_and_near(docs):
+    out = dd.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=16, shingle_n=1,
+        threshold=0.5,
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in out.collect()}
+    assert pairs[(0, 1)] == 1.0  # identical signatures
+    assert (0, 3) in pairs  # near dup estimated above threshold
+    assert (0, 4) not in pairs  # unrelated docs not candidates
+
+
+def test_simhash_near_dup_smaller_hamming(docs):
+    sig = dd.simhash(docs, "doc_id", "text")
+    rows = {r["doc"]: r["simhash"] for r in sig.collect()}
+    assert rows[0] == rows[1]  # identical docs, identical simhash
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(rows[0], rows[3]) < ham(rows[0], rows[4])
+
+
+def test_simhash_candidates(docs):
+    out = dd.simhash_candidate_pairs(docs, "doc_id", "text", chunks=4)
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out.collect()}
+    assert pairs[(0, 1)] == 0
+
+
+def test_token_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox! The fox.")], "id: long, text: string"
+    )
+    out = tx.quality_features(df, "text").first()
+    assert out["n_tokens"] == 6
+    assert out["n_distinct_tokens"] == 4
+    assert 0.0 < out["quality_score"] <= 1.0
+
+
+def test_language_guess_separates(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "der Hund und die Katze ist nicht hier"),
+            (3, "el perro y la casa es de los gatos"),
+            (4, "le chien et la maison est une des plus"),
+        ],
+        "id: long, text: string",
+    )
+    out = {
+        r["id"]: r["g"]
+        for r in df.select(
+            "id", tx.language_guess(F.col("text")).alias("g")
+        ).collect()
+    }
+    assert out == {1: "en", 2: "de", 3: "es", 4: "fr"}
+
+
+def test_fingerprint_order_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta alpha")],
+        "id: long, text: string",
+    )
+    fps = [
+        r["fp"]
+        for r in df.select(tx.fingerprint(F.col("text")).alias("fp")).collect()
+    ]
+    assert fps[0] == fps[1]  # same bag -> same fingerprint
+
+
+def test_cosine_topk_self_is_best(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = sim.cosine_topk_bruteforce(emb, queries, k=5)
+    best = {
+        r["query_id"]: r["vec_id"]
+        for r in out.filter(F.col("rank") == 1).collect()
+    }
+    assert best == {0: 0, 1: 1, 2: 2}  # each query's nearest is itself
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    bf = sim.cosine_topk_bruteforce(emb, queries, k=5)
+    lsh = sim.cosine_topk_lsh(emb, queries, k=5, n_planes=4)
+    bf_set = {(r["query_id"], r["vec_id"]) for r in bf.collect()}
+    lsh_set = {(r["query_id"], r["vec_id"]) for r in lsh.collect()}
+    recall = len(bf_set & lsh_set) / len(bf_set)
+    # 4 planes -> 16 buckets over 500 vectors: recall won't be 1.0 but
+    # the self-match (cosine 1.0) must always survive
+    assert all((q, q) in lsh_set for q in range(5))
+    assert recall >= 0.2
+
+
+def test_ivf_topk_self_match(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = sim.cosine_topk_ivf(emb, queries, k=3, n_centroids=4, n_probe=2)
+    best = {
+        r["query_id"]: r["vec_id"]
+        for r in out.filter(F.col("rank") == 1).collect()
+    }
+    assert best == {0: 0, 1: 1, 2: 2}
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "x" * 100)], "id: long, text: string"
+    )
+    assets = attach_binary_payload(df, "text", "image/fake")
+    out = decode_image_metadata(assets).collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[1]["n_bytes"] == 11
+    assert by_id[2]["n_bytes"] == 100
+    assert by_id[1]["format"] == "fake"
+    # deterministic fake dims
+    assert by_id[2]["width"] == 16 + (sum(b"x" * 64) % 64)
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    df = spark.createDataFrame([(1, "x")], "id: long, text: string")
+    assets = attach_binary_payload(df, "text")
+    with pytest.raises(NotImplementedError):
+        decode_image_metadata(assets, real=True)
+    with pytest.raises(NotImplementedError):
+        resize_images(assets, 64, 64)

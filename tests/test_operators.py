@@ -1,0 +1,206 @@
+"""Unit tests for the relational operator kit on tiny literal frames,
+covering the invariants the reference asserts manually (SURVEY.md §5.3):
+one row per key post-dedup, gap-free densified calendar, deterministic
+ordering."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from garmin_data_pipeline_spark import operators as ops
+
+
+def test_latest_per_group(spark):
+    df = spark.createDataFrame(
+        [
+            ("d1", 1, "a"),
+            ("d1", 3, "b"),
+            ("d1", 2, "c"),
+            ("d2", 5, "d"),
+        ],
+        "day: string, ts: long, v: string",
+    )
+    out = ops.latest_per_group(df, "day", F.desc("ts")).orderBy("day")
+    assert [(r["day"], r["v"]) for r in out.collect()] == [
+        ("d1", "b"),
+        ("d2", "d"),
+    ]
+
+
+def test_dedupe_latest_one_row_per_key(spark):
+    df = spark.createDataFrame(
+        [("k", 1, 1), ("k", 2, 1), ("k", 2, 2), ("j", 9, 0)],
+        "key: string, ts: long, tb: long",
+    )
+    out = ops.dedupe_latest(df, "key", "ts", tiebreakers=["tb"])
+    assert out.count() == 2
+    k = out.filter(F.col("key") == "k").first()
+    assert (k["ts"], k["tb"]) == (2, 2)
+
+
+def test_drop_all_null_columns(spark):
+    df = spark.createDataFrame(
+        [(1, None, "x"), (2, None, None)], "a: long, b: string, c: string"
+    )
+    out = ops.drop_all_null_columns(df)
+    assert out.columns == ["a", "c"]
+
+
+def test_drop_constant_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "same", 10), (2, "same", 20)], "a: long, b: string, c: long"
+    )
+    out = ops.drop_constant_columns(df)
+    assert out.columns == ["a", "c"]
+
+
+def test_clean_headers(spark):
+    df = spark.createDataFrame([(1, 2)], ["Avg HR", "Time (s)!"])
+    assert ops.clean_headers(df).columns == ["Avg_HR", "Time_s"]
+
+
+def test_reorder_after(spark):
+    df = spark.createDataFrame([(1, 2, 3)], ["a", "b", "c"])
+    assert ops.reorder_after(df, "c", "a").columns == ["a", "c", "b"]
+
+
+def test_cumulative_and_lag(spark):
+    df = spark.createDataFrame(
+        [("w1", 1, 10), ("w1", 2, 20), ("w1", 3, 5), ("w2", 1, 7)],
+        "wk: string, day: long, v: long",
+    )
+    out = ops.cumulative_sum(df, "v", ["wk"], [F.col("day")], "cum")
+    out = ops.lag_with_default(out, "cum", ["wk"], [F.col("day")], "prior", 0)
+    rows = {
+        (r["wk"], r["day"]): (r["cum"], r["prior"])
+        for r in out.collect()
+    }
+    # reference semantics: Weekly_Mins = cumsum, Prior = shift(1, fill 0)
+    assert rows[("w1", 1)] == (10, 0)
+    assert rows[("w1", 2)] == (30, 10)
+    assert rows[("w1", 3)] == (35, 30)
+    assert rows[("w2", 1)] == (7, 0)
+
+
+def test_densify_daily_ffill_gap_free(spark):
+    df = spark.createDataFrame(
+        [
+            ("u", dt.date(2024, 1, 1), 1.0),
+            ("u", dt.date(2024, 1, 4), 4.0),
+        ],
+        "g: string, day: date, v: double",
+    )
+    out = ops.densify_daily_ffill(df, "day", ["v"], ["g"]).orderBy("day")
+    rows = out.collect()
+    # gap-free daily calendar (the reference's reindex(date_range))
+    assert [r["day"].day for r in rows] == [1, 2, 3, 4]
+    # LOCF fill
+    assert [r["v"] for r in rows] == [1.0, 1.0, 1.0, 4.0]
+
+
+def test_forward_fill_targeted(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, None), (4, 40.0)],
+        "day: long, v: double",
+    )
+    out = ops.forward_fill(df, ["v"], [], [F.col("day")]).orderBy("day")
+    assert [r["v"] for r in out.collect()] == [10.0, 10.0, 10.0, 40.0]
+
+
+def test_master_outer_join_dict_rename(spark):
+    a = spark.createDataFrame([("d1", 1)], "calendarDate: string, v: long")
+    b = spark.createDataFrame([("d2", 2)], "calendarDate: string, v: long")
+    out = ops.master_outer_join({"atl": a, "sleep": b})
+    assert set(out.columns) == {"calendarDate", "atl_v", "sleep_v"}
+    assert out.count() == 2  # full outer keeps both days
+
+
+def test_union_by_name_missing_cols(spark):
+    a = spark.createDataFrame([(1, "x")], "id: long, a: string")
+    b = spark.createDataFrame([(2, "y")], "id: long, b: string")
+    out = ops.union_by_name([a, b])
+    assert set(out.columns) == {"id", "a", "b"}
+    assert out.count() == 2
+
+
+def test_flatten_struct(spark):
+    df = spark.createDataFrame(
+        [(1, {"overallScore": 80, "feedback": "ok"})],
+        "id: long, sleepScores: struct<overallScore: long, feedback: string>",
+    )
+    out = ops.flatten_struct(df, "sleepScores")
+    assert out.columns == ["id", "overallScore", "feedback"]
+    assert out.first()["overallScore"] == 80
+
+
+def test_pick_array_element_semantic_total(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                [
+                    {"type": "AWAKE", "avg": 10},
+                    {"type": "TOTAL", "avg": 25},
+                    {"type": "ASLEEP", "avg": 5},
+                ],
+            )
+        ],
+        "id: long, aggregatorList: array<struct<type: string, avg: long>>",
+    )
+    out = ops.pick_array_element(
+        df, "aggregatorList", "type", "TOTAL", "total"
+    )
+    assert out.first()["total"]["avg"] == 25
+
+
+def test_unwrap_envelope(spark):
+    df = spark.createDataFrame(
+        [([{"activityId": 1}, {"activityId": 2}],)],
+        "summarizedActivitiesExport: array<struct<activityId: long>>",
+    )
+    out = ops.unwrap_envelope(df, "summarizedActivitiesExport", "act")
+    assert out.count() == 2
+
+
+def test_null_and_distinct_counts(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "a"), (3, "a")], "x: long, y: string"
+    )
+    nc = ops.null_counts(df).first()
+    assert (nc["x"], nc["y"]) == (0, 1)
+    dc = ops.distinct_counts(df).first()
+    assert (dc["x"], dc["y"]) == (3, 1)
+
+
+def test_value_counts_order(spark):
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("a",), ("a",), ("b",), ("c",)], "v: string"
+    )
+    out = ops.value_counts(df, "v").collect()
+    assert [(r["v"], r["count"]) for r in out] == [
+        ("a", 3),
+        ("b", 2),
+        ("c", 1),
+    ]
+
+
+def test_impute_mean(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (3.0,)], "v: double"
+    )
+    out = ops.impute_mean(df, ["v"])
+    assert sorted(r["v"] for r in out.collect()) == [1.0, 2.0, 3.0]
+
+
+def test_correlation_matrix(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.0), (3.0, 6.0)], "a: double, b: double"
+    )
+    out = ops.correlation_matrix(df, ["a", "b"])
+    r = {
+        (row["col_a"], row["col_b"]): row["corr"] for row in out.collect()
+    }
+    assert abs(r[("a", "b")] - 1.0) < 1e-12
+    assert r[("a", "b")] == r[("b", "a")]
