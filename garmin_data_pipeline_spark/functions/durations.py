@@ -38,6 +38,27 @@ def format_duration(seconds: Column | str) -> Column:
     )
 
 
+def format_timedelta(seconds: Column | str, days_prefix: bool = False) -> Column:
+    """Seconds -> ``HH:MM:SS`` with zero-padded hours, the way the
+    reference renders pandas timedeltas (``str(td).split(' ')[-1]``,
+    transform_all_datasets.py:15-29). With ``days_prefix`` the full
+    pandas repr ``'D days HH:MM:SS'`` is produced (the golden sleep CSV
+    keeps that form for ``sleepDuration``, WRANGLE cell 44)."""
+    s = F.col(seconds) if isinstance(seconds, str) else seconds
+    s = s.cast("long")
+    hms = F.concat_ws(
+        ":",
+        F.lpad(F.floor((s % 86400) / 3600).cast("string"), 2, "0"),
+        F.lpad(F.floor((s % 3600) / 60).cast("string"), 2, "0"),
+        F.lpad((s % 60).cast("string"), 2, "0"),
+    )
+    if days_prefix:
+        hms = F.concat(
+            F.floor(s / 86400).cast("string"), F.lit(" days "), hms
+        )
+    return F.when(s.isNotNull(), hms)
+
+
 def format_pace_min_per_km(speed_m_per_s: Column | str) -> Column:
     """m/s -> ``M:SS min/km`` string (reference: extract_json_data.py:187-205,
     ``pace_seconds = 1000/speed`` then minutes:seconds render)."""
@@ -94,11 +115,34 @@ def parse_hms_to_seconds(time_str: Column | str) -> Column:
     )
 
 
+def round_binary(col: Column, ndigits: int = 1) -> Column:
+    """numpy/pandas-compatible rounding of doubles: scale, ``rint``
+    (round-half-even on the *binary* value), unscale. Spark's
+    ``F.round`` re-renders the double as decimal first (4.55 -> 4.6
+    where numpy gives 4.5), which breaks golden-file parity for the
+    reference's ``round(x, 1)`` sites."""
+    scale = float(10**ndigits)
+    return F.rint(col * scale) / scale
+
+
+def round_python(col: Column, ndigits: int = 1) -> Column:
+    """Python ``round()``-exact rounding of doubles: half-even on the
+    EXACT binary value. ``format_number`` is the one Spark builtin with
+    these semantics (verified: 4.55->4.5, 0.35->0.3, 0.25->0.2,
+    4.65->4.7 — all match CPython); strip its thousands separators and
+    cast back. Needed because the reference's golden CSVs were produced
+    with CPython ``round`` (e.g. WRANGLE cell 46)."""
+    return F.regexp_replace(F.format_number(col, ndigits), ",", "").cast(
+        "double"
+    )
+
+
 def seconds_to_hours(seconds: Column | str, ndigits: int = 1) -> Column:
     """Seconds -> hours rounded to ``ndigits`` (reference seconds_to_hours,
-    transform_all_datasets.py:133-135; WRANGLE cell 60)."""
+    transform_all_datasets.py:133-135; WRANGLE cell 46 — CPython
+    ``round`` semantics, see :func:`round_python`)."""
     c = F.col(seconds) if isinstance(seconds, str) else seconds
-    return F.round(c / 3600.0, ndigits)
+    return round_python(c / 3600.0, ndigits)
 
 
 def epoch_millis_to_timestamp(millis: Column | str) -> Column:

@@ -1,0 +1,17 @@
+"""The eight Garmin dataset pipelines + master table (SURVEY.md §7)."""
+
+from .garmin import (  # noqa: F401
+    TRANSFORMS,
+    master_table,
+    run_pipeline,
+    running_activities,
+    training_plan,
+    transform_atl,
+    transform_maxmet,
+    transform_race_predictions,
+    transform_running,
+    transform_sleep,
+    transform_summarized_activities,
+    transform_training_history,
+    transform_uds,
+)

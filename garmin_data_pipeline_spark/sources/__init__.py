@@ -1,0 +1,17 @@
+"""Schema-declared sources and catalog sinks (SURVEY.md §2.1 S1-S12)."""
+
+from .garmin import (  # noqa: F401
+    ACTIVITY_SCHEMA,
+    ATL_SCHEMA,
+    DATASETS,
+    MAXMET_SCHEMA,
+    RACE_PREDICTIONS_SCHEMA,
+    RUNNING_CSV_COLUMNS,
+    SLEEP_SCHEMA,
+    SUMMARIZED_ACTIVITIES_SCHEMA,
+    TRAINING_HISTORY_SCHEMA,
+    UDS_SCHEMA,
+    read_dataset,
+    read_running_csv,
+    with_provenance,
+)

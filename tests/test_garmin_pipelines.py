@@ -1,0 +1,274 @@
+"""Golden-file differential tests for the eight Garmin pipelines
+(SURVEY.md §5.2/§5.3 item 2).
+
+The reference repo ships end-state golden CSVs under
+``ETL Scripts/PBI Python Scripts/Final Datasets/`` produced by the
+WRANGLE notebook from a *newer* Garmin export than the raw JSON it
+committed (the goldens extend months past the last committed shard).
+Differential strategy therefore:
+
+- identical column names AND order,
+- cell-exact equality on every calendar day present in the committed
+  raw data ("the overlap window"),
+- except cells whose value was mean-imputed from a blank/partial raw
+  row: the imputation mean is computed over the whole dataset, and the
+  golden's dataset is longer, so those few cells cannot match any
+  reimplementation run on the committed shards.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from garmin_data_pipeline_spark import pipelines
+from garmin_data_pipeline_spark.sources import read_dataset, read_running_csv
+
+BASE = "/root/reference/ETL Scripts/PBI Python Scripts/Raw Data"
+GOLD = "/root/reference/ETL Scripts/PBI Python Scripts/Final Datasets"
+
+needs_reference = pytest.mark.skipif(
+    not os.path.isdir(BASE), reason="reference raw data not available"
+)
+
+
+def diff_vs_golden(ours: pd.DataFrame, golden_csv: str, exclude_dates=()):
+    """Assert column parity and cell-exact equality on the overlap."""
+    g = pd.read_csv(f"{GOLD}/{golden_csv}")
+    assert list(ours.columns) == list(g.columns)
+    ours = ours.copy()
+    ours["calendarDate"] = ours["calendarDate"].astype(str)
+    g["calendarDate"] = g["calendarDate"].astype(str)
+    common = sorted(
+        (set(ours.calendarDate) & set(g.calendarDate)) - set(exclude_dates)
+    )
+    assert len(common) > 200, f"suspiciously small overlap: {len(common)}"
+    o = ours.set_index("calendarDate").loc[common].sort_index()
+    gg = g.set_index("calendarDate").loc[common].sort_index()
+    bad_cells = {}
+    for c in o.columns:
+        a, b = o[c], gg[c]
+        try:
+            bad = ~((a.astype(float) - b.astype(float)).abs() < 1e-6)
+        except (ValueError, TypeError):
+            bad = a.astype(str) != b.astype(str)
+        if int(bad.sum()):
+            bad_cells[c] = int(bad.sum())
+    assert not bad_cells, f"mismatched cells vs {golden_csv}: {bad_cells}"
+
+
+@needs_reference
+class TestGoldenParity:
+    def test_atl(self, spark):
+        diff_vs_golden(
+            pipelines.run_pipeline(spark, "atl_data", BASE).toPandas(),
+            "ATL_Cleaned_PBI_Final.csv",
+        )
+
+    def test_maxmet(self, spark):
+        diff_vs_golden(
+            pipelines.run_pipeline(spark, "maxmet_data", BASE).toPandas(),
+            "MaxMet_Cleaned_PBI_Final.csv",
+        )
+
+    def test_race_predictions(self, spark):
+        diff_vs_golden(
+            pipelines.run_pipeline(spark, "race_predictions", BASE).toPandas(),
+            "RacePredictions_Cleaned_PBI_Final.csv",
+        )
+
+    def test_training_history(self, spark):
+        diff_vs_golden(
+            pipelines.run_pipeline(spark, "training_history", BASE).toPandas(),
+            "TrainingHistory_Cleaned_PBI_Final.csv",
+        )
+
+    def test_sleep(self, spark):
+        raw = read_dataset(spark, "sleep_data", BASE)
+        ours = pipelines.transform_sleep(raw).toPandas()
+        # Blank placeholder rows (all-null in raw) get gap-assigned
+        # dates + fully imputed values; exclude those dates (plus the
+        # unassignable trailing blank row, surfacing as 'None').
+        raw_dates = {
+            str(r[0])
+            for r in raw.filter(F.col("calendarDate").isNotNull())
+            .select(F.to_date("calendarDate"))
+            .collect()
+        }
+        imputed = {
+            str(d) for d in ours.calendarDate.astype(str) if str(d) not in raw_dates
+        }
+        # ...and days whose raw sleepScores carry no numeric scores
+        # (score columns were mean-imputed there).
+        imputed |= {
+            str(r[0])
+            for r in raw.filter(F.col("sleepScores.overallScore").isNull())
+            .select(F.to_date("calendarDate"))
+            .collect()
+        }
+        diff_vs_golden(ours, "Sleep_Cleaned_PBI_Final.csv", imputed)
+
+    def test_uds(self, spark):
+        from garmin_data_pipeline_spark.pipelines.garmin import (
+            UDS_BASE_COLS,
+            UDS_STRESS_COLS,
+        )
+
+        raw = read_dataset(spark, "uds_data", BASE)
+        ours = pipelines.transform_uds(raw).toPandas()
+        # Any day with a null raw metric (no TOTAL stress aggregator,
+        # partial wellness record) had that cell mean-imputed.
+        total = F.get(
+            F.filter(
+                F.coalesce(F.col("allDayStress.aggregatorList"), F.array()),
+                lambda a: a["type"] == "TOTAL",
+            ),
+            0,
+        )
+        checked = [
+            F.col(c) for c in UDS_BASE_COLS if c != "isVigorousDay"
+        ] + [total[c] for c in UDS_STRESS_COLS]
+        any_null = F.lit(False)
+        for c in checked:
+            any_null = any_null | c.isNull()
+        imputed = {
+            str(r[0])
+            for r in raw.filter(any_null)
+            .select(F.to_date("calendarDate"))
+            .collect()
+        }
+        # The committed export's trailing days are partial-day
+        # snapshots (cut mid-day at export time) that the golden's
+        # newer export revised upward — a data difference, not a
+        # transform difference.
+        trailing = set(sorted(ours.calendarDate.astype(str))[-2:])
+        diff_vs_golden(ours, "UDS_Cleaned_PBI_Final.csv", imputed | trailing)
+
+    def test_summarized_activities(self, spark):
+        df = read_dataset(spark, "summarized_activities", BASE)
+        out = pipelines.transform_summarized_activities(df)
+        n = out.count()
+        assert n > 300  # 354 activities in the committed export
+        assert out.select("activityId").distinct().count() == n
+        row = (
+            out.filter(F.lower("activityType").contains("run"))
+            .orderBy(F.desc("distance"))
+            .first()
+        )
+        # distance normalized cm -> km: a long run is 1-80 km, not 1e6 cm
+        assert 1.0 < row["distance"] < 80.0
+        assert row["beginTimestamp"].year >= 2023
+
+    def test_running_activities_subset(self, spark):
+        df = read_dataset(spark, "summarized_activities", BASE)
+        runs = pipelines.running_activities(df).toPandas()
+        assert len(runs) > 50
+        assert runs["avg_pace"].notna().any()
+        assert (runs["duration_formatted"].str.count(":") == 2).all()
+
+
+# ---------------------------------------------------------------------------
+# Running CSV pipeline — synthetic fixture (no raw running CSV is
+# committed in the reference; FIXTURES.md §8 defines the schema).
+# ---------------------------------------------------------------------------
+
+RUNNING_CSV = """Activity Type,Date,Favorite,Title,Distance,Calories,Time,Avg HR,Max HR,Aerobic TE,Avg Run Cadence,Max Run Cadence,Avg Pace,Best Pace,Total Ascent,Total Descent,Avg Stride Length,Avg Vertical Ratio,Avg Vertical Oscillation,Avg Ground Contact Time,Normalized Power (NP),Avg Power,Max Power,Steps,Best Lap Time,Number of Laps,Moving Time,Elapsed Time,Min Elevation,Max Elevation,Training Stress Score,Decompression,Avg GAP
+Running,2024-08-20,FALSE,Evening Run,5.21,489,45:30.5,150,165,3.1,170,180,08:44.1,07:30,120,118,1.05,8.0,8.1,250,300,290,400,"7,800",01:10,5,45:00,46:30,100,150,0,No,09:00
+Running,2024-08-19,FALSE,Morning Run,3.5,300,"1:02:10",140,155,2.5,168,175,09:10,08:05,80,82,1.0,8.2,8.3,255,280,270,380,"5,100",01:05,4,"1:01:30","1:03:00",95,140,0,No,09:30
+Treadmill Running,2024-08-13,FALSE,Tempo,13.2,1100,"1:45:00",155,170,4.2,175,185,07:57,06:45,10,12,1.1,7.8,7.9,240,320,310,450,"15,000",00:55,13,"1:44:00","1:46:00",--,--,0,No,08:10
+Running,2024-07-30,FALSE,Long Run,10.0,900,"1:30:00",148,162,3.9,172,182,09:00,07:50,200,195,1.02,8.1,8.2,248,310,300,420,"13,000",01:00,10,"1:29:00","1:31:30",110,160,0,No,09:20
+Running,2023-12-30,FALSE,Year End Run,6.0,550,50:00,145,158,3.0,169,178,08:20,07:40,60,58,1.01,8.05,8.15,252,295,285,410,"9,000",01:02,6,49:30,51:00,90,130,0,No,08:50
+"""
+
+
+@pytest.fixture(scope="module")
+def running_df(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("runcsv") / "Running_Data_20240901.csv"
+    p.write_text(RUNNING_CSV)
+    return pipelines.transform_running(read_running_csv(spark, str(p)))
+
+
+class TestRunningPipeline:
+    def test_headers_and_features(self, running_df):
+        cols = running_df.columns
+        # cleaned headers, date parts in order, engineered columns present
+        assert cols[:10] == [
+            "Activity_Type",
+            "Date",
+            "Month_Numeric",
+            "Month",
+            "Year",
+            "Week_of_Year",
+            "Title",
+            "Distance",
+            "Distance_Group",
+            "DistanceGroupId",
+        ]
+        # constant columns dropped (P4): Training_Stress_Score == 0,
+        # Decompression == 'No', Avg_GAP unique per row stays
+        assert "Training_Stress_Score" not in cols
+        assert "Decompression" not in cols
+        assert "Idle_Time" in cols
+
+    def test_values(self, running_df):
+        rows = {r["Title"]: r for r in running_df.collect()}
+        tempo = rows["Tempo"]
+        assert tempo["Distance_Group"] == "13+ miles"
+        assert tempo["DistanceGroupId"] == 6
+        assert tempo["Time"] == "01:45:00"
+        assert tempo["Avg_Pace"] == "00:07:57"
+        assert tempo["Idle_Time"] == "00:02:00"
+        ev = rows["Evening Run"]
+        # 45:30.5 -> fractional stripped -> 45:30 -> 0:45:30
+        assert ev["Time"] == "00:45:30"
+        assert ev["Best_Pace"] == "00:07:30"
+
+    def test_cumulative_windows(self, running_df):
+        # Two runs in ISO week 34 of 2024 (Aug 19/20): file order is
+        # newest-first, so the Aug-20 run accumulates first.
+        rows = {r["Title"]: r for r in running_df.collect()}
+        assert rows["Evening Run"]["Weekly_Cumulative_Mins"] == "00:45:30"
+        assert rows["Evening Run"]["Weekly_Mins_Prior_to_Run"] == 0.0
+        assert rows["Morning Run"]["Weekly_Cumulative_Mins"] == "01:47:40"
+        assert rows["Morning Run"]["Weekly_Mins_Prior_to_Run"] == 45.5
+
+    def test_training_plan_filter(self, running_df):
+        plan = pipelines.training_plan(running_df).collect()
+        assert {r["Title"] for r in plan} == {
+            "Evening Run",
+            "Morning Run",
+            "Tempo",
+        }
+        assert all(r["IsTrainingPlan"] == 1 for r in plan)
+
+
+@needs_reference
+def test_master_table(spark):
+    dims = {
+        "atl": pipelines.run_pipeline(spark, "atl_data", BASE),
+        "maxmet": pipelines.run_pipeline(spark, "maxmet_data", BASE),
+        "racepred": pipelines.run_pipeline(spark, "race_predictions", BASE),
+        "sleep": pipelines.run_pipeline(spark, "sleep_data", BASE).filter(
+            F.col("calendarDate").isNotNull()
+        ),
+        "trainhist": pipelines.run_pipeline(spark, "training_history", BASE),
+        "uds": pipelines.run_pipeline(spark, "uds_data", BASE),
+    }
+    master = pipelines.master_table(list(dims.values()))
+    dates = master.select("calendarDate").collect()
+    assert len(dates) == len({r[0] for r in dates})  # one row per day
+    union_days = (
+        dims["maxmet"]
+        .select("calendarDate")
+        .union(dims["uds"].select("calendarDate"))
+        .distinct()
+        .count()
+    )
+    assert master.count() >= union_days
+    # vo2MaxValue forward-filled across the full master range
+    pdf = master.toPandas().sort_values("calendarDate")
+    first_valid = pdf["vo2MaxValue"].first_valid_index()
+    assert pdf["vo2MaxValue"].loc[first_valid:].notna().all()
