@@ -1037,6 +1037,50 @@ def st1_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Stateful-streaming batch-equivalent — per-user sessionization
+# (custom stateful operator, streaming/events.py sessionize(); the
+# batch form is the window-function plan the oracle can check).
+# ---------------------------------------------------------------------------
+@register(
+    "st2_sessionize",
+    """
+    WITH g AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > 30 * 60 * 1000000
+                    THEN 1 ELSE 0 END AS ns
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts, value,
+               SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS events,
+           {v}
+    FROM s
+    GROUP BY user_id, sid
+    """.format(v=dsum("value", "total_value")),
+    doc="Per-user 30-min-gap sessionization (stateful-streaming batch twin).",
+)
+def st2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.streaming import sessionize
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
+    out = sessionize(ev, gap_minutes=30)
+    return out.withColumn(
+        "total_value", F.col("total_value").cast("double")
+    )
+
+
 def queries():
     return {name: q.fn for name, q in QUERIES.items()}
 

@@ -1,0 +1,167 @@
+"""Warehouse sinks + catalog operations (SURVEY.md §2.1 S8-S12).
+
+The reference loads every cleaned dataset into a PostgreSQL ``garmin``
+schema with a truncate-and-reload strategy (``db_utils.py:121-159``,
+strategy from config ``etl_settings.load_strategy``) and verifies each
+load with an existence probe + ``SELECT COUNT(*)``
+(``db_utils.py:189-245``). Here the warehouse is the Spark session
+catalog backed by parquet:
+
+- truncate-and-reload  -> ``saveAsTable(mode="overwrite")``
+- append               -> ``saveAsTable(mode="append")``
+- chunked JDBC insert  -> ``batchsize`` option on the JDBC writer
+- B-tree indexes       -> no Spark equivalent; date partitioning
+  (``partitionBy``) supplies partition pruning instead
+  (create_summarized_activities_table.sql:93-96 / README tip).
+
+At 100 TB the sink decisions that matter: partition column choice
+(prunable predicates), target file size (``maxRecordsPerFile`` /
+AQE coalesce so you don't write 10^6 tiny files), and sorted-within-
+partition writes for downstream merge joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def load_table(
+    df: DataFrame,
+    table: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Load a DataFrame into the session catalog (reference
+    ``DatabaseManager.load_dataframe``, db_utils.py:121-159).
+
+    ``mode='overwrite'`` is the reference's truncate-and-reload
+    (``if_exists='replace'``); ``'append'`` maps to its append
+    strategy. ``partition_by`` replaces the reference's B-tree-index
+    guidance with partition pruning.
+    """
+    writer = df.write.mode(mode).format("parquet")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.saveAsTable(table)
+
+
+def table_exists(spark: SparkSession, table: str) -> bool:
+    """Existence probe (reference information_schema query,
+    db_utils.py:189-219)."""
+    return spark.catalog.tableExists(table)
+
+
+def verify_row_count(spark: SparkSession, table: str) -> int:
+    """Post-load row-count verification (reference SELECT COUNT(*),
+    db_utils.py:221-245; used by the pipeline summary,
+    etl_pipeline.py:126-128)."""
+    if not table_exists(spark, table):
+        raise ValueError(f"table does not exist: {table}")
+    return spark.table(table).count()
+
+
+def drop_view(spark: SparkSession, view: str) -> None:
+    """DROP VIEW IF EXISTS (reference drops the running_summary view
+    before reloading its base table, load_final_datasets.py:62-67)."""
+    spark.sql(f"DROP VIEW IF EXISTS {view}")
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """CSV sink (reference ``df.to_csv(index=False)``,
+    transform_running_data.py:248 and the eight WRANGLE exports).
+
+    ``single_file=True`` coalesces to one partition for byte-level
+    parity with the reference's one-file outputs — driver-adjacent and
+    only sane for small presentation tables; leave False at scale.
+    """
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    batch_size: int = 1000,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """JDBC sink with chunked inserts (reference ``to_sql(chunksize=
+    batch_size, method='multi')``, db_utils.py:145-153; batch size from
+    config.template.yaml etl_settings). Not exercised in this repo's
+    tests — no database in the container — but the mapping is 1:1:
+    every executor writes its partitions in ``batchsize`` batches, so
+    load parallelism = partition count (the reference is single-
+    threaded here)."""
+    writer = df.write.format("jdbc").option("url", url).option(
+        "dbtable", table
+    ).option("batchsize", str(batch_size)).mode(mode)
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+def create_summarized_activities_table(
+    spark: SparkSession, table: str = "garmin.summarized_activities"
+) -> None:
+    """DDL for the warehouse activity table (reference
+    create_summarized_activities_table.sql:10-90 — 46 business columns
+    + 2 audit timestamps). Parquet-backed with date partitioning in
+    place of the reference's four B-tree indexes (:93-96)."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS garmin")
+    spark.sql(
+        f"""
+        CREATE TABLE IF NOT EXISTS {table} (
+            activity_id BIGINT NOT NULL,
+            activity_name STRING,
+            activity_type STRING,
+            sport_type STRING,
+            begin_timestamp TIMESTAMP,
+            start_time_gmt TIMESTAMP,
+            start_time_local TIMESTAMP,
+            distance_km DECIMAL(10,3),
+            duration_seconds DECIMAL(10,3),
+            elapsed_duration_seconds DECIMAL(10,3),
+            moving_duration_seconds DECIMAL(10,3),
+            avg_speed_ms DECIMAL(10,3),
+            max_speed_ms DECIMAL(10,3),
+            avg_hr INT,
+            max_hr INT,
+            avg_run_cadence DECIMAL(10,3),
+            max_run_cadence DECIMAL(10,3),
+            steps BIGINT,
+            calories DECIMAL(10,3),
+            bmr_calories DECIMAL(10,3),
+            aerobic_training_effect DECIMAL(4,1),
+            anaerobic_training_effect DECIMAL(4,1),
+            avg_stride_length DECIMAL(10,3),
+            elevation_gain_m DECIMAL(10,3),
+            elevation_loss_m DECIMAL(10,3),
+            min_elevation_m DECIMAL(10,3),
+            max_elevation_m DECIMAL(10,3),
+            avg_power DECIMAL(10,3),
+            max_power DECIMAL(10,3),
+            norm_power DECIMAL(10,3),
+            training_effect_label STRING,
+            activity_training_load DECIMAL(10,3),
+            lap_count INT,
+            favorite BOOLEAN,
+            start_latitude DECIMAL(10,6),
+            start_longitude DECIMAL(10,6),
+            end_latitude DECIMAL(10,6),
+            end_longitude DECIMAL(10,6),
+            location_name STRING,
+            device_id BIGINT,
+            manufacturer STRING,
+            vo2_max_value DECIMAL(4,1),
+            water_estimated DECIMAL(10,3),
+            moderate_intensity_minutes INT,
+            vigorous_intensity_minutes INT,
+            created_at TIMESTAMP,
+            updated_at TIMESTAMP,
+            start_date DATE
+        )
+        USING parquet
+        PARTITIONED BY (start_date)
+        """
+    )

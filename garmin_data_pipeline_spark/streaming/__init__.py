@@ -1,0 +1,9 @@
+"""Structured Streaming ingest + stateful operators (SURVEY.md §2.10)."""
+
+from .events import (  # noqa: F401
+    EVENTS_SCHEMA,
+    daily_event_summary,
+    read_events_stream,
+    sessionize,
+    start_daily_summary_stream,
+)

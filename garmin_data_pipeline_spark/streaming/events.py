@@ -1,0 +1,224 @@
+"""Structured Streaming ingest (SURVEY.md §2.10, build plan §7 step 9).
+
+The reference is strictly batch truncate-and-reload; its aspirational
+scheduling ("run nightly via cron", ETL README) is re-expressed here as
+a continuous ingest: a file-source stream over event shards feeding the
+same daily-summary semantics the UDS pipeline computes in batch — one
+row per (day, event_type) with counts and value sums, plus a stateful
+sessionization operator the reference has no equivalent for.
+
+Scale notes:
+- Watermarking bounds state: late events older than the watermark are
+  dropped instead of growing the store forever.
+- The tumbling-window aggregate shuffles once on (window, event_type);
+  state lives in the state store keyed the same way.
+- ``applyInPandasWithState`` is the escape hatch for custom stateful
+  logic (per-user sessionization with an inactivity gap) — Arrow-
+  batched, partitioned by user, timeout-driven eviction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over event parquet shards. New files landing
+    under ``path`` become micro-batches; schema is declared, never
+    inferred (a streaming source must not sample)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(path)
+    )
+
+
+def daily_event_summary(
+    events: DataFrame, watermark: str = "1 day"
+) -> DataFrame:
+    """Tumbling daily (window, event_type) aggregate with a watermark —
+    the streaming analog of the UDS one-row-per-day summary
+    (SURVEY.md §2.10). Works on both batch and streaming frames."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(
+            F.window("ts", "1 day").alias("day_window"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("event_count"),
+            F.sum("value").alias("total_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.to_date(F.col("day_window.start")).alias("calendarDate"),
+            "event_type",
+            "event_count",
+            "total_value",
+            "approx_users",
+        )
+    )
+
+
+def start_daily_summary_stream(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint: str,
+    sink_table: str = "events_daily",
+    available_now: bool = True,
+):
+    """Wire source -> daily summary -> in-memory sink (tests) with a
+    checkpoint. ``availableNow`` processes the current backlog then
+    stops — the streaming equivalent of the reference's one-shot batch
+    run, but restartable/incremental via the checkpoint."""
+    events = read_events_stream(spark, source_path)
+    summary = daily_event_summary(events)
+    writer = (
+        summary.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: per-user sessionization
+# ---------------------------------------------------------------------------
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("session_start", TimestampType()),
+        StructField("last_seen", TimestampType()),
+        StructField("events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def sessionize(
+    events: DataFrame, gap_minutes: int = 30, timeout_minutes: int = 60
+) -> DataFrame:
+    """Split each user's event stream into sessions separated by
+    ``gap_minutes`` of inactivity.
+
+    Streaming frames use ``applyInPandasWithState`` (state = the open
+    session per user, closed either by a large-enough gap inside a
+    batch or by processing-time timeout). Batch frames get the
+    window-function equivalent (lag + cumulative session id) so the
+    same API serves both — and the batch form is what the DuckDB
+    oracle can check.
+    """
+    if not events.isStreaming:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.lag("ts").over(w)
+        # microsecond precision so the gap predicate is exact (and
+        # matches a DuckDB epoch_us oracle bit-for-bit)
+        new_session = (
+            F.unix_micros(F.col("ts")) - F.unix_micros(gap)
+            > gap_minutes * 60 * 1_000_000
+        ) | gap.isNull()
+        with_id = events.withColumn(
+            "session_id",
+            F.sum(new_session.cast("long")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        return (
+            with_id.groupBy("user_id", "session_id")
+            .agg(
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+                F.count("*").alias("events"),
+                F.sum("value").alias("total_value"),
+            )
+            .drop("session_id")
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_s = gap_minutes * 60
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            if state.exists:
+                s0, last, n, tot = state.get
+                closed.append((user_id, s0, last, n, tot))
+                state.remove()
+        else:
+            rows = pd.concat(list(pdfs)).sort_values("ts")
+            if state.exists:
+                s0, last, n, tot = state.get
+            else:
+                s0 = last = None
+                n, tot = 0, 0.0
+            for ts, val in zip(rows["ts"], rows["value"]):
+                ts = ts.to_pydatetime()
+                if last is not None and (ts - last).total_seconds() > gap_s:
+                    closed.append((user_id, s0, last, n, tot))
+                    s0, n, tot = ts, 0, 0.0
+                if s0 is None:
+                    s0 = ts
+                last = ts
+                n += 1
+                tot += float(val) if val == val else 0.0
+            state.update((s0, last, n, tot))
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            closed,
+            columns=[
+                "user_id",
+                "session_start",
+                "session_end",
+                "events",
+                "total_value",
+            ],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        SESSION_OUTPUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -1,0 +1,176 @@
+"""Tests: catalog sinks (S8-S12), GPX source (S6), Structured
+Streaming ingest + stateful sessionization (SURVEY.md §2.10)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from garmin_data_pipeline_spark.sources import sinks
+from garmin_data_pipeline_spark.sources.gpx import read_gpx_points
+from garmin_data_pipeline_spark.streaming import (
+    daily_event_summary,
+    sessionize,
+    start_daily_summary_stream,
+)
+
+# ---------------------------------------------------------------------------
+# Sinks / catalog
+# ---------------------------------------------------------------------------
+
+
+class TestSinks:
+    def test_load_verify_roundtrip(self, spark, sf_dir):
+        df = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        sinks.load_table(df, "t_nation")
+        assert sinks.table_exists(spark, "t_nation")
+        assert sinks.verify_row_count(spark, "t_nation") == df.count()
+        # truncate-and-reload: second overwrite does not append
+        sinks.load_table(df, "t_nation", mode="overwrite")
+        assert sinks.verify_row_count(spark, "t_nation") == df.count()
+        sinks.load_table(df, "t_nation", mode="append")
+        assert sinks.verify_row_count(spark, "t_nation") == 2 * df.count()
+        spark.sql("DROP TABLE t_nation")
+
+    def test_verify_missing_table_raises(self, spark):
+        with pytest.raises(ValueError):
+            sinks.verify_row_count(spark, "no_such_table")
+
+    def test_drop_view(self, spark, sf_dir):
+        spark.read.parquet(f"{sf_dir}/region.parquet").createOrReplaceTempView(
+            "v_region"
+        )
+        sinks.drop_view(spark, "v_region")
+        assert "v_region" not in [v.name for v in spark.catalog.listTables()]
+
+    def test_write_csv_single_file(self, spark, sf_dir, tmp_path):
+        df = spark.read.parquet(f"{sf_dir}/region.parquet")
+        out = tmp_path / "region_csv"
+        sinks.write_csv(df, str(out), single_file=True)
+        parts = list(out.glob("part-*.csv"))
+        assert len(parts) == 1
+        back = spark.read.option("header", "true").csv(str(out))
+        assert back.count() == df.count()
+
+    def test_activities_ddl(self, spark):
+        sinks.create_summarized_activities_table(spark)
+        assert sinks.table_exists(spark, "garmin.summarized_activities")
+        cols = [
+            f.name for f in spark.table("garmin.summarized_activities").schema
+        ]
+        assert "activity_id" in cols and "start_date" in cols
+        assert len(cols) == 48  # 45 business + 2 audit + partition date
+        spark.sql("DROP TABLE garmin.summarized_activities")
+
+
+# ---------------------------------------------------------------------------
+# GPX source
+# ---------------------------------------------------------------------------
+
+GPX_DOC = """<?xml version="1.0" encoding="UTF-8"?>
+<gpx version="1.1" creator="test">
+ <trk><name>Morning Run</name><trkseg>
+  <trkpt lat="35.2271" lon="-80.8431"><ele>230.1</ele><time>2024-08-13T11:00:00Z</time></trkpt>
+  <trkpt lat="35.2275" lon="-80.8440"><ele>231.0</ele><time>2024-08-13T11:00:05Z</time></trkpt>
+ </trkseg></trk>
+</gpx>
+"""
+
+GPX_DOC2 = """<gpx><trk><trkseg>
+<trkpt lat="40.0" lon="-75.0"><time>2024-08-14T09:30:00Z</time></trkpt>
+</trkseg></trk></gpx>
+"""
+
+
+class TestGpx:
+    def test_read_points(self, spark, tmp_path):
+        (tmp_path / "a.gpx").write_text(GPX_DOC)
+        (tmp_path / "b.gpx").write_text(GPX_DOC2)
+        (tmp_path / "ignore.txt").write_text("not gpx")
+        pts = read_gpx_points(spark, str(tmp_path)).orderBy("Time").collect()
+        assert len(pts) == 3
+        assert pts[0]["Latitude"] == pytest.approx(35.2271)
+        assert pts[0]["Longitude"] == pytest.approx(-80.8431)
+        assert str(pts[0]["Date"]) == "2024-08-13"
+        assert str(pts[2]["Date"]) == "2024-08-14"
+
+
+# ---------------------------------------------------------------------------
+# Streaming
+# ---------------------------------------------------------------------------
+
+
+class TestStreaming:
+    def test_daily_summary_stream_matches_batch(
+        self, spark, sf_dir, tmp_path
+    ):
+        from garmin_data_pipeline_spark.plans.registry import table
+
+        # Land clean parquet shards: the driver's events.parquet uses
+        # TIMESTAMP(NANOS), which the declared streaming schema (micros)
+        # cannot read directly; registry.table() normalizes it.
+        src = tmp_path / "events_in"
+        table(spark, sf_dir, "events").write.parquet(str(src))
+        q = start_daily_summary_stream(
+            spark,
+            str(src),
+            checkpoint=str(tmp_path / "ckpt"),
+            sink_table="events_daily_test",
+        )
+        q.awaitTermination(120)
+        got = spark.table("events_daily_test")
+        batch = daily_event_summary(table(spark, sf_dir, "events"))
+        # Append mode emits only watermark-finalized windows: the
+        # streamed result is a prefix of the batch result.
+        assert 0 < got.count() <= batch.count()
+        j = got.alias("s").join(
+            batch.alias("b"), ["calendarDate", "event_type"]
+        )
+        assert j.count() == got.count()
+        mism = j.filter(
+            (F.col("s.event_count") != F.col("b.event_count"))
+            | (
+                F.abs(F.col("s.total_value") - F.col("b.total_value"))
+                > 1e-6
+            )
+        )
+        assert mism.count() == 0
+
+    def test_sessionize_batch(self, spark, sf_dir):
+        from garmin_data_pipeline_spark.plans.registry import table
+
+        events = table(spark, sf_dir, "events")
+        sessions = sessionize(events, gap_minutes=30)
+        agg = sessions.agg(
+            F.sum("events").alias("n"), F.count("*").alias("sessions")
+        ).first()
+        assert agg["n"] == events.count()  # every event in exactly one session
+        assert agg["sessions"] > events.select("user_id").distinct().count()
+        # sessions are disjoint per user and ordered
+        bad = sessions.filter(
+            F.col("session_end") < F.col("session_start")
+        ).count()
+        assert bad == 0
+
+    def test_sessionize_stream_closes_sessions(self, spark, sf_dir, tmp_path):
+        from garmin_data_pipeline_spark.plans.registry import table
+
+        src = tmp_path / "events_in2"
+        table(spark, sf_dir, "events").write.parquet(str(src))
+        from garmin_data_pipeline_spark.streaming import read_events_stream
+
+        stream = read_events_stream(spark, str(src))
+        sessions = sessionize(stream, gap_minutes=30)
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("sessions_test")
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.table("sessions_test")
+        # in-batch inactivity gaps close sessions even without timeouts
+        assert got.count() > 0
+        assert got.filter(F.col("events") <= 0).count() == 0
