@@ -137,7 +137,12 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document: base-hash each shingle with
     xxhash64, then k = num_hashes universal-hash permutations, min per
-    doc. One explode + one groupBy with k algebraic aggregates."""
+    doc. One explode + one groupBy with k algebraic ``min`` aggregates —
+    fully codegen'd, and hash aggregation is map-side partial, so the
+    shuffle carries #docs rows (k longs each), not #docs x #shingles.
+    (A shuffle-free ``array_min(transform(...))`` formulation was tried
+    and rejected: nested higher-order functions run interpreted, ~10x
+    slower than this codegen'd aggregate.)"""
     sh = df.select(
         F.col(id_col).alias("doc"),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"),
@@ -176,7 +181,13 @@ def minhash_lsh_pairs(
     of matching minhashes, kept at >= threshold.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    # The signature relation is referenced three times (banding + two
+    # pair-side re-attachments); persist so the scan+shingle+hash work
+    # runs once. At cluster scale this is where you'd checkpoint the
+    # signature table.
+    sig = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n
+    ).persist()
     banded = sig.select(
         "doc",
         "signature",
@@ -201,24 +212,28 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc", "signature", "bb.band", "bb.bucket")
-    a = banded.select(
-        F.col("doc").alias("doc_a"),
-        F.col("signature").alias("sig_a"),
-        "band",
-        "bucket",
-    )
-    b = banded.select(
-        F.col("doc").alias("doc_b"),
-        F.col("signature").alias("sig_b"),
-        "band",
-        "bucket",
-    )
-    cand = (
+    ).select("doc", "bb.band", "bb.bucket")
+    # Band rows carry only the doc id: the (band, bucket) self-join and
+    # the pair dedup shuffle ids, not 32-long signature arrays;
+    # signatures re-attach to the (much smaller) deduped pair set.
+    a = banded.select(F.col("doc").alias("doc_a"), "band", "bucket")
+    b = banded.select(F.col("doc").alias("doc_b"), "band", "bucket")
+    pair_ids = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    cand = pair_ids.join(
+        sig.select(
+            F.col("doc").alias("doc_a"), F.col("signature").alias("sig_a")
+        ),
+        "doc_a",
+    ).join(
+        sig.select(
+            F.col("doc").alias("doc_b"), F.col("signature").alias("sig_b")
+        ),
+        "doc_b",
     )
     est = F.size(
         F.filter(
