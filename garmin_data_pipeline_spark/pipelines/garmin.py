@@ -517,22 +517,39 @@ def running_activities(df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def master_table(datasets: Sequence[DataFrame]) -> DataFrame:
-    """7-way full outer join on ``calendarDate`` (MERGE cell 18:
-    ``reduce(pd.merge(..., how='outer'))``), followed by the notebook's
-    post-join repairs: ffill of vo2MaxValue/maxMet (MERGE cell 24) and
-    the IsRunDay flag (MERGE cell 31).
+def master_table(
+    datasets: Sequence[DataFrame], require_status: bool = True
+) -> DataFrame:
+    """7-way full outer join on ``calendarDate`` (MERGE cell 9:
+    ``reduce(pd.merge(..., how='outer'))``) followed by the notebook's
+    post-join repairs (cells 12-21): keep only days with a training
+    status, LOCF-fill vo2MaxValue/maxMet across the joined range,
+    rename the run ``Time`` to ``RunTime``, zero-fill no-run days, and
+    derive the ``IsRunDay`` flag.
 
     Overlapping non-key columns are pre-suffixed per input (pandas
     would emit _x/_y; Spark errors on ambiguity — SURVEY.md §7d). The
     join key is the date: at reference scale every dim broadcasts; at
     100 TB scale the join is a sort-merge co-partitioned on the date.
+    Every guard is column-presence-based so the builder works with any
+    subset of the seven cleaned datasets.
     """
     joined = master_outer_join(list(datasets), on="calendarDate")
+    if require_status and "trainingStatus" in joined.columns:
+        joined = joined.filter(F.col("trainingStatus").isNotNull())
     if {"vo2MaxValue", "maxMet"} <= set(joined.columns):
         joined = forward_fill(
             joined, ["vo2MaxValue", "maxMet"], [], ["calendarDate"]
         )
+    if "Time" in joined.columns:
+        joined = joined.withColumnRenamed("Time", "RunTime")
+    fills = {}
+    if "Distance" in joined.columns:
+        fills["Distance"] = 0.0
+    if "RunTime" in joined.columns:
+        fills["RunTime"] = "00:00:00"
+    if fills:
+        joined = joined.na.fill(fills)
     if "Distance" in joined.columns:
         joined = joined.withColumn(
             "IsRunDay",

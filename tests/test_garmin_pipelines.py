@@ -260,6 +260,11 @@ def test_master_table(spark):
     master = pipelines.master_table(list(dims.values()))
     dates = master.select("calendarDate").collect()
     assert len(dates) == len({r[0] for r in dates})  # one row per day
+    # MERGE cell 12: only days with a training status survive
+    assert master.count() == dims["trainhist"].count()
+    wide = pipelines.master_table(
+        list(dims.values()), require_status=False
+    )
     union_days = (
         dims["maxmet"]
         .select("calendarDate")
@@ -267,7 +272,7 @@ def test_master_table(spark):
         .distinct()
         .count()
     )
-    assert master.count() >= union_days
+    assert wide.count() >= union_days
     # vo2MaxValue forward-filled across the full master range
     pdf = master.toPandas().sort_values("calendarDate")
     first_valid = pdf["vo2MaxValue"].first_valid_index()
