@@ -1038,6 +1038,45 @@ def st1_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A5 — total sum of a duration column + H:MM:SS render
+# (reference ANALYSIS cell 26: Time.sum() + divmod; SURVEY §2.4 A5 /
+# §2.8 F15. l_quantity stands in as integral seconds.)
+# ---------------------------------------------------------------------------
+@register(
+    "a5_total_duration",
+    """
+    SELECT total_seconds,
+           CAST(total_seconds // 3600 AS VARCHAR) || ':' ||
+           lpad(CAST((total_seconds % 3600) // 60 AS VARCHAR), 2, '0')
+           || ':' ||
+           lpad(CAST(total_seconds % 60 AS VARCHAR), 2, '0')
+               AS total_formatted
+    FROM (
+        SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS BIGINT)
+                   AS total_seconds
+        FROM lineitem
+    )
+    """,
+    doc="Total duration sum rendered H:MM:SS (ANALYSIS cell 26).",
+)
+def a5_total_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.functions.durations import (
+        format_duration,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    total = li.agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+        .cast("bigint")
+        .alias("total_seconds")
+    )
+    return total.select(
+        "total_seconds",
+        format_duration("total_seconds").alias("total_formatted"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Stateful-streaming batch-equivalent — per-user sessionization
 # (custom stateful operator, streaming/events.py sessionize(); the
 # batch form is the window-function plan the oracle can check).

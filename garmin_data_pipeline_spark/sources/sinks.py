@@ -30,6 +30,8 @@ def load_table(
     table: str,
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
+    bucket_by: list[str] | None = None,
+    buckets: int = 32,
 ) -> None:
     """Load a DataFrame into the session catalog (reference
     ``DatabaseManager.load_dataframe``, db_utils.py:121-159).
@@ -37,11 +39,16 @@ def load_table(
     ``mode='overwrite'`` is the reference's truncate-and-reload
     (``if_exists='replace'``); ``'append'`` maps to its append
     strategy. ``partition_by`` replaces the reference's B-tree-index
-    guidance with partition pruning.
+    guidance with partition pruning; ``bucket_by`` hash-buckets (and
+    sorts) the table on the given keys so later equi-joins/aggs on
+    those keys run shuffle-free — the 100 TB substitute for
+    co-located-join indexes.
     """
     writer = df.write.mode(mode).format("parquet")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    if bucket_by:
+        writer = writer.bucketBy(buckets, *bucket_by).sortBy(*bucket_by)
     writer.saveAsTable(table)
 
 
