@@ -1,5 +1,11 @@
 """The eight Garmin dataset pipelines + master table (SURVEY.md §7)."""
 
+from .runner import (  # noqa: F401
+    DEFAULT_TABLES,
+    PipelineSummary,
+    load_final_datasets,
+    run_full_pipeline,
+)
 from .garmin import (  # noqa: F401
     TRANSFORMS,
     master_table,

@@ -1,0 +1,126 @@
+"""Pipeline orchestration — the reference's two batch entry points
+(SURVEY.md §3) as library functions.
+
+Entry point 1, ``python etl_pipeline.py`` (etl_pipeline.py:148-196):
+extract -> transform -> load -> verify per dataset, with a summary of
+extracted/loaded counts. Here each dataset is ONE lazy read->transform
+->write DAG — no intermediate materialization, Catalyst plans the
+whole chain; the only actions are the write and the verification
+count.
+
+Entry point 2, ``python load_final_datasets.py`` (load_final_datasets.
+py:82-133): golden CSV -> warehouse table, dropping the dependent view
+first for the running table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from ..sources import read_dataset
+from ..sources.sinks import drop_view, load_table, verify_row_count
+from .garmin import TRANSFORMS
+
+
+@dataclass
+class DatasetResult:
+    """Per-dataset outcome (mirrors the reference's results dict,
+    etl_pipeline.py:131-136)."""
+
+    dataset: str
+    table: str
+    status: str
+    rows_loaded: int = 0
+    error: str = ""
+
+
+@dataclass
+class PipelineSummary:
+    results: list[DatasetResult] = field(default_factory=list)
+
+    @property
+    def succeeded(self) -> list[str]:
+        return [r.dataset for r in self.results if r.status == "success"]
+
+    @property
+    def failed(self) -> list[str]:
+        return [r.dataset for r in self.results if r.status == "failed"]
+
+
+# dataset -> warehouse table (mirrors the tables: block of
+# config.template.yaml)
+DEFAULT_TABLES = {
+    "atl_data": "garmin.atl_data",
+    "maxmet_data": "garmin.maxmet_data",
+    "race_predictions": "garmin.race_predictions",
+    "training_history": "garmin.training_history",
+    "sleep_data": "garmin.sleep_data",
+    "uds_data": "garmin.uds_data",
+    "summarized_activities": "garmin.summarized_activities_raw",
+}
+
+
+def run_full_pipeline(
+    spark: SparkSession,
+    base_dir: str,
+    datasets: list[str] | None = None,
+    tables: dict[str, str] | None = None,
+    mode: str = "overwrite",
+) -> PipelineSummary:
+    """Process every configured dataset: read the JSON shards,
+    transform, load into the catalog, verify the row count
+    (etl_pipeline.py:53-146 process_dataset loop, :148-196 summary).
+
+    Failures are isolated per dataset like the reference's
+    try/except-per-dataset — one bad dataset doesn't kill the run.
+    """
+    tables = {**DEFAULT_TABLES, **(tables or {})}
+    names = datasets or [n for n in TRANSFORMS if n in tables]
+    spark.sql("CREATE DATABASE IF NOT EXISTS garmin")
+    summary = PipelineSummary()
+    for name in names:
+        table = tables[name]
+        try:
+            out = TRANSFORMS[name](read_dataset(spark, name, base_dir))
+            load_table(out, table, mode=mode)
+            n = verify_row_count(spark, table)
+            summary.results.append(
+                DatasetResult(name, table, "success", rows_loaded=n)
+            )
+        except Exception as exc:  # noqa: BLE001 — per-dataset isolation
+            summary.results.append(
+                DatasetResult(name, table, "failed", error=str(exc))
+            )
+    return summary
+
+
+def load_final_datasets(
+    spark: SparkSession,
+    csv_to_table: dict[str, str],
+    drop_views: dict[str, str] | None = None,
+) -> PipelineSummary:
+    """Golden CSV -> warehouse loader (load_final_datasets.py:82-133):
+    for each (csv_path, table), optionally drop a dependent view first
+    (the reference drops garmin.running_summary before reloading
+    running_data, :62-67), then truncate-and-reload + verify."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS garmin")
+    summary = PipelineSummary()
+    for csv_path, table in csv_to_table.items():
+        try:
+            if drop_views and table in drop_views:
+                drop_view(spark, drop_views[table])
+            df = spark.read.option("header", "true").option(
+                "inferSchema", "true"
+            ).csv(csv_path)
+            load_table(df, table)
+            n = verify_row_count(spark, table)
+            summary.results.append(
+                DatasetResult(csv_path, table, "success", rows_loaded=n)
+            )
+        except Exception as exc:  # noqa: BLE001
+            summary.results.append(
+                DatasetResult(csv_path, table, "failed", error=str(exc))
+            )
+    return summary

@@ -277,3 +277,39 @@ def test_master_table(spark):
     pdf = master.toPandas().sort_values("calendarDate")
     first_valid = pdf["vo2MaxValue"].first_valid_index()
     assert pdf["vo2MaxValue"].loc[first_valid:].notna().all()
+
+
+@needs_reference
+def test_run_full_pipeline(spark, tmp_path):
+    import shutil
+
+    for t in pipelines.DEFAULT_TABLES.values():
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(
+            f"/tmp/spark-test-warehouse/garmin.db/{t.split('.')[-1]}",
+            ignore_errors=True,
+        )
+    summary = pipelines.run_full_pipeline(spark, BASE)
+    assert summary.failed == []
+    by_name = {r.dataset: r for r in summary.results}
+    assert by_name["atl_data"].rows_loaded == 245
+    assert by_name["summarized_activities"].rows_loaded > 300
+    assert spark.table("garmin.atl_data").count() == 245
+    for t in pipelines.DEFAULT_TABLES.values():
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+@needs_reference
+def test_load_final_datasets(spark, tmp_path):
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS garmin.atl_final")
+    shutil.rmtree(
+        "/tmp/spark-test-warehouse/garmin.db/atl_final", ignore_errors=True
+    )
+    summary = pipelines.load_final_datasets(
+        spark, {f"{GOLD}/ATL_Cleaned_PBI_Final.csv": "garmin.atl_final"}
+    )
+    assert summary.failed == []
+    assert summary.results[0].rows_loaded == 375
+    spark.sql("DROP TABLE IF EXISTS garmin.atl_final")
