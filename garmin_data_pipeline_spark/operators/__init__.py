@@ -15,6 +15,10 @@ from garmin_data_pipeline_spark.operators.nested import (
     pick_array_element,
     unwrap_envelope,
 )
+from garmin_data_pipeline_spark.operators.repair import (
+    patch_null_dates_from_gaps,
+)
+from garmin_data_pipeline_spark.operators.skew import salted_agg
 from garmin_data_pipeline_spark.operators.projections import (
     clean_header,
     clean_headers,
@@ -59,8 +63,10 @@ __all__ = [
     "latest_per_group",
     "master_outer_join",
     "null_counts",
+    "patch_null_dates_from_gaps",
     "pick_array_element",
     "reorder_after",
+    "salted_agg",
     "union_by_name",
     "value_counts",
 ]

@@ -325,9 +325,16 @@ def j1_master_daily_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
 
     def daily(event_type: str, out: str) -> DataFrame:
+        # Materialize `day` BEFORE the groupBy: grouping on an aliased
+        # expression leaves the aggregate partitioned on an internal
+        # _groupingexpression attribute, and the downstream full-outer
+        # SMJ re-shuffles on `day`. Grouping on the concrete column
+        # lets the join reuse the aggregate's partitioning — one
+        # exchange per branch instead of two.
         return (
             ev.filter(F.col("event_type") == event_type)
-            .groupBy(F.to_date("ts").alias("day"))
+            .withColumn("day", F.to_date("ts"))
+            .groupBy("day")
             .agg(F.count(F.lit(1)).alias(out))
         )
 
