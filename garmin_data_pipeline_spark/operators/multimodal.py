@@ -108,20 +108,89 @@ def _ddl_types(df: DataFrame) -> list[str]:
 
 
 def resize_images(
-    df: DataFrame, width: int, height: int, payload_col: str = "payload"
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    real: bool = False,
 ) -> DataFrame:
-    """STUB: real implementation is a mapInPandas kernel calling an
-    image library per Arrow batch. Not available in this container."""
-    raise NotImplementedError(
-        "image resize requires an image codec; plumbing pattern is "
-        "decode_image_metadata()"
-    )
+    """Resize kernel over mapInPandas (1 row -> 1 row, payload
+    rewritten, meta updated).
+
+    The *codec* is stubbed (``real=True`` raises — no image library in
+    this container): the fake "resize" truncates/zero-pads the payload
+    to width*height bytes, which exercises the real concern —
+    Arrow-batched binary rewrite with a changed payload size profile.
+    Swap the kernel body for PIL and nothing else changes.
+    """
+    if real:
+        raise NotImplementedError(
+            "image codecs not available in this environment; "
+            "replace the kernel body with PIL.Image.resize"
+        )
+    target = width * height
+    in_cols = df.columns
+    out_schema = ", ".join(
+        f"{c} {t}" for c, t in zip(df.schema.fieldNames(), _ddl_types(df))
+    ) + ", width int, height int"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[in_cols].copy()
+            pdf[payload_col] = [
+                (p or b"")[:target].ljust(target, b"\0")
+                for p in pdf[payload_col]
+            ]
+            pdf["width"] = width
+            pdf["height"] = height
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=out_schema)
 
 
 def sample_video_frames(
-    df: DataFrame, every_n_seconds: float, payload_col: str = "payload"
+    df: DataFrame,
+    frame_size: int = 256,
+    every_n: int = 2,
+    payload_col: str = "payload",
+    real: bool = False,
 ) -> DataFrame:
-    """STUB: frame sampling needs ffmpeg; kernel shape identical to
-    decode_image_metadata (one input row -> N output rows via
-    mapInPandas yielding exploded frames)."""
-    raise NotImplementedError("video codecs not available")
+    """Frame sampling over mapInPandas: one input row -> N output rows
+    (the exploding-kernel shape every video/audio chunker needs).
+
+    The *decoder* is stubbed (``real=True`` raises — no ffmpeg here):
+    a fake "video" is its payload split into fixed ``frame_size``-byte
+    frames, keeping every ``every_n``-th. The Spark-side plumbing is
+    real: Arrow batch in, exploded batch out, declared schema, payload
+    never touching the driver.
+    """
+    if real:
+        raise NotImplementedError(
+            "video codecs not available; replace the kernel with ffmpeg"
+        )
+    in_cols = [c for c in df.columns if c != payload_col]
+    keep_t = {
+        f: t
+        for f, t in zip(df.schema.fieldNames(), _ddl_types(df))
+    }
+    out_schema = ", ".join(
+        [f"{c} {keep_t[c]}" for c in in_cols]
+        + ["frame_idx bigint", "frame binary", "frame_len bigint"]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                p = r[payload_col] or b""
+                n_frames = (len(p) + frame_size - 1) // frame_size
+                for idx in range(0, n_frames, every_n):
+                    fr = bytes(p[idx * frame_size : (idx + 1) * frame_size])
+                    rows.append(
+                        tuple(r[c] for c in in_cols) + (idx, fr, len(fr))
+                    )
+            yield pd.DataFrame(
+                rows, columns=in_cols + ["frame_idx", "frame", "frame_len"]
+            )
+
+    return df.mapInPandas(kernel, schema=out_schema)

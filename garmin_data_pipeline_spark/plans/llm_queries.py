@@ -414,3 +414,38 @@ def m1_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select(
         "doc_id", "media_type", "width", "height", "n_bytes", "format"
     )
+
+
+# ---------------------------------------------------------------------------
+# M2 — video-style frame sampling: 1 asset row -> N frame rows via an
+# exploding mapInPandas kernel (codec stubbed; frame arithmetic is the
+# oracle-checkable part: frame_len = min(size, n_bytes - idx*size)).
+# ---------------------------------------------------------------------------
+@register(
+    "m2_frame_sampling",
+    """
+    WITH t AS (
+        SELECT doc_id, octet_length(encode(text)) AS n_bytes
+        FROM documents
+    )
+    SELECT doc_id,
+           idx AS frame_idx,
+           LEAST(256, n_bytes - idx * 256) AS frame_len
+    FROM t,
+         LATERAL (
+            SELECT unnest(range(0,
+                CAST(ceil(n_bytes / 256.0) AS BIGINT), 2)) AS idx
+         )
+    """,
+    doc="Frame sampling: exploding mapInPandas kernel (every 2nd "
+    "256-byte frame of the payload; fake codec, real plumbing).",
+)
+def m2_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    assets = attach_binary_payload(docs, "text").select("doc_id", "payload")
+    frames = sample_video_frames(assets, frame_size=256, every_n=2)
+    return frames.select("doc_id", "frame_idx", "frame_len")

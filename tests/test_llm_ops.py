@@ -191,5 +191,55 @@ def test_multimodal_real_decode_is_stubbed(spark):
     assets = attach_binary_payload(df, "text")
     with pytest.raises(NotImplementedError):
         decode_image_metadata(assets, real=True)
-    with pytest.raises(NotImplementedError):
-        resize_images(assets, 64, 64)
+
+
+class TestMultimodalKernels:
+    def test_resize_truncates_and_pads(self, spark):
+        from garmin_data_pipeline_spark.operators.multimodal import (
+            attach_binary_payload,
+            resize_images,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "x" * 100), (2, "y")], "id long, text string"
+        )
+        out = resize_images(
+            attach_binary_payload(df, "text"), width=4, height=8
+        ).collect()
+        by_id = {r["id"]: r for r in out}
+        assert len(by_id[1]["payload"]) == 32  # truncated
+        assert len(by_id[2]["payload"]) == 32  # zero-padded
+        assert by_id[2]["payload"][:1] == b"y"
+        assert by_id[1]["width"] == 4 and by_id[1]["height"] == 8
+
+    def test_frame_sampling_explodes(self, spark):
+        from garmin_data_pipeline_spark.operators.multimodal import (
+            attach_binary_payload,
+            sample_video_frames,
+        )
+
+        # 10-byte payload, frame_size=4 -> frames 0..2, keep 0 and 2
+        df = spark.createDataFrame([(1, "abcdefghij")], "id long, text string")
+        out = sample_video_frames(
+            attach_binary_payload(df, "text").select("id", "payload"),
+            frame_size=4,
+            every_n=2,
+        ).collect()
+        assert [(r["frame_idx"], bytes(r["frame"]), r["frame_len"]) for r in out] == [
+            (0, b"abcd", 4),
+            (2, b"ij", 2),
+        ]
+
+    def test_real_codecs_are_marked_stubs(self, spark):
+        import pytest as _pytest
+
+        from garmin_data_pipeline_spark.operators.multimodal import (
+            resize_images,
+            sample_video_frames,
+        )
+
+        df = spark.range(1)
+        with _pytest.raises(NotImplementedError):
+            resize_images(df, 1, 1, real=True)
+        with _pytest.raises(NotImplementedError):
+            sample_video_frames(df, real=True)
