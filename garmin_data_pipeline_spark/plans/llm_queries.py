@@ -449,3 +449,41 @@ def m2_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = attach_binary_payload(docs, "text").select("doc_id", "payload")
     frames = sample_video_frames(assets, frame_size=256, every_n=2)
     return frames.select("doc_id", "frame_idx", "frame_len")
+
+
+# ---------------------------------------------------------------------------
+# T4 — corpus length profile: exact quantiles of per-doc token counts
+# (the pre-training data-profiling step that sizes truncation/packing).
+# Spark `percentile` and DuckDB `quantile_cont` both do exact linear
+# interpolation -> hash-identical.
+# ---------------------------------------------------------------------------
+@register(
+    "t4_length_quantiles",
+    f"""
+    WITH t AS (
+        SELECT len({_TOKS}) AS n_tokens FROM documents
+    )
+    SELECT COUNT(*) AS n_docs,
+           CAST(quantile_cont(n_tokens, 0.5) AS DOUBLE) AS p50,
+           CAST(quantile_cont(n_tokens, 0.9) AS DOUBLE) AS p90,
+           CAST(quantile_cont(n_tokens, 0.99) AS DOUBLE) AS p99,
+           MIN(n_tokens) AS min_tokens,
+           MAX(n_tokens) AS max_tokens
+    FROM t
+    """,
+    doc="Exact token-count quantiles over the corpus (length profile).",
+)
+def t4_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n = T.token_count(F.col("text")).alias("n_tokens")
+    return (
+        docs.select(n)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.percentile(F.col("n_tokens"), F.lit(0.5)).alias("p50"),
+            F.percentile(F.col("n_tokens"), F.lit(0.9)).alias("p90"),
+            F.percentile(F.col("n_tokens"), F.lit(0.99)).alias("p99"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
