@@ -39,6 +39,9 @@ HEADLINE = [
     "t3_fingerprint",
     "v1_cosine_topk_bruteforce",
     "m1_multimodal_metadata",
+    "m2_frame_sampling",
+    "st2_sessionize",
+    "t4_length_quantiles",
 ]
 
 
