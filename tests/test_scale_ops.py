@@ -90,3 +90,98 @@ class TestBucketedJoin:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE b_lineitem")
         spark.sql("DROP TABLE b_orders")
+
+
+class TestPerUserPartitioning:
+    """The reference is single-user; these prove the same operators
+    hold when partitioned by a tenant key (the 1000x scale shape)."""
+
+    def test_densify_ffill_per_user(self, spark):
+        from garmin_data_pipeline_spark.operators import densify_daily_ffill
+
+        df = spark.createDataFrame(
+            [
+                (1, "2024-01-01", 10.0),
+                (1, "2024-01-04", 13.0),
+                (2, "2024-02-01", 50.0),
+                (2, "2024-02-03", None),
+            ],
+            "user long, d string, v double",
+        ).selectExpr("user", "CAST(d AS DATE) AS d", "v")
+        out = densify_daily_ffill(df, "d", ["v"], partition_by=["user"])
+        rows = {(r["user"], str(r["d"])): r["v"] for r in out.collect()}
+        # user 1: gap days 01-02/01-03 exist and carry the LOCF value
+        assert rows[(1, "2024-01-02")] == 10.0
+        assert rows[(1, "2024-01-03")] == 10.0
+        assert rows[(1, "2024-01-04")] == 13.0
+        # user 2's scaffold is its own range — no bleed from user 1
+        assert (2, "2024-01-02") not in rows
+        assert rows[(2, "2024-02-02")] == 50.0
+        assert rows[(2, "2024-02-03")] == 50.0  # null ffilled
+
+    def test_dedupe_latest_per_user_day(self, spark):
+        from garmin_data_pipeline_spark.operators import dedupe_latest
+
+        df = spark.createDataFrame(
+            [
+                (1, "2024-01-01", "2024-01-01 08:00:00", "a"),
+                (1, "2024-01-01", "2024-01-01 09:00:00", "b"),
+                (2, "2024-01-01", "2024-01-01 07:00:00", "c"),
+            ],
+            "user long, d string, ts string, val string",
+        )
+        out = dedupe_latest(df, ["user", "d"], "ts")
+        got = {(r["user"], r["d"]): r["val"] for r in out.collect()}
+        assert got == {(1, "2024-01-01"): "b", (2, "2024-01-01"): "c"}
+
+
+class TestDurationProperties:
+    """Property-style checks (SURVEY §5.3 item 4) over a value sweep in
+    one DataFrame — format/parse round-trips and binning consistency."""
+
+    def test_format_parse_roundtrip(self, spark):
+        from garmin_data_pipeline_spark.functions.durations import (
+            format_timedelta,
+            parse_hms_to_seconds,
+        )
+
+        secs = list(range(0, 86400, 1047)) + [0, 59, 60, 3599, 3600, 86399]
+        df = spark.createDataFrame([(s,) for s in secs], "s long")
+        out = df.select(
+            "s",
+            parse_hms_to_seconds(format_timedelta(F.col("s"))).alias("rt"),
+        ).collect()
+        bad = [(r["s"], r["rt"]) for r in out if r["s"] != r["rt"]]
+        assert not bad, bad[:5]
+
+    def test_format_duration_roundtrip(self, spark):
+        from garmin_data_pipeline_spark.functions.durations import (
+            format_duration,
+            parse_hms_to_seconds,
+        )
+
+        secs = [0, 1, 61, 3661, 7203, 45296, 360000 + 47]
+        df = spark.createDataFrame([(s,) for s in secs], "s long")
+        out = df.select(
+            "s",
+            parse_hms_to_seconds(format_duration(F.col("s"))).alias("rt"),
+        ).collect()
+        assert all(r["s"] == r["rt"] for r in out)
+
+    def test_bin_label_id_consistency(self, spark):
+        from garmin_data_pipeline_spark.functions.cleaning import (
+            DISTANCE_BINS,
+            bin_to_id,
+            bin_to_label,
+        )
+
+        vals = [0.0, 2.99, 3.0, 4.9, 5.0, 6.99, 7.0, 9.9, 10.0, 12.9, 13.0, 30.0]
+        df = spark.createDataFrame([(v,) for v in vals], "d double")
+        out = df.select(
+            "d",
+            bin_to_label("d").alias("label"),
+            bin_to_id("d").alias("bid"),
+        ).collect()
+        label_to_id = {lab: bid for _, _, lab, bid in DISTANCE_BINS}
+        for r in out:
+            assert label_to_id[r["label"]] == r["bid"], r
