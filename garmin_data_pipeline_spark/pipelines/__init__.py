@@ -1,5 +1,11 @@
 """The eight Garmin dataset pipelines + master table (SURVEY.md §7)."""
 
+from .analysis import (  # noqa: F401
+    correlations_with,
+    count_over_threshold,
+    group_means,
+    total_run_time,
+)
 from .runner import (  # noqa: F401
     DEFAULT_TABLES,
     PipelineSummary,

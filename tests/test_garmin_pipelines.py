@@ -313,3 +313,36 @@ def test_load_final_datasets(spark, tmp_path):
     assert summary.failed == []
     assert summary.results[0].rows_loaded == 375
     spark.sql("DROP TABLE IF EXISTS garmin.atl_final")
+
+
+class TestAnalysis:
+    """ANALYSIS-notebook functions over the running fixture."""
+
+    def test_group_means(self, running_df):
+        out = {r["Distance_Group"]: r for r in
+               pipelines.group_means(running_df).collect()}
+        # right-open bins: 3.5mi -> [3,5); 5.21mi and 6.0mi -> [5,7)
+        assert out["3-5 miles"]["n_runs"] == 1
+        assert out["3-5 miles"]["avg_Calories"] == 300.0
+        g57 = out["5-7 miles"]
+        assert g57["n_runs"] == 2
+        assert abs(g57["avg_Calories"] - (489 + 550) / 2) < 1e-9
+        assert out["13+ miles"]["avg_Calories"] == 1100.0
+
+    def test_total_run_time(self, running_df):
+        row = pipelines.total_run_time(running_df).first()
+        # 45:30 + 1:02:10 + 1:45:00 + 1:30:00 + 50:00 = 5:52:40
+        assert row["total_seconds"] == 21160
+        assert row["total_formatted"] == "5:52:40"
+
+    def test_count_over_threshold(self, running_df):
+        assert pipelines.count_over_threshold(running_df, "Calories", 500) == 3
+        assert pipelines.count_over_threshold(running_df, "Calories", 5000) == 0
+
+    def test_correlations_with(self, running_df):
+        out = pipelines.correlations_with(
+            running_df, "Avg_HR", ["Distance", "DistanceGroupId"]
+        ).collect()
+        got = {r["column"]: r["corr_with_Avg_HR"] for r in out}
+        assert set(got) == {"Distance", "DistanceGroupId"}
+        assert all(-1.0 <= v <= 1.0 for v in got.values() if v is not None)
