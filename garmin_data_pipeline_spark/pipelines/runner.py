@@ -124,3 +124,33 @@ def load_final_datasets(
                 DatasetResult(csv_path, table, "failed", error=str(exc))
             )
     return summary
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI twin of the reference's ``python etl_pipeline.py``
+    (etl_pipeline.py:226-311): run the full pipeline over an export
+    directory and print the per-dataset summary."""
+    import argparse
+
+    from ..session import get_spark
+
+    p = argparse.ArgumentParser(description="Garmin ETL on Spark")
+    p.add_argument("base_dir", help="Garmin export root (raw JSON shards)")
+    p.add_argument("--datasets", nargs="*", default=None)
+    p.add_argument("--mode", default="overwrite", choices=["overwrite", "append"])
+    args = p.parse_args(argv)
+
+    spark = get_spark("garmin-etl")
+    summary = run_full_pipeline(
+        spark, args.base_dir, datasets=args.datasets, mode=args.mode
+    )
+    for r in summary.results:
+        line = f"{r.dataset:<24} {r.status:<8} rows={r.rows_loaded}"
+        if r.error:
+            line += f" error={r.error[:120]}"
+        print(line)
+    return 1 if summary.failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
