@@ -204,3 +204,64 @@ def test_correlation_matrix(spark):
     }
     assert abs(r[("a", "b")] - 1.0) < 1e-12
     assert r[("a", "b")] == r[("b", "a")]
+
+
+class TestValidate:
+    """Data-quality checks (operators/validate.py)."""
+
+    def test_checks_and_gate(self, spark):
+        import pytest as _pytest
+
+        from garmin_data_pipeline_spark.operators import validate as V
+
+        df = spark.createDataFrame(
+            [
+                ("2024-01-01", 1, 50.0),
+                ("2024-01-02", 2, None),
+                ("2024-01-04", 3, 120.0),
+                ("2024-01-04", 4, 80.0),
+            ],
+            "d string, id long, score double",
+        ).selectExpr("CAST(d AS DATE) AS d", "id", "score")
+        report = V.validate(
+            [
+                V.check_not_null(df, ["id"]),
+                V.check_not_null(df, ["score"]),
+                V.check_unique_key(df, ["d"]),
+                V.check_daily_no_gaps(df, "d"),
+                V.check_in_range(df, "score", 0, 100),
+            ]
+        )
+        rows = {r["rule"]: (r["passed"], r["violations"]) for r in report.collect()}
+        assert rows["not_null(id)"] == (True, 0)
+        assert rows["not_null(score)"] == (False, 1)
+        assert rows["unique_key(d)"] == (False, 1)   # 2024-01-04 twice
+        assert rows["daily_no_gaps(d)"] == (False, 1)  # 01-03 missing
+        assert rows["in_range(score,0,100)"] == (False, 1)  # 120.0
+        with _pytest.raises(AssertionError):
+            V.expect_all_passed(report)
+        V.expect_all_passed(
+            V.validate([V.check_not_null(df, ["id"])])
+        )
+
+    def test_clean_pipeline_output_validates(self, spark):
+        import os
+
+        import pytest as _pytest
+
+        from garmin_data_pipeline_spark import pipelines
+        from garmin_data_pipeline_spark.operators import validate as V
+
+        base = "/root/reference/ETL Scripts/PBI Python Scripts/Raw Data"
+        if not os.path.isdir(base):
+            _pytest.skip("reference raw data not available")
+        maxmet = pipelines.run_pipeline(spark, "maxmet_data", base)
+        V.expect_all_passed(
+            V.validate(
+                [
+                    V.check_unique_key(maxmet, ["calendarDate"]),
+                    V.check_daily_no_gaps(maxmet, "calendarDate"),
+                    V.check_not_null(maxmet, ["vo2MaxValue", "maxMet"]),
+                ]
+            )
+        )
