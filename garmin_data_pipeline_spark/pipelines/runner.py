@@ -34,6 +34,7 @@ class DatasetResult:
     status: str
     rows_loaded: int = 0
     error: str = ""
+    validation_failures: int = 0
 
 
 @dataclass
@@ -68,14 +69,19 @@ def run_full_pipeline(
     datasets: list[str] | None = None,
     tables: dict[str, str] | None = None,
     mode: str = "overwrite",
+    validate: bool = True,
 ) -> PipelineSummary:
     """Process every configured dataset: read the JSON shards,
     transform, load into the catalog, verify the row count
-    (etl_pipeline.py:53-146 process_dataset loop, :148-196 summary).
+    (etl_pipeline.py:53-146 process_dataset loop, :148-196 summary),
+    and (beyond the reference) run the key-uniqueness data-quality
+    check on the loaded table.
 
     Failures are isolated per dataset like the reference's
     try/except-per-dataset — one bad dataset doesn't kill the run.
     """
+    from ..operators import validate as V
+
     tables = {**DEFAULT_TABLES, **(tables or {})}
     names = datasets or [n for n in TRANSFORMS if n in tables]
     spark.sql("CREATE DATABASE IF NOT EXISTS garmin")
@@ -86,8 +92,27 @@ def run_full_pipeline(
             out = TRANSFORMS[name](read_dataset(spark, name, base_dir))
             load_table(out, table, mode=mode)
             n = verify_row_count(spark, table)
+            failures = 0
+            if validate:
+                loaded = spark.table(table)
+                key = (
+                    ["activityId"]
+                    if name == "summarized_activities"
+                    else ["calendarDate"]
+                )
+                if set(key) <= set(loaded.columns):
+                    report = V.check_unique_key(loaded, key)
+                    failures = (
+                        report.filter(~report.passed).count()
+                    )
             summary.results.append(
-                DatasetResult(name, table, "success", rows_loaded=n)
+                DatasetResult(
+                    name,
+                    table,
+                    "success",
+                    rows_loaded=n,
+                    validation_failures=failures,
+                )
             )
         except Exception as exc:  # noqa: BLE001 — per-dataset isolation
             summary.results.append(

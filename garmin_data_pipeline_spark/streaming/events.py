@@ -88,22 +88,25 @@ def start_daily_summary_stream(
     checkpoint: str,
     sink_table: str = "events_daily",
     available_now: bool = True,
+    sink: str = "memory",
 ):
-    """Wire source -> daily summary -> in-memory sink (tests) with a
-    checkpoint. ``availableNow`` processes the current backlog then
-    stops — the streaming equivalent of the reference's one-shot batch
-    run, but restartable/incremental via the checkpoint."""
+    """Wire source -> daily summary -> sink with a checkpoint.
+
+    ``sink='memory'`` registers an in-memory query-able table (tests);
+    ``sink='table'`` appends to a catalog parquet table (production —
+    exactly-once via the checkpoint). ``availableNow`` processes the
+    current backlog then stops — the streaming equivalent of the
+    reference's one-shot batch run, but restartable/incremental."""
     events = read_events_stream(spark, source_path)
     summary = daily_event_summary(events)
-    writer = (
-        summary.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink_table)
-        .option("checkpointLocation", checkpoint)
+    writer = summary.writeStream.outputMode("append").option(
+        "checkpointLocation", checkpoint
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    if sink == "table":
+        return writer.toTable(sink_table)
+    return writer.format("memory").queryName(sink_table).start()
 
 
 # ---------------------------------------------------------------------------

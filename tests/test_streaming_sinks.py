@@ -174,3 +174,24 @@ class TestStreaming:
         # in-batch inactivity gaps close sessions even without timeouts
         assert got.count() > 0
         assert got.filter(F.col("events") <= 0).count() == 0
+
+
+def test_daily_summary_stream_to_table(spark, sf_dir, tmp_path):
+    import shutil as _sh
+
+    from garmin_data_pipeline_spark.plans.registry import table
+
+    spark.sql("DROP TABLE IF EXISTS events_daily_tbl")
+    _sh.rmtree("/tmp/spark-test-warehouse/events_daily_tbl", ignore_errors=True)
+    src = tmp_path / "events_tbl_in"
+    table(spark, sf_dir, "events").write.parquet(str(src))
+    q = start_daily_summary_stream(
+        spark,
+        str(src),
+        checkpoint=str(tmp_path / "ckpt_tbl"),
+        sink_table="events_daily_tbl",
+        sink="table",
+    )
+    q.awaitTermination(120)
+    assert spark.table("events_daily_tbl").count() > 0
+    spark.sql("DROP TABLE events_daily_tbl")
