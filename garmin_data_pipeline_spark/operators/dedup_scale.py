@@ -290,7 +290,9 @@ def simhash_candidate_pairs(
     """Near-dup candidates: docs whose SimHashes share at least one of
     ``chunks`` 16-bit chunks (pigeonhole: catches all pairs with
     Hamming distance < chunks), with the exact Hamming distance."""
-    sig = simhash(df, id_col, text_col)
+    # The signature relation feeds both sides of the self-join; persist
+    # so the token explode + 64 bit aggregates run once, not twice.
+    sig = simhash(df, id_col, text_col).persist()
     width = 64 // chunks
     mask = (1 << width) - 1
     chunked = sig.select(
