@@ -32,18 +32,23 @@ def load_table(
     partition_by: list[str] | None = None,
     bucket_by: list[str] | None = None,
     buckets: int = 32,
+    sort_within_partitions: list[str] | None = None,
 ) -> None:
     """Load a DataFrame into the session catalog (reference
     ``DatabaseManager.load_dataframe``, db_utils.py:121-159).
 
     ``mode='overwrite'`` is the reference's truncate-and-reload
     (``if_exists='replace'``); ``'append'`` maps to its append
-    strategy. ``partition_by`` replaces the reference's B-tree-index
-    guidance with partition pruning; ``bucket_by`` hash-buckets (and
-    sorts) the table on the given keys so later equi-joins/aggs on
-    those keys run shuffle-free — the 100 TB substitute for
-    co-located-join indexes.
+    strategy. The reference's four B-tree indexes
+    (create_summarized_activities_table.sql:93-96) map to the three
+    physical-layout levers Spark has: ``partition_by`` (partition
+    pruning on the predicate column), ``bucket_by`` (shuffle-free
+    equi-joins/aggs on the key), and ``sort_within_partitions``
+    (clustered parquet row groups -> min/max page skipping for range
+    predicates — the closest thing to an index scan).
     """
+    if sort_within_partitions:
+        df = df.sortWithinPartitions(*sort_within_partitions)
     writer = df.write.mode(mode).format("parquet")
     if partition_by:
         writer = writer.partitionBy(*partition_by)

@@ -185,3 +185,27 @@ class TestDurationProperties:
         label_to_id = {lab: bid for _, _, lab, bid in DISTANCE_BINS}
         for r in out:
             assert label_to_id[r["label"]] == r["bid"], r
+
+
+def test_sorted_write_enables_rowgroup_skipping(spark, sf_dir):
+    import shutil
+
+    from garmin_data_pipeline_spark.sources import sinks
+
+    spark.sql("DROP TABLE IF EXISTS s_lineitem")
+    shutil.rmtree("/tmp/spark-test-warehouse/s_lineitem", ignore_errors=True)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sinks.load_table(
+        li, "s_lineitem", sort_within_partitions=["l_shipdate"]
+    )
+    t = spark.table("s_lineitem")
+    assert t.count() == li.count()
+    # the range predicate reaches the parquet scan as a pushed filter
+    plan = (
+        t.filter(F.col("l_shipdate") >= "1995-01-01")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual" in plan
+    spark.sql("DROP TABLE s_lineitem")
