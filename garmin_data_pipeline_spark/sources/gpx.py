@@ -27,10 +27,9 @@ GPX_POINTS_SCHEMA = (
     "Date date, Time timestamp, Latitude double, Longitude double"
 )
 
-_TRKPT = re.compile(
-    r"<trkpt\s+[^>]*?lat=\"([^\"]+)\"\s+lon=\"([^\"]+)\"[^>]*>(.*?)</trkpt>",
-    re.S,
-)
+_TRKPT = re.compile(r"<trkpt\b([^>]*)>(.*?)</trkpt>", re.S)
+_LAT = re.compile(r"\blat=\"([^\"]+)\"")
+_LON = re.compile(r"\blon=\"([^\"]+)\"")
 _TIME = re.compile(r"<time>([^<]+)</time>")
 
 
@@ -39,7 +38,11 @@ def _parse_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows: list[tuple] = []
         for text in pdf["value"]:
             for m in _TRKPT.finditer(text or ""):
-                lat, lon, body = m.groups()
+                attrs, body = m.groups()
+                mlat, mlon = _LAT.search(attrs), _LON.search(attrs)
+                if not (mlat and mlon):
+                    continue
+                lat, lon = mlat.group(1), mlon.group(1)
                 tm = _TIME.search(body)
                 ts = (
                     pd.to_datetime(tm.group(1), utc=True).tz_localize(None)
