@@ -1,5 +1,10 @@
 """The eight Garmin dataset pipelines + master table (SURVEY.md §7)."""
 
+from .config import (  # noqa: F401
+    PipelineConfig,
+    load_config,
+    run_from_config,
+)
 from .analysis import (  # noqa: F401
     correlations_with,
     count_over_threshold,

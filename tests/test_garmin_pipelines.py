@@ -346,3 +346,55 @@ class TestAnalysis:
         got = {r["column"]: r["corr_with_Avg_HR"] for r in out}
         assert set(got) == {"Distance", "DistanceGroupId"}
         assert all(-1.0 <= v <= 1.0 for v in got.values() if v is not None)
+
+
+class TestConfig:
+    def test_load_config_and_run(self, spark, tmp_path):
+        from garmin_data_pipeline_spark.pipelines.config import (
+            load_config,
+            run_from_config,
+        )
+
+        cfg_path = tmp_path / "config.yaml"
+        cfg_path.write_text(
+            f"""
+database:
+  schema: garmin
+data_paths:
+  raw_data: "{BASE}"
+tables:
+  atl_data: atl_cfg_test
+etl_settings:
+  load_strategy: replace
+  batch_size: 500
+datasets_to_process: [atl_data]
+"""
+        )
+        cfg = load_config(str(cfg_path))
+        assert cfg.save_mode == "overwrite"
+        assert cfg.batch_size == 500
+        assert cfg.tables == {"atl_data": "garmin.atl_cfg_test"}
+        if not os.path.isdir(BASE):
+            import pytest as _pytest
+
+            _pytest.skip("reference raw data not available")
+        spark.sql("DROP TABLE IF EXISTS garmin.atl_cfg_test")
+        import shutil
+
+        shutil.rmtree(
+            "/tmp/spark-test-warehouse/garmin.db/atl_cfg_test",
+            ignore_errors=True,
+        )
+        summary = run_from_config(spark, cfg)
+        assert summary.failed == []
+        assert summary.results[0].rows_loaded == 245
+        spark.sql("DROP TABLE garmin.atl_cfg_test")
+
+    def test_upsert_strategy_rejected(self):
+        from garmin_data_pipeline_spark.pipelines.config import PipelineConfig
+
+        import pytest as _pytest
+
+        cfg = PipelineConfig(raw_data_dir=".", load_strategy="upsert")
+        with _pytest.raises(ValueError):
+            _ = cfg.save_mode
