@@ -3,6 +3,7 @@
 from .events import (  # noqa: F401
     EVENTS_SCHEMA,
     daily_event_summary,
+    dedupe_stream,
     read_events_stream,
     sessionize,
     start_daily_summary_stream,

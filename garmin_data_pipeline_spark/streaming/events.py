@@ -109,6 +109,32 @@ def start_daily_summary_stream(
     return writer.format("memory").queryName(sink_table).start()
 
 
+def dedupe_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup — the streaming twin of the batch
+    ``dedupe_exact`` (SURVEY.md A4): at-least-once file sources and
+    replayed shards deliver duplicate events; state keyed on ``keys``
+    drops them, and the watermark bounds how long each key is
+    remembered (state store size = keys seen within the watermark
+    horizon, not all time).
+
+    Uses ``dropDuplicatesWithinWatermark`` so two duplicates stamped
+    with slightly different event times still collapse (the common
+    replay case), falling back to plain ``dropDuplicates`` semantics
+    on batch frames.
+    """
+    keys = keys or ["event_id"]
+    if not events.isStreaming:
+        return events.dropDuplicates(keys)
+    return events.withWatermark(
+        ts_col, watermark
+    ).dropDuplicatesWithinWatermark(keys)
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator: per-user sessionization
 # ---------------------------------------------------------------------------

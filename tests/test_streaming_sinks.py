@@ -195,3 +195,34 @@ def test_daily_summary_stream_to_table(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     assert spark.table("events_daily_tbl").count() > 0
     spark.sql("DROP TABLE events_daily_tbl")
+
+
+def test_dedupe_stream_drops_replayed_shards(spark, sf_dir, tmp_path):
+    from garmin_data_pipeline_spark.plans.registry import table
+    from garmin_data_pipeline_spark.streaming import (
+        dedupe_stream,
+        read_events_stream,
+    )
+
+    # land the SAME events twice (simulated shard replay)
+    ev = table(spark, sf_dir, "events")
+    src = tmp_path / "dup_in"
+    ev.write.parquet(str(src))
+    ev.write.mode("append").parquet(str(src))
+
+    stream = read_events_stream(spark, str(src))
+    deduped = dedupe_stream(stream, ["event_id"], watermark="365 days")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_test")
+    assert got.count() == ev.count()  # every duplicate dropped
+    assert got.select("event_id").distinct().count() == ev.count()
+    # batch fallback
+    assert dedupe_stream(ev.union(ev), ["event_id"]).count() == ev.count()
