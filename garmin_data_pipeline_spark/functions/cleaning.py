@@ -20,7 +20,9 @@ def _c(col: Column | str) -> Column:
 def strip_commas_to_double(col: Column | str) -> Column:
     """``'1,234'`` -> 1234.0 (reference ANALYSIS cell 48:
     ``str.replace(',','')`` then float cast)."""
-    return F.regexp_replace(_c(col).cast("string"), ",", "").cast("double")
+    return F.regexp_replace(_c(col).cast("string"), ",", "").try_cast(
+        "double"
+    )
 
 
 def replace_sentinel(
@@ -28,13 +30,17 @@ def replace_sentinel(
 ) -> Column:
     """``'--'`` -> constant, else numeric cast (reference MLPREP cell 175)."""
     c = _c(col)
-    return F.when(c == sentinel, F.lit(value)).otherwise(c.cast("double"))
+    return F.when(c == sentinel, F.lit(value)).otherwise(
+        c.try_cast("double")
+    )
 
 
 def sentinel_to_null(col: Column | str, sentinel: str = "--") -> Column:
     """``'--'`` -> NULL (pre-step for mean imputation, MLPREP cell 176)."""
     c = _c(col)
-    return F.when(c == sentinel, F.lit(None)).otherwise(c).cast("double")
+    return F.when(c == sentinel, F.lit(None)).otherwise(c).try_cast(
+        "double"
+    )
 
 
 # The reference's six right-open mileage buckets
@@ -102,8 +108,8 @@ def coalesce_rebuild_seconds(
     """Rebuild a seconds duration from an hours column when null
     (reference row-wise apply, WRANGLE cell 53) — a plain coalesce."""
     return F.coalesce(
-        _c(seconds_col).cast("long"),
-        (_c(hours_col) * 3600).cast("long"),
+        _c(seconds_col).try_cast("long"),
+        (_c(hours_col).try_cast("double") * 3600).cast("long"),
     )
 
 

@@ -97,7 +97,8 @@ def parse_mmss_to_seconds(time_str: Column | str) -> Column:
     c = strip_fractional_seconds(c)
     parts = F.split(c, ":")
     return (
-        parts.getItem(0).cast("long") * 60 + parts.getItem(1).cast("long")
+        parts.getItem(0).try_cast("long") * 60
+        + parts.getItem(1).try_cast("long")
     )
 
 
@@ -109,9 +110,9 @@ def parse_hms_to_seconds(time_str: Column | str) -> Column:
     c = standardize_hms(strip_fractional_seconds(c))
     parts = F.split(c, ":")
     return (
-        parts.getItem(0).cast("long") * 3600
-        + parts.getItem(1).cast("long") * 60
-        + parts.getItem(2).cast("long")
+        parts.getItem(0).try_cast("long") * 3600
+        + parts.getItem(1).try_cast("long") * 60
+        + parts.getItem(2).try_cast("long")
     )
 
 

@@ -128,3 +128,37 @@ def test_timestamp_diff(spark):
         df.select(gf.timestamp_diff_seconds("b", "a").alias("d")).first()["d"]
         == 30600
     )
+
+
+def test_parsers_tolerate_malformed_input(spark):
+    """ANSI mode (Spark 4 default) makes cast throw on garbage; the
+    parse kit must yield NULL for dirty rows instead of killing the
+    job (the reference's Python parsers pass malformed values through;
+    a typed column's equivalent is NULL)."""
+    from garmin_data_pipeline_spark.functions.cleaning import (
+        strip_commas_to_double,
+    )
+    from garmin_data_pipeline_spark.functions.durations import (
+        parse_hms_to_seconds,
+        parse_mmss_to_seconds,
+    )
+
+    df = spark.createDataFrame(
+        [("1:02:03",), ("45:30",), ("--",), ("garbage",), (None,)],
+        "t string",
+    )
+    rows = {
+        r["t"]: (r["h"], r["m"], r["d"])
+        for r in df.select(
+            "t",
+            parse_hms_to_seconds("t").alias("h"),
+            parse_mmss_to_seconds("t").alias("m"),
+            strip_commas_to_double("t").alias("d"),
+        ).collect()
+    }
+    assert rows["1:02:03"][0] == 3723
+    assert rows["45:30"][0] == 45 * 60 + 30  # padded to 0:45:30
+    assert rows["45:30"][1] == 45 * 60 + 30
+    assert rows["--"] == (None, None, None)
+    assert rows["garbage"] == (None, None, None)
+    assert rows[None] == (None, None, None)
