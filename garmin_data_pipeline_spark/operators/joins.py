@@ -16,7 +16,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -51,6 +51,62 @@ def master_outer_join(
     else:
         frames = list(dfs)
     return reduce(lambda l, r: l.join(r, on, how), frames)
+
+
+def join_asof(
+    left: DataFrame,
+    right: DataFrame,
+    time_col: str,
+    by: Sequence[str],
+    value_cols: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach ``value_cols``
+    from the latest right row with ``right.time_col <= left.time_col``
+    within the same ``by`` group (NULL when no prior right row).
+
+    Spark has no ASOF JOIN; the naive rewrite (range join + argmax)
+    explodes. This is the scalable composition: tag and union both
+    inputs, one shuffle on ``by``, then ``last(..., ignorenulls)`` over
+    (time, right-first) order forward-fills the right values onto the
+    left rows. Wall-cost = one window over |left|+|right| rows — the
+    same shape as every other ordered operator here.
+
+    Ties: a right row at exactly the left row's time matches (the
+    right side sorts before the left at equal timestamps), matching
+    DuckDB's ASOF JOIN inclusive-backward semantics.
+    """
+    by = list(by)
+    lt = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in value_cols],
+    )
+    rt = right.select(
+        *by,
+        F.col(time_col),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(time_col), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True)
+            .over(w)
+            .alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )
+    return filled.filter(F.col("__side") == 1).select(
+        *left.columns, *[f"{c}{suffix}" for c in value_cols]
+    )
 
 
 def union_by_name(dfs: Sequence[DataFrame]) -> DataFrame:

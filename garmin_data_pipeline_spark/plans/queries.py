@@ -1127,6 +1127,43 @@ def st2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# J5 — as-of join (custom operator Spark lacks; DuckDB has native
+# ASOF JOIN, making this directly oracle-checkable): each purchase
+# event gets the latest prior click by the same user.
+# ---------------------------------------------------------------------------
+@register(
+    "j5_asof_join",
+    """
+    WITH purchases AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    ), clicks AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.ts AS ts_asof, c.value AS value_asof
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+    doc="Backward as-of join via union + window ffill (one shuffle).",
+)
+def j5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.joins import join_asof
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return join_asof(
+        purchases, clicks, "ts", ["user_id"], ["ts", "value"]
+    )
+
+
 def queries():
     return {name: q.fn for name, q in QUERIES.items()}
 

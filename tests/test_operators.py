@@ -265,3 +265,29 @@ class TestValidate:
                 ]
             )
         )
+
+
+def test_join_asof_backward_semantics(spark):
+    from garmin_data_pipeline_spark.operators.joins import join_asof
+
+    left = spark.createDataFrame(
+        [
+            (1, "u1", "2024-01-01 10:00:00"),
+            (2, "u1", "2024-01-01 12:00:00"),
+            (3, "u2", "2024-01-01 09:00:00"),  # no prior right row
+        ],
+        "id long, user string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 09:30:00", 10.0),
+            ("u1", "2024-01-01 12:00:00", 20.0),  # exact tie: matches
+            ("u2", "2024-01-01 11:00:00", 30.0),  # after left: no match
+        ],
+        "user string, ts string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r["id"]: r["v_asof"]
+        for r in join_asof(left, right, "ts", ["user"], ["v"]).collect()
+    }
+    assert out == {1: 10.0, 2: 20.0, 3: None}
