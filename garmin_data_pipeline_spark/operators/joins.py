@@ -109,6 +109,45 @@ def join_asof(
     )
 
 
+def join_range(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    by: Sequence[str] = (),
+    bin_seconds: int = 86400,
+) -> DataFrame:
+    """Interval (range) join: left rows matched to right intervals with
+    ``start <= ts <= end`` sharing the ``by`` keys.
+
+    A naive theta join degenerates to a nested loop. Standard scale
+    trick instead: bucket time into ``bin_seconds`` bins, explode each
+    interval into the bins it covers, equi-join on (by, bin) — a hash
+    join Catalyst/AQE can plan — then apply the exact BETWEEN filter.
+    Join fan-out is bounded by interval length / bin width, not |right|.
+    """
+    by = list(by)
+    binus = bin_seconds * 1_000_000
+    lb = left.withColumn(
+        "__bin", F.floor(F.unix_micros(F.col(ts_col)) / binus)
+    )
+    rb = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start_col)) / binus),
+                F.floor(F.unix_micros(F.col(end_col)) / binus),
+            )
+        ),
+    )
+    joined = lb.join(rb, by + ["__bin"]).filter(
+        (F.col(ts_col) >= F.col(start_col))
+        & (F.col(ts_col) <= F.col(end_col))
+    )
+    return joined.drop("__bin")
+
+
 def union_by_name(dfs: Sequence[DataFrame]) -> DataFrame:
     """Union-all by column name with missing-column tolerance
     (reference ``pd.concat(ignore_index=True)``, aggregate_json_files.py:91).

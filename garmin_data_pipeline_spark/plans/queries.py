@@ -1164,6 +1164,68 @@ def j5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# J6 — range (interval) join: assign error events to the per-user
+# session interval containing them (sessions from st2's definition).
+# Bin-bucketed equi-join, not a nested-loop theta join.
+# ---------------------------------------------------------------------------
+_SESSIONS_SQL = """
+    WITH g AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > 30 * 60 * 1000000
+                    THEN 1 ELSE 0 END AS ns
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts,
+               SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g
+    ), sessions AS (
+        SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM s GROUP BY user_id, sid
+    )
+"""
+
+
+@register(
+    "j6_range_join",
+    _SESSIONS_SQL
+    + """
+    SELECT e.event_id, e.user_id, e.ts,
+           sess.session_start, sess.session_end
+    FROM events e
+    JOIN sessions sess
+      ON e.user_id = sess.user_id
+     AND e.ts BETWEEN sess.session_start AND sess.session_end
+    WHERE e.event_type = 'error'
+    """,
+    doc="Interval join via bin-bucketed equi-join + exact filter.",
+)
+def j6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.joins import join_range
+    from garmin_data_pipeline_spark.streaming import sessionize
+
+    ev = table(spark, sf_dir, "events")
+    sessions = sessionize(ev, gap_minutes=30).select(
+        "user_id", "session_start", "session_end"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    return join_range(
+        errors,
+        sessions,
+        "ts",
+        "session_start",
+        "session_end",
+        by=["user_id"],
+        bin_seconds=86400,
+    ).select("event_id", "user_id", "ts", "session_start", "session_end")
+
+
 def queries():
     return {name: q.fn for name, q in QUERIES.items()}
 

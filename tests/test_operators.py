@@ -291,3 +291,27 @@ def test_join_asof_backward_semantics(spark):
         for r in join_asof(left, right, "ts", ["user"], ["v"]).collect()
     }
     assert out == {1: 10.0, 2: 20.0, 3: None}
+
+
+def test_join_range_bins_and_filters(spark):
+    from garmin_data_pipeline_spark.operators.joins import join_range
+
+    events = spark.createDataFrame(
+        [
+            (1, "u1", "2024-01-01 10:30:00"),
+            (2, "u1", "2024-01-03 08:00:00"),   # inside multi-day interval
+            (3, "u1", "2024-01-05 00:00:00"),   # outside all intervals
+            (4, "u2", "2024-01-01 10:30:00"),   # right user, wrong interval user
+        ],
+        "id long, user string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    ivals = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 10:00:00", "2024-01-01 11:00:00", "a"),
+            ("u1", "2024-01-02 00:00:00", "2024-01-04 00:00:00", "b"),
+        ],
+        "user string, s string, e string, name string",
+    ).withColumn("s", F.to_timestamp("s")).withColumn("e", F.to_timestamp("e"))
+    out = join_range(events, ivals, "ts", "s", "e", by=["user"])
+    got = {(r["id"], r["name"]) for r in out.collect()}
+    assert got == {(1, "a"), (2, "b")}
