@@ -6,6 +6,8 @@ from garmin_data_pipeline_spark.operators.dedupe import (
     latest_per_group,
 )
 from garmin_data_pipeline_spark.operators.joins import (
+    join_asof,
+    join_range,
     master_outer_join,
     union_by_name,
 )
@@ -59,6 +61,8 @@ __all__ = [
     "flatten_struct",
     "forward_fill",
     "impute_mean",
+    "join_asof",
+    "join_range",
     "lag_with_default",
     "latest_per_group",
     "master_outer_join",
