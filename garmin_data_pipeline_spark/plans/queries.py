@@ -1226,6 +1226,36 @@ def j6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts", "session_start", "session_end")
 
 
+# ---------------------------------------------------------------------------
+# A12 — hierarchical rollup: (year, month) -> year -> grand total in
+# one pass (the hypertable-rollup shape; Spark `rollup` == SQL GROUP BY
+# ROLLUP, one shuffle with grouping-set expansion).
+# ---------------------------------------------------------------------------
+@register(
+    "a12_time_rollup",
+    """
+    SELECT EXTRACT(year FROM ts)::BIGINT AS y,
+           EXTRACT(month FROM ts)::BIGINT AS m,
+           COUNT(*) AS n,
+           {v}
+    FROM events
+    GROUP BY ROLLUP (EXTRACT(year FROM ts)::BIGINT,
+                     EXTRACT(month FROM ts)::BIGINT)
+    """.format(v=dsum("value", "total_value")),
+    doc="GROUP BY ROLLUP over (year, month) — hypertable-style rollup.",
+)
+def a12_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+        "value",
+    )
+    return ev.rollup("y", "m").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("value")).alias("total_value"),
+    )
+
+
 def queries():
     return {name: q.fn for name, q in QUERIES.items()}
 
