@@ -487,3 +487,59 @@ def t4_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").alias("max_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# T5 — corpus mixing: per-language deterministic sampling rates (the
+# data-mixing step of a pretraining pipeline; reproducible across runs
+# and engines because the "randomness" is a key residue, not an RNG).
+# ---------------------------------------------------------------------------
+@register(
+    "t5_corpus_mix",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text, {_TOKS} AS toks FROM documents
+    ), langd AS (
+        SELECT doc_id, {_sql_langid()} AS lang FROM t
+    )
+    SELECT doc_id, lang
+    FROM langd
+    WHERE doc_id % 100 < CASE WHEN lang = 'en' THEN 50 ELSE 100 END
+    """,
+    doc="Language-stratified deterministic downsampling (data mixing).",
+)
+def t5_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.sampling import corpus_mix
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", T.language_guess(F.col("text")).alias("lang")
+    )
+    return corpus_mix(docs, "doc_id", "lang", {"en": 0.5})
+
+
+# ---------------------------------------------------------------------------
+# T6 — sequence packing: assign docs (ordered by id) to fixed
+# token-budget bins for context-window packing.
+# ---------------------------------------------------------------------------
+@register(
+    "t6_sequence_packing",
+    f"""
+    WITH t AS (
+        SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) / 2048) AS BIGINT) AS bin_id
+    FROM t
+    """,
+    doc="Token-budget bin assignment via ordered cumulative sum.",
+)
+def t6_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.sampling import pack_sequences
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(docs, "n_tokens", 2048, ["doc_id"])

@@ -243,3 +243,44 @@ class TestMultimodalKernels:
             resize_images(df, 1, 1, real=True)
         with _pytest.raises(NotImplementedError):
             sample_video_frames(df, real=True)
+
+
+class TestSamplingPacking:
+    def test_mod_sample_deterministic(self, spark):
+        from garmin_data_pipeline_spark.operators.sampling import mod_sample
+
+        df = spark.range(1000).withColumnRenamed("id", "k")
+        a = {r["k"] for r in mod_sample(df, "k", 0.25).collect()}
+        b = {r["k"] for r in mod_sample(df, "k", 0.25).collect()}
+        assert a == b  # reproducible
+        assert len(a) == 250  # exact on uniform residues
+        assert all(k % 100 < 25 for k in a)
+
+    def test_corpus_mix_rates(self, spark):
+        from garmin_data_pipeline_spark.operators.sampling import corpus_mix
+
+        df = spark.createDataFrame(
+            [(i, "en" if i % 2 == 0 else "de") for i in range(1000)],
+            "doc_id long, lang string",
+        )
+        out = corpus_mix(df, "doc_id", "lang", {"en": 0.1})
+        counts = {
+            r["lang"]: r["n"]
+            for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        assert counts["de"] == 500          # default rate 1.0
+        assert counts["en"] == 50           # 10% of 500
+    def test_pack_sequences_budget(self, spark):
+        from garmin_data_pipeline_spark.operators.sampling import (
+            pack_sequences,
+        )
+
+        df = spark.createDataFrame(
+            [(i, 300) for i in range(10)], "doc_id long, n long"
+        )
+        out = pack_sequences(df, "n", 1000, ["doc_id"]).collect()
+        bins = {r["doc_id"]: r["bin_id"] for r in out}
+        # cumsum-before: 0,300,...,2700 -> bins 0,0,0,0(900<1000? 0*300..3 -> 900/1000=0),...
+        assert bins[0] == 0 and bins[3] == 0  # 900 < 1000
+        assert bins[4] == 1                   # prior 1200
+        assert max(bins.values()) == 2
