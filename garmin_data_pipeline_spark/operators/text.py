@@ -47,6 +47,24 @@ def distinct_token_count(text: Column | str) -> Column:
     return F.size(F.array_distinct(tokens(text)))
 
 
+# GPT-2-style pre-tokenizer pattern: contractions, letter runs, digit
+# runs, punctuation runs, residual whitespace. Each match approximates
+# one-to-a-few BPE tokens — a far better LLM-budget proxy than
+# whitespace words (digits and punctuation tokenize separately).
+# Kept to syntax RE2 (DuckDB) and java.util.regex (Spark) both accept.
+BPE_ISH_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """BPE-ish token count: number of GPT-2-pattern pre-token matches
+    (SURVEY/BASELINE 'token counting: whitespace + a BPE-ish regex')."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
+
+
 def stopword_hits(toks: Column, lang: str) -> Column:
     """Number of tokens (with repeats) in ``lang``'s stopword set."""
     sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])

@@ -284,3 +284,17 @@ class TestSamplingPacking:
         assert bins[0] == 0 and bins[3] == 0  # 900 < 1000
         assert bins[4] == 1                   # prior 1200
         assert max(bins.values()) == 2
+
+
+def test_bpe_ish_token_count(spark):
+    from garmin_data_pipeline_spark.operators.text import bpe_ish_token_count
+
+    df = spark.createDataFrame(
+        [(1, "Hello, world! It's 2024."), (2, "")], "id long, t string"
+    )
+    out = {
+        r["id"]: r["n"]
+        for r in df.select("id", bpe_ish_token_count("t").alias("n")).collect()
+    }
+    # Hello |,| world|!| It|'s| 2024|. -> 8 pre-tokens
+    assert out == {1: 8, 2: 0}
