@@ -162,6 +162,32 @@ def fingerprint(text: Column | str) -> Column:
     )
 
 
+def rolling_fingerprint(text: Column | str) -> Column:
+    """Order-SENSITIVE document fingerprint: Rabin-Karp-style polynomial
+    rolling hash over the token-hash stream, ``acc = acc*B + h (mod P)``
+    — distinguishes reorderings that the bag :func:`fingerprint`
+    collapses. ``F.aggregate`` with a lambda touching only its own
+    accumulator/element (the safe HOF pattern; see shingles()).
+
+    xxhash64-based, so no SQL oracle (like the MinHash/SimHash family);
+    the rows-only check + unit tests cover it.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    # ANSI-safe bounds: acc < P ~ 2^40, B < 2^20, h < 2^32, so
+    # acc*B + h < 2^61 — no 64-bit overflow.
+    B = (1 << 20) - 3
+    P = (1 << 40) - 87
+    th = F.transform(
+        tokens(c),
+        lambda t: F.pmod(F.xxhash64(t), F.lit(1 << 32).cast("long")),
+    )
+    return F.aggregate(
+        th,
+        F.lit(0).cast("long"),
+        lambda acc, h: F.pmod(acc * B + h, F.lit(P)),
+    )
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles.
 

@@ -571,3 +571,17 @@ def t7_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.col("text"), F.lit(r" ?\p{L}+"), 0)
         ).alias("word_tokens"),
     )
+
+
+@register(
+    "t8_rolling_fingerprint",
+    None,  # xxhash64-based polynomial -> not reproducible in DuckDB
+    doc="Order-sensitive rolling-hash document fingerprint.",
+)
+def t8_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.rolling_fingerprint(F.col("text")).alias("rolling_fp"),
+        T.fingerprint(F.col("text")).alias("bag_fp"),
+    )

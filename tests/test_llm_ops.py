@@ -298,3 +298,30 @@ def test_bpe_ish_token_count(spark):
     }
     # Hello |,| world|!| It|'s| 2024|. -> 8 pre-tokens
     assert out == {1: 8, 2: 0}
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    from garmin_data_pipeline_spark.operators.text import (
+        fingerprint,
+        rolling_fingerprint,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "gamma beta alpha"),   # same bag, different order
+            (3, "alpha beta gamma"),   # identical to 1
+        ],
+        "id long, t string",
+    )
+    out = {
+        r["id"]: (r["roll"], r["bag"])
+        for r in df.select(
+            "id",
+            rolling_fingerprint("t").alias("roll"),
+            fingerprint("t").alias("bag"),
+        ).collect()
+    }
+    assert out[1][0] == out[3][0]          # deterministic
+    assert out[1][0] != out[2][0]          # order-sensitive
+    assert out[1][1] == out[2][1]          # bag fingerprint collapses
