@@ -87,6 +87,14 @@ def run_full_pipeline(
     spark.sql("CREATE DATABASE IF NOT EXISTS garmin")
     summary = PipelineSummary()
     for name in names:
+        if name not in TRANSFORMS or name not in tables:
+            summary.results.append(
+                DatasetResult(
+                    name, tables.get(name, ""), "failed",
+                    error=f"unknown dataset: {name!r}",
+                )
+            )
+            continue
         table = tables[name]
         try:
             out = TRANSFORMS[name](read_dataset(spark, name, base_dir))

@@ -398,3 +398,11 @@ datasets_to_process: [atl_data]
         cfg = PipelineConfig(raw_data_dir=".", load_strategy="upsert")
         with _pytest.raises(ValueError):
             _ = cfg.save_mode
+
+
+def test_run_full_pipeline_unknown_dataset_isolated(spark):
+    summary = pipelines.run_full_pipeline(
+        spark, "/nonexistent", datasets=["no_such_dataset"]
+    )
+    assert summary.failed == ["no_such_dataset"]
+    assert "unknown dataset" in summary.results[0].error
