@@ -158,23 +158,22 @@ def cosine_topk_lsh(
     )
 
 
-def cosine_topk_ivf(
+def build_ivf_index(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
     n_centroids: int = 16,
-    n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-    query_vec_col: str = "query_vec",
     seed: int = 42,
-) -> DataFrame:
-    """IVF approximate top-k: KMeans-partition the corpus, score each
-    query only against its ``n_probe`` nearest centroid partitions."""
+) -> tuple[DataFrame, DataFrame]:
+    """Build an IVF index once: KMeans-partition the corpus, returning
+    (assigned vectors with their cell, broadcastable centroid table).
+    At scale: train on a sample, write ``assigned`` partitioned by
+    ``cell`` so a probe reads only its cells' files, and reuse the
+    index across every query batch (the build is the expensive part —
+    amortize it)."""
     try:
         from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector, vector_to_array
+        from pyspark.ml.functions import array_to_vector
     except ImportError as exc:  # pragma: no cover
         raise NotImplementedError(
             "pyspark.ml unavailable; use cosine_topk_lsh instead"
@@ -190,19 +189,33 @@ def cosine_topk_ivf(
         "vec_id", "v", F.col("prediction").alias("cell")
     )
     centroids = [
-        (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
+        (i, [float(x) for x in ctr])
+        for i, ctr in enumerate(model.clusterCenters())
     ]
-    spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(
+    cent_df = corpus.sparkSession.createDataFrame(
         centroids, "cell int, centroid array<double>"
     )
+    return assigned, cent_df
+
+
+def search_ivf(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Probe a prebuilt IVF index: rank centroids per query, score only
+    the ``n_probe`` nearest cells' vectors, keep top-k by cosine."""
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         as_double_array(query_vec_col).alias("qv"),
     )
     # nearest n_probe cells per query (tiny cross join vs centroids)
     qc = (
-        q.join(F.broadcast(cent_df))
+        q.join(F.broadcast(centroids))
         .select(
             "query_id",
             "qv",
@@ -235,6 +248,28 @@ def cosine_topk_ivf(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k in one shot (build + search); for repeated
+    query batches build the index once with :func:`build_ivf_index`."""
+    assigned, cent_df = build_ivf_index(
+        corpus, n_centroids, id_col, vec_col, seed
+    )
+    return search_ivf(
+        assigned, cent_df, queries, k, n_probe, query_id_col, query_vec_col
     )
 
 

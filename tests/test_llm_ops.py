@@ -325,3 +325,20 @@ def test_rolling_fingerprint_order_sensitive(spark):
     assert out[1][0] == out[3][0]          # deterministic
     assert out[1][0] != out[2][0]          # order-sensitive
     assert out[1][1] == out[2][1]          # bag fingerprint collapses
+
+
+def test_ivf_index_reuse_across_query_batches(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, cents = sim.build_ivf_index(emb, n_centroids=4)
+    assigned = assigned.persist()
+    q1 = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    q2 = emb.filter((F.col("vec_id") >= 2) & (F.col("vec_id") < 4)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    r1 = sim.search_ivf(assigned, cents, q1, k=1, n_probe=2)
+    r2 = sim.search_ivf(assigned, cents, q2, k=1, n_probe=2)
+    best = {r["query_id"]: r["vec_id"] for r in r1.union(r2).collect()}
+    assert best == {0: 0, 1: 1, 2: 2, 3: 3}
+    assigned.unpersist()
