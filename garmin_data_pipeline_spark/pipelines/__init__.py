@@ -27,7 +27,9 @@ from .garmin import (  # noqa: F401
     transform_maxmet,
     transform_race_predictions,
     transform_running,
+    transform_running_ml,
     transform_sleep,
+    transform_sleep_ml,
     transform_summarized_activities,
     transform_training_history,
     transform_uds,

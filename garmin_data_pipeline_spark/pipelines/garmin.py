@@ -26,7 +26,15 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.cleaning import bin_to_id, bin_to_label
+from pyspark.sql import Window
+
+from ..functions.cleaning import (
+    bin_to_id,
+    bin_to_label,
+    replace_sentinel,
+    sentinel_to_null,
+)
+from ..operators.dedupe import latest_per_group
 from ..functions.durations import (
     format_timedelta,
     parse_hms_to_seconds,
@@ -453,6 +461,80 @@ def training_plan(running: DataFrame, start_date: str = "2024-08-13") -> DataFra
         "IsTrainingPlan",
         (F.col("Date") >= F.lit(start_date)).cast("int"),
     ).filter(F.col("IsTrainingPlan") == 1)
+
+
+def transform_running_ml(df: DataFrame) -> DataFrame:
+    """ML-branch running pipeline (MLPREP cells 116-133) — the variant
+    feeding the master merge, distinct from the PBI path: ``Date`` is
+    renamed to ``calendarDate``, sensor-detail columns are dropped,
+    ``'--'`` elevations are repaired with the mean of the
+    'Charlotte Running' subgroup (A8 + F22 composed over a mask — a
+    null mean if the subgroup is absent, where pandas would crash on
+    the int cast), and only the longest run survives per day (A3
+    argmax by Distance; tiebreak on Calories for determinism where
+    pandas silently took file order)."""
+    out = drop_all_null_columns(df)
+    out = clean_headers(out)
+    out = out.withColumn("Distance", F.col("Distance").cast("double"))
+    out = out.withColumn("Distance_Group", bin_to_label("Distance"))
+    out = reorder_after(out, "Distance_Group", "Distance")
+    out = out.drop("Favorite")
+    out = out.withColumnRenamed("Date", "calendarDate").withColumn(
+        "calendarDate", F.to_date("calendarDate")
+    )
+    out = out.drop("Decompression", "Training_Stress_Score")
+    for c in ["Total_Ascent", "Total_Descent"]:
+        out = out.withColumn(c, replace_sentinel(c, value=0.0))
+    # subgroup-mean sentinel repair (MLPREP cell 131)
+    charlotte = F.col("Title") == "Charlotte Running"
+    for c in ["Max_Elevation", "Min_Elevation"]:
+        sub_mean = F.avg(
+            F.when(charlotte, sentinel_to_null(c))
+        ).over(Window.partitionBy())
+        out = out.withColumn(
+            c,
+            round_binary(
+                F.coalesce(sentinel_to_null(c), sub_mean), 0
+            ).cast("long"),
+        )
+    out = out.drop(
+        "Avg_Run_Cadence", "Max_Run_Cadence", "Avg_Stride_Length",
+        "Avg_Vertical_Ratio", "Avg_Vertical_Oscillation",
+        "Avg_Ground_Contact_Time", "Avg_GAP", "Normalized_Power_NP",
+        "Avg_Power", "Max_Power", "Best_Lap_Time", "Number_of_Laps",
+        "Moving_Time", "Elapsed_Time", "Title",
+    )
+    return latest_per_group(
+        out,
+        "calendarDate",
+        [F.desc("Distance"), F.desc(F.col("Calories"))],
+    )
+
+
+_SLEEP_ML_DROPS = [
+    "averageRespiration",
+    "lowestRespiration",
+    "highestRespiration",
+    "deepSleepHours",
+    "lightSleepHours",
+    "remSleepHours",
+    "awakeSleepHours",
+    "unmeasurableHours",
+    "awakeCount",
+    "restlessMomentCount",
+]
+
+
+def transform_sleep_ml(df: DataFrame) -> DataFrame:
+    """ML-branch sleep pipeline (MLPREP cells 69-70): the PBI sleep
+    output minus the hour/respiration detail columns (scores carry the
+    signal), with remaining floats truncated to int like
+    ``astype(int)``."""
+    out = transform_sleep(df).drop(*_SLEEP_ML_DROPS)
+    for f in out.schema.fields:
+        if f.dataType.typeName() == "double":
+            out = out.withColumn(f.name, F.col(f.name).cast("long"))
+    return out
 
 
 # ---------------------------------------------------------------------------

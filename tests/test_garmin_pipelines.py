@@ -406,3 +406,50 @@ def test_run_full_pipeline_unknown_dataset_isolated(spark):
     )
     assert summary.failed == ["no_such_dataset"]
     assert "unknown dataset" in summary.results[0].error
+
+
+ML_RUNNING_CSV = """Activity Type,Date,Favorite,Title,Distance,Calories,Time,Avg HR,Max HR,Aerobic TE,Avg Run Cadence,Max Run Cadence,Avg Pace,Best Pace,Total Ascent,Total Descent,Avg Stride Length,Avg Vertical Ratio,Avg Vertical Oscillation,Avg Ground Contact Time,Normalized Power (NP),Avg Power,Max Power,Steps,Best Lap Time,Number of Laps,Moving Time,Elapsed Time,Min Elevation,Max Elevation,Training Stress Score,Decompression,Avg GAP
+Running,2024-08-20,FALSE,Charlotte Running,5.0,450,45:00,150,165,3.1,170,180,09:00,08:00,120,118,1.05,8.0,8.1,250,300,290,400,"7,000",01:10,5,44:00,45:00,100,200,0,No,09:00
+Running,2024-08-20,FALSE,Charlotte Running,8.0,700,"1:10:00",152,168,3.6,171,181,08:45,07:45,150,149,1.06,8.1,8.2,251,305,295,410,"11,000",01:08,8,"1:09:00","1:10:30",120,240,0,No,08:55
+Treadmill Running,2024-08-19,FALSE,Gym,3.0,250,30:00,140,150,2.0,165,170,10:00,09:30,--,--,1.0,8.3,8.4,260,270,260,350,"4,500",01:20,3,29:30,30:30,--,--,0,No,10:10
+"""
+
+
+class TestRunningMl:
+    def test_ml_variant(self, spark, tmp_path):
+        p = tmp_path / "Workout_Data_20240804.csv"
+        p.write_text(ML_RUNNING_CSV)
+        out = pipelines.transform_running_ml(
+            read_running_csv(spark, str(p))
+        )
+        rows = {str(r["calendarDate"]): r for r in out.collect()}
+        assert set(rows) == {"2024-08-20", "2024-08-19"}
+        # argmax by Distance per day: the 8-mile run wins
+        assert rows["2024-08-20"]["Distance"] == 8.0
+        # dropped columns
+        assert "Title" not in out.columns
+        assert "Moving_Time" not in out.columns
+        assert "Training_Stress_Score" not in out.columns
+        # '--' ascent -> 0.0; '--' elevation -> Charlotte-subgroup mean
+        gym = rows["2024-08-19"]
+        assert gym["Total_Ascent"] == 0.0
+        assert gym["Max_Elevation"] == 220   # mean(200, 240)
+        assert gym["Min_Elevation"] == 110   # mean(100, 120)
+        assert rows["2024-08-20"]["Max_Elevation"] == 240
+
+
+@needs_reference
+def test_sleep_ml_variant(spark):
+    raw = read_dataset(spark, "sleep_data", BASE)
+    out = pipelines.transform_sleep_ml(raw)
+    assert "deepSleepHours" not in out.columns
+    assert "averageRespiration" not in out.columns
+    assert "overallScore" in out.columns
+    # all floats truncated to int
+    assert not [
+        f.name for f in out.schema.fields if f.dataType.typeName() == "double"
+    ]
+    row = out.filter(F.col("calendarDate").isNotNull()).orderBy(
+        "calendarDate"
+    ).first()
+    assert isinstance(row["sleepDurationHours"], int)
