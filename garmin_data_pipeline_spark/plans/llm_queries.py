@@ -9,7 +9,7 @@ sides compute identical semantics.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from garmin_data_pipeline_spark.operators import text as T

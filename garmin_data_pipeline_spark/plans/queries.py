@@ -8,7 +8,7 @@ columns by name before hashing).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from garmin_data_pipeline_spark.operators import (
