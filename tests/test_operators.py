@@ -315,3 +315,38 @@ def test_join_range_bins_and_filters(spark):
     out = join_range(events, ivals, "ts", "s", "e", by=["user"])
     got = {(r["id"], r["name"]) for r in out.collect()}
     assert got == {(1, "a"), (2, "b")}
+
+
+def test_positional_and_nested_helpers(spark):
+    """P5 positional drop + S3/J2 nested helpers direct coverage."""
+    from garmin_data_pipeline_spark.operators import (
+        drop_last_columns,
+        flatten_all_structs,
+        pick_array_element,
+        unwrap_envelope,
+    )
+
+    df = spark.createDataFrame([(1, 2, 3)], "a int, b int, c int")
+    assert drop_last_columns(df, 1).columns == ["a", "b"]
+    assert drop_last_columns(df, 2).columns == ["a"]
+
+    nested = spark.createDataFrame(
+        [(1, {"x": 10, "y": {"z": 5}})],
+        "id int, s struct<x:int, y:struct<z:int>>",
+    )
+    flat = flatten_all_structs(nested)
+    assert set(flat.columns) == {"id", "s_x", "s_y_z"}
+    assert flat.first()["s_y_z"] == 5
+
+    env = spark.createDataFrame(
+        [([{"v": 1}, {"v": 2}],)], "payload array<struct<v:int>>"
+    )
+    rows = unwrap_envelope(env, "payload").select("record.v").collect()
+    assert sorted(r["v"] for r in rows) == [1, 2]
+
+    arr = spark.createDataFrame(
+        [([{"type": "A", "n": 1}, {"type": "TOTAL", "n": 9}],)],
+        "lst array<struct<type:string, n:int>>",
+    )
+    picked = pick_array_element(arr, "lst", "type", "TOTAL", "e").first()
+    assert picked["e"]["n"] == 9
