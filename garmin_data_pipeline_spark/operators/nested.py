@@ -52,14 +52,16 @@ def pick_array_element(
     aggregatorList element with type='TOTAL'; we replace its fragile
     positional pick — WRANGLE cell 148 — with the semantic filter).
 
-    ``filter()`` + ``element_at`` is an array expression: vectorized,
-    no explode/shuffle.
+    ``filter()`` + ``get`` is an array expression: vectorized, no
+    explode/shuffle. ``F.get`` (not ``element_at``) because ANSI mode
+    errors on out-of-bounds access — a row without a matching element
+    must yield NULL, not kill the job.
     """
-    picked = F.element_at(
+    picked = F.get(
         F.filter(
             F.col(array_col), lambda x: x[type_field] == F.lit(type_value)
         ),
-        1,
+        0,
     )
     return df.withColumn(out_col, picked)
 

@@ -350,3 +350,14 @@ def test_positional_and_nested_helpers(spark):
     )
     picked = pick_array_element(arr, "lst", "type", "TOTAL", "e").first()
     assert picked["e"]["n"] == 9
+
+
+def test_pick_array_element_missing_yields_null(spark):
+    from garmin_data_pipeline_spark.operators import pick_array_element
+
+    arr = spark.createDataFrame(
+        [([{"type": "A", "n": 1}],), ([],)],
+        "lst array<struct<type:string, n:int>>",
+    )
+    out = pick_array_element(arr, "lst", "type", "TOTAL", "e").collect()
+    assert all(r["e"] is None for r in out)  # no match -> NULL, no error
