@@ -775,7 +775,7 @@ def f12_time_string_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f2_epoch_millis",
     """
     SELECT o_orderkey,
-           epoch_ms(o_orderkey * 86400000) AS ts_from_ms
+           epoch_ms((o_orderkey % 20000) * 86400000) AS ts_from_ms
     FROM orders
     """,
     doc="Epoch-milliseconds parse (F2).",
@@ -785,11 +785,14 @@ def f2_epoch_millis(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_millis_to_timestamp,
     )
 
+    # key % 20000 days keeps the synthetic timestamp < 2025 at ANY
+    # scale factor (raw keys at sf>=0.1 would pass pandas' year-2262
+    # nanosecond ceiling and break Arrow collection).
     orders = table(spark, sf_dir, "orders")
     return orders.select(
         "o_orderkey",
         epoch_millis_to_timestamp(
-            F.col("o_orderkey") * F.lit(86400000)
+            (F.col("o_orderkey") % 20000) * F.lit(86400000)
         ).alias("ts_from_ms"),
     )
 
