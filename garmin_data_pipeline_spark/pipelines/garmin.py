@@ -23,10 +23,8 @@ from __future__ import annotations
 from collections.abc import Sequence
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-
-from pyspark.sql import Window
 
 from ..functions.cleaning import (
     bin_to_id,
@@ -34,7 +32,6 @@ from ..functions.cleaning import (
     replace_sentinel,
     sentinel_to_null,
 )
-from ..operators.dedupe import latest_per_group
 from ..functions.durations import (
     format_timedelta,
     parse_hms_to_seconds,
@@ -43,9 +40,9 @@ from ..functions.durations import (
     seconds_to_hours,
     timestamp_diff_seconds,
 )
-from ..operators.dedupe import dedupe_latest
-from ..operators.repair import patch_null_dates_from_gaps
+from ..operators.dedupe import dedupe_latest, latest_per_group
 from ..operators.joins import master_outer_join
+from ..operators.repair import patch_null_dates_from_gaps
 from ..operators.projections import (
     clean_headers,
     drop_all_null_columns,
