@@ -226,3 +226,54 @@ def test_dedupe_stream_drops_replayed_shards(spark, sf_dir, tmp_path):
     assert got.select("event_id").distinct().count() == ev.count()
     # batch fallback
     assert dedupe_stream(ev.union(ev), ["event_id"]).count() == ev.count()
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late events older than the watermark must not reopen finalized
+    windows: run 1 sees on-time day-1 events, run 2 sees day-9 events
+    that advance the watermark past day 1 (finalizing its window), and
+    run 3 sees LATE day-1 events — which are dropped, not merged. Each
+    arrival is a separate availableNow run over one checkpoint (the
+    restartable-incremental pattern)."""
+    import datetime as dt
+
+    from garmin_data_pipeline_spark.streaming import daily_event_summary
+
+    src = tmp_path / "late_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_late")
+    out_dir = str(tmp_path / "late_out")
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+
+    def land_and_run(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            daily_event_summary(stream, watermark="1 day")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    d1 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    d9 = dt.datetime(2024, 1, 9, 10, 0, 0)
+    land_and_run([(i, d1, 1, "click", 1.0, "{}") for i in range(4)])
+    land_and_run([(100 + i, d9, 1, "click", 1.0, "{}") for i in range(2)])
+    land_and_run([(200 + i, d1, 1, "click", 1.0, "{}") for i in range(3)])
+
+    rows = (
+        spark.read.parquet(out_dir)
+        .filter(F.col("calendarDate") == "2024-01-01")
+        .collect()
+    )
+    # exactly one finalized emission for day 1, with only on-time events
+    assert [r["event_count"] for r in rows] == [4]
