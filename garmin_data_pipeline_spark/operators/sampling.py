@@ -54,6 +54,19 @@ def corpus_mix(
     return df.filter(F.pmod(F.col(key_col), F.lit(modulus)) < threshold)
 
 
+def split_by_key(
+    df: DataFrame, key_col: str, test_rate: float, modulus: int = 100
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic (train, test) split on a key residue: disjoint,
+    exhaustive, and stable across runs/engines — the property an ML
+    data card needs (``randomSplit`` reshuffles on every evaluation).
+    The same key always lands in the same side, so feature tables
+    joined later can never leak across the split."""
+    cutoff = int(test_rate * modulus)
+    residue = F.pmod(F.col(key_col), F.lit(modulus))
+    return df.filter(residue >= cutoff), df.filter(residue < cutoff)
+
+
 def pack_sequences(
     df: DataFrame,
     size_col: Column | str,

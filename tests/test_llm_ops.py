@@ -342,3 +342,16 @@ def test_ivf_index_reuse_across_query_batches(spark, sf_dir):
     best = {r["query_id"]: r["vec_id"] for r in r1.union(r2).collect()}
     assert best == {0: 0, 1: 1, 2: 2, 3: 3}
     assigned.unpersist()
+
+
+def test_split_by_key_disjoint_exhaustive(spark):
+    from garmin_data_pipeline_spark.operators.sampling import split_by_key
+
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    train, test = split_by_key(df, "k", 0.2)
+    assert train.count() == 800 and test.count() == 200
+    assert train.join(test, "k").count() == 0          # disjoint
+    assert train.union(test).distinct().count() == 1000  # exhaustive
+    # stability: same key -> same side on recomputation
+    again_train, _ = split_by_key(df, "k", 0.2)
+    assert train.exceptAll(again_train).count() == 0
