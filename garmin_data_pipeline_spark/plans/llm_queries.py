@@ -585,3 +585,43 @@ def t8_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.rolling_fingerprint(F.col("text")).alias("rolling_fp"),
         T.fingerprint(F.col("text")).alias("bag_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T9 — corpus trimming: keep documents whose token count lies between
+# the corpus p25 and p99 (the outlier-trimming filter of a pretraining
+# pipeline). Plan shape: scalar aggregate broadcast into the filter —
+# two passes over the corpus, no shuffle beyond the 1-row aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "t9_length_trim",
+    f"""
+    WITH t AS (
+        SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents
+    ), q AS (
+        SELECT quantile_cont(n_tokens, 0.25) AS lo,
+               quantile_cont(n_tokens, 0.99) AS hi
+        FROM t
+    )
+    SELECT doc_id, n_tokens
+    FROM t, q
+    WHERE n_tokens >= lo AND n_tokens <= hi
+    """,
+    doc="Trim corpus to [p25, p99] token-count band (outlier filter).",
+)
+def t9_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+    )
+    bounds = docs.agg(
+        F.percentile(F.col("n_tokens"), F.lit(0.25)).alias("lo"),
+        F.percentile(F.col("n_tokens"), F.lit(0.99)).alias("hi"),
+    )
+    return (
+        docs.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("n_tokens") >= F.col("lo"))
+            & (F.col("n_tokens") <= F.col("hi"))
+        )
+        .select("doc_id", "n_tokens")
+    )
