@@ -32,6 +32,27 @@ from garmin_data_pipeline_spark.operators.text import shingles, tokens
 # Mersenne prime 2^61-1: universal-hash modulus for MinHash permutations.
 _MERSENNE_P = (1 << 61) - 1
 
+# Signature relations persisted by the LSH operators, so a long-lived
+# session (the driver/bench loop) doesn't accumulate cached blocks:
+# each new invocation releases the previous one's cache first.
+_LIVE_SIGNATURES: list[DataFrame] = []
+
+
+def _persist_signature(sig: DataFrame) -> DataFrame:
+    """Persist a signature DataFrame, unpersisting any signature cached
+    by a previous invocation. Callers that want several signature
+    tables live at once should persist/unpersist themselves."""
+    while _LIVE_SIGNATURES:
+        _LIVE_SIGNATURES.pop().unpersist()
+    _LIVE_SIGNATURES.append(sig.persist())
+    return sig
+
+
+def unpersist_signatures() -> None:
+    """Release every signature cached by the LSH operators."""
+    while _LIVE_SIGNATURES:
+        _LIVE_SIGNATURES.pop().unpersist()
+
 
 def normalize_text(col):
     """Normalization for exact dedup: lowercase + collapse whitespace."""
@@ -185,9 +206,9 @@ def minhash_lsh_pairs(
     # pair-side re-attachments); persist so the scan+shingle+hash work
     # runs once. At cluster scale this is where you'd checkpoint the
     # signature table.
-    sig = minhash_signatures(
-        df, id_col, text_col, num_hashes, shingle_n
-    ).persist()
+    sig = _persist_signature(
+        minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    )
     banded = sig.select(
         "doc",
         "signature",
@@ -292,7 +313,7 @@ def simhash_candidate_pairs(
     Hamming distance < chunks), with the exact Hamming distance."""
     # The signature relation feeds both sides of the self-join; persist
     # so the token explode + 64 bit aggregates run once, not twice.
-    sig = simhash(df, id_col, text_col).persist()
+    sig = _persist_signature(simhash(df, id_col, text_col))
     width = 64 // chunks
     mask = (1 << width) - 1
     chunked = sig.select(

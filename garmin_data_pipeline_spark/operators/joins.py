@@ -22,27 +22,30 @@ from pyspark.sql import functions as F
 
 def master_outer_join(
     dfs: Sequence[DataFrame] | dict[str, DataFrame],
-    on: str = "calendarDate",
+    on: str | Sequence[str] = "calendarDate",
     how: str = "full_outer",
 ) -> DataFrame:
     """N-way outer join on a shared key (reference 7-way master-table
-    merge, MERGE cell 18; identical MERGE3/MERGEF cell 18).
+    merge, MERGE cell 18; identical MERGE3/MERGEF cell 18). ``on`` may
+    be one key or several (e.g. ``["user_id", "calendarDate"]`` for a
+    multi-tenant scale-up).
 
     When ``dfs`` is a dict, colliding non-key columns are renamed
     ``<name>_<col>`` (deterministic, unlike pandas' positional _x/_y).
     """
+    keys = [on] if isinstance(on, str) else list(on)
     if isinstance(dfs, dict):
         named = list(dfs.items())
         seen: dict[str, int] = {}
         for _, df in named:
             for c in df.columns:
-                if c != on:
+                if c not in keys:
                     seen[c] = seen.get(c, 0) + 1
         renamed = []
         for name, df in named:
             cols = [
                 F.col(c).alias(f"{name}_{c}")
-                if c != on and seen[c] > 1
+                if c not in keys and seen[c] > 1
                 else F.col(c)
                 for c in df.columns
             ]
@@ -50,7 +53,7 @@ def master_outer_join(
         frames = renamed
     else:
         frames = list(dfs)
-    return reduce(lambda l, r: l.join(r, on, how), frames)
+    return reduce(lambda l, r: l.join(r, keys, how), frames)
 
 
 def join_asof(
@@ -77,6 +80,9 @@ def join_asof(
     DuckDB's ASOF JOIN inclusive-backward semantics.
     """
     by = list(by)
+    # ASOF semantics exclude right rows with no timestamp (they would
+    # otherwise sort nulls-first and forward-fill into early left rows).
+    right = right.filter(F.col(time_col).isNotNull())
     lt = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__side"),

@@ -31,8 +31,14 @@ def mod_sample(
     """Keep rows where ``key % modulus < rate * modulus`` —
     deterministic, engine-portable sampling on an integral key."""
     return df.filter(
-        F.pmod(F.col(key_col), F.lit(modulus)) < int(rate * modulus)
+        F.pmod(F.col(key_col), F.lit(modulus)) < _cutoff(rate, modulus)
     )
+
+
+def _cutoff(rate: float, modulus: int) -> int:
+    """Residue threshold for a keep-rate. ``round`` (not truncation)
+    so rates like 0.29 — 28.999... in binary float — map to 29/100."""
+    return int(round(rate * modulus))
 
 
 def corpus_mix(
@@ -46,10 +52,10 @@ def corpus_mix(
     """Per-group deterministic sampling (data mixing). ``rates`` maps a
     group value to its keep-rate; others keep ``default_rate``."""
     g = F.col(group_col) if isinstance(group_col, str) else group_col
-    threshold = F.lit(int(default_rate * modulus))
+    threshold = F.lit(_cutoff(default_rate, modulus))
     for value, rate in rates.items():
         threshold = F.when(
-            g == value, F.lit(int(rate * modulus))
+            g == value, F.lit(_cutoff(rate, modulus))
         ).otherwise(threshold)
     return df.filter(F.pmod(F.col(key_col), F.lit(modulus)) < threshold)
 
@@ -62,7 +68,7 @@ def split_by_key(
     data card needs (``randomSplit`` reshuffles on every evaluation).
     The same key always lands in the same side, so feature tables
     joined later can never leak across the split."""
-    cutoff = int(test_rate * modulus)
+    cutoff = _cutoff(test_rate, modulus)
     residue = F.pmod(F.col(key_col), F.lit(modulus))
     return df.filter(residue >= cutoff), df.filter(residue < cutoff)
 

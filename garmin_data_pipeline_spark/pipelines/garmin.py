@@ -597,7 +597,9 @@ def running_activities(df: DataFrame) -> DataFrame:
 
 
 def master_table(
-    datasets: Sequence[DataFrame], require_status: bool = True
+    datasets: Sequence[DataFrame] | dict[str, DataFrame],
+    require_status: bool = True,
+    partition_by: Sequence[str] = (),
 ) -> DataFrame:
     """7-way full outer join on ``calendarDate`` (MERGE cell 9:
     ``reduce(pd.merge(..., how='outer'))``) followed by the notebook's
@@ -606,19 +608,35 @@ def master_table(
     rename the run ``Time`` to ``RunTime``, zero-fill no-run days, and
     derive the ``IsRunDay`` flag.
 
-    Overlapping non-key columns are pre-suffixed per input (pandas
-    would emit _x/_y; Spark errors on ambiguity — SURVEY.md §7d). The
-    join key is the date: at reference scale every dim broadcasts; at
-    100 TB scale the join is a sort-merge co-partitioned on the date.
+    Overlapping non-key columns are pre-suffixed per input — pass a
+    dict for meaningful prefixes (``{"uds": ..., "racepred": ...}``);
+    sequence input gets positional ``d<i>_`` prefixes (pandas would
+    emit _x/_y; Spark errors on ambiguity — SURVEY.md §7d).
+
+    ``partition_by`` extends the join key and scopes the LOCF fill
+    (e.g. ``["user_id"]`` for a multi-tenant scale-up): without it the
+    forward-fill window is global — correct for one athlete's daily
+    series, a single-task stage at a billion rows. At reference scale
+    every dim broadcasts; at 100 TB the join is a sort-merge
+    co-partitioned on (user, date) and each fill window stays local.
     Every guard is column-presence-based so the builder works with any
     subset of the seven cleaned datasets.
     """
-    joined = master_outer_join(list(datasets), on="calendarDate")
+    keys = list(partition_by) + ["calendarDate"]
+    named = (
+        dict(datasets)
+        if isinstance(datasets, dict)
+        else {f"d{i}": df for i, df in enumerate(datasets)}
+    )
+    joined = master_outer_join(named, on=keys)
     if require_status and "trainingStatus" in joined.columns:
         joined = joined.filter(F.col("trainingStatus").isNotNull())
     if {"vo2MaxValue", "maxMet"} <= set(joined.columns):
         joined = forward_fill(
-            joined, ["vo2MaxValue", "maxMet"], [], ["calendarDate"]
+            joined,
+            ["vo2MaxValue", "maxMet"],
+            list(partition_by),
+            ["calendarDate"],
         )
     if "Time" in joined.columns:
         joined = joined.withColumnRenamed("Time", "RunTime")
@@ -634,7 +652,7 @@ def master_table(
             "IsRunDay",
             F.when(F.col("Distance") > 0, 1).otherwise(0),
         )
-    return joined.orderBy("calendarDate")
+    return joined.orderBy(*keys)
 
 
 # ---------------------------------------------------------------------------

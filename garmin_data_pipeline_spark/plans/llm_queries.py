@@ -46,13 +46,18 @@ _TOKS = T.sql_tokens("text")
     SELECT doc_id,
            len(toks) AS n_tokens,
            len(list_distinct(toks)) AS n_distinct_tokens,
-           CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT)
-               / len(toks) AS mean_word_len,
-           len(regexp_replace(lower(text), '[^a-z]', '', 'g'))
-               / len(text) AS alpha_ratio,
-           {T.sql_stopword_hits("toks", "en")} / len(toks)
-               AS stopword_ratio,
-           len(list_distinct(toks)) / len(toks) AS distinct_ratio
+           CASE WHEN len(toks) > 0 THEN
+               CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT)
+                   / len(toks) ELSE 0.0 END AS mean_word_len,
+           CASE WHEN len(text) > 0 THEN
+               len(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                   / len(text) ELSE 0.0 END AS alpha_ratio,
+           CASE WHEN len(toks) > 0 THEN
+               {T.sql_stopword_hits("toks", "en")} / len(toks)
+               ELSE 0.0 END AS stopword_ratio,
+           CASE WHEN len(toks) > 0 THEN
+               len(list_distinct(toks)) / len(toks)
+               ELSE 0.0 END AS distinct_ratio
     FROM t
     """,
     doc="Token counts + quality features per document (text analysis).",
@@ -72,9 +77,14 @@ def t1_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_langid() -> str:
-    """Oracle mirror of text.language_guess (same priority/tie rules)."""
+    """Oracle mirror of text.language_guess (same priority/tie rules,
+    same zero-token guard: empty docs score 0.0, not NULL)."""
     score = {
-        lang: f"({T.sql_stopword_hits('toks', lang)} / len(toks))"
+        lang: (
+            f"(CASE WHEN len(toks) > 0 THEN "
+            f"{T.sql_stopword_hits('toks', lang)} / len(toks) "
+            f"ELSE 0.0 END)"
+        )
         for lang in T.LANG_PRIORITY
     }
     # same reverse CASE chain as language_guess
@@ -96,7 +106,9 @@ def _sql_langid() -> str:
     )
     SELECT doc_id, lang AS declared_lang,
            {_sql_langid()} AS guessed_lang,
-           {T.sql_stopword_hits("toks", "en")} / len(toks) AS en_score
+           CASE WHEN len(toks) > 0 THEN
+               {T.sql_stopword_hits("toks", "en")} / len(toks)
+               ELSE 0.0 END AS en_score
     FROM t
     """,
     doc="Stopword-ratio language-ID heuristic (text analysis).",

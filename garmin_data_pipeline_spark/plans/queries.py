@@ -544,11 +544,12 @@ def p6_clean_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a6_null_counts",
     """
-    SELECT SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END)
-               AS disc_nulls,
-           SUM(CASE WHEN NULLIF(l_tax, 0.0) IS NULL THEN 1 ELSE 0 END)
-               AS tax_nulls,
-           SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS qty_nulls
+    SELECT CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS disc_nulls,
+           CAST(SUM(CASE WHEN NULLIF(l_tax, 0.0) IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS tax_nulls,
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS qty_nulls
     FROM lineitem
     """,
     doc="Single-job per-column null counts (A6).",

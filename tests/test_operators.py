@@ -117,6 +117,86 @@ def test_master_outer_join_dict_rename(spark):
     assert out.count() == 2  # full outer keeps both days
 
 
+def test_master_table_suffixes_colliding_columns(spark):
+    """Sequence input to master_table must deterministically suffix
+    colliding non-key columns (the reference race_predictions and UDS
+    both emit Year/Month/...; pandas would emit _x/_y, Spark would
+    raise AMBIGUOUS_REFERENCE on the first downstream select)."""
+    from garmin_data_pipeline_spark import pipelines
+
+    a = spark.createDataFrame(
+        [("d1", 2024, 1.0)], "calendarDate: string, Year: long, v: double"
+    )
+    b = spark.createDataFrame(
+        [("d1", 2024, 2.0)], "calendarDate: string, Year: long, w: double"
+    )
+    out = pipelines.master_table([a, b], require_status=False)
+    assert set(out.columns) == {"calendarDate", "d0_Year", "d1_Year", "v", "w"}
+    # the collision is resolvable: selecting a suffixed column works
+    assert out.select("d0_Year").first()[0] == 2024
+    named = pipelines.master_table(
+        {"racepred": a, "uds": b}, require_status=False
+    )
+    assert {"racepred_Year", "uds_Year"} <= set(named.columns)
+
+
+def test_master_table_partitioned_ffill(spark):
+    """partition_by scopes the LOCF fill per user: user B's leading
+    null must NOT inherit user A's last value (and the window plan is
+    partitioned — no single-task global sort at scale)."""
+    from garmin_data_pipeline_spark import pipelines
+
+    rows = [
+        ("alice", "2024-01-01", 50.0, 10.0),
+        ("alice", "2024-01-02", None, None),
+        ("bob", "2024-01-01", None, None),
+        ("bob", "2024-01-02", 40.0, 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id: string, calendarDate: string, "
+        "vo2MaxValue: double, maxMet: double",
+    )
+    out = pipelines.master_table(
+        [df], require_status=False, partition_by=["user_id"]
+    )
+    got = {
+        (r["user_id"], r["calendarDate"]): r["vo2MaxValue"]
+        for r in out.collect()
+    }
+    assert got[("alice", "2024-01-02")] == 50.0  # filled within alice
+    assert got[("bob", "2024-01-01")] is None  # NOT filled from alice
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(user_id" in plan  # partitioned window
+
+
+def test_join_asof_ignores_null_right_timestamps(spark):
+    """ASOF semantics: right rows with a NULL timestamp never match
+    (they would otherwise sort nulls-first and forward-fill into every
+    early left row)."""
+    left = spark.createDataFrame(
+        [("u", 10), ("u", 20)], "k: string, ts: long"
+    )
+    right = spark.createDataFrame(
+        [("u", None, 999.0), ("u", 15, 1.5)],
+        "k: string, ts: long, px: double",
+    )
+    out = ops.join_asof(left, right, "ts", ["k"], ["px"])
+    got = {r["ts"]: r["px_asof"] for r in out.collect()}
+    assert got[10] is None  # no prior non-null right row
+    assert got[20] == 1.5
+
+
+def test_mod_sample_rounds_rate(spark):
+    """rate=0.29 must keep residues 0..28 (29%), not truncate to 28
+    under binary-float representation of 0.29*100 = 28.999...."""
+    from garmin_data_pipeline_spark.operators.sampling import mod_sample
+
+    df = spark.range(0, 100).withColumnRenamed("id", "k")
+    assert mod_sample(df, "k", 0.29).count() == 29
+    assert mod_sample(df, "k", 0.5).count() == 50
+
+
 def test_union_by_name_missing_cols(spark):
     a = spark.createDataFrame([(1, "x")], "id: long, a: string")
     b = spark.createDataFrame([(2, "y")], "id: long, b: string")
