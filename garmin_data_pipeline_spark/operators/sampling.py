@@ -84,9 +84,10 @@ def pack_sequences(
     ``order_by`` order) accumulate ~``budget`` units per bin.
 
     bin = floor(cumsum_before_this_row / budget): deterministic, one
-    global window. The single-task global window is the cost of exact
-    global packing — at scale, pack per partition key (date, shard)
-    instead, or accept per-partition bins.
+    global window — which serializes the whole corpus through ONE task.
+    Small/medium data and oracle parity only; at scale use
+    :func:`pack_sequences_sharded` (same bin semantics per shard,
+    parallel windows, globally unique bin ids).
     """
     s = F.col(size_col) if isinstance(size_col, str) else size_col
     w = (
@@ -95,3 +96,55 @@ def pack_sequences(
     )
     prior = F.coalesce(F.sum(s).over(w), F.lit(0))
     return df.withColumn(out_col, F.floor(prior / budget))
+
+
+def pack_sequences_sharded(
+    df: DataFrame,
+    size_col: Column | str,
+    budget: int,
+    shard_col: str,
+    order_by: Sequence[str],
+    out_col: str = "bin_id",
+) -> DataFrame:
+    """Scale-safe two-level sequence packing — the 100 TB default.
+
+    Level 1: pack each shard independently (``Window.partitionBy(
+    shard)`` — every executor packs its shards in parallel; no
+    single-task global sort). Level 2: make bin ids globally unique by
+    offsetting each shard's local bins with the exclusive prefix sum of
+    per-shard bin counts — a #shards-row aggregate, broadcast back.
+
+    Bins never span shards, so each bin still packs ~``budget`` units
+    of *consecutive* (within-shard) rows; the only deviation from the
+    global variant is that the last bin of each shard may run short.
+    Deterministic, engine-portable (SQL-mirrorable), and the wall cost
+    is one partitioned window + one tiny aggregate instead of one task
+    holding the corpus.
+    """
+    s = F.col(size_col) if isinstance(size_col, str) else size_col
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum(s).over(w), F.lit(0))
+    local = df.withColumn("__local_bin", F.floor(prior / budget))
+    counts = local.groupBy(shard_col).agg(
+        (F.max("__local_bin") + 1).alias("__n_bins")
+    )
+    # Exclusive prefix sum over shards: a global window, but over
+    # #shards rows (thousands at most), not the corpus.
+    w_sh = Window.orderBy(shard_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        shard_col,
+        F.coalesce(F.sum("__n_bins").over(w_sh), F.lit(0)).alias(
+            "__offset"
+        ),
+    )
+    return (
+        local.join(F.broadcast(offsets), shard_col)
+        .withColumn(out_col, F.col("__local_bin") + F.col("__offset"))
+        .drop("__local_bin", "__offset")
+    )
