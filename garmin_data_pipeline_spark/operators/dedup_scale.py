@@ -24,6 +24,8 @@ the hot path; xxhash64 is Spark's built-in 64-bit hash.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -35,23 +37,32 @@ _MERSENNE_P = (1 << 61) - 1
 # Signature relations persisted by the LSH operators, so a long-lived
 # session (the driver/bench loop) doesn't accumulate cached blocks:
 # each new invocation releases the previous one's cache first.
+#
+# Operator-level contract: ONE live LSH plan at a time. Building a
+# second LSH DataFrame before *running* the first unpersists the
+# first's signatures — its self-join then recomputes them on both
+# sides (correctness is unaffected: the hashes are deterministic; the
+# cost is perf only). Callers that want several signature tables live
+# at once should persist/unpersist themselves.
+_SIG_LOCK = threading.Lock()
 _LIVE_SIGNATURES: list[DataFrame] = []
 
 
 def _persist_signature(sig: DataFrame) -> DataFrame:
     """Persist a signature DataFrame, unpersisting any signature cached
-    by a previous invocation. Callers that want several signature
-    tables live at once should persist/unpersist themselves."""
-    while _LIVE_SIGNATURES:
-        _LIVE_SIGNATURES.pop().unpersist()
-    _LIVE_SIGNATURES.append(sig.persist())
+    by a previous invocation (see one-live-plan contract above)."""
+    with _SIG_LOCK:
+        while _LIVE_SIGNATURES:
+            _LIVE_SIGNATURES.pop().unpersist()
+        _LIVE_SIGNATURES.append(sig.persist())
     return sig
 
 
 def unpersist_signatures() -> None:
     """Release every signature cached by the LSH operators."""
-    while _LIVE_SIGNATURES:
-        _LIVE_SIGNATURES.pop().unpersist()
+    with _SIG_LOCK:
+        while _LIVE_SIGNATURES:
+            _LIVE_SIGNATURES.pop().unpersist()
 
 
 def normalize_text(col):

@@ -19,10 +19,35 @@ correctness oracle (no RNG, no hash functions the oracle lacks).
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# Intermediate relations persisted by pack_sequences_sharded. Contract:
+# ONE live packed plan at a time — a new invocation releases the cache
+# of the previous one (so a long-lived driver/bench loop doesn't leak
+# cached blocks). The operator is deterministic, so an evicted plan
+# recomputes correctly; this is a perf contract only. Callers that need
+# several live packed plans should persist/unpersist themselves.
+_PACK_LOCK = threading.Lock()
+_LIVE_PACKS: list[DataFrame] = []
+
+
+def _persist_pack(df: DataFrame) -> DataFrame:
+    with _PACK_LOCK:
+        while _LIVE_PACKS:
+            _LIVE_PACKS.pop().unpersist()
+        _LIVE_PACKS.append(df.persist())
+    return df
+
+
+def unpersist_pack_caches() -> None:
+    """Release every intermediate cached by pack_sequences_sharded."""
+    with _PACK_LOCK:
+        while _LIVE_PACKS:
+            _LIVE_PACKS.pop().unpersist()
 
 
 def mod_sample(
@@ -36,9 +61,12 @@ def mod_sample(
 
 
 def _cutoff(rate: float, modulus: int) -> int:
-    """Residue threshold for a keep-rate. ``round`` (not truncation)
-    so rates like 0.29 — 28.999... in binary float — map to 29/100."""
-    return int(round(rate * modulus))
+    """Residue threshold for a keep-rate. Half-UP rounding (not
+    truncation, not banker's): rates like 0.29 — 28.999... in binary
+    float — map to 29/100, and exact .5 products round up (0.125 of
+    100 -> 13), matching the "keep at least this rate" intuition.
+    Python's ``round`` would round half-even (12.5 -> 12)."""
+    return int(rate * modulus + 0.5)
 
 
 def corpus_mix(
@@ -128,7 +156,13 @@ def pack_sequences_sharded(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     prior = F.coalesce(F.sum(s).over(w), F.lit(0))
-    local = df.withColumn("__local_bin", F.floor(prior / budget))
+    # The local-bin relation feeds both the per-shard bin counts and
+    # the final join; persist so the partitioned window runs once per
+    # action, not twice (at cluster scale: checkpoint the packed
+    # table instead).
+    local = _persist_pack(
+        df.withColumn("__local_bin", F.floor(prior / budget))
+    )
     counts = local.groupBy(shard_col).agg(
         (F.max("__local_bin") + 1).alias("__n_bins")
     )
@@ -138,13 +172,19 @@ def pack_sequences_sharded(
         Window.unboundedPreceding, -1
     )
     offsets = counts.select(
-        shard_col,
+        F.col(shard_col).alias("__shard"),
         F.coalesce(F.sum("__n_bins").over(w_sh), F.lit(0)).alias(
             "__offset"
         ),
     )
+    # Null-safe equi-join: rows with a NULL shard key would silently
+    # vanish through a plain equi-join; eqNullSafe keeps every input
+    # row (NULL shards form their own shard), matching pack_sequences.
     return (
-        local.join(F.broadcast(offsets), shard_col)
+        local.join(
+            F.broadcast(offsets),
+            F.col(shard_col).eqNullSafe(F.col("__shard")),
+        )
         .withColumn(out_col, F.col("__local_bin") + F.col("__offset"))
-        .drop("__local_bin", "__offset")
+        .drop("__shard", "__local_bin", "__offset")
     )

@@ -163,17 +163,33 @@ def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# d2 config: 3-gram shingles (selective; the web-dedup standard and
+# d3's exact config, so d2 is d3's exact verifier) + a document-
+# frequency cap on shingles. The cap is the 100TB skew guard: a
+# shingle present in k docs emits O(k^2) join rows, so stop-shingles
+# must be dropped BEFORE the self-join. Doc sizes stay uncapped —
+# jaccard is then a lower bound, and the output a subset, of the exact
+# answer (the safe direction for a dedup filter).
+_D2_MAX_DF = 50
+_SH3 = T.sql_shingles(_TOKS, 3)
+
+
 @register(
     "d2_token_jaccard_pairs",
     f"""
     WITH sh AS (
-        SELECT doc_id AS doc, UNNEST(list_distinct({_TOKS})) AS shingle
+        SELECT doc_id AS doc, UNNEST({_SH3}) AS shingle
         FROM documents
     ), sizes AS (
         SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc
+    ), keep AS (
+        SELECT shingle FROM sh
+        GROUP BY shingle HAVING COUNT(*) <= {_D2_MAX_DF}
+    ), shc AS (
+        SELECT sh.doc, sh.shingle FROM sh JOIN keep USING (shingle)
     ), inter AS (
         SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc < b.doc
         GROUP BY a.doc, b.doc
     )
     SELECT doc_a, doc_b, inter,
@@ -181,17 +197,18 @@ def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
     JOIN sizes sa ON sa.doc = doc_a
     JOIN sizes sb ON sb.doc = doc_b
-    WHERE inter / (sa.sz + sb.sz - inter) >= 0.8
+    WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
     """,
-    doc="Exact token-set Jaccard >= 0.8 pairs via inverted index.",
+    doc="Exact 3-gram Jaccard >= 0.5 pairs via df-capped inverted index.",
 )
 def d2_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         table(spark, sf_dir, "documents"),
         "doc_id",
         "text",
-        n=1,
-        threshold=0.8,
+        n=3,
+        threshold=0.5,
+        max_df=_D2_MAX_DF,
     )
 
 
@@ -555,6 +572,60 @@ def t6_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", T.token_count(F.col("text")).alias("n_tokens")
     )
     return pack_sequences(docs, "n_tokens", 2048, ["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# T6b — SHARDED sequence packing: the 100 TB registered form. Each
+# shard (pmod(doc_id, 64)) packs independently under a partitioned
+# window; a #shards-row prefix-sum offset makes bin ids globally
+# unique. Same bin semantics as t6 within a shard; the only deviation
+# is that each shard's last bin may run short. The oracle mirrors the
+# two-level plan exactly (per-shard windowed cumsum + offset CTE).
+# ---------------------------------------------------------------------------
+@register(
+    "t6b_sequence_packing_sharded",
+    f"""
+    WITH t AS (
+        SELECT doc_id, len({_TOKS}) AS n_tokens, doc_id % 64 AS shard
+        FROM documents
+    ), local AS (
+        SELECT doc_id, n_tokens, shard,
+               CAST(floor(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / 2048) AS BIGINT) AS local_bin
+        FROM t
+    ), counts AS (
+        SELECT shard, MAX(local_bin) + 1 AS n_bins
+        FROM local GROUP BY shard
+    ), offsets AS (
+        SELECT shard, CAST(COALESCE(SUM(n_bins) OVER (
+            ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ), 0) AS BIGINT) AS off
+        FROM counts
+    )
+    SELECT l.doc_id, l.n_tokens, l.shard,
+           CAST(l.local_bin + o.off AS BIGINT) AS bin_id
+    FROM local l JOIN offsets o USING (shard)
+    """,
+    doc="Sharded token-budget packing: partitioned windows + global "
+    "bin-id offsets (the scale-safe form of t6).",
+)
+def t6b_sequence_packing_sharded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.sampling import (
+        pack_sequences_sharded,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        F.pmod(F.col("doc_id"), F.lit(64)).alias("shard"),
+    )
+    return pack_sequences_sharded(
+        docs, "n_tokens", 2048, "shard", ["doc_id"]
+    )
 
 
 # ---------------------------------------------------------------------------

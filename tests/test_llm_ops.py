@@ -285,6 +285,84 @@ class TestSamplingPacking:
         assert bins[4] == 1                   # prior 1200
         assert max(bins.values()) == 2
 
+    def test_pack_sequences_sharded_semantics(self, spark):
+        """Sharded packing: per-shard bins match the global packer run
+        on that shard alone; bins never span shards; global bin ids
+        are contiguous 0..N-1; budget respected up to one-doc slack."""
+        from garmin_data_pipeline_spark.operators.sampling import (
+            pack_sequences,
+            pack_sequences_sharded,
+        )
+
+        rows = [(i, i % 3, 100 + 70 * (i % 5)) for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, shard long, n long")
+        out = pack_sequences_sharded(
+            df, "n", 500, "shard", ["doc_id"]
+        ).collect()
+        assert len(out) == 60  # no rows dropped
+        # bins never span shards
+        bin_shards = {}
+        for r in out:
+            bin_shards.setdefault(r["bin_id"], set()).add(r["shard"])
+        assert all(len(s) == 1 for s in bin_shards.values())
+        # global ids contiguous from 0
+        ids = sorted(bin_shards)
+        assert ids == list(range(len(ids)))
+        # per-shard local structure == global packer on that shard
+        for shard in (0, 1, 2):
+            sub = df.filter(F.col("shard") == shard)
+            ref = {
+                r["doc_id"]: r["bin_id"]
+                for r in pack_sequences(sub, "n", 500, ["doc_id"]).collect()
+            }
+            got = {
+                r["doc_id"]: r["bin_id"] for r in out if r["shard"] == shard
+            }
+            base = min(got.values())
+            assert {d: b - base for d, b in got.items()} == ref
+        # budget: within a bin, the sum of all but the last doc < budget
+        per_bin = {}
+        for r in out:
+            per_bin.setdefault(r["bin_id"], []).append(
+                (r["doc_id"], r["n"])
+            )
+        for docs in per_bin.values():
+            docs.sort()
+            assert sum(n for _, n in docs[:-1]) < 500
+
+    def test_pack_sequences_sharded_keeps_null_shards(self, spark):
+        """NULL shard keys must not vanish through the offsets join
+        (null-safe join: NULL shards form their own shard)."""
+        from garmin_data_pipeline_spark.operators.sampling import (
+            pack_sequences_sharded,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a", 100), (2, None, 200), (3, "a", 300), (4, None, 400)],
+            "doc_id long, shard string, n long",
+        )
+        out = pack_sequences_sharded(df, "n", 1000, "shard", ["doc_id"])
+        rows = out.collect()
+        assert len(rows) == 4
+        assert {r["doc_id"] for r in rows} == {1, 2, 3, 4}
+        # and ids are still contiguous across the null + 'a' shards
+        ids = sorted({r["bin_id"] for r in rows})
+        assert ids == list(range(len(ids)))
+
+    def test_pack_sequences_sharded_partitioned_plan(self, spark):
+        """The corpus-sized window must be partitioned by the shard key
+        (no single-task global sort at scale)."""
+        from garmin_data_pipeline_spark.operators.sampling import (
+            pack_sequences_sharded,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 0, 10)], "doc_id long, shard long, n long"
+        )
+        out = pack_sequences_sharded(df, "n", 100, "shard", ["doc_id"])
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "windowspecdefinition(shard" in plan
+
 
 def test_bpe_ish_token_count(spark):
     from garmin_data_pipeline_spark.operators.text import bpe_ish_token_count

@@ -195,6 +195,9 @@ def test_mod_sample_rounds_rate(spark):
     df = spark.range(0, 100).withColumnRenamed("id", "k")
     assert mod_sample(df, "k", 0.29).count() == 29
     assert mod_sample(df, "k", 0.5).count() == 50
+    # exact .5 ties round HALF-UP (keep-at-least-rate semantics), not
+    # banker's half-even: 0.125 * 100 = 12.5 -> 13, not 12.
+    assert mod_sample(df, "k", 0.125).count() == 13
 
 
 def test_union_by_name_missing_cols(spark):
