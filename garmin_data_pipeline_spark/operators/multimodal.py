@@ -178,19 +178,42 @@ def sample_video_frames(
         + ["frame_idx bigint", "frame binary", "frame_len bigint"]
     )
 
+    # Frame *arithmetic* is pure math — keep it JVM-side (codegen'd):
+    # explode a sequence of sampled frame indexes and compute each
+    # frame's byte length from the payload length. Empty payloads have
+    # zero frames, i.e. emit no rows. Only the byte *slice* — the stand-
+    # in for the real per-frame decode — crosses into Python, as one
+    # Arrow-batched vectorized pass (no per-row pandas iteration).
+    n_bytes = F.length(F.col(payload_col))
+    n_frames = F.ceil(n_bytes / F.lit(frame_size))
+    exploded = (
+        df.filter(n_bytes > 0)
+        .withColumn(
+            "frame_idx",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("bigint"),
+                    (n_frames - 1).cast("bigint"),
+                    F.lit(every_n).cast("bigint"),
+                )
+            ),
+        )
+        .withColumn(
+            "frame_len",
+            F.least(
+                F.lit(frame_size).cast("bigint"),
+                n_bytes.cast("bigint") - F.col("frame_idx") * frame_size,
+            ),
+        )
+    )
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                p = r[payload_col] or b""
-                n_frames = (len(p) + frame_size - 1) // frame_size
-                for idx in range(0, n_frames, every_n):
-                    fr = bytes(p[idx * frame_size : (idx + 1) * frame_size])
-                    rows.append(
-                        tuple(r[c] for c in in_cols) + (idx, fr, len(fr))
-                    )
-            yield pd.DataFrame(
-                rows, columns=in_cols + ["frame_idx", "frame", "frame_len"]
-            )
+            pdf = pdf.copy()
+            pdf["frame"] = [
+                bytes((p or b"")[i * frame_size : (i + 1) * frame_size])
+                for p, i in zip(pdf[payload_col], pdf["frame_idx"])
+            ]
+            yield pdf[in_cols + ["frame_idx", "frame", "frame_len"]]
 
-    return df.mapInPandas(kernel, schema=out_schema)
+    return exploded.mapInPandas(kernel, schema=out_schema)

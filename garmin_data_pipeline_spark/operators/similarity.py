@@ -157,19 +157,46 @@ def cosine_topk_lsh(
     )
 
 
+def _ivf_fit_input(
+    c: DataFrame,
+    sample_fraction: float | None,
+    n_centroids: int,
+    seed: int,
+) -> DataFrame:
+    """The relation KMeans fits on: a deterministic (seeded) sample of
+    the corpus when ``sample_fraction`` is set, else the full corpus.
+
+    Sampling is THE scale lever of the index build: centroid quality
+    converges long before the full corpus is seen, so at 100 TB you fit
+    on ~10^5-10^6 vectors and only ``transform`` (one pass, no
+    iteration) the rest. Falls back to the full corpus if the sample
+    is too small to support ``n_centroids`` clusters."""
+    if sample_fraction is None or sample_fraction >= 1.0:
+        return c
+    sampled = c.sample(fraction=sample_fraction, seed=seed)
+    # one cheap count vs an iterative fit on a degenerate sample
+    if sampled.count() < n_centroids * 4:
+        return c
+    return sampled
+
+
 def build_ivf_index(
     corpus: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    sample_fraction: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build an IVF index once: KMeans-partition the corpus, returning
     (assigned vectors with their cell, broadcastable centroid table).
-    At scale: train on a sample, write ``assigned`` partitioned by
-    ``cell`` so a probe reads only its cells' files, and reuse the
-    index across every query batch (the build is the expensive part —
-    amortize it)."""
+
+    The iterative KMeans *fit* runs on a seeded sample
+    (``sample_fraction``); the full corpus is only *transformed* — a
+    single non-iterative pass. Persist the result with
+    :func:`write_ivf_index` (partitioned by ``cell`` so probes read
+    only their cells' files) and reuse it across every query batch:
+    the build is the expensive part — amortize it."""
     try:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -182,8 +209,9 @@ def build_ivf_index(
         F.col(id_col).alias("vec_id"),
         as_double_array(vec_col).alias("v"),
     ).withColumn("features", array_to_vector("v"))
+    fit_input = _ivf_fit_input(c, sample_fraction, n_centroids, seed)
     km = KMeans(k=n_centroids, seed=seed, featuresCol="features")
-    model = km.fit(c)
+    model = km.fit(fit_input)
     assigned = model.transform(c).select(
         "vec_id", "v", F.col("prediction").alias("cell")
     )
@@ -195,6 +223,30 @@ def build_ivf_index(
         centroids, "cell int, centroid array<double>"
     )
     return assigned, cent_df
+
+
+def write_ivf_index(
+    assigned: DataFrame, centroids: DataFrame, path: str
+) -> None:
+    """Persist an IVF index with the physical layout probes want:
+    ``assigned`` partitioned by ``cell`` (a probe of n_probe cells
+    prunes to those cells' files — the parquet analog of an inverted
+    file), ``centroids`` as one tiny broadcastable table."""
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/assigned"
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def read_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Reopen a written IVF index: (assigned, centroids). Filtering
+    ``assigned`` by cell hits parquet partition pruning (and the
+    broadcast cell join in :func:`search_ivf` qualifies for dynamic
+    partition pruning under AQE)."""
+    return (
+        spark.read.parquet(f"{path}/assigned"),
+        spark.read.parquet(f"{path}/centroids"),
+    )
 
 
 def search_ivf(
@@ -261,11 +313,12 @@ def cosine_topk_ivf(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     seed: int = 42,
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """IVF approximate top-k in one shot (build + search); for repeated
     query batches build the index once with :func:`build_ivf_index`."""
     assigned, cent_df = build_ivf_index(
-        corpus, n_centroids, id_col, vec_col, seed
+        corpus, n_centroids, id_col, vec_col, seed, sample_fraction
     )
     return search_ivf(
         assigned, cent_df, queries, k, n_probe, query_id_col, query_vec_col

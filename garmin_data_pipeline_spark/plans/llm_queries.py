@@ -401,7 +401,11 @@ def v4_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_topk_ivf,
     )
 
-    out = cosine_topk_ivf(emb, queries, k=10, n_centroids=8, n_probe=3)
+    # sample_fraction: the registered plan is the scale plan — KMeans
+    # fits on a seeded half-sample; the full corpus is only transformed.
+    out = cosine_topk_ivf(
+        emb, queries, k=10, n_centroids=8, n_probe=3, sample_fraction=0.5
+    )
     return out.select(
         "query_id",
         "vec_id",

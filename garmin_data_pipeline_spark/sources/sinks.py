@@ -113,6 +113,88 @@ def write_jdbc(
     writer.save()
 
 
+def jdbc_reader_options(
+    url: str,
+    table: str | None = None,
+    query: str | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | str | None = None,
+    upper_bound: int | str | None = None,
+    num_partitions: int | None = None,
+    fetch_size: int = 1000,
+    properties: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """Validated option dict for a JDBC *read* (S10; reference
+    ``DatabaseManager.execute_query`` -> ``pd.read_sql``,
+    db_utils.py:161-187).
+
+    Exactly one of ``table``/``query``. Partitioned scans (the scale
+    path — N executors each read one ``partition_column`` stripe
+    instead of one connection streaming everything) require ``table``
+    plus all three of partition_column / bounds / num_partitions:
+    Spark rejects ``query`` + ``partitionColumn`` because it can't
+    wrap an arbitrary query in stripe predicates. Pure function so the
+    config plumbing is testable without a database."""
+    if (table is None) == (query is None):
+        raise ValueError("exactly one of table/query is required")
+    opts: dict[str, str] = {"url": url, "fetchsize": str(fetch_size)}
+    if table is not None:
+        opts["dbtable"] = table
+    else:
+        opts["query"] = query
+    part_opts = (partition_column, lower_bound, upper_bound, num_partitions)
+    if any(o is not None for o in part_opts):
+        if any(o is None for o in part_opts):
+            raise ValueError(
+                "partitioned read needs partition_column, lower_bound, "
+                "upper_bound, and num_partitions together"
+            )
+        if query is not None:
+            raise ValueError(
+                "partition_column cannot be combined with query; "
+                "use table (or a subquery alias as dbtable)"
+            )
+        opts.update(
+            partitionColumn=partition_column,
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+            numPartitions=str(num_partitions),
+        )
+    opts.update(properties or {})
+    return opts
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str | None = None,
+    query: str | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | str | None = None,
+    upper_bound: int | str | None = None,
+    num_partitions: int | None = None,
+    fetch_size: int = 1000,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """JDBC query/table scan (reference ``pd.read_sql`` over the
+    ``garmin`` schema, db_utils.py:161-187). Where the reference
+    streams the whole result through one connection, the partitioned
+    form issues ``num_partitions`` stripe queries in parallel — and
+    Catalyst pushes filters/column pruning into the generated SQL."""
+    opts = jdbc_reader_options(
+        url,
+        table,
+        query,
+        partition_column,
+        lower_bound,
+        upper_bound,
+        num_partitions,
+        fetch_size,
+        properties,
+    )
+    return spark.read.format("jdbc").options(**opts).load()
+
+
 def create_summarized_activities_table(
     spark: SparkSession, table: str = "garmin.summarized_activities"
 ) -> None:

@@ -172,6 +172,67 @@ def test_ivf_topk_self_match(spark, sf_dir):
     assert best == {0: 0, 1: 1, 2: 2}
 
 
+def test_ivf_fit_input_is_the_sample(spark, sf_dir):
+    """With sample_fraction set, KMeans must fit on the seeded sample,
+    not the full corpus — and the index must still search correctly."""
+    from pyspark.ml.functions import array_to_vector
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c = emb.select(
+        F.col("vec_id"), sim.as_double_array("embedding").alias("v")
+    ).withColumn("features", array_to_vector("v"))
+    n_full = c.count()
+    fit = sim._ivf_fit_input(c, 0.5, n_centroids=4, seed=42)
+    n_fit = fit.count()
+    assert n_fit < n_full * 0.75  # genuinely a sample, not the corpus
+    assert n_fit == sim._ivf_fit_input(c, 0.5, 4, 42).count()  # seeded
+    # degenerate sample falls back to the full corpus
+    tiny = sim._ivf_fit_input(c.limit(8), 0.5, n_centroids=4, seed=42)
+    assert tiny.count() == 8
+    # end-to-end: sampled fit still finds every self-match at rank 1
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = sim.cosine_topk_ivf(
+        emb, queries, k=3, n_centroids=4, n_probe=2, sample_fraction=0.5
+    )
+    best = {
+        r["query_id"]: r["vec_id"]
+        for r in out.filter(F.col("rank") == 1).collect()
+    }
+    assert best == {0: 0, 1: 1, 2: 2}
+
+
+def test_ivf_index_write_read_partitioned(spark, sf_dir, tmp_path):
+    """write_ivf_index lays ``assigned`` out partitioned by cell
+    (probe-prunable files) and the reopened index searches identically."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, cents = sim.build_ivf_index(
+        emb, n_centroids=4, sample_fraction=0.5
+    )
+    path = str(tmp_path / "ivf")
+    sim.write_ivf_index(assigned, cents, path)
+    import os
+
+    parts = [d for d in os.listdir(f"{path}/assigned") if d.startswith("cell=")]
+    assert len(parts) >= 2  # hive-partitioned by cell
+    a2, c2 = sim.read_ivf_index(spark, path)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    orig = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in sim.search_ivf(assigned, cents, q, k=3, n_probe=2).collect()
+    }
+    reopened = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in sim.search_ivf(a2, c2, q, k=3, n_probe=2).collect()
+    }
+    assert orig == reopened
+
+
 def test_multimodal_plumbing(spark):
     df = spark.createDataFrame(
         [(1, "hello world"), (2, "x" * 100)], "id: long, text: string"

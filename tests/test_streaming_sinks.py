@@ -277,3 +277,67 @@ def test_watermark_drops_late_events(spark, tmp_path):
     )
     # exactly one finalized emission for day 1, with only on-time events
     assert [r["event_count"] for r in rows] == [4]
+
+
+class TestJdbcReaderConfig:
+    """S10 read-side plumbing, testable without a database."""
+
+    def test_table_scan_options(self):
+        from garmin_data_pipeline_spark.sources.sinks import (
+            jdbc_reader_options,
+        )
+
+        opts = jdbc_reader_options(
+            "jdbc:postgresql://host/db",
+            table="garmin.summarized_activities",
+            partition_column="activity_id",
+            lower_bound=0,
+            upper_bound=1_000_000,
+            num_partitions=16,
+            fetch_size=5000,
+            properties={"user": "etl"},
+        )
+        assert opts["dbtable"] == "garmin.summarized_activities"
+        assert opts["partitionColumn"] == "activity_id"
+        assert (opts["lowerBound"], opts["upperBound"]) == ("0", "1000000")
+        assert opts["numPartitions"] == "16"
+        assert opts["fetchsize"] == "5000"
+        assert opts["user"] == "etl"
+        assert "query" not in opts
+
+    def test_query_scan_options(self):
+        from garmin_data_pipeline_spark.sources.sinks import (
+            jdbc_reader_options,
+        )
+
+        opts = jdbc_reader_options(
+            "jdbc:postgresql://host/db",
+            query="SELECT * FROM garmin.activities WHERE distance > 5",
+        )
+        assert opts["query"].startswith("SELECT")
+        assert "dbtable" not in opts
+
+    def test_invalid_combinations(self):
+        import pytest as _pytest
+
+        from garmin_data_pipeline_spark.sources.sinks import (
+            jdbc_reader_options,
+        )
+
+        with _pytest.raises(ValueError, match="exactly one"):
+            jdbc_reader_options("jdbc:x")
+        with _pytest.raises(ValueError, match="exactly one"):
+            jdbc_reader_options("jdbc:x", table="t", query="SELECT 1")
+        with _pytest.raises(ValueError, match="together"):
+            jdbc_reader_options(
+                "jdbc:x", table="t", partition_column="id"
+            )
+        with _pytest.raises(ValueError, match="cannot be combined"):
+            jdbc_reader_options(
+                "jdbc:x",
+                query="SELECT 1",
+                partition_column="id",
+                lower_bound=0,
+                upper_bound=10,
+                num_partitions=2,
+            )
