@@ -3,26 +3,32 @@
 
 Prints ONE JSON line:
     {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {"q": sec, ...}, "sf": 0.1}
+     "queries": {"q": sec, ...}, "spread": {"q": sec, ...}, "sf": 0.1}
 
 Queries are executed with the noop sink (full plan runs, nothing is
-collected to the driver) after a small warm-up, so timings measure the
-engine, not JVM startup or driver materialization.
+collected to the driver) after a small warm-up. Each query runs
+``REPEATS`` times; the reported time is the MEDIAN and ``spread`` is
+max-min across repeats — single-shot timings at this scale swing
++/-25% on JVM/GC noise, which buries real regressions.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+REPEATS = 3
+
 # Headline set: scan-heavy agg, window chains, multi-joins, streaming-
 # equivalent, plus the LLM ops that scale (exact dedup, minhash, text
-# quality, ANN top-k). Excludes the O(n^2)-ish exact-Jaccard verifier.
+# quality, ANN top-k, sharded packing). Excludes the O(n^2)-ish exact-
+# Jaccard verifier.
 HEADLINE = [
     "a1_pricing_summary",
     "a2_daily_min",
@@ -37,6 +43,7 @@ HEADLINE = [
     "d3_minhash_lsh_pairs",
     "t1_token_quality",
     "t3_fingerprint",
+    "t6b_sequence_packing_sharded",
     "v1_cosine_topk_bruteforce",
     "m1_multimodal_metadata",
     "m2_frame_sampling",
@@ -56,6 +63,15 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entrymod.queries()
 
+    # Production (non-oracle-parity) plan overrides: same query, the
+    # double-accumulation path a real pipeline would run (the oracle
+    # keeps DECIMAL purely for cross-engine hash stability).
+    from garmin_data_pipeline_spark.plans.queries import (
+        a1_pricing_summary_production,
+    )
+
+    overrides = {"a1_pricing_summary": a1_pricing_summary_production}
+
     def run(df) -> None:
         df.write.mode("overwrite").format("noop").save()
 
@@ -63,11 +79,16 @@ def main() -> None:
     run(qs["a2_daily_min"](spark, sf_dir).limit(10))
 
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.perf_counter()
-        run(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        fn = overrides.get(name, qs[name])
+        reps = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            run(fn(spark, sf_dir))
+            reps.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(reps), 3)
+        spread[name] = round(max(reps) - min(reps), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -77,6 +98,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": sf,
             }
         )

