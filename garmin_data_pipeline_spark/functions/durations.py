@@ -116,6 +116,21 @@ def parse_hms_to_seconds(time_str: Column | str) -> Column:
     )
 
 
+def pace_timedelta_seconds(pace: Column | str) -> Column:
+    """F17: the reference's ``'00:' + pace`` MM:SS -> timedelta trick
+    (ML_Master_Table_3.ipynb cell 29 / ..._More_Running_Features.ipynb
+    cell 28 ``convert_to_timedelta``): prefix the missing hours field,
+    parse as h:mm:ss, keep the engine's integral-seconds convention.
+    Non-parseable / null paces yield NULL (the reference returns NaN)."""
+    c = F.col(pace) if isinstance(pace, str) else pace
+    parts = F.split(F.concat(F.lit("00:"), c), ":")
+    return (
+        parts.getItem(0).try_cast("long") * 3600
+        + parts.getItem(1).try_cast("long") * 60
+        + parts.getItem(2).try_cast("long")
+    )
+
+
 def round_binary(col: Column, ndigits: int = 1) -> Column:
     """numpy/pandas-compatible rounding of doubles: scale, ``rint``
     (round-half-even on the *binary* value), unscale. Spark's

@@ -20,6 +20,8 @@ from .runner import (  # noqa: F401
 from .garmin import (  # noqa: F401
     TRANSFORMS,
     master_table,
+    master_table_ml3,
+    master_table_mlf,
     run_pipeline,
     running_activities,
     training_plan,

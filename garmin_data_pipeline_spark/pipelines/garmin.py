@@ -656,6 +656,129 @@ def master_table(
 
 
 # ---------------------------------------------------------------------------
+# ML master-table variants (MERGE3 = ML_Master_Table_3.ipynb,
+# MERGEF = ML_Master_Table_More_Running_Features.ipynb). Both start
+# from the MERGE master table, drop non-model columns, and convert the
+# surviving MM:SS pace strings via the '00:' prefix trick (F17); they
+# differ only in the multi-collinearity drop list.
+# ---------------------------------------------------------------------------
+
+# Running columns that "do not make sense with all other data"
+# (MERGE3/MERGEF cell 14).
+ML_RUNNING_DROPS = ("Activity_Type", "Calories", "Distance_Group")
+
+# "Little value for the ML model" (MERGE3/MERGEF cell 22).
+ML_LOW_VALUE_DROPS = (
+    "floorsAscendedInMeters",
+    "floorsDescendedInMeters",
+    "averageMonitoringEnvironmentAltitude",
+    "fitnessLevelTrend",
+)
+
+# Multi-collinearity drops, MERGE3 cell 27 (stress + sleep-score +
+# aggregate + running-vitals columns).
+MERGE3_COLLINEARITY_DROPS = (
+    "stressIntensityCount",
+    "stressOffWristCount",
+    "totalStressCount",
+    "stressDuration",
+    "stressTooActiveCount",
+    "restDuration",
+    "mediumDuration",
+    "highDuration",
+    "totalKilocalories",
+    "maxHeartRate",
+    "durationScore",
+    "remScore",
+    "lightScore",
+    "awakeningsCountScore",
+    "awakeTimeScore",
+    "combinedAwakeScore",
+    "restfulnessScore",
+    "interruptionsScore",
+    "totalDistanceMeters",
+    "totalSteps",
+    "feedback",
+    "insight",
+    "acwrPercent",
+    "Avg_HR",
+    "Max_HR",
+    "Min_Elevation",
+    "Max_Elevation",
+)
+
+# MERGEF cell 26 *defines* a smaller collinearity list but never
+# applies the drop — the "more running features" table deliberately
+# keeps every feature. Recorded here for parity/documentation only.
+MERGEF_COLLINEARITY_DROPS_UNAPPLIED = (
+    "stressIntensityCount",
+    "stressOffWristCount",
+    "totalStressCount",
+    "stressDuration",
+    "stressTooActiveCount",
+    "restDuration",
+    "activityDuration",
+    "totalKilocalories",
+)
+
+
+def _ml_master_variant(
+    datasets: Sequence[DataFrame] | dict[str, DataFrame],
+    collinearity_drops: Sequence[str],
+    require_status: bool = True,
+    partition_by: Sequence[str] = (),
+) -> DataFrame:
+    from ..functions.durations import pace_timedelta_seconds
+
+    base = master_table(datasets, require_status, partition_by)
+    drops = [
+        c
+        for c in (
+            *ML_RUNNING_DROPS,
+            *ML_LOW_VALUE_DROPS,
+            *collinearity_drops,
+        )
+        if c in base.columns
+    ]
+    out = base.drop(*drops) if drops else base
+    # F17: '00:' + 'MM:SS' -> timedelta (here: integral seconds),
+    # MERGE3 cell 29 / MERGEF cell 28.
+    for src, dst in (
+        ("Avg_Pace", "Avg_Pace_timedelta"),
+        ("Best_Pace", "Best_Pace_timedelta"),
+    ):
+        if src in out.columns:
+            out = out.withColumn(dst, pace_timedelta_seconds(src))
+    return out
+
+
+def master_table_ml3(
+    datasets: Sequence[DataFrame] | dict[str, DataFrame],
+    require_status: bool = True,
+    partition_by: Sequence[str] = (),
+) -> DataFrame:
+    """MERGE3 ML master table (ML_Master_Table_3.ipynb cells 9-31):
+    MERGE master -> running/low-value drops (cells 14, 22) -> the wide
+    multi-collinearity drop (cell 27) -> pace timedeltas (cell 29)."""
+    return _ml_master_variant(
+        datasets, MERGE3_COLLINEARITY_DROPS, require_status, partition_by
+    )
+
+
+def master_table_mlf(
+    datasets: Sequence[DataFrame] | dict[str, DataFrame],
+    require_status: bool = True,
+    partition_by: Sequence[str] = (),
+) -> DataFrame:
+    """MERGEF ML master table (ML_Master_Table_More_Running_Features
+    .ipynb cells 9-29): like MERGE3 but the collinearity drop (cell 26)
+    is defined and never applied, so every running feature — Avg_HR,
+    Max_HR, elevations, stress/sleep scores — survives into the model
+    table; only the cell-14/22 drops and pace conversion apply."""
+    return _ml_master_variant(datasets, (), require_status, partition_by)
+
+
+# ---------------------------------------------------------------------------
 # Dispatch (mirrors TRANSFORM_FUNCTIONS, transform_all_datasets.py:351-360)
 # ---------------------------------------------------------------------------
 

@@ -453,3 +453,88 @@ def test_sleep_ml_variant(spark):
         "calendarDate"
     ).first()
     assert isinstance(row["sleepDurationHours"], int)
+
+
+def test_ml_master_variants_merge3_vs_mergef(spark):
+    """MERGE3 applies the wide multi-collinearity drop (cell 27);
+    MERGEF defines its list but never applies it (cell 26), keeping
+    every running feature. Both drop the cell-14/22 columns and add
+    the F17 pace timedeltas."""
+    running = spark.createDataFrame(
+        [
+            ("2024-01-01", 10.0, "0:45:00", "Running", 500.0, "10K",
+             "4:30", "4:05", 150, 175),
+            ("2024-01-03", 5.0, "0:25:00", "Running", 250.0, "5K",
+             "5:00", "4:45", 145, 170),
+        ],
+        "calendarDate string, Distance double, Time string, "
+        "Activity_Type string, Calories double, Distance_Group string, "
+        "Avg_Pace string, Best_Pace string, Avg_HR int, Max_HR int",
+    )
+    trainhist = spark.createDataFrame(
+        [("2024-01-01", "PRODUCTIVE"), ("2024-01-02", "MAINTAINING"),
+         ("2024-01-03", "PRODUCTIVE")],
+        "calendarDate string, trainingStatus string",
+    )
+    uds = spark.createDataFrame(
+        [("2024-01-01", 9000, 120, 55.0, 15.0),
+         ("2024-01-02", 7000, 100, None, None),
+         ("2024-01-03", 8000, 90, 56.0, 15.5)],
+        "calendarDate string, totalSteps int, stressDuration int, "
+        "vo2MaxValue double, maxMet double",
+    )
+    sleep = spark.createDataFrame(
+        [("2024-01-01", 80, 75), ("2024-01-02", 70, 65)],
+        "calendarDate string, remScore int, durationScore int",
+    )
+    dims = {"running": running, "trainhist": trainhist, "uds": uds,
+            "sleep": sleep}
+
+    m3 = pipelines.master_table_ml3(dims)
+    # cell 14 + 22 + 27 drops
+    for gone in ("Activity_Type", "Calories", "Distance_Group",
+                 "Avg_HR", "Max_HR", "totalSteps", "stressDuration",
+                 "remScore", "durationScore"):
+        assert gone not in m3.columns, gone
+    # pace columns survive MERGE3 and gain timedeltas (F17)
+    assert {"Avg_Pace", "Avg_Pace_timedelta",
+            "Best_Pace", "Best_Pace_timedelta"} <= set(m3.columns)
+    rows = {r["calendarDate"]: r for r in m3.collect()}
+    assert set(rows) == {"2024-01-01", "2024-01-02", "2024-01-03"}
+    # '00:' + '4:30' -> 270 s; '4:05' -> 245 s (cell 29 semantics)
+    assert rows["2024-01-01"]["Avg_Pace_timedelta"] == 270
+    assert rows["2024-01-01"]["Best_Pace_timedelta"] == 245
+    # non-run day: pace NULL -> timedelta NULL (reference NaN)
+    assert rows["2024-01-02"]["Avg_Pace_timedelta"] is None
+    # MERGE repairs still applied upstream
+    assert rows["2024-01-02"]["IsRunDay"] == 0
+    assert rows["2024-01-02"]["vo2MaxValue"] == 55.0  # ffill'd
+
+    mf = pipelines.master_table_mlf(dims)
+    # MERGEF: collinearity drop NOT applied — features survive
+    for kept in ("Avg_HR", "Max_HR", "totalSteps", "stressDuration",
+                 "remScore", "durationScore"):
+        assert kept in mf.columns, kept
+    # but cell 14/22 drops and F17 still apply
+    for gone in ("Activity_Type", "Calories", "Distance_Group"):
+        assert gone not in mf.columns, gone
+    mf_rows = {r["calendarDate"]: r for r in mf.collect()}
+    assert mf_rows["2024-01-03"]["Avg_Pace_timedelta"] == 300
+    # the unapplied MERGEF list is recorded for parity
+    assert "activityDuration" in pipelines.garmin.MERGEF_COLLINEARITY_DROPS_UNAPPLIED
+
+
+def test_pace_timedelta_seconds_f17(spark):
+    """F17 kit function: '00:'+pace parse, bad strings -> NULL."""
+    from garmin_data_pipeline_spark.functions.durations import (
+        pace_timedelta_seconds,
+    )
+
+    df = spark.createDataFrame(
+        [("4:30",), ("10:05",), (None,), ("junk",)], "pace string"
+    )
+    got = [
+        r["s"]
+        for r in df.select(pace_timedelta_seconds("pace").alias("s")).collect()
+    ]
+    assert got == [270, 605, None, None]
