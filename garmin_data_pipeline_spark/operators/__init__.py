@@ -21,6 +21,10 @@ from garmin_data_pipeline_spark.operators.repair import (
     patch_null_dates_from_gaps,
 )
 from garmin_data_pipeline_spark.operators.skew import salted_agg
+from garmin_data_pipeline_spark.operators.spatial import (
+    haversine_km,
+    join_points_in_radius,
+)
 from garmin_data_pipeline_spark.operators.projections import (
     clean_header,
     clean_headers,
@@ -60,8 +64,10 @@ __all__ = [
     "flatten_all_structs",
     "flatten_struct",
     "forward_fill",
+    "haversine_km",
     "impute_mean",
     "join_asof",
+    "join_points_in_radius",
     "join_range",
     "lag_with_default",
     "latest_per_group",

@@ -25,8 +25,10 @@ _HEAD = [
     "a12_time_rollup",
     "t6b_sequence_packing_sharded",
     "d2_token_jaccard_pairs",
+    "j4_spatial_join",
 ]
 _TAIL = [
+    "p13_threshold_count",
     "p3_drop_all_null_columns",
     "p4_drop_constant_columns",
     "p6_clean_headers",

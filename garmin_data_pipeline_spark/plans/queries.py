@@ -1281,6 +1281,70 @@ def a12_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# J4 — spatial join (reference documents-but-never-runs an ST_Contains
+# join of runs to routes, ETL Scripts/README.md:200-210). Executed here
+# as the grid-bucketed radius join: points (synthesized deterministic
+# coordinates over events) vs a small station table, pairs within 5 km.
+# The Spark plan uses cell binning + broadcast equi-join; the oracle
+# computes the exact cross-join answer — proving the binning lossless.
+# ---------------------------------------------------------------------------
+from garmin_data_pipeline_spark.operators.spatial import (  # noqa: E402
+    sql_haversine_km,
+)
+
+_J4_DIST = sql_haversine_km("p.lat", "p.lon", "g.place_lat", "g.place_lon")
+
+
+@register(
+    "j4_spatial_join",
+    f"""
+    WITH pts AS (
+        SELECT event_id,
+               40.0 + (event_id % 500) * 0.001 AS lat,
+               -74.0 + ((event_id * 7) % 500) * 0.001 AS lon
+        FROM events
+    ), places(station, place_lat, place_lon) AS (
+        VALUES ('downtown', 40.10, -73.90),
+               ('midtown', 40.30, -73.70),
+               ('uptown', 40.45, -74.00)
+    )
+    SELECT p.event_id, g.station,
+           ROUND({_J4_DIST}, 4) AS dist_km
+    FROM pts p CROSS JOIN places g
+    WHERE {_J4_DIST} <= 5.0
+    """,
+    doc="Grid-bucketed haversine radius join (J4; exact-equivalent "
+    "oracle via cross join).",
+)
+def j4_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.spatial import (
+        join_points_in_radius,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.lit(40.0) + (F.col("event_id") % 500) * 0.001).alias("lat"),
+        (F.lit(-74.0) + ((F.col("event_id") * 7) % 500) * 0.001).alias(
+            "lon"
+        ),
+    )
+    places = spark.createDataFrame(
+        [
+            ("downtown", 40.10, -73.90),
+            ("midtown", 40.30, -73.70),
+            ("uptown", 40.45, -74.00),
+        ],
+        "station string, place_lat double, place_lon double",
+    )
+    out = join_points_in_radius(ev, places, 5.0)
+    return out.select(
+        "event_id",
+        "station",
+        F.round("distance_km", 4).alias("dist_km"),
+    )
+
+
 def queries():
     return {name: q.fn for name, q in QUERIES.items()}
 

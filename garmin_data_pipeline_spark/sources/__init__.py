@@ -15,3 +15,12 @@ from .garmin import (  # noqa: F401
     read_running_csv,
     with_provenance,
 )
+from .archive import (  # noqa: F401
+    extract_zip,
+    read_zipped_text_members,
+    scan_zip_members,
+)
+from .sinks import (  # noqa: F401
+    jdbc_reader_options,
+    read_jdbc,
+)

@@ -444,3 +444,126 @@ def test_pick_array_element_missing_yields_null(spark):
     )
     out = pick_array_element(arr, "lst", "type", "TOTAL", "e").collect()
     assert all(r["e"] is None for r in out)  # no match -> NULL, no error
+
+
+class TestSpatialJoin:
+    def test_haversine_known_distance(self, spark):
+        from garmin_data_pipeline_spark.operators.spatial import haversine_km
+
+        df = spark.createDataFrame([(1,)], "id int")
+        d = df.select(
+            haversine_km(
+                F.lit(40.0), F.lit(-74.0), F.lit(40.1), F.lit(-74.0)
+            ).alias("d")
+        ).first()["d"]
+        assert abs(d - 11.12) < 0.05  # 0.1 deg latitude ~ 11.1 km
+
+    def test_radius_join_matches_bruteforce(self, spark):
+        """The grid binning must be lossless: same pairs as an exact
+        cross join + haversine filter."""
+        from garmin_data_pipeline_spark.operators.spatial import (
+            haversine_km,
+            join_points_in_radius,
+        )
+
+        pts = spark.createDataFrame(
+            [(i, 40.0 + (i % 37) * 0.01, -74.0 + ((i * 11) % 41) * 0.01)
+             for i in range(300)],
+            "pid int, lat double, lon double",
+        )
+        places = spark.createDataFrame(
+            [("a", 40.10, -73.90), ("b", 40.25, -73.75)],
+            "station string, place_lat double, place_lon double",
+        )
+        got = {
+            (r["pid"], r["station"])
+            for r in join_points_in_radius(pts, places, 8.0).collect()
+        }
+        brute = {
+            (r["pid"], r["station"])
+            for r in pts.crossJoin(places)
+            .withColumn(
+                "d",
+                haversine_km(
+                    F.col("lat"), F.col("lon"),
+                    F.col("place_lat"), F.col("place_lon"),
+                ),
+            )
+            .filter(F.col("d") <= 8.0)
+            .collect()
+        }
+        assert got == brute and len(got) > 0
+
+    def test_radius_join_broadcasts_places(self, spark):
+        from garmin_data_pipeline_spark.operators.spatial import (
+            join_points_in_radius,
+        )
+
+        pts = spark.createDataFrame(
+            [(1, 40.0, -74.0)], "pid int, lat double, lon double"
+        )
+        places = spark.createDataFrame(
+            [("a", 40.0, -74.0)],
+            "station string, place_lat double, place_lon double",
+        )
+        plan = (
+            join_points_in_radius(pts, places, 5.0)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan  # equi-join on cells, no NLJ
+
+
+class TestZipScan:
+    def _make_zip(self, path, members):
+        import zipfile as zf_mod
+
+        with zf_mod.ZipFile(path, "w") as zf:
+            for name, data in members.items():
+                zf.writestr(name, data)
+
+    def test_scan_zip_members(self, spark, tmp_path):
+        from garmin_data_pipeline_spark.sources.archive import (
+            scan_zip_members,
+        )
+
+        self._make_zip(
+            tmp_path / "a.zip",
+            {"x.json": b'{"k": 1}', "img/blob.png": b"\x89PNG",
+             "y.txt": b"hello"},
+        )
+        self._make_zip(tmp_path / "b.zip", {"z.json": b'{"k": 2}'})
+        out = scan_zip_members(spark, str(tmp_path)).collect()
+        by_member = {r["member"]: r for r in out}
+        assert set(by_member) == {"x.json", "img/blob.png", "y.txt", "z.json"}
+        assert bytes(by_member["x.json"]["content"]) == b'{"k": 1}'
+        assert by_member["y.txt"]["n_bytes"] == 5
+        # member_glob prunes before decompression
+        only_json = scan_zip_members(
+            spark, str(tmp_path), member_glob="*.json"
+        ).collect()
+        assert {r["member"] for r in only_json} == {"x.json", "z.json"}
+
+    def test_read_zipped_text_members_feeds_json(self, spark, tmp_path):
+        from garmin_data_pipeline_spark.sources.archive import (
+            read_zipped_text_members,
+        )
+
+        self._make_zip(
+            tmp_path / "exp.zip",
+            {"d1.json": b'{"v": 10}', "d2.json": b'{"v": 20}'},
+        )
+        txt = read_zipped_text_members(
+            spark, str(tmp_path), member_glob="*.json"
+        )
+        parsed = txt.select(
+            F.from_json("text", "v int").getField("v").alias("v")
+        )
+        assert sorted(r["v"] for r in parsed.collect()) == [10, 20]
+
+    def test_extract_zip_driver_side(self, spark, tmp_path):
+        from garmin_data_pipeline_spark.sources.archive import extract_zip
+
+        self._make_zip(tmp_path / "raw.zip", {"f.txt": b"data"})
+        names = extract_zip(str(tmp_path / "raw.zip"), str(tmp_path / "out"))
+        assert names == ["f.txt"]
+        assert (tmp_path / "out" / "f.txt").read_bytes() == b"data"
