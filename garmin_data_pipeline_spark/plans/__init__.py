@@ -26,8 +26,10 @@ _HEAD = [
     "t6b_sequence_packing_sharded",
     "d2_token_jaccard_pairs",
     "j4_spatial_join",
+    "t10_clean_corpus",
 ]
 _TAIL = [
+    "f2_epoch_millis",
     "p13_threshold_count",
     "p3_drop_all_null_columns",
     "p4_drop_constant_columns",

@@ -660,6 +660,65 @@ def t7_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# T10 — the composed corpus-cleaning pipeline, end to end as ONE plan:
+# quality filter -> exact dedup (keep canonical) -> deterministic
+# train/test split. This is the user story of the engine: each stage
+# is an operator already verified in isolation (t1, d1, t5); composing
+# them stays a single declarative DAG — one scan, one hash-agg for the
+# dedup, one residue filter, no materialization between stages. Near-
+# dup removal (d2/d3) plugs in between dedup and split the same way.
+# ---------------------------------------------------------------------------
+@register(
+    "t10_clean_corpus",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text, {_TOKS} AS toks FROM documents
+    ), feat AS (
+        SELECT doc_id, text,
+               len(toks) AS n_tokens,
+               CASE WHEN len(toks) > 0 THEN
+                   len(list_distinct(toks)) / len(toks)
+                   ELSE 0.0 END AS distinct_ratio
+        FROM t
+    ), keep AS (
+        SELECT * FROM feat
+        WHERE n_tokens BETWEEN 25 AND 90 AND distinct_ratio >= 0.35
+    ), canon AS (
+        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS h,
+               MIN(doc_id) AS doc_id
+        FROM keep GROUP BY 1
+    )
+    SELECT k.doc_id, k.n_tokens,
+           CASE WHEN k.doc_id % 100 < 10 THEN 'test' ELSE 'train' END
+               AS split
+    FROM keep k JOIN canon USING (doc_id)
+    """,
+    doc="Composed cleaning pipeline: quality filter -> exact dedup -> "
+    "deterministic split, one declarative DAG.",
+)
+def t10_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    feat = T.quality_features(docs, "text")
+    keep = feat.filter(
+        (F.col("n_tokens") >= 25)
+        & (F.col("n_tokens") <= 90)
+        & (F.col("distinct_ratio") >= 0.35)
+    )
+    canon = exact_duplicates(keep, "doc_id", "text").select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    deduped = keep.join(canon, "doc_id")
+    return deduped.select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.pmod(F.col("doc_id"), F.lit(100)) < 10, "test")
+        .otherwise("train")
+        .alias("split"),
+    )
+
+
 @register(
     "t8_rolling_fingerprint",
     None,  # xxhash64-based polynomial -> not reproducible in DuckDB
