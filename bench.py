@@ -49,6 +49,8 @@ HEADLINE = [
     "m2_frame_sampling",
     "st2_sessionize",
     "t4_length_quantiles",
+    "j4_spatial_join",
+    "t10_clean_corpus",
 ]
 
 

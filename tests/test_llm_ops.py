@@ -494,3 +494,25 @@ def test_split_by_key_disjoint_exhaustive(spark):
     # stability: same key -> same side on recomputation
     again_train, _ = split_by_key(df, "k", 0.2)
     assert train.exceptAll(again_train).count() == 0
+
+
+def test_registered_lsh_cross_validates_exact_jaccard(spark, sf_dir):
+    """d3 (MinHash+LSH, rows-only in the driver) and d2 (exact Jaccard,
+    oracle-checked) now share the same shingle config (3-grams,
+    threshold 0.5), so the exact pairs certify the LSH candidates: the
+    estimate-filtered LSH set must recover most true pairs. This is
+    the correctness story for the no-oracle query."""
+    from garmin_data_pipeline_spark import plans
+
+    qs = plans.queries()
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in qs["d2_token_jaccard_pairs"](spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in qs["d3_minhash_lsh_pairs"](spark, sf_dir).collect()
+    }
+    assert exact, "exact pair set unexpectedly empty"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.7, f"LSH recall {recall:.2f} vs exact pairs"
