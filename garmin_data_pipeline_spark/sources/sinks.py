@@ -90,6 +90,22 @@ def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     out.write.mode("overwrite").option("header", "true").csv(path)
 
 
+def jdbc_writer_options(
+    url: str,
+    table: str,
+    batch_size: int = 1000,
+    properties: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """Validated option dict for the JDBC sink (pure function — the
+    config plumbing is testable without a database, like
+    :func:`jdbc_reader_options`)."""
+    if not table:
+        raise ValueError("table is required")
+    opts = {"url": url, "dbtable": table, "batchsize": str(batch_size)}
+    opts.update(properties or {})
+    return opts
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,
@@ -100,17 +116,12 @@ def write_jdbc(
 ) -> None:
     """JDBC sink with chunked inserts (reference ``to_sql(chunksize=
     batch_size, method='multi')``, db_utils.py:145-153; batch size from
-    config.template.yaml etl_settings). Not exercised in this repo's
-    tests — no database in the container — but the mapping is 1:1:
-    every executor writes its partitions in ``batchsize`` batches, so
-    load parallelism = partition count (the reference is single-
-    threaded here)."""
-    writer = df.write.format("jdbc").option("url", url).option(
-        "dbtable", table
-    ).option("batchsize", str(batch_size)).mode(mode)
-    for k, v in (properties or {}).items():
-        writer = writer.option(k, v)
-    writer.save()
+    config.template.yaml etl_settings). The mapping is 1:1: every
+    executor writes its partitions in ``batchsize`` batches, so load
+    parallelism = partition count (the reference is single-threaded
+    here)."""
+    opts = jdbc_writer_options(url, table, batch_size, properties)
+    df.write.format("jdbc").options(**opts).mode(mode).save()
 
 
 def jdbc_reader_options(

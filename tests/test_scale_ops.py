@@ -209,3 +209,29 @@ def test_sorted_write_enables_rowgroup_skipping(spark, sf_dir):
     )
     assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual" in plan
     spark.sql("DROP TABLE s_lineitem")
+
+
+def test_registered_plans_stay_jvm_side(spark, sf_dir):
+    """Engine-wide invariant (SURVEY §2.9): no row-at-a-time Python
+    eval in any registered plan — Python appears only as Arrow-batched
+    mapInPandas in the multimodal kernels — and no cartesian product
+    outside the deliberate broadcast NLJs (v1's scored cross product,
+    t9's 1-row bounds attach)."""
+    from garmin_data_pipeline_spark import plans
+
+    arrow_ok = {"m1_multimodal_metadata", "m2_frame_sampling"}
+    nlj_ok = {
+        "v1_cosine_topk_bruteforce",  # corpus x broadcast query set
+        "t9_length_trim",             # corpus x broadcast 1-row bounds
+        "v4_cosine_topk_ivf",         # queries x broadcast centroid table
+    }
+    for name, fn in plans.queries().items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, f"{name}: row-wise Python"
+        if name not in arrow_ok:
+            assert "MapInPandas" not in plan, f"{name}: unexpected Python"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        if name not in nlj_ok:
+            assert "BroadcastNestedLoopJoin" not in plan, (
+                f"{name}: unexpected NLJ"
+            )

@@ -341,3 +341,22 @@ class TestJdbcReaderConfig:
                 upper_bound=10,
                 num_partitions=2,
             )
+
+    def test_writer_options(self):
+        from garmin_data_pipeline_spark.sources.sinks import (
+            jdbc_writer_options,
+        )
+
+        opts = jdbc_writer_options(
+            "jdbc:postgresql://host/db",
+            "garmin.daily_summary",
+            batch_size=500,
+            properties={"user": "etl"},
+        )
+        assert opts["dbtable"] == "garmin.daily_summary"
+        assert opts["batchsize"] == "500"
+        assert opts["user"] == "etl"
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="table"):
+            jdbc_writer_options("jdbc:x", "")
