@@ -516,3 +516,45 @@ def test_registered_lsh_cross_validates_exact_jaccard(spark, sf_dir):
     assert exact, "exact pair set unexpectedly empty"
     recall = len(exact & lsh) / len(exact)
     assert recall >= 0.7, f"LSH recall {recall:.2f} vs exact pairs"
+
+
+def test_query_registry_ordering_invariants():
+    """The correctness driver records rows for only the FIRST 50
+    queries() entries, so ordering is a correctness-visibility
+    contract: every _HEAD/_TAIL name must exist (a typo would silently
+    misorder) and the first 50 must all be oracle-checkable."""
+    from garmin_data_pipeline_spark import plans
+
+    names = list(plans.queries())
+    oracles = plans.oracle_sql()
+    assert set(plans._HEAD) <= set(names), set(plans._HEAD) - set(names)
+    assert set(plans._TAIL) <= set(names), set(plans._TAIL) - set(names)
+    assert names[: len(plans._HEAD)] == plans._HEAD
+    assert names[-len(plans._TAIL):] == plans._TAIL
+    assert all(n in oracles for n in names[:50]), [
+        n for n in names[:50] if n not in oracles
+    ]
+    # rows-only queries stay at the very end
+    no_oracle = [n for n in names if n not in oracles]
+    assert names[-len(no_oracle):] == no_oracle
+
+
+def test_pack_sequences_sharded_oversized_docs(spark):
+    """A doc larger than the budget creates empty bin slots (inherent
+    to floor(cumsum/budget), same as the global packer): ids stay
+    unique and non-overlapping across shards, but need not be
+    contiguous. The offset math must still hold."""
+    from garmin_data_pipeline_spark.operators.sampling import (
+        pack_sequences_sharded,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0, 5000), (2, 0, 100), (3, 1, 100), (4, 1, 100)],
+        "doc_id long, shard long, n long",
+    )
+    out = pack_sequences_sharded(df, "n", 1000, "shard", ["doc_id"])
+    rows = {r["doc_id"]: (r["shard"], r["bin_id"]) for r in out.collect()}
+    # shard 0: doc1 bin 0, doc2 prior=5000 -> local bin 5 -> 6 slots
+    assert rows[1] == (0, 0) and rows[2] == (0, 5)
+    # shard 1 offsets past shard 0's 6 slots; both docs fit bin 0
+    assert rows[3] == (1, 6) and rows[4] == (1, 6)
