@@ -201,7 +201,8 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     """
     from functools import reduce
 
-    t = tokens(text)
+    # NULL text == empty text == zero shingles (both engines).
+    t = F.coalesce(tokens(text), F.array().cast("array<string>"))
     length = F.greatest(F.size(t) - n + 1, F.lit(0))
     parts = [F.slice(t, i + 1, length) for i in range(n)]
     joined = reduce(
@@ -211,10 +212,14 @@ def shingles(text: Column | str, n: int = 3) -> Column:
         parts[1:],
         parts[0],
     )
+    # Zero-token docs get ZERO shingles (not ['']): an empty-string
+    # shingle would bucket every empty/whitespace doc together in the
+    # Jaccard/MinHash self-joins — and the SQL mirror agrees (the
+    # testdata never hits this, but a real corpus has empty docs).
     return F.array_distinct(
-        F.when(F.size(t) >= n, joined).otherwise(
-            F.array(F.concat_ws(" ", t))
-        ),
+        F.when(F.size(t) >= n, joined)
+        .when(F.size(t) == 0, F.array().cast("array<string>"))
+        .otherwise(F.array(F.concat_ws(" ", t))),
     )
 
 
@@ -237,11 +242,13 @@ def sql_stopword_hits(tokens_expr: str, lang: str) -> str:
 
 
 def sql_shingles(tokens_expr: str, n: int = 3) -> str:
+    e = f"COALESCE({tokens_expr}, [])"  # NULL text == zero shingles
     if n == 1:
-        return f"list_distinct({tokens_expr})"
+        return f"list_distinct({e})"
     return (
-        f"list_distinct(CASE WHEN len({tokens_expr}) >= {n} THEN "
-        f"list_transform(generate_series(1, len({tokens_expr}) - {n} + 1), "
-        f"i -> array_to_string(list_slice({tokens_expr}, i, i + {n} - 1), ' ')) "
-        f"ELSE [array_to_string({tokens_expr}, ' ')] END)"
+        f"list_distinct(CASE WHEN len({e}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({e}) - {n} + 1), "
+        f"i -> array_to_string(list_slice({e}, i, i + {n} - 1), ' ')) "
+        f"WHEN len({e}) = 0 THEN [] "
+        f"ELSE [array_to_string({e}, ' ')] END)"
     )

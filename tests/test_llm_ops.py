@@ -558,3 +558,34 @@ def test_pack_sequences_sharded_oversized_docs(spark):
     assert rows[1] == (0, 0) and rows[2] == (0, 5)
     # shard 1 offsets past shard 0's 6 slots; both docs fit bin 0
     assert rows[3] == (1, 6) and rows[4] == (1, 6)
+
+
+def test_shingles_empty_and_null_docs_match_oracle(spark):
+    """Empty / whitespace / NULL documents produce ZERO shingles on
+    both engines — an empty-string shingle would bucket every empty
+    doc together in the Jaccard/MinHash self-joins (and diverge from
+    the SQL mirror, which yields [])."""
+    import duckdb
+
+    rows = [(1, "one two"), (2, ""), (3, "   "), (4, None),
+            (5, "a b c d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    for n in (1, 3):
+        got = {
+            r["doc_id"]: sorted(r["sh"])
+            for r in df.select(
+                "doc_id", tx.shingles(F.col("text"), n).alias("sh")
+            ).collect()
+        }
+        oracle = {
+            r[0]: sorted(r[1])
+            for r in con.execute(
+                f"SELECT doc_id, "
+                f"{tx.sql_shingles(tx.sql_tokens('text'), n)} FROM t"
+            ).fetchall()
+        }
+        assert got == oracle, (n, got, oracle)
+        assert got[2] == got[3] == got[4] == []
