@@ -129,11 +129,14 @@ def t2_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
     SELECT doc_id,
-           md5(array_to_string(list_sort(list_distinct(toks)), ' '))
-               AS fingerprint
+           md5(COALESCE(
+               array_to_string(list_sort(list_distinct(toks)), ' '), ''
+           )) AS fingerprint
     FROM t
     """,
-    doc="Bag-of-tokens md5 document fingerprint (text analysis).",
+    doc="Bag-of-tokens md5 document fingerprint (text analysis). "
+    "NULL text == empty bag (md5('')), matching the Spark concat_ws "
+    "null-skipping semantics.",
 )
 def t3_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")

@@ -589,3 +589,55 @@ def test_shingles_empty_and_null_docs_match_oracle(spark):
         }
         assert got == oracle, (n, got, oracle)
         assert got[2] == got[3] == got[4] == []
+
+
+def test_text_query_oracles_on_edge_corpus(spark, tmp_path):
+    """Every text-family oracle must agree with Spark on a corpus
+    containing empty / whitespace / NULL / sub-shingle-length docs —
+    the testdata never includes them, a real corpus always does."""
+    import sys
+    from pathlib import Path
+
+    import duckdb
+    import pandas as pd
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from check import compare
+
+    from garmin_data_pipeline_spark import plans
+
+    rows = [
+        (0, "", "en", 0),
+        (1, "   ", "en", 1),
+        (2, None, "en", 2),
+        (3, "one", "en", 3),
+        (4, "one two", "en", 4),
+        (5, "the quick brown fox jumps over the lazy dog again", "en", 5),
+        (6, "der hund und die katze sind nicht hier aber doch da", "de", 6),
+        (7, "the quick brown fox jumps over the lazy dog again", "en", 7),
+    ]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "chunk"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM '{tmp_path}/documents.parquet'"
+    )
+    qs = plans.queries()
+    oracles = plans.oracle_sql()
+    targets = [
+        "t1_token_quality", "t2_language_id", "t3_fingerprint",
+        "t7_bpe_token_count", "t5_corpus_mix", "t6_sequence_packing",
+        "t6b_sequence_packing_sharded", "d1_exact_dedup",
+        "d2_token_jaccard_pairs", "t10_clean_corpus",
+        "t4_length_quantiles",
+    ]
+    failures = {}
+    for name in targets:
+        sdf = qs[name](spark, str(tmp_path)).toPandas()
+        odf = con.execute(oracles[name]).df()
+        probs = compare(name, sdf, odf)
+        if probs:
+            failures[name] = probs
+    assert not failures, failures
