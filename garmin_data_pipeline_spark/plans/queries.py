@@ -1015,13 +1015,16 @@ def w5_densify_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s3_json_props_extract",
     """
-    SELECT CAST(json_extract(props, '$.k') AS INT) AS k,
+    SELECT CASE WHEN json_valid(props)
+                THEN CAST(json_extract(props, '$.k') AS INT) END AS k,
            COUNT(*) AS n,
            {v}
     FROM events
     GROUP BY 1
     """.format(v=dsum("value", "sum_value")),
-    doc="JSON string column -> typed field -> aggregate (S3/F29 analog).",
+    doc="JSON string column -> typed field -> aggregate (S3/F29 analog). "
+    "Malformed JSON parses to NULL on both engines (Spark from_json is "
+    "lenient; the oracle guards with json_valid).",
 )
 def s3_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
@@ -1048,12 +1051,15 @@ def s3_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n,
            {v}
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """.format(v=dsum("value", "sum_value")),
-    doc="Tumbling 1-day window aggregate (streaming-equivalent batch plan).",
+    doc="Tumbling 1-day window aggregate (streaming-equivalent batch "
+    "plan). No event time -> no window: Spark's window() drops NULL "
+    "timestamps; the filter makes that contract explicit on both sides.",
 )
 def st1_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "1 day"), "event_type")
         .agg(
@@ -1123,6 +1129,7 @@ def a5_total_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
                             > 30 * 60 * 1000000
                     THEN 1 ELSE 0 END AS ns
         FROM events
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
         SELECT user_id, ts, value,
@@ -1138,7 +1145,9 @@ def a5_total_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s
     GROUP BY user_id, sid
     """.format(v=dsum("value", "total_value")),
-    doc="Per-user 30-min-gap sessionization (stateful-streaming batch twin).",
+    doc="Per-user 30-min-gap sessionization (stateful-streaming batch "
+    "twin). NULL event times are dropped — the engine-portable "
+    "contract (NULLS FIRST/LAST would otherwise shift boundaries).",
 )
 def st2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from garmin_data_pipeline_spark.streaming import sessionize
@@ -1202,6 +1211,7 @@ _SESSIONS_SQL = """
                             > 30 * 60 * 1000000
                     THEN 1 ELSE 0 END AS ns
         FROM events
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
         SELECT user_id, ts,

@@ -172,6 +172,12 @@ def sessionize(
     same API serves both — and the batch form is what the DuckDB
     oracle can check.
     """
+    # No event time -> no session, in BOTH modes: a streaming frame
+    # could never assign such an event (the watermark needs event
+    # time), and in batch a NULL ts would sort NULLS FIRST on Spark
+    # but NULLS LAST on most SQL engines — silently different session
+    # boundaries. Dropping them is the only engine-portable contract.
+    events = events.filter(F.col("ts").isNotNull())
     if not events.isStreaming:
         from pyspark.sql import Window
 

@@ -641,3 +641,70 @@ def test_text_query_oracles_on_edge_corpus(spark, tmp_path):
         if probs:
             failures[name] = probs
     assert not failures, failures
+
+
+def test_events_query_oracles_on_edge_events(spark, tmp_path):
+    """Events-family oracles must agree with Spark on NULL timestamps
+    (NULLS FIRST/LAST divergence; window() drops them), NULL users,
+    NULL values, duplicate timestamps, and malformed/missing JSON."""
+    import sys
+    from pathlib import Path
+
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from check import compare
+
+    from garmin_data_pipeline_spark import plans
+
+    ts = pd.to_datetime
+    rows = [
+        (0, ts("2024-01-01 10:00:00"), 1, "click", 1.5, '{"k": 1}'),
+        (1, ts("2024-01-01 10:10:00"), 1, "purchase", 9.0, '{"k": 2}'),
+        (2, pd.NaT, 1, "click", 2.0, '{"k": 3}'),
+        (3, ts("2024-01-01 11:00:00"), None, "error", 3.0, None),
+        (4, ts("2024-01-01 11:00:00"), 2, "click", None, "not json"),
+        (5, ts("2024-01-01 11:00:00"), 2, "purchase", 4.0, "{}"),
+        (6, ts("2024-01-02 09:00:00"), 2, "error", -1.0, '{"k": 1}'),
+        (7, ts("2024-01-02 09:00:01"), 2, "click", 0.0, '{"j": 5}'),
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    tbl = pa.Table.from_pandas(
+        pdf,
+        schema=pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("ns")),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        ),
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    qs = plans.queries()
+    oracles = plans.oracle_sql()
+    targets = [
+        "s3_json_props_extract", "st1_tumbling_daily", "st2_sessionize",
+        "j5_asof_join", "j6_range_join", "a12_time_rollup",
+        "a10_event_type_counts", "w5_densify_ffill", "j4_spatial_join",
+    ]
+    failures = {}
+    for name in targets:
+        sdf = qs[name](spark, str(tmp_path)).toPandas()
+        odf = con.execute(oracles[name]).df()
+        probs = compare(name, sdf, odf)
+        if probs:
+            failures[name] = probs
+    assert not failures, failures
