@@ -199,12 +199,14 @@ def a4_dedupe_latest_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey, o_orderkey,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
                PARTITION BY o_custkey
-               ORDER BY o_orderdate, o_orderkey
+               ORDER BY o_orderdate NULLS FIRST, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS DOUBLE) AS cum_spend
     FROM orders
     """,
-    doc="Grouped running cumulative sum with explicit tiebreaker (W1).",
+    doc="Grouped running cumulative sum with explicit tiebreaker (W1). "
+    "NULLS FIRST pins the engines to Spark's ASC default (DuckDB "
+    "defaults NULLS LAST) — NULL order dates accumulate first.",
 )
 def w1_cumulative_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").withColumn(
@@ -233,11 +235,12 @@ def w1_cumulative_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_custkey, o_orderkey,
            COALESCE(LAG(o_totalprice) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate NULLS FIRST, o_orderkey
            ), 0.0) AS prior_price
     FROM orders
     """,
-    doc="lag(1) with default 0 (W2).",
+    doc="lag(1) with default 0 (W2); NULLS FIRST matches Spark's ASC.",
 )
 def w2_prior_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
@@ -871,12 +874,14 @@ _QTY_BINS = [
     "f23_binned_group_mean",
     """
     WITH t AS (
-        SELECT CASE WHEN l_quantity >= 40 THEN '40+ qty'
+        SELECT CASE WHEN l_quantity IS NULL THEN NULL
+                    WHEN l_quantity >= 40 THEN '40+ qty'
                     WHEN l_quantity >= 30 THEN '30-40 qty'
                     WHEN l_quantity >= 20 THEN '20-30 qty'
                     WHEN l_quantity >= 10 THEN '10-20 qty'
                     ELSE '0-10 qty' END AS qty_group,
-               CASE WHEN l_quantity >= 40 THEN 5
+               CASE WHEN l_quantity IS NULL THEN NULL
+                    WHEN l_quantity >= 40 THEN 5
                     WHEN l_quantity >= 30 THEN 4
                     WHEN l_quantity >= 20 THEN 3
                     WHEN l_quantity >= 10 THEN 2

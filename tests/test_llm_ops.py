@@ -708,3 +708,71 @@ def test_events_query_oracles_on_edge_events(spark, tmp_path):
         if probs:
             failures[name] = probs
     assert not failures, failures
+
+
+def test_relational_query_oracles_on_poisoned_tables(spark, tmp_path):
+    """lineitem/orders-family oracles vs Spark on poisoned tables:
+    NULL dates (the ASC-window NULLS FIRST/LAST trap), NULL measures,
+    NULL group keys, NULL bin inputs, zero quantities."""
+    import sys
+    from pathlib import Path
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from check import compare
+
+    from garmin_data_pipeline_spark import plans
+
+    src = "/root/testdata/sf0.001"
+    li = pd.read_parquet(f"{src}/lineitem.parquet").head(60).copy()
+    li.loc[li.index[0], "l_shipdate"] = pd.NaT
+    li.loc[li.index[1], "l_quantity"] = np.nan
+    li.loc[li.index[2], "l_extendedprice"] = np.nan
+    li.loc[li.index[3], "l_returnflag"] = None
+    li.loc[li.index[4], "l_discount"] = np.nan
+    li.loc[li.index[5], "l_tax"] = np.nan
+    li.loc[li.index[6], "l_quantity"] = 0.0
+    od = pd.read_parquet(f"{src}/orders.parquet").head(40).copy()
+    od.loc[od.index[0], "o_orderdate"] = pd.NaT
+    od.loc[od.index[1], "o_totalprice"] = np.nan
+    od.loc[od.index[2], "o_orderpriority"] = None
+    od.loc[od.index[3], "o_orderstatus"] = None
+    od.loc[od.index[0], "o_custkey"] = od.loc[od.index[5], "o_custkey"]
+    li.to_parquet(tmp_path / "lineitem.parquet")
+    od.to_parquet(tmp_path / "orders.parquet")
+    for t in ("customer", "part", "region", "nation", "supplier"):
+        pd.read_parquet(f"{src}/{t}.parquet").to_parquet(
+            tmp_path / f"{t}.parquet"
+        )
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "part", "region",
+              "nation", "supplier"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{tmp_path}/{t}.parquet'"
+        )
+    qs = plans.queries()
+    oracles = plans.oracle_sql()
+    targets = [
+        "a1_pricing_summary", "a2_daily_min",
+        "a3_latest_order_per_customer", "a4_dedupe_latest_lineitem",
+        "w1_cumulative_spend", "w2_prior_order_price", "o3_topk_orders",
+        "f4_date_parts", "f2_epoch_millis", "f12_time_string_kit",
+        "f22_sentinel_replace", "f26_fill_and_coalesce",
+        "p1_projection_revenue", "p9_filter_status_neq",
+        "p10_filter_notnull", "p12_flag_date_threshold",
+        "p13_threshold_count", "p14_masked_mean", "a5_total_duration",
+        "a6_null_counts", "a7_distinct_counts", "a8_impute_mean",
+        "a11_correlation", "u1_union_mixed_schemas",
+        "f23_binned_group_mean",
+    ]
+    failures = {}
+    for name in targets:
+        sdf = qs[name](spark, str(tmp_path)).toPandas()
+        odf = con.execute(oracles[name]).df()
+        probs = compare(name, sdf, odf)
+        if probs:
+            failures[name] = probs
+    assert not failures, failures
