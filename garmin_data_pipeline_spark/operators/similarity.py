@@ -48,6 +48,16 @@ def as_double_array(col):
     return F.transform(c, lambda x: x.cast("double"))
 
 
+def cosine(a, b):
+    """NULL-safe cosine similarity: a zero-norm or NULL vector yields
+    NULL instead of killing the job. Under ANSI mode (Spark 4 default)
+    a plain ``/`` THROWS DIVIDE_BY_ZERO on the first zero vector — at
+    100 TB one corrupt embedding must not fail the batch. NULL cosines
+    are excluded from ranking/threshold filters downstream (oracle
+    mirror: ``dot / NULLIF(norm_a * norm_b, 0)``)."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -70,16 +80,14 @@ def cosine_topk_bruteforce(
     scored = c.join(F.broadcast(q)).select(
         "query_id",
         "vec_id",
-        (
-            _dot(F.col("v"), F.col("qv"))
-            / (_norm(F.col("v")) * _norm(F.col("qv")))
-        ).alias("cosine"),
+        cosine(F.col("v"), F.col("qv")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.col("vec_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.filter(F.col("cosine").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
@@ -142,16 +150,14 @@ def cosine_topk_lsh(
     scored = c.join(F.broadcast(q), "bucket").select(
         "query_id",
         "vec_id",
-        (
-            _dot(F.col("v"), F.col("qv"))
-            / (_norm(F.col("v")) * _norm(F.col("qv")))
-        ).alias("cosine"),
+        cosine(F.col("v"), F.col("qv")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.col("vec_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.filter(F.col("cosine").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
@@ -287,16 +293,14 @@ def search_ivf(
     scored = assigned.join(F.broadcast(qc), "cell").select(
         "query_id",
         "vec_id",
-        (
-            _dot(F.col("v"), F.col("qv"))
-            / (_norm(F.col("v")) * _norm(F.col("qv")))
-        ).alias("cosine"),
+        cosine(F.col("v"), F.col("qv")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.col("vec_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.filter(F.col("cosine").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
@@ -351,10 +355,7 @@ def embedding_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            (
-                _dot(F.col("va"), F.col("vb"))
-                / (_norm(F.col("va")) * _norm(F.col("vb")))
-            ).alias("cosine"),
+            cosine(F.col("va"), F.col("vb")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -253,9 +253,13 @@ def d4_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings.
 # ---------------------------------------------------------------------------
+# NULL-safe cosine mirror of similarity.cosine: NULLIF guards the
+# zero-norm divide (Spark side uses try_divide — ANSI mode would
+# otherwise throw DIVIDE_BY_ZERO on one corrupt vector).
 _COS = (
     "list_dot_product(v, qv) / "
-    "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))"
+    "NULLIF(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)),"
+    " 0)"
 )
 
 
@@ -273,6 +277,7 @@ _COS = (
     ), scored AS (
         SELECT query_id, vec_id, {_COS} AS cos_raw
         FROM c CROSS JOIN q
+        WHERE {_COS} IS NOT NULL
     )
     SELECT query_id, vec_id, ROUND(cos_raw, 6) AS cosine,
            CAST(rnk AS INT) AS rank
@@ -282,7 +287,8 @@ _COS = (
         ) AS rnk FROM scored
     ) WHERE rnk <= 10
     """,
-    doc="Brute-force cosine top-10 per query vector (exact ANN baseline).",
+    doc="Brute-force cosine top-10 per query vector (exact ANN "
+    "baseline). Zero-norm/NULL vectors have no cosine and cannot rank.",
 )
 def v1_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
@@ -331,6 +337,7 @@ _PLANES = hyperplanes(8, 64)
     ), scored AS (
         SELECT query_id, vec_id, {_COS} AS cos_raw
         FROM cb JOIN qb USING (bucket)
+        WHERE {_COS} IS NOT NULL
     )
     SELECT query_id, vec_id, ROUND(cos_raw, 6) AS cosine,
            CAST(rnk AS INT) AS rank
@@ -370,13 +377,13 @@ def v2_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_dot_product(a.v, b.v) /
-                 (sqrt(list_dot_product(a.v, a.v)) *
-                  sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+                 NULLIF(sqrt(list_dot_product(a.v, a.v)) *
+                        sqrt(list_dot_product(b.v, b.v)), 0), 6) AS cosine
     FROM cb a JOIN cb b
         ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE list_dot_product(a.v, b.v) /
-          (sqrt(list_dot_product(a.v, a.v)) *
-           sqrt(list_dot_product(b.v, b.v))) >= 0.35
+          NULLIF(sqrt(list_dot_product(a.v, a.v)) *
+                 sqrt(list_dot_product(b.v, b.v)), 0) >= 0.35
     """,
     doc="Embedding-cosine near-dup pairs via LSH self-join.",
 )

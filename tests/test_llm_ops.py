@@ -776,3 +776,46 @@ def test_relational_query_oracles_on_poisoned_tables(spark, tmp_path):
         if probs:
             failures[name] = probs
     assert not failures, failures
+
+
+def test_similarity_oracles_on_zero_and_null_vectors(spark, tmp_path):
+    """A zero-norm or NULL embedding must not kill the job (ANSI mode
+    would throw DIVIDE_BY_ZERO on a plain /) and must agree with the
+    oracle: no cosine -> excluded from top-k and near-dup pairs."""
+    import sys
+    from pathlib import Path
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from check import compare
+
+    from garmin_data_pipeline_spark import plans
+
+    emb = pd.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).head(40).copy()
+    dim = len(emb["embedding"].iloc[0])
+    emb.at[emb.index[6], "embedding"] = np.zeros(dim, dtype=np.float32)
+    emb.at[emb.index[7], "embedding"] = None
+    emb.to_parquet(tmp_path / "embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * "
+        f"FROM '{tmp_path}/embeddings.parquet'"
+    )
+    qs = plans.queries()
+    oracles = plans.oracle_sql()
+    failures = {}
+    for name in ("v1_cosine_topk_bruteforce", "v2_cosine_topk_lsh",
+                 "v3_embedding_near_dups"):
+        sdf = qs[name](spark, str(tmp_path)).toPandas()
+        assert not (sdf["vec_id" if "vec_id" in sdf else "id_a"].isna().any()
+                    if name != "v3_embedding_near_dups" else False)
+        odf = con.execute(oracles[name]).df()
+        probs = compare(name, sdf, odf)
+        if probs:
+            failures[name] = probs
+    assert not failures, failures
