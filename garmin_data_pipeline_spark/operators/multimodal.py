@@ -155,38 +155,34 @@ def sample_video_frames(
     payload_col: str = "payload",
     real: bool = False,
 ) -> DataFrame:
-    """Frame sampling over mapInPandas: one input row -> N output rows
-    (the exploding-kernel shape every video/audio chunker needs).
+    """Frame sampling: one input row -> N frame rows, entirely JVM-side.
 
     The *decoder* is stubbed (``real=True`` raises — no ffmpeg here):
     a fake "video" is its payload split into fixed ``frame_size``-byte
-    frames, keeping every ``every_n``-th. The Spark-side plumbing is
-    real: Arrow batch in, exploded batch out, declared schema, payload
-    never touching the driver.
+    frames, keeping every ``every_n``-th. Frame indexes come from an
+    exploded ``sequence`` and each frame is a ``substring`` slice of
+    the BinaryType payload — no Python in the plan at all, so the
+    payload crosses no serialization boundary (an earlier mapInPandas
+    slice shipped the full payload into Python once per exploded frame
+    row: O(payload_bytes x n_frames) Arrow transfer). A real per-frame
+    decode kernel plugs in downstream via :func:`decode_frames`, which
+    sees only the already-sliced frame bytes — O(payload_bytes) total.
     """
     if real:
         raise NotImplementedError(
-            "video codecs not available; replace the kernel with ffmpeg"
+            "video codecs not available; decode frames with ffmpeg via "
+            "decode_frames() over the sliced output"
         )
     in_cols = [c for c in df.columns if c != payload_col]
-    keep_t = {
-        f: t
-        for f, t in zip(df.schema.fieldNames(), _ddl_types(df))
-    }
-    out_schema = ", ".join(
-        [f"{c} {keep_t[c]}" for c in in_cols]
-        + ["frame_idx bigint", "frame binary", "frame_len bigint"]
-    )
 
-    # Frame *arithmetic* is pure math — keep it JVM-side (codegen'd):
-    # explode a sequence of sampled frame indexes and compute each
-    # frame's byte length from the payload length. Empty payloads have
-    # zero frames, i.e. emit no rows. Only the byte *slice* — the stand-
-    # in for the real per-frame decode — crosses into Python, as one
-    # Arrow-batched vectorized pass (no per-row pandas iteration).
+    # Frame arithmetic is pure math — explode a sequence of sampled
+    # frame indexes, then slice JVM-side. Empty payloads have zero
+    # frames, i.e. emit no rows. substring on BinaryType is 1-based and
+    # clamps at the payload end, so the last frame runs short exactly
+    # like the oracle's LEAST(frame_size, n_bytes - idx*frame_size).
     n_bytes = F.length(F.col(payload_col))
     n_frames = F.ceil(n_bytes / F.lit(frame_size))
-    exploded = (
+    return (
         df.filter(n_bytes > 0)
         .withColumn(
             "frame_idx",
@@ -198,22 +194,38 @@ def sample_video_frames(
                 )
             ),
         )
-        .withColumn(
-            "frame_len",
+        .select(
+            *in_cols,
+            "frame_idx",
+            F.expr(
+                f"substring({payload_col}, "
+                f"frame_idx * {frame_size} + 1, {frame_size})"
+            ).alias("frame"),
             F.least(
                 F.lit(frame_size).cast("bigint"),
-                n_bytes.cast("bigint") - F.col("frame_idx") * frame_size,
-            ),
+                F.length(F.col(payload_col)).cast("bigint")
+                - F.col("frame_idx") * frame_size,
+            ).alias("frame_len"),
         )
     )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["frame"] = [
-                bytes((p or b"")[i * frame_size : (i + 1) * frame_size])
-                for p, i in zip(pdf[payload_col], pdf["frame_idx"])
-            ]
-            yield pdf[in_cols + ["frame_idx", "frame", "frame_len"]]
 
-    return exploded.mapInPandas(kernel, schema=out_schema)
+def decode_frames(
+    df: DataFrame,
+    kernel,
+    out_schema: str,
+    frame_col: str = "frame",
+) -> DataFrame:
+    """Run an Arrow-batched decode kernel over already-sliced frames
+    (the plug-in point for a real ffmpeg/PIL per-frame decode).
+
+    ``kernel(pdf) -> pdf`` maps one pandas batch to one pandas batch.
+    Because :func:`sample_video_frames` slices JVM-side, only the frame
+    bytes — not the whole payload — cross the Arrow boundary here.
+    """
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield kernel(pdf)
+
+    return df.mapInPandas(mapper, schema=out_schema)

@@ -71,7 +71,11 @@ def join_points_in_radius(
     ``lon_cell_deg`` must be at least ``radius_km / (111 * cos(lat))``
     for every latitude in the data; the default (2x the latitude cell)
     is valid to |lat| <= 60°. Oversizing cells only adds candidates —
-    never drops pairs — so the join stays exact.
+    never drops pairs — so the join stays exact. Longitude cells wrap
+    modulo the globe, so pairs straddling the ±180° antimeridian are
+    kept (the haversine filter itself is wrap-correct since
+    ``sin(180° − x) = sin(x)``); latitude cells do NOT wrap over the
+    poles — polar data needs a latitude bound like any grid scheme.
 
     Plan shape at scale: the places side (typically 10^2-10^5 rows)
     explodes 9x and broadcasts; the points side shuffles nowhere —
@@ -79,13 +83,22 @@ def join_points_in_radius(
     trig filter. Skewed cells (urban cores) can be salted on the
     points side if one cell dominates.
     """
+    import math
+
     lat_cell = radius_km / KM_PER_DEG_LAT
     lon_cell = lon_cell_deg if lon_cell_deg is not None else 2 * lat_cell
+    # Longitude cell ids live on a ring of n_lon cells: lon is shifted
+    # to [0, 360) and cell ids wrap with pmod, so a point at 179.9° and
+    # a place at −179.9° land in adjacent (joinable) cells.
+    n_lon = max(1, math.ceil(360.0 / lon_cell))
 
     def cells(lat: str, lon: str) -> tuple[Column, Column]:
         return (
             F.floor(F.col(lat) / lat_cell).cast("long"),
-            F.floor(F.col(lon) / lon_cell).cast("long"),
+            F.pmod(
+                F.floor((F.col(lon) + 180.0) / lon_cell).cast("long"),
+                F.lit(n_lon).cast("long"),
+            ),
         )
 
     p_cy, p_cx = cells(point_lat, point_lon)
@@ -99,7 +112,12 @@ def join_points_in_radius(
         .withColumn("__dy", F.explode(offsets))
         .withColumn("__dx", F.explode(offsets))
         .withColumn("__cy", F.col("__cy0") + F.col("__dy"))
-        .withColumn("__cx", F.col("__cx0") + F.col("__dx"))
+        .withColumn(
+            "__cx",
+            F.pmod(
+                F.col("__cx0") + F.col("__dx"), F.lit(n_lon).cast("long")
+            ),
+        )
         .drop("__cy0", "__cx0", "__dy", "__dx")
     )
 

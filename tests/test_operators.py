@@ -494,6 +494,43 @@ class TestSpatialJoin:
         }
         assert got == brute and len(got) > 0
 
+    def test_radius_join_wraps_antimeridian(self, spark):
+        """Pairs straddling lon ±180° must be found: lon cell ids wrap
+        modulo the globe (and haversine itself is wrap-correct)."""
+        from garmin_data_pipeline_spark.operators.spatial import (
+            haversine_km,
+            join_points_in_radius,
+        )
+
+        pts = spark.createDataFrame(
+            [(1, 0.0, -179.95), (2, 0.0, 179.99), (3, 0.0, 170.0)],
+            "pid int, lat double, lon double",
+        )
+        places = spark.createDataFrame(
+            [("date-line", 0.0, 179.95)],
+            "station string, place_lat double, place_lon double",
+        )
+        got = {
+            (r["pid"], r["station"])
+            for r in join_points_in_radius(pts, places, 15.0).collect()
+        }
+        brute = {
+            (r["pid"], r["station"])
+            for r in pts.crossJoin(places)
+            .withColumn(
+                "d",
+                haversine_km(
+                    F.col("lat"), F.col("lon"),
+                    F.col("place_lat"), F.col("place_lon"),
+                ),
+            )
+            .filter(F.col("d") <= 15.0)
+            .collect()
+        }
+        # pid 1 is ~11 km away across the antimeridian; pid 2 is ~4 km
+        # on the same side; pid 3 is ~1100 km away.
+        assert got == brute == {(1, "date-line"), (2, "date-line")}
+
     def test_radius_join_broadcasts_places(self, spark):
         from garmin_data_pipeline_spark.operators.spatial import (
             join_points_in_radius,
