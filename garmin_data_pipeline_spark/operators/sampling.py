@@ -108,14 +108,17 @@ def pack_sequences(
     order_by: Sequence[str],
     out_col: str = "bin_id",
 ) -> DataFrame:
-    """Assign each row a ``bin_id`` so consecutive rows (in
-    ``order_by`` order) accumulate ~``budget`` units per bin.
+    """TEST/PARITY HELPER — not registered in any plan. Assign each row
+    a ``bin_id`` so consecutive rows (in ``order_by`` order) accumulate
+    ~``budget`` units per bin.
 
     bin = floor(cumsum_before_this_row / budget): deterministic, one
     global window — which serializes the whole corpus through ONE task.
-    Small/medium data and oracle parity only; at scale use
-    :func:`pack_sequences_sharded` (same bin semantics per shard,
-    parallel windows, globally unique bin ids).
+    Every production path (including the registered ``t6``) goes
+    through :func:`pack_sequences_sharded`; with a single constant
+    shard it reproduces this function's output bit-for-bit under a
+    *partitioned* window, so this global form survives only as the
+    differential-test baseline.
     """
     s = F.col(size_col) if isinstance(size_col, str) else size_col
     w = (
@@ -166,15 +169,33 @@ def pack_sequences_sharded(
     counts = local.groupBy(shard_col).agg(
         (F.max("__local_bin") + 1).alias("__n_bins")
     )
-    # Exclusive prefix sum over shards: a global window, but over
-    # #shards rows (thousands at most), not the corpus.
-    w_sh = Window.orderBy(shard_col).rowsBetween(
-        Window.unboundedPreceding, -1
+    # Exclusive prefix sum over shards, computed DRIVER-side: the
+    # aggregate is #shards rows (thousands at most, by contract), so
+    # collecting it costs one tiny job and keeps the physical plan free
+    # of unpartitioned Window nodes — the engine-wide invariant every
+    # registered plan is tested against (a corpus-sized global window
+    # here would be the 100 TB serialization point; silencing the
+    # WindowExec warning by construction beats explaining it away).
+    # Shard order matches the window it replaces: ascending, NULL shard
+    # first (Spark's default null ordering).
+    shard_rows = sorted(
+        counts.collect(),
+        key=lambda r: (r[shard_col] is not None, r[shard_col]),
     )
-    offsets = counts.select(
-        F.col(shard_col).alias("__shard"),
-        F.coalesce(F.sum("__n_bins").over(w_sh), F.lit(0)).alias(
-            "__offset"
+    offset_rows, running = [], 0
+    for r in shard_rows:
+        offset_rows.append((r[shard_col], running))
+        running += r["__n_bins"]
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    shard_type = local.schema[shard_col].dataType
+    offsets = df.sparkSession.createDataFrame(
+        offset_rows,
+        StructType(
+            [
+                StructField("__shard", shard_type, True),
+                StructField("__offset", LongType(), False),
+            ]
         ),
     )
     # Null-safe equi-join: rows with a NULL shard key would silently

