@@ -26,9 +26,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 REPEATS = 3
 
 # Headline set: scan-heavy agg, window chains, multi-joins, streaming-
-# equivalent, plus the LLM ops that scale (exact dedup, minhash, text
-# quality, ANN top-k, sharded packing). Excludes the O(n^2)-ish exact-
-# Jaccard verifier.
+# equivalent, plus the LLM ops that scale (exact dedup, minhash AND
+# simhash candidate generation, text quality, ANN top-k — brute-force
+# baseline v1 plus both 100TB scale paths, LSH v2 and IVF v4 — and
+# sharded packing). Excludes the O(n^2)-ish exact-Jaccard verifier.
 HEADLINE = [
     "a1_pricing_summary",
     "a2_daily_min",
@@ -41,10 +42,19 @@ HEADLINE = [
     "f23_binned_group_mean",
     "d1_exact_dedup",
     "d3_minhash_lsh_pairs",
+    "d4_simhash_candidates",
     "t1_token_quality",
     "t3_fingerprint",
     "t6b_sequence_packing_sharded",
     "v1_cosine_topk_bruteforce",
+    "v2_cosine_topk_lsh",
+    "v4_cosine_topk_ivf",
+    # ANN serve shape: large query batch / warm index (see
+    # plans/llm_queries.py bench-variant notes) — at the registered
+    # Q=5 shape the index overhead dominates and brute force wins;
+    # these entries time the shape a standing deployment runs.
+    "v2_lsh_serve_q500",
+    "v4_ivf_serve_q500",
     "m1_multimodal_metadata",
     "m2_frame_sampling",
     "st2_sessionize",
@@ -68,11 +78,19 @@ def main() -> None:
     # Production (non-oracle-parity) plan overrides: same query, the
     # double-accumulation path a real pipeline would run (the oracle
     # keeps DECIMAL purely for cross-engine hash stability).
+    from garmin_data_pipeline_spark.plans.llm_queries import (
+        v2_lsh_serve_q500,
+        v4_ivf_serve_q500,
+    )
     from garmin_data_pipeline_spark.plans.queries import (
         a1_pricing_summary_production,
     )
 
-    overrides = {"a1_pricing_summary": a1_pricing_summary_production}
+    overrides = {
+        "a1_pricing_summary": a1_pricing_summary_production,
+        "v2_lsh_serve_q500": v2_lsh_serve_q500,
+        "v4_ivf_serve_q500": v4_ivf_serve_q500,
+    }
 
     def run(df) -> None:
         df.write.mode("overwrite").format("noop").save()
@@ -83,7 +101,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name in HEADLINE:
-        fn = overrides.get(name, qs[name])
+        fn = overrides[name] if name in overrides else qs[name]
         reps = []
         for _ in range(REPEATS):
             t0 = time.perf_counter()

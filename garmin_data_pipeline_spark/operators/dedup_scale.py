@@ -65,6 +65,30 @@ def unpersist_signatures() -> None:
             _LIVE_SIGNATURES.pop().unpersist()
 
 
+def base_hash32(col, hash_impl: str = "xxhash64"):
+    """Non-negative 32-bit base hash of a string column.
+
+    ``xxhash64`` (default): Spark's built-in 64-bit hash folded to 32
+    bits — the production path (fast, JVM-native), but not reproducible
+    outside Spark. ``md5``: first 8 hex chars of md5 parsed as an
+    integer — ~20% slower, but md5 is standardized, so a DuckDB oracle
+    (``('0x' || substr(md5(x),1,8))::BIGINT``) reproduces it exactly;
+    the d3p/d4p/t8p parity queries run the same operators under this
+    impl to hash-match the otherwise rows-only xxhash64 family."""
+    c = F.col(col) if isinstance(col, str) else col
+    if hash_impl == "xxhash64":
+        # pmod, not abs: abs(MIN_LONG) throws under ANSI.
+        return F.pmod(F.xxhash64(c), F.lit(1 << 32).cast("long"))
+    if hash_impl == "md5":
+        return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_impl: {hash_impl!r}")
+
+
+def sql_base_hash32(expr: str) -> str:
+    """DuckDB mirror of ``base_hash32(..., hash_impl='md5')``."""
+    return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
+
+
 def normalize_text(col):
     """Normalization for exact dedup: lowercase + collapse whitespace."""
     c = F.col(col) if isinstance(col, str) else col
@@ -166,6 +190,7 @@ def minhash_signatures(
     text_col: str,
     num_hashes: int = 32,
     shingle_n: int = 3,
+    hash_impl: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document: base-hash each shingle with
     xxhash64, then k = num_hashes universal-hash permutations, min per
@@ -179,9 +204,9 @@ def minhash_signatures(
         F.col(id_col).alias("doc"),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"),
     ).withColumn(
-        # 32-bit non-negative base hash (pmod, not abs: abs(MIN_LONG)
-        # throws under ANSI) so the universal-hash multiply can't overflow.
-        "h", F.pmod(F.xxhash64("shingle"), F.lit(1 << 32).cast("long"))
+        # 32-bit non-negative base hash so the universal-hash multiply
+        # can't overflow (a < 2^30, h < 2^32 -> a*h + b < 2^63).
+        "h", base_hash32("shingle", hash_impl)
     )
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MERSENNE_P).alias(
@@ -204,6 +229,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    hash_impl: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
@@ -218,8 +244,24 @@ def minhash_lsh_pairs(
     # runs once. At cluster scale this is where you'd checkpoint the
     # signature table.
     sig = _persist_signature(
-        minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+        minhash_signatures(
+            df, id_col, text_col, num_hashes, shingle_n, hash_impl
+        )
     )
+
+    def band_key(i: int):
+        key = F.concat_ws(
+            ",",
+            *[
+                F.element_at("signature", i * rows + j + 1).cast("string")
+                for j in range(rows)
+            ],
+        )
+        # Production: fold the band slice to a 64-bit bucket id (8-byte
+        # shuffle key). Parity impl: ship the slice string itself — one
+        # fewer unreproducible hash, same buckets, mirrorable in SQL.
+        return F.xxhash64(key) if hash_impl == "xxhash64" else key
+
     banded = sig.select(
         "doc",
         "signature",
@@ -228,17 +270,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at(
-                                        "signature", i * rows + j + 1
-                                    ).cast("string")
-                                    for j in range(rows)
-                                ],
-                            )
-                        ).alias("bucket"),
+                        band_key(i).alias("bucket"),
                     )
                     for i in range(bands)
                 ]
@@ -280,13 +312,31 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document: per-bit majority vote over token
-    hashes (explode -> 64 conditional-sum aggregates -> bit pack)."""
+def simhash_bits(hash_impl: str) -> int:
+    """Signature width per hash impl: 64 for the production xxhash64,
+    32 for the md5-derived parity hash (base_hash32 is 32-bit)."""
+    return 64 if hash_impl == "xxhash64" else 32
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    hash_impl: str = "xxhash64",
+) -> DataFrame:
+    """SimHash per document (64-bit production / 32-bit md5 parity):
+    per-bit majority vote over token hashes (explode -> per-bit
+    conditional-sum aggregates -> bit pack)."""
+    bits = simhash_bits(hash_impl)
+    h = (
+        F.xxhash64("token")
+        if hash_impl == "xxhash64"
+        else base_hash32("token", hash_impl)
+    )
     tok = df.select(
         F.col(id_col).alias("doc"),
         F.explode(tokens(F.col(text_col))).alias("token"),
-    ).withColumn("h", F.xxhash64("token"))
+    ).withColumn("h", h)
     bit_sums = tok.groupBy("doc").agg(
         *[
             F.sum(
@@ -295,7 +345,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                     1,
                 ).otherwise(-1)
             ).alias(f"b{i}")
-            for i in range(64)
+            for i in range(bits)
         ]
     )
     # shiftleft(1L, 63) wraps to the sign bit in the JVM (no ANSI check)
@@ -308,7 +358,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             [
                 F.when(F.col(f"b{i}") > 0, F.shiftleft(one, i))
                 .otherwise(F.lit(0).cast("long"))
-                for i in range(64)
+                for i in range(bits)
             ],
             F.lit(0).cast("long"),
         ).alias("simhash"),
@@ -317,15 +367,19 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_candidate_pairs(
-    df: DataFrame, id_col: str, text_col: str, chunks: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunks: int = 4,
+    hash_impl: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup candidates: docs whose SimHashes share at least one of
-    ``chunks`` 16-bit chunks (pigeonhole: catches all pairs with
+    ``chunks`` equal-width chunks (pigeonhole: catches all pairs with
     Hamming distance < chunks), with the exact Hamming distance."""
     # The signature relation feeds both sides of the self-join; persist
-    # so the token explode + 64 bit aggregates run once, not twice.
-    sig = _persist_signature(simhash(df, id_col, text_col))
-    width = 64 // chunks
+    # so the token explode + per-bit aggregates run once, not twice.
+    sig = _persist_signature(simhash(df, id_col, text_col, hash_impl))
+    width = simhash_bits(hash_impl) // chunks
     mask = (1 << width) - 1
     chunked = sig.select(
         "doc",

@@ -162,29 +162,36 @@ def fingerprint(text: Column | str) -> Column:
     )
 
 
-def rolling_fingerprint(text: Column | str) -> Column:
+ROLL_B = (1 << 20) - 3
+ROLL_P = (1 << 40) - 87
+
+
+def rolling_fingerprint(
+    text: Column | str, hash_impl: str = "xxhash64"
+) -> Column:
     """Order-SENSITIVE document fingerprint: Rabin-Karp-style polynomial
     rolling hash over the token-hash stream, ``acc = acc*B + h (mod P)``
     — distinguishes reorderings that the bag :func:`fingerprint`
     collapses. ``F.aggregate`` with a lambda touching only its own
     accumulator/element (the safe HOF pattern; see shingles()).
 
-    xxhash64-based, so no SQL oracle (like the MinHash/SimHash family);
-    the rows-only check + unit tests cover it.
+    Token hashes come from ``base_hash32``: xxhash64-folded in
+    production (t8: rows-only check + unit tests), md5-derived under
+    ``hash_impl='md5'`` (t8p: full DuckDB hash-parity oracle via
+    list_reduce over the same polynomial).
     """
+    from garmin_data_pipeline_spark.operators.dedup_scale import (
+        base_hash32,
+    )
+
     c = F.col(text) if isinstance(text, str) else text
     # ANSI-safe bounds: acc < P ~ 2^40, B < 2^20, h < 2^32, so
     # acc*B + h < 2^61 — no 64-bit overflow.
-    B = (1 << 20) - 3
-    P = (1 << 40) - 87
-    th = F.transform(
-        tokens(c),
-        lambda t: F.pmod(F.xxhash64(t), F.lit(1 << 32).cast("long")),
-    )
+    th = F.transform(tokens(c), lambda t: base_hash32(t, hash_impl))
     return F.aggregate(
         th,
         F.lit(0).cast("long"),
-        lambda acc, h: F.pmod(acc * B + h, F.lit(P)),
+        lambda acc, h: F.pmod(acc * ROLL_B + h, F.lit(ROLL_P)),
     )
 
 

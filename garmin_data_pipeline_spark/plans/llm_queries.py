@@ -14,10 +14,12 @@ from pyspark.sql import functions as F
 
 from garmin_data_pipeline_spark.operators import text as T
 from garmin_data_pipeline_spark.operators.dedup_scale import (
+    _minhash_params,
     exact_duplicates,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_candidate_pairs,
+    sql_base_hash32,
 )
 from garmin_data_pipeline_spark.operators.multimodal import (
     attach_binary_payload,
@@ -215,6 +217,72 @@ def d2_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_minhash_lsh(
+    num_hashes: int, bands: int, threshold: float
+) -> str:
+    """DuckDB mirror of minhash_lsh_pairs(hash_impl='md5'): same
+    universal-hash params, same banding, same estimated-Jaccard score —
+    generated from the SAME _minhash_params constants as the Spark
+    plan, so d3p is hash-matched end to end."""
+    rows = num_hashes // bands
+    p = (1 << 61) - 1
+    mins = ", ".join(
+        f"MIN(({a} * h + {b}) % {p})"
+        for a, b in _minhash_params(num_hashes)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id AS doc, UNNEST({_SH3}) AS shingle FROM documents
+    ), h AS (
+        SELECT doc, {sql_base_hash32("shingle")} AS h FROM sh
+    ), sig AS (
+        SELECT doc, [{mins}] AS sig FROM h GROUP BY doc
+    ), banded AS (
+        SELECT doc, band,
+               array_to_string(
+                   list_slice(sig, band * {rows} + 1,
+                              band * {rows} + {rows}), ',') AS bucket
+        FROM sig CROSS JOIN (
+            SELECT UNNEST(range({bands})) AS band) bands
+    ), pairs AS (
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+    ), scored AS (
+        SELECT doc_a, doc_b,
+               CAST(list_sum(list_transform(range(1, {num_hashes + 1}),
+                   i -> CASE WHEN sa.sig[i] = sb.sig[i]
+                        THEN 1 ELSE 0 END)) AS DOUBLE) / {num_hashes}
+                   AS est_jaccard
+        FROM pairs
+        JOIN sig sa ON sa.doc = doc_a
+        JOIN sig sb ON sb.doc = doc_b
+    )
+    SELECT doc_a, doc_b, est_jaccard
+    FROM scored WHERE est_jaccard >= {threshold}
+    """
+
+
+@register(
+    "d3p_minhash_lsh_pairs",
+    _sql_minhash_lsh(num_hashes=32, bands=8, threshold=0.5),
+    doc="d3 under the md5-derived parity hash: same MinHash+LSH plan, "
+    "hash-matched against a full DuckDB mirror (closes the d3 "
+    "rows-only gap; production d3 keeps xxhash64).",
+)
+def d3p_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        num_hashes=32,
+        bands=8,
+        shingle_n=3,
+        threshold=0.5,
+        hash_impl="md5",
+    )
+
+
 @register(
     "d3_minhash_lsh_pairs",
     None,  # xxhash64-based; not reproducible in DuckDB -> rows-only check
@@ -247,6 +315,70 @@ def d4_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 16)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def _sql_simhash_candidates(chunks: int, max_hamming: int) -> str:
+    """DuckDB mirror of simhash_candidate_pairs(hash_impl='md5'):
+    32-bit signature (md5-derived token hashes), per-bit majority vote,
+    chunked pigeonhole candidates, exact Hamming distance."""
+    bits = 32
+    width = bits // chunks
+    mask = (1 << width) - 1
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    pack = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END"
+        for i in range(bits)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id AS doc, UNNEST({_TOKS}) AS token FROM documents
+    ), h AS (
+        SELECT doc, {sql_base_hash32("token")} AS h FROM tok
+    ), bits AS (
+        SELECT doc, {bit_sums} FROM h GROUP BY doc
+    ), sig AS (
+        SELECT doc, ({pack}) AS simhash FROM bits
+    ), chunked AS (
+        SELECT doc, simhash, chunk,
+               (simhash >> (chunk * {width})) & {mask} AS val
+        FROM sig CROSS JOIN (
+            SELECT UNNEST(range({chunks})) AS chunk) chunks
+    ), pairs AS (
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+               a.simhash AS sh_a, b.simhash AS sh_b
+        FROM chunked a JOIN chunked b
+            ON a.chunk = b.chunk AND a.val = b.val AND a.doc < b.doc
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+    """
+
+
+@register(
+    "d4p_simhash_candidates",
+    _sql_simhash_candidates(chunks=4, max_hamming=8),
+    doc="d4 under the md5-derived parity hash: 32-bit SimHash, 8-bit "
+    "chunks, hash-matched DuckDB mirror (production d4 keeps the "
+    "64-bit xxhash64 signature).",
+)
+def d4p_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        simhash_candidate_pairs(
+            table(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            chunks=4,
+            hash_impl="md5",
+        )
+        .filter(F.col("hamming") <= 8)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
     )
 
 
@@ -422,6 +554,56 @@ def v4_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cosine", 6).alias("cosine"),
         "rank",
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Bench-only ANN serve-path variants (NOT registered — wired into
+# bench.py's overrides). The registered v1/v2/v4 share a tiny Q=5
+# query batch for oracle comparability, and at Q=5 the index overhead
+# dominates: brute force wins. The shape a 100 TB deployment actually
+# runs is a large query batch against a standing index, so the bench
+# also times Q=500:
+#   - brute @ Q=500 extrapolates to ~40 s at sf0.1 (measured 7.9 s at
+#     Q=100; cost is linear in Q) — the motivation for the ANN paths,
+#     not a useful recurring bench entry;
+#   - LSH @ Q=500 ~ 2 s (256 sign buckets -> ~8 candidates/query);
+#   - IVF @ Q=500 serves from a WARM index (built once per session,
+#     persisted — the build is the offline cost write_ivf_index
+#     amortizes across query batches; bench spread shows the cold
+#     first repeat). 64 cells / 4 probes => 1/16 of the corpus scored
+#     per query.
+# ---------------------------------------------------------------------------
+_ANN_SERVE_Q = 500
+_IVF_SERVE_CACHE: dict[str, tuple[DataFrame, DataFrame]] = {}
+
+
+def _serve_queries(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") < _ANN_SERVE_Q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+
+def v2_lsh_serve_q500(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(emb, _serve_queries(emb), k=10, n_planes=8)
+
+
+def v4_ivf_serve_q500(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        search_ivf,
+    )
+
+    if sf_dir not in _IVF_SERVE_CACHE:
+        emb = table(spark, sf_dir, "embeddings")
+        assigned, cents = build_ivf_index(
+            emb, n_centroids=64, sample_fraction=0.5
+        )
+        _IVF_SERVE_CACHE[sf_dir] = (assigned.persist(), cents)
+    assigned, cents = _IVF_SERVE_CACHE[sf_dir]
+    emb = table(spark, sf_dir, "embeddings")
+    return search_ivf(assigned, cents, _serve_queries(emb), k=10, n_probe=4)
 
 
 # ---------------------------------------------------------------------------
@@ -756,6 +938,38 @@ def t8_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         T.rolling_fingerprint(F.col("text")).alias("rolling_fp"),
+        T.fingerprint(F.col("text")).alias("bag_fp"),
+    )
+
+
+@register(
+    "t8p_rolling_fingerprint",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CASE WHEN toks IS NULL THEN NULL ELSE
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(toks,
+                           t -> {sql_base_hash32("t")})),
+                   (acc, h) -> (acc * {T.ROLL_B} + h) % {T.ROLL_P})
+           END AS rolling_fp,
+           md5(COALESCE(
+               array_to_string(list_sort(list_distinct(toks)), ' '), ''
+           )) AS bag_fp
+    FROM t
+    """,
+    doc="t8 under the md5-derived parity hash: same Rabin-Karp "
+    "polynomial fold, hash-matched via DuckDB list_reduce (production "
+    "t8 keeps xxhash64).",
+)
+def t8p_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.rolling_fingerprint(F.col("text"), hash_impl="md5").alias(
+            "rolling_fp"
+        ),
         T.fingerprint(F.col("text")).alias("bag_fp"),
     )
 
