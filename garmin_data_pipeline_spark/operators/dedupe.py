@@ -59,6 +59,39 @@ def dedupe_latest(
     return latest_per_group(df, keys, order)
 
 
+def latest_per_group_agg(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    ts_col: str,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Skew-hardened greatest-per-group: same result as
+    :func:`dedupe_latest`, different physical shape.
+
+    The row_number window ships EVERY row of a group to one task before
+    sorting — a key holding 50% of the table serializes half the data
+    through a single reducer, and AQE's skew handling does not split
+    window partitions. This form instead aggregates
+    ``max_by(struct(*cols), struct(ts, *tiebreakers))`` grouped by the
+    keys: a hash aggregate with a map-side PARTIAL phase, so the hot
+    key collapses to one candidate row per input partition *before*
+    the shuffle — the reducer for the hot key receives one row per map
+    task, not half the table.
+
+    Ordering parity with ``dedupe_latest``: the lexicographic struct
+    max equals orderBy(desc(ts), desc(*tiebreakers)) row 1 (struct
+    fields null-first ascending == null-last descending). Tiebreakers
+    must make the ordering unique for byte-identical results.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    others = [c for c in df.columns if c not in keys]
+    ordering = F.struct(ts_col, *tiebreakers)
+    picked = df.groupBy(*keys).agg(
+        F.max_by(F.struct(*others), ordering).alias("__row")
+    )
+    return picked.select(*keys, "__row.*").select(*df.columns)
+
+
 def dedupe_exact(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
     """Exact duplicate removal on a column subset — the unordered
     ``drop_duplicates(keep='first')`` sites (transform_all_datasets.py:213).

@@ -47,6 +47,67 @@ def cumulative_sum(
     return df.withColumn(out_col, F.sum(value_col).over(w))
 
 
+def cumulative_sum_sharded(
+    df: DataFrame,
+    value_col: str,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    bucket_col: Column,
+    out_col: str,
+) -> DataFrame:
+    """Skew-hardened grouped cumulative sum — identical output to
+    :func:`cumulative_sum`, two-level physical shape.
+
+    A window partitioned on a hot key puts that key's entire history in
+    one task (AQE cannot split window partitions). Here the running sum
+    is computed per (key, bucket) — a partitioned window whose largest
+    group is ``1/n_buckets`` of the hot key — then made global by
+    adding each bucket's exclusive prefix of per-bucket totals, itself
+    a window over ≤ #buckets rows per key. Same trick as the sharded
+    sequence packer (sampling.pack_sequences_sharded); one extra
+    shuffle on (key, bucket) buys an n_buckets× cut in the max task.
+
+    ``bucket_col`` MUST be monotone non-decreasing w.r.t. ``order_by``
+    within each key (e.g. month(Date) when ordering by Date) — bucket
+    boundaries then cut the order into contiguous runs, which is what
+    makes local-cumsum + bucket-prefix equal the global cumsum. Ties in
+    ``order_by`` must not straddle a bucket boundary; a unique
+    tiebreaker in ``order_by`` (standard for determinism) guarantees
+    that.
+    """
+    keys = list(partition_by)
+    bucketed = df.withColumn("__bucket", bucket_col)
+    w_local = (
+        Window.partitionBy(*keys, "__bucket")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.withColumn("__local_cum", F.sum(value_col).over(w_local))
+    totals = bucketed.groupBy(*keys, "__bucket").agg(
+        F.sum(value_col).alias("__bucket_total")
+    )
+    w_prefix = (
+        Window.partitionBy(*keys)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__offset", F.coalesce(F.sum("__bucket_total").over(w_prefix), F.lit(0))
+    ).select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        F.col("__bucket").alias("__k_bucket"),
+        "__offset",
+    )
+    # eqNullSafe: a NULL key or NULL bucket value is still a group and
+    # must find its offset (a plain equi-join would null out its cumsum).
+    cond = [local[k].eqNullSafe(offsets[f"__k_{k}"]) for k in keys]
+    cond.append(local["__bucket"].eqNullSafe(offsets["__k_bucket"]))
+    joined = local.join(offsets, cond, "left")
+    return joined.withColumn(
+        out_col, F.col("__local_cum") + F.col("__offset")
+    ).select(*df.columns, out_col)
+
+
 def lag_with_default(
     df: DataFrame,
     value_col: str,

@@ -1,0 +1,193 @@
+"""Skew hardening for the window/dedup family (SURVEY.md §4 scale
+notes; VERDICT r3 task 6).
+
+Fixture: a key distribution where ONE key holds 50% of all rows — the
+reference analog is the `calendarDate` hot key after the master join
+(MERGE cell 18). The row_number/window forms of A3/A4/W1 ship every row
+of a group to one task, so a 50% key means one task processes half the
+table and AQE cannot split it (skew handling covers joins, not window
+partitions). These tests pin:
+
+1. The skew-safe forms (`latest_per_group_agg`, `cumulative_sum_sharded`)
+   produce byte-identical results to the window forms on the skewed
+   fixture.
+2. The physical plans have the shape that bounds per-task load:
+   a PARTIAL aggregation phase before the shuffle (hot key collapses
+   map-side) for A3/A4; windows partitioned on (key, bucket) for W1.
+3. The data-level balance contract: after sharding, the largest window
+   group is <= 2x the median group, where the unsharded grouping has a
+   50%-of-table group.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from garmin_data_pipeline_spark.operators import dedupe, windows
+
+
+N_ROWS = 40_000
+N_COLD_KEYS = 100
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """seq, key, ts, v: key 'HOT' owns 50% of rows, the rest spread
+    uniformly over N_COLD_KEYS cold keys. Fully generated on executors
+    (spark.range), no driver data."""
+    df = (
+        spark.range(N_ROWS)
+        .withColumn(
+            "key",
+            F.when(F.col("id") % 2 == 0, F.lit("HOT")).otherwise(
+                F.concat(F.lit("k"), (F.col("id") % N_COLD_KEYS).cast("string"))
+            ),
+        )
+        .withColumn("ts", F.pmod(F.xxhash64("id"), F.lit(1_000_000)))
+        .withColumn("v", (F.col("id") % 97).cast("double"))
+        .withColumnRenamed("id", "seq")
+    )
+    df = df.persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+class TestSkewSafeLatestPerGroup:
+    def test_matches_window_form(self, skewed):
+        want = dedupe.dedupe_latest(
+            skewed, "key", "ts", tiebreakers=["seq"]
+        ).collect()
+        got = dedupe.latest_per_group_agg(
+            skewed, "key", "ts", tiebreakers=["seq"]
+        ).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+        # sanity: the fixture is actually skewed — HOT holds half
+        assert (
+            skewed.filter(F.col("key") == "HOT").count() == N_ROWS // 2
+        )
+
+    def test_plan_has_partial_aggregate(self, skewed):
+        """Map-side combine is the skew defence: each input partition
+        emits ONE candidate row for HOT, so the HOT reducer receives
+        #map-tasks rows, not N/2."""
+        plan = (
+            dedupe.latest_per_group_agg(skewed, "key", "ts", ["seq"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "partial_max_by" in plan or "partial_maxby" in plan.lower()
+
+    def test_column_order_and_schema_parity(self, skewed):
+        want = dedupe.dedupe_latest(skewed, "key", "ts", ["seq"])
+        got = dedupe.latest_per_group_agg(skewed, "key", "ts", ["seq"])
+        assert got.columns == want.columns
+        # nullability differs by construction (fields re-extracted from
+        # the max_by struct are nullable); names and types must match
+        assert [(f.name, f.dataType) for f in got.schema] == [
+            (f.name, f.dataType) for f in want.schema
+        ]
+
+
+class TestSkewSafeCumsum:
+    # enough buckets that the hot key's groups outnumber tasks — with
+    # buckets ~= tasks, hash collisions re-lump 2-3 hot groups onto one
+    # task; at 2x tasks the per-task hot share concentrates toward the
+    # mean (same rule at cluster scale: n_buckets >= 2x shuffle
+    # parallelism for the hottest key)
+    BUCKETS = 64
+
+    def _bucket(self):
+        # monotone in the (seq) ordering within every key
+        return F.floor(F.col("seq") / (N_ROWS // self.BUCKETS))
+
+    def test_matches_window_form(self, skewed):
+        want = windows.cumulative_sum(
+            skewed, "v", ["key"], ["seq"], "cum"
+        ).collect()
+        got = windows.cumulative_sum_sharded(
+            skewed, "v", ["key"], ["seq"], self._bucket(), "cum"
+        ).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    def test_null_key_and_bucket_rows_survive(self, spark):
+        df = spark.createDataFrame(
+            [(None, 1, 1.0), (None, 2, 2.0), ("a", None, 3.0), ("a", 4, 4.0)],
+            "key string, seq int, v double",
+        )
+        got = {
+            (r["key"], r["seq"]): r["cum"]
+            for r in windows.cumulative_sum_sharded(
+                df, "v", ["key"], ["seq"], F.col("seq"), "cum"
+            ).collect()
+        }
+        want = {
+            (r["key"], r["seq"]): r["cum"]
+            for r in windows.cumulative_sum(
+                df, "v", ["key"], ["seq"], "cum"
+            ).collect()
+        }
+        assert got == want
+
+    def test_task_balance_bound(self, skewed):
+        """The verdict contract: no task processes > 2x the median
+        task's rows. WindowExec's task load = sum of the window groups
+        that hash onto it, so we model the shuffle exactly as Spark
+        does (murmur3 hash of the partition expressions mod
+        #shuffle-partitions) and measure rows per task.
+
+        Unsharded (partition on the raw key): the task that owns HOT
+        carries >= half the table — provably > 2x median. Sharded
+        (partition on key + bucket): every task must land within 2x
+        the median."""
+        n_tasks = 32
+
+        def rows_per_task(*cols):
+            return [
+                r["n"]
+                for r in (
+                    skewed.withColumn("__bucket", self._bucket())
+                    .groupBy(F.pmod(F.hash(*cols), F.lit(n_tasks)).alias("t"))
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                )
+            ]
+
+        def ratio(loads):
+            loads = sorted(loads)
+            return loads[-1] / loads[len(loads) // 2]
+
+        unsharded = rows_per_task("key")
+        assert max(unsharded) >= N_ROWS // 2  # the problem, demonstrated
+        assert ratio(unsharded) > 2
+
+        sharded = rows_per_task("key", "__bucket")
+        assert ratio(sharded) <= 2, (
+            f"max task {max(sharded)} > 2x median; loads={sorted(sharded)}"
+        )
+        # and the hot key's largest single group shrank ~BUCKETS x
+        max_group = (
+            skewed.withColumn("__bucket", self._bucket())
+            .groupBy("key", "__bucket")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        assert max_group <= (N_ROWS // 2) / (self.BUCKETS / 2)
+
+    def test_all_windows_partitioned_by_key_and_bucket(self, skewed):
+        plan = (
+            windows.cumulative_sum_sharded(
+                skewed, "v", ["key"], ["seq"], self._bucket(), "cum"
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # every Window node must carry a 2-part partition spec; no
+        # window partitioned on the raw hot key alone
+        for line in plan.splitlines():
+            if "Window " in line and "windowspecdefinition" in line:
+                assert "key" in line and "__bucket" in line

