@@ -168,9 +168,32 @@ def epoch_millis_to_timestamp(millis: Column | str) -> Column:
     return F.timestamp_millis(c.cast("long"))
 
 
+def epoch_micros(ts: Column | str) -> Column:
+    """Timestamp -> epoch microseconds, tolerant of TIMESTAMP_NTZ.
+
+    ``unix_micros`` rejects TIMESTAMP_NTZ — the type Spark 4 infers
+    for parquet written with isAdjustedToUTC=false (pandas / DuckDB /
+    Arrow writers). ``to_utc_timestamp(ts, 'UTC')`` bridges both
+    types: for NTZ it stamps the wall clock as UTC (no session-tz
+    dependence, unlike a plain cast), for TIMESTAMP it is the
+    identity. Exact to the microsecond either way.
+    """
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return F.unix_micros(F.to_utc_timestamp(c, "UTC"))
+
+
 def timestamp_diff_seconds(end: Column | str, start: Column | str) -> Column:
     """end - start in whole seconds (reference sleep-duration calc,
-    transform_all_datasets.py:105-112)."""
+    transform_all_datasets.py:105-112).
+
+    Computed as a difference of per-side floored epoch seconds (the
+    ``unix_timestamp`` contract the golden CSVs were produced under),
+    but via :func:`epoch_micros` so TIMESTAMP_NTZ inputs neither error
+    nor pick up a session-timezone dependence.
+    """
     e = F.col(end) if isinstance(end, str) else end
     s = F.col(start) if isinstance(start, str) else start
-    return (F.unix_timestamp(e) - F.unix_timestamp(s)).cast("long")
+    return (
+        F.floor(epoch_micros(e) / 1_000_000)
+        - F.floor(epoch_micros(s) / 1_000_000)
+    ).cast("long")

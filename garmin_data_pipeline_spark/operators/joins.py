@@ -19,6 +19,8 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.durations import epoch_micros
+
 
 def master_outer_join(
     dfs: Sequence[DataFrame] | dict[str, DataFrame],
@@ -136,14 +138,14 @@ def join_range(
     by = list(by)
     binus = bin_seconds * 1_000_000
     lb = left.withColumn(
-        "__bin", F.floor(F.unix_micros(F.col(ts_col)) / binus)
+        "__bin", F.floor(epoch_micros(ts_col) / binus)
     )
     rb = right.withColumn(
         "__bin",
         F.explode(
             F.sequence(
-                F.floor(F.unix_micros(F.col(start_col)) / binus),
-                F.floor(F.unix_micros(F.col(end_col)) / binus),
+                F.floor(epoch_micros(start_col) / binus),
+                F.floor(epoch_micros(end_col) / binus),
             )
         ),
     )

@@ -49,9 +49,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); with
-        # spark.sql.legacy.parquet.nanosAsLong it surfaces as LongType
-        # nanos. Truncate to micros exactly like DuckDB does.
+        # Driver-generated events.ts has shipped as parquet
+        # TIMESTAMP(NANOS) in some rounds (surfaces as LongType nanos
+        # under nanosAsLong — truncate to micros exactly like DuckDB)
+        # and as TIMESTAMP(MICROS) isAdjustedToUTC=false in others
+        # (surfaces as TIMESTAMP_NTZ — no rewrite needed here; NTZ-
+        # sensitive call sites go through durations.epoch_micros).
+        # The isinstance guard keeps both shapes working.
         from pyspark.sql.types import LongType
 
         if isinstance(df.schema["ts"].dataType, LongType):

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..functions.durations import epoch_micros
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -186,7 +188,7 @@ def sessionize(
         # microsecond precision so the gap predicate is exact (and
         # matches a DuckDB epoch_us oracle bit-for-bit)
         new_session = (
-            F.unix_micros(F.col("ts")) - F.unix_micros(gap)
+            epoch_micros(F.col("ts")) - epoch_micros(gap)
             > gap_minutes * 60 * 1_000_000
         ) | gap.isNull()
         with_id = events.withColumn(
