@@ -30,6 +30,33 @@ REPEATS = 3
 # simhash candidate generation, text quality, ANN top-k — brute-force
 # baseline v1 plus both 100TB scale paths, LSH v2 and IVF v4 — and
 # sharded packing). Excludes the O(n^2)-ish exact-Jaccard verifier.
+#
+# ANCHOR is the exact query set round 1 measured (27.797s total): the
+# reported "value" sums ONLY these so the round-over-round series and
+# the 2x-of-BASELINE gate stay apples-to-apples as the headline set
+# grows. Everything timed is still in "queries"; "value_full" sums
+# the whole set and "value_scale_paths" the post-r1 additions.
+ANCHOR = [
+    "a1_pricing_summary",
+    "a2_daily_min",
+    "a3_latest_order_per_customer",
+    "a4_dedupe_latest_lineitem",
+    "w1_cumulative_spend",
+    "w5_densify_ffill",
+    "j1_master_daily_join",
+    "st1_tumbling_daily",
+    "f23_binned_group_mean",
+    "d1_exact_dedup",
+    "d3_minhash_lsh_pairs",
+    "t1_token_quality",
+    "t3_fingerprint",
+    "v1_cosine_topk_bruteforce",
+    "m1_multimodal_metadata",
+    "m2_frame_sampling",
+    "st2_sessionize",
+    "t4_length_quantiles",
+]
+
 HEADLINE = [
     "a1_pricing_summary",
     "a2_daily_min",
@@ -110,16 +137,24 @@ def main() -> None:
         timings[name] = round(statistics.median(reps), 3)
         spread[name] = round(max(reps) - min(reps), 3)
 
-    total = round(sum(timings.values()), 3)
+    anchor_total = round(sum(timings[n] for n in ANCHOR), 3)
+    full_total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": total,
+                "value": anchor_total,
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
                 "sf": sf,
+                "value_full": full_total,
+                "value_scale_paths": round(full_total - anchor_total, 3),
+                "anchor_note": (
+                    "value sums the 18-query round-1 anchor set only "
+                    "(r1=27.797s at sf0.1); queries/value_full cover "
+                    "the grown headline set incl. LSH/IVF serve paths"
+                ),
             }
         )
     )
