@@ -329,6 +329,101 @@ def cosine_topk_ivf(
     )
 
 
+def grid_centroids(n_cells: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random centroids (same LCG family as
+    :func:`hyperplanes`, but float-valued in [-1, 1)), rounded to 6
+    decimals so oracle SQL can embed literals that parse back to
+    bit-identical doubles in any engine.
+
+    This is the coarse quantizer of the ORACLE-CHECKABLE IVF twin:
+    KMeans centroids (see :func:`build_ivf_index`) give better cells
+    but are not reproducible outside Spark; a fixed pseudo-random
+    codebook exercises the identical probe/rerank plumbing with
+    cross-engine-verifiable results.
+    """
+    state = 0x9E3779B97F4A7C15
+    out = []
+    for _ in range(n_cells):
+        row = []
+        for _ in range(dim):
+            state = (
+                state * 6364136223846793005 + 1442695040888963407
+            ) % (1 << 64)
+            row.append(round((state >> 40) / float(1 << 24) * 2.0 - 1.0, 6))
+        out.append(row)
+    return out
+
+
+def _centroid_df(spark, centroids: list[list[float]]) -> DataFrame:
+    return spark.createDataFrame(
+        list(enumerate(centroids)), "cell int, centroid array<double>"
+    )
+
+
+def assign_cells_fixed(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization against a FIXED codebook: each vector
+    goes to its max-dot-product centroid.
+
+    Scale shape: broadcast the (tiny) centroid table, score every
+    (vector, centroid) pair map-side, then collapse with a ``max_by``
+    hash aggregate — partial aggregation removes the n_cells fan-out
+    before the shuffle, and there is no window and no iterative fit
+    anywhere. Determinism: the ordering key is
+    (coalesce(dot, -inf), -cell), so dot ties break to the lowest
+    cell and a NULL/corrupt vector lands in cell 0 (it is excluded
+    downstream anyway by its NULL cosine).
+    """
+    cent_df = _centroid_df(corpus.sparkSession, centroids)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        as_double_array(vec_col).alias("v"),
+    )
+    scored = c.join(F.broadcast(cent_df)).select(
+        "vec_id",
+        "v",
+        "cell",
+        F.coalesce(
+            _dot(F.col("v"), F.col("centroid")), F.lit(-1e300)
+        ).alias("cdot"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.first("v").alias("v"),
+        F.max_by(
+            "cell", F.struct(F.col("cdot"), (-F.col("cell")).alias("nc"))
+        ).alias("cell"),
+    )
+
+
+def cosine_topk_ivf_grid(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF approximate top-k with the deterministic grid codebook:
+    identical probe + rerank plumbing to :func:`cosine_topk_ivf`, with
+    the KMeans fit swapped for :func:`grid_centroids` so a SQL oracle
+    can reproduce every step (cell assignment, probe choice, rerank)
+    bit-for-bit."""
+    cents = grid_centroids(n_cells, dim)
+    assigned = assign_cells_fixed(corpus, cents, id_col, vec_col)
+    cent_df = _centroid_df(corpus.sparkSession, cents)
+    return search_ivf(
+        assigned, cent_df, queries, k, n_probe, query_id_col, query_vec_col
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

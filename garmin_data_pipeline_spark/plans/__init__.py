@@ -25,6 +25,7 @@ from garmin_data_pipeline_spark.plans.queries import (
 #   r2: f2 p13 p3 p4 p6 o3 (green r1+r2, code unchanged since)
 #   r1/r2 rows-only: d3 d4 v4 t8 (no_oracle by design)
 #   never: d3p d4p t8p (new in r4 — md5 hash-parity twins)
+#          v4p (new in r4 — grid-codebook IVF, hash-matched)
 _HEAD = [
     # no driver row since r2 (green r1+r2, unchanged — re-certify):
     "f2_epoch_millis",
@@ -37,6 +38,7 @@ _HEAD = [
     "d3p_minhash_lsh_pairs",
     "d4p_simhash_candidates",
     "t8p_rolling_fingerprint",
+    "v4p_cosine_topk_ivf_grid",
     # rows-only family: last recorded r2; v4 additionally changed
     # behavior in r3 (sample_fraction) with no row since (ADVICE r3):
     "d3_minhash_lsh_pairs",
@@ -50,8 +52,10 @@ _HEAD = [
     "m2_frame_sampling",
 ]
 _TAIL = [
-    # green in r3, code unchanged in r4, trivial semantics — the 13
-    # rotated out so the 63-query surface fits the 50-row cap:
+    # green in r3, code unchanged in r4, trivial semantics — rotated
+    # out so the grown surface fits the 50-row cap (sized by the
+    # ordering test to len(QUERIES) - 50):
+    "a5_total_duration",
     "p1_projection_revenue",
     "p9_filter_status_neq",
     "p10_filter_notnull",

@@ -29,6 +29,7 @@ from garmin_data_pipeline_spark.operators.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_lsh,
     embedding_near_dup_pairs,
+    grid_centroids,
     hyperplanes,
 )
 from garmin_data_pipeline_spark.plans.registry import register, table
@@ -554,6 +555,96 @@ def v4_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cosine", 6).alias("cosine"),
         "rank",
     ).orderBy("query_id", "rank")
+
+
+def _cent_values_sql(cents: list[list[float]]) -> str:
+    """DuckDB VALUES rows for the grid codebook — the literals are the
+    exact 6-decimal strings :func:`grid_centroids` rounded to, so both
+    engines parse identical doubles."""
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in row)}]::DOUBLE[])"
+        for i, row in enumerate(cents)
+    )
+    return rows
+
+
+_GRID_CELLS = 8
+_GRID_PROBE = 2
+_GRID = grid_centroids(_GRID_CELLS, 64)
+
+
+@register(
+    "v4p_cosine_topk_ivf_grid",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id < 5
+    ), c AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), cent(cell, cv) AS (
+        VALUES {_cent_values_sql(_GRID)}
+    ), qc AS (
+        -- probe: the n_probe nearest cells per query (dot vs codebook)
+        SELECT query_id, qv, cell FROM (
+            SELECT query_id, qv, cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY list_dot_product(qv, cv) DESC, cell
+                   ) AS crank
+            FROM q CROSS JOIN cent
+        ) WHERE crank <= {_GRID_PROBE}
+    ), assigned AS (
+        -- coarse quantization: every corpus vector -> max-dot cell
+        SELECT vec_id, v, cell FROM (
+            SELECT vec_id, v, cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY COALESCE(list_dot_product(v, cv), -1e300)
+                                DESC, cell
+                   ) AS arank
+            FROM c CROSS JOIN cent
+        ) WHERE arank = 1
+    ), scored AS (
+        SELECT query_id, vec_id, {_COS} AS cos_raw
+        FROM assigned JOIN qc USING (cell)
+        WHERE {_COS} IS NOT NULL
+    )
+    SELECT query_id, vec_id, ROUND(cos_raw, 6) AS cosine,
+           CAST(rnk AS INT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos_raw DESC, vec_id
+        ) AS rnk FROM scored
+    ) WHERE rnk <= 10
+    """,
+    doc="IVF top-k with the deterministic grid codebook: the "
+    "hash-matched twin of v4 (same assign/probe/rerank plumbing; the "
+    "KMeans fit — not reproducible in DuckDB — swapped for a fixed "
+    "pseudo-random codebook both engines embed as literals). v4 stays "
+    "the production fit; this row certifies the IVF machinery.",
+)
+def v4p_cosine_topk_ivf_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.similarity import (
+        cosine_topk_ivf_grid,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = cosine_topk_ivf_grid(
+        emb, queries, k=10, n_cells=_GRID_CELLS, n_probe=_GRID_PROBE
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 6).alias("cosine"),
+        "rank",
+    )
 
 
 # ---------------------------------------------------------------------------

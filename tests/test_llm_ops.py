@@ -172,6 +172,36 @@ def test_ivf_topk_self_match(spark, sf_dir):
     assert best == {0: 0, 1: 1, 2: 2}
 
 
+def test_ivf_grid_codebook_and_self_match(spark, sf_dir):
+    """The oracle-checkable IVF twin: codebook is deterministic and
+    SQL-literal-exact; assignment covers every vector exactly once;
+    a query drawn from the corpus finds itself at rank 1 (its own
+    argmax cell is by construction its first probe)."""
+    cents = sim.grid_centroids(8, 64)
+    assert cents == sim.grid_centroids(8, 64)
+    # 6-decimal rounding means repr() text parses back bit-identical —
+    # the property the inlined oracle literals rely on
+    assert all(float(repr(x)) == x for row in cents for x in row)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    assigned = sim.assign_cells_fixed(emb, cents)
+    assert assigned.count() == n
+    assert assigned.select("vec_id").distinct().count() == n
+    assert assigned.filter(F.col("cell").isNull()).count() == 0
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = sim.cosine_topk_ivf_grid(emb, queries, k=3, n_cells=8, n_probe=2)
+    best = {
+        r["query_id"]: r["vec_id"]
+        for r in out.filter(F.col("rank") == 1).collect()
+    }
+    assert best == {0: 0, 1: 1, 2: 2}
+
+
 def test_ivf_fit_input_is_the_sample(spark, sf_dir):
     """With sample_fraction set, KMeans must fit on the seeded sample,
     not the full corpus — and the index must still search correctly."""
@@ -815,7 +845,7 @@ def test_similarity_oracles_on_zero_and_null_vectors(spark, tmp_path):
     oracles = plans.oracle_sql()
     failures = {}
     for name in ("v1_cosine_topk_bruteforce", "v2_cosine_topk_lsh",
-                 "v3_embedding_near_dups"):
+                 "v3_embedding_near_dups", "v4p_cosine_topk_ivf_grid"):
         sdf = qs[name](spark, str(tmp_path)).toPandas()
         assert not (sdf["vec_id" if "vec_id" in sdf else "id_a"].isna().any()
                     if name != "v3_embedding_near_dups" else False)
