@@ -232,6 +232,137 @@ def shingles(text: Column | str, n: int = 3) -> Column:
 
 # ---- Oracle-SQL mirrors (DuckDB) built from the same constants ----
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-length preprocessing step of an LLM training pipeline
+    (long doc -> chunk_tokens-sized windows sharing ``overlap`` tokens
+    so no boundary context is lost).
+
+    Semantics: chunk starts are 0, stride, 2*stride, ... (stride =
+    chunk_tokens - overlap), emitted only while the chunk still
+    contributes at least one NEW token (start < n_tokens - overlap;
+    a doc with <= overlap tokens still yields its single chunk).
+    Every token is covered, no chunk is fully redundant, and
+    empty/whitespace/NULL docs yield zero chunks (the
+    :func:`tokens`/:func:`sql_tokens` contract).
+
+    Scale shape: tokenize, generate starts (``explode(sequence)``),
+    slice and re-join — all JVM array ops on the row. The plan is
+    NARROW: zero shuffles at any corpus size, fan-out bounded by
+    ceil(n/stride) rows per document.
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("chunk_tokens must exceed overlap")
+    base = (
+        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .withColumn("__n", F.size("__toks"))
+        .filter(F.col("__n") > 0)
+    )
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("__n") - overlap - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    chunk = F.slice(
+        F.col("__toks"), F.col("__start") + 1, chunk_tokens
+    )
+    return (
+        base.withColumn("__start", F.explode(starts))
+        .select(
+            F.col(id_col),
+            F.floor(F.col("__start") / stride)
+            .cast("int")
+            .alias("chunk_index"),
+            F.size(chunk).cast("int").alias("n_tokens"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+        )
+    )
+
+
+# PII scrub contract (shared with oracle SQL): pattern text is the
+# common Java-regex / RE2 subset so Spark and DuckDB match identically;
+# applied in this dict order (insertion-ordered) so replacements are
+# deterministic when categories could interact.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "[EMAIL]"),
+    "phone": (r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "[PHONE]"),
+    "ssn": (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[SSN]"),
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, tuple[str, str]] = PII_PATTERNS,
+) -> DataFrame:
+    """Scrub PII-shaped spans from a text column — the compliance pass
+    of a training-data pipeline. Adds one ``n_<category>`` count per
+    pattern (matches BEFORE redaction) and a ``redacted`` column with
+    every match replaced by its placeholder, categories applied in
+    dict order. Pure Column expressions (regexp_count /
+    regexp_replace): JVM-side, codegen'd, zero shuffles."""
+    out = df
+    red = F.col(text_col)
+    for cat, (pat, repl) in patterns.items():
+        out = out.withColumn(
+            f"n_{cat}", F.regexp_count(F.col(text_col), F.lit(pat))
+        )
+        red = F.regexp_replace(red, pat, repl.replace("$", r"\$"))
+    return out.withColumn("redacted", red)
+
+
+def sql_redact_pii(
+    text_expr: str,
+    patterns: dict[str, tuple[str, str]] = PII_PATTERNS,
+) -> tuple[list[str], str]:
+    """DuckDB mirror of :func:`redact_pii`: (count projections,
+    redacted-text expression) built from the same pattern table."""
+    counts = [
+        f"CAST(len(regexp_extract_all({text_expr}, '{pat}')) AS INT)"
+        f" AS n_{cat}"
+        for cat, (pat, _) in patterns.items()
+    ]
+    red = text_expr
+    for _, (pat, repl) in patterns.items():
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return counts, f"{red} AS redacted"
+
+
+def sql_chunk_documents(
+    chunk_tokens: int = 32, overlap: int = 8, text_expr: str = "text"
+) -> str:
+    """DuckDB mirror of :func:`chunk_documents` (same starts, same
+    slices, same normalization via :func:`sql_tokens`)."""
+    stride = chunk_tokens - overlap
+    return f"""
+    WITH __t AS (
+        SELECT doc_id, {sql_tokens(text_expr)} AS toks FROM documents
+    ), __nz AS (
+        SELECT doc_id, toks, len(toks) AS n FROM __t WHERE len(toks) > 0
+    ), __s AS (
+        SELECT doc_id, toks,
+               unnest(range(0, greatest(n - {overlap}, 1), {stride}))
+                   AS start
+        FROM __nz
+    )
+    SELECT doc_id,
+           CAST(start // {stride} AS INT) AS chunk_index,
+           CAST(len(list_slice(toks, start + 1, start + {chunk_tokens}))
+                AS INT) AS n_tokens,
+           array_to_string(
+               list_slice(toks, start + 1, start + {chunk_tokens}), ' ')
+               AS chunk_text
+    FROM __s
+    """
+
+
 def sql_tokens(text_expr: str) -> str:
     return (
         "list_filter(string_split(trim(regexp_replace(lower("

@@ -26,6 +26,7 @@ from garmin_data_pipeline_spark.plans.queries import (
 #   r1/r2 rows-only: d3 d4 v4 t8 (no_oracle by design)
 #   never: d3p d4p t8p (new in r4 — md5 hash-parity twins)
 #          v4p (new in r4 — grid-codebook IVF, hash-matched)
+#          t11 t12 (new in r4 — chunking / PII scrub, hash-matched)
 _HEAD = [
     # no driver row since r2 (green r1+r2, unchanged — re-certify):
     "f2_epoch_millis",
@@ -39,6 +40,8 @@ _HEAD = [
     "d4p_simhash_candidates",
     "t8p_rolling_fingerprint",
     "v4p_cosine_topk_ivf_grid",
+    "t11_document_chunking",
+    "t12_pii_redaction",
     # rows-only family: last recorded r2; v4 additionally changed
     # behavior in r3 (sample_fraction) with no row since (ADVICE r3):
     "d3_minhash_lsh_pairs",
@@ -56,6 +59,8 @@ _TAIL = [
     # out so the grown surface fits the 50-row cap (sized by the
     # ordering test to len(QUERIES) - 50):
     "a5_total_duration",
+    "a11_correlation",
+    "w2_prior_order_price",
     "p1_projection_revenue",
     "p9_filter_status_neq",
     "p10_filter_notnull",

@@ -1020,6 +1020,82 @@ def t10_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t11_document_chunking",
+    T.sql_chunk_documents(chunk_tokens=32, overlap=8),
+    doc="Overlapping token-window chunking (32-token chunks, 8-token "
+    "overlap): the context-length preprocessing step of a training "
+    "pipeline. Narrow plan — tokenize/explode/slice are row-local "
+    "array ops, zero shuffles at any corpus size.",
+)
+def t11_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+def _t12_oracle() -> str:
+    counts, red = T.sql_redact_pii("text")
+    projections = ",\n           ".join(counts + [red])
+    return f"""
+    WITH t AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com tel '
+                    || printf('555-%03d-%04d', doc_id % 1000,
+                              (doc_id * 7) % 10000)
+                    || CASE WHEN doc_id % 3 = 0
+                            THEN printf(' ssn %03d-%02d-%04d',
+                                        doc_id % 1000, doc_id % 100,
+                                        doc_id % 10000)
+                            ELSE '' END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           {projections}
+    FROM t
+    """
+
+
+@register(
+    "t12_pii_redaction",
+    _t12_oracle(),
+    doc="PII scrub pass: per-category match counts + placeholder "
+    "redaction over the shared Java-regex/RE2 pattern table. The "
+    "synthetic corpus carries no PII, so the plan deterministically "
+    "plants an email/phone/(every-3rd-doc) SSN per document — both "
+    "engines construct and then redact the identical text. Pure "
+    "regexp Column ops: zero shuffles at any scale.",
+)
+def t12_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com tel "),
+            F.format_string(
+                "555-%03d-%04d",
+                F.pmod(F.col("doc_id"), F.lit(1000)),
+                F.pmod(F.col("doc_id") * 7, F.lit(10000)),
+            ),
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+                F.format_string(
+                    " ssn %03d-%02d-%04d",
+                    F.pmod(F.col("doc_id"), F.lit(1000)),
+                    F.pmod(F.col("doc_id"), F.lit(100)),
+                    F.pmod(F.col("doc_id"), F.lit(10000)),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return T.redact_pii(planted, "text").select(
+        "doc_id", "n_email", "n_phone", "n_ssn", "redacted"
+    )
+
+
+@register(
     "t8_rolling_fingerprint",
     None,  # xxhash64-based polynomial -> not reproducible in DuckDB
     doc="Order-sensitive rolling-hash document fingerprint.",

@@ -172,6 +172,68 @@ def test_ivf_topk_self_match(spark, sf_dir):
     assert best == {0: 0, 1: 1, 2: 2}
 
 
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Chunking invariants: every token lands in some chunk, adjacent
+    chunks share exactly `overlap` tokens (while the previous chunk is
+    full), no chunk is fully redundant, and reassembling chunk tokens
+    (skipping each chunk's first `overlap` after the first chunk)
+    reproduces the original token stream."""
+    from garmin_data_pipeline_spark.operators import text as tx
+
+    rows = [
+        (0, " ".join(f"w{i}" for i in range(99))),   # 5-chunk doc
+        (1, " ".join(f"w{i}" for i in range(32))),   # exactly one chunk
+        (2, " ".join(f"w{i}" for i in range(33))),   # one token spills
+        (3, "solo"),                                  # sub-overlap doc
+        (4, ""),                                      # no chunks
+        (5, None),                                    # no chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tx.chunk_documents(df, chunk_tokens=32, overlap=8)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], {})[r["chunk_index"]] = (
+            r["chunk_text"].split(" "), r["n_tokens"]
+        )
+    assert set(got) == {0, 1, 2, 3}
+    assert len(got[1]) == 1 and got[1][0][1] == 32
+    assert len(got[2]) == 2 and got[2][1][1] == 33 - 24
+    assert got[3][0] == (["solo"], 1)
+    for doc_id, n in ((0, 99), (2, 33)):
+        chunks = [got[doc_id][i][0] for i in sorted(got[doc_id])]
+        rebuilt = chunks[0] + [t for c in chunks[1:] for t in c[8:]]
+        assert rebuilt == [f"w{i}" for i in range(n)], doc_id
+        for a, b in zip(chunks, chunks[1:]):
+            assert a[-8:] == b[:8] or len(a) < 32  # shared overlap
+            assert len(b) > 8  # contributes new tokens
+
+
+def test_redact_pii_scrubs_and_counts(spark):
+    """Redaction removes every planted PII span (no raw email/phone/
+    SSN survives), counts are per-category and pre-redaction, and
+    PII-free text passes through byte-identical."""
+    from garmin_data_pipeline_spark.operators import text as tx
+
+    rows = [
+        (0, "mail me at a.b+c@test-site.org or x@y.io thanks"),
+        (1, "call 555-123-4567 and ssn 123-45-6789 mixed"),
+        (2, "clean text with no pii at all"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in tx.redact_pii(df, "text").collect()}
+    assert (out[0]["n_email"], out[0]["n_phone"], out[0]["n_ssn"]) == (
+        2, 0, 0,
+    )
+    assert out[0]["redacted"] == "mail me at [EMAIL] or [EMAIL] thanks"
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ssn"]) == (
+        0, 1, 1,
+    )
+    assert out[1]["redacted"] == "call [PHONE] and ssn [SSN] mixed"
+    assert out[2]["redacted"] == rows[2][1]
+    assert out[3]["redacted"] is None and out[3]["n_email"] is None
+
+
 def test_ivf_grid_codebook_and_self_match(spark, sf_dir):
     """The oracle-checkable IVF twin: codebook is deterministic and
     SQL-literal-exact; assignment covers every vector exactly once;
@@ -666,7 +728,8 @@ def test_text_query_oracles_on_edge_corpus(spark, tmp_path):
         "t7_bpe_token_count", "t5_corpus_mix", "t6_sequence_packing",
         "t6b_sequence_packing_sharded", "d1_exact_dedup",
         "d2_token_jaccard_pairs", "t10_clean_corpus",
-        "t4_length_quantiles",
+        "t4_length_quantiles", "t11_document_chunking",
+        "t12_pii_redaction",
     ]
     failures = {}
     for name in targets:
