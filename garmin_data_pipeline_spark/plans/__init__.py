@@ -27,6 +27,7 @@ from garmin_data_pipeline_spark.plans.queries import (
 #   never: d3p d4p t8p (new in r4 — md5 hash-parity twins)
 #          v4p (new in r4 — grid-codebook IVF, hash-matched)
 #          t11 t12 (new in r4 — chunking / PII scrub, hash-matched)
+#          st3 (new in r4 — streaming-dedup batch twin, hash-matched)
 _HEAD = [
     # no driver row since r2 (green r1+r2, unchanged — re-certify):
     "f2_epoch_millis",
@@ -42,6 +43,7 @@ _HEAD = [
     "v4p_cosine_topk_ivf_grid",
     "t11_document_chunking",
     "t12_pii_redaction",
+    "st3_replay_dedup",
     # rows-only family: last recorded r2; v4 additionally changed
     # behavior in r3 (sample_fraction) with no row since (ADVICE r3):
     "d3_minhash_lsh_pairs",
@@ -61,6 +63,7 @@ _TAIL = [
     "a5_total_duration",
     "a11_correlation",
     "w2_prior_order_price",
+    "u1_union_mixed_schemas",
     "p1_projection_revenue",
     "p9_filter_status_neq",
     "p10_filter_notnull",

@@ -1166,6 +1166,32 @@ def st2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "st3_replay_dedup",
+    """
+    SELECT DISTINCT event_id, ts, user_id, event_type, value, props
+    FROM (
+        SELECT * FROM events
+        UNION ALL
+        SELECT * FROM events
+    )
+    """,
+    doc="Streaming exact dedup, batch twin: an at-least-once source "
+    "replays a whole shard (modeled as union-self); "
+    "dedupe_stream collapses the replays — "
+    "dropDuplicatesWithinWatermark on streaming frames (state "
+    "bounded by the watermark horizon), dropDuplicates here. One "
+    "hash-partition shuffle on the dedup key.",
+)
+def st3_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.streaming import dedupe_stream
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    return dedupe_stream(ev.union(ev), ["event_id"])
+
+
 # ---------------------------------------------------------------------------
 # J5 — as-of join (custom operator Spark lacks; DuckDB has native
 # ASOF JOIN, making this directly oracle-checkable): each purchase
