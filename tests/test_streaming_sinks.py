@@ -460,3 +460,52 @@ class TestJdbcDerbyRoundTrip:
         assert got.rdd.getNumPartitions() == 4
         assert got.count() == 100
         assert got.agg(F.sum("k")).first()[0] == 4950
+
+
+def test_events_queries_portable_across_timestamp_shapes(
+    spark, sf_dir, tmp_path
+):
+    """The driver's testdata has shipped `ts` as parquet
+    TIMESTAMP(NANOS) (rounds <=3) and TIMESTAMP(MICROS)
+    isAdjustedToUTC=false -> TIMESTAMP_NTZ (round 4). Pin the
+    epoch_micros contract: the events family must produce IDENTICAL
+    values whether `ts` reads as TIMESTAMP_NTZ or as an instant
+    (TIMESTAMP_LTZ), so the next shape flip is a no-op."""
+    import pandas as pd
+
+    from garmin_data_pipeline_spark import plans
+
+    src = pd.read_parquet(f"{sf_dir}/events.parquet")
+    assert str(src["ts"].dtype).startswith("datetime64")
+
+    ntz_dir = tmp_path / "ntz"
+    ltz_dir = tmp_path / "ltz"
+    for d in (ntz_dir, ltz_dir):
+        d.mkdir()
+    # NTZ twin: naive micros (what pandas/Arrow write by default)
+    src.to_parquet(ntz_dir / "events.parquet")
+    # instant twin: UTC-stamped -> parquet isAdjustedToUTC=true, reads
+    # back as TIMESTAMP (LTZ)
+    ltz = src.copy()
+    ltz["ts"] = ltz["ts"].dt.tz_localize("UTC")
+    ltz.to_parquet(ltz_dir / "events.parquet")
+
+    sess_tz = spark.conf.get("spark.sql.session.timeZone", None)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        qs = plans.queries()
+        for name in ("st2_sessionize", "j5_asof_join", "j6_range_join",
+                     "st1_tumbling_daily", "st3_replay_dedup"):
+            a = qs[name](spark, str(ntz_dir)).toPandas()
+            b = qs[name](spark, str(ltz_dir)).toPandas()
+            for df in (a, b):
+                for c in df.columns:
+                    if str(df[c].dtype).startswith("datetime64"):
+                        df[c] = df[c].dt.tz_localize(None)
+            cols = sorted(a.columns)
+            a = a[cols].sort_values(cols).reset_index(drop=True)
+            b = b[cols].sort_values(cols).reset_index(drop=True)
+            pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    finally:
+        if sess_tz is not None:
+            spark.conf.set("spark.sql.session.timeZone", sess_tz)
