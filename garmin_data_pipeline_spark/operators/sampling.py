@@ -19,36 +19,10 @@ correctness oracle (no RNG, no hash functions the oracle lacks).
 
 from __future__ import annotations
 
-import threading
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-
-# Intermediate relations persisted by pack_sequences_sharded. Contract:
-# ONE live packed plan at a time — a new invocation releases the cache
-# of the previous one (so a long-lived driver/bench loop doesn't leak
-# cached blocks). The operator is deterministic, so an evicted plan
-# recomputes correctly; this is a perf contract only. Callers that need
-# several live packed plans should persist/unpersist themselves.
-_PACK_LOCK = threading.Lock()
-_LIVE_PACKS: list[DataFrame] = []
-
-
-def _persist_pack(df: DataFrame) -> DataFrame:
-    with _PACK_LOCK:
-        while _LIVE_PACKS:
-            _LIVE_PACKS.pop().unpersist()
-        _LIVE_PACKS.append(df.persist())
-    return df
-
-
-def unpersist_pack_caches() -> None:
-    """Release every intermediate cached by pack_sequences_sharded."""
-    with _PACK_LOCK:
-        while _LIVE_PACKS:
-            _LIVE_PACKS.pop().unpersist()
-
 
 def mod_sample(
     df: DataFrame, key_col: str, rate: float, modulus: int = 100
@@ -159,15 +133,30 @@ def pack_sequences_sharded(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     prior = F.coalesce(F.sum(s).over(w), F.lit(0))
-    # The local-bin relation feeds both the per-shard bin counts and
-    # the final join; persist so the partitioned window runs once per
-    # action, not twice (at cluster scale: checkpoint the packed
-    # table instead).
-    local = _persist_pack(
-        df.withColumn("__local_bin", F.floor(prior / budget))
-    )
-    counts = local.groupBy(shard_col).agg(
-        (F.max("__local_bin") + 1).alias("__n_bins")
+    local = df.withColumn("__local_bin", F.floor(prior / budget))
+    # Per-shard bin counts WITHOUT materializing the windowed corpus:
+    # exclusive cumulative sums are monotone in the packing order, so
+    # the max local bin sits on the shard's LAST row and
+    #   n_bins = floor((sum(s) - s_last) / budget) + 1,
+    # s_last = max_by(s, packing order). One narrow map-side-partial
+    # hash aggregate over the raw input — cheaper than persisting the
+    # window output to read it twice (the cache write IS a full
+    # materialization), and no cache lifecycle to manage. Correct
+    # because order_by is a unique key per shard (the packing
+    # determinism contract); NULL sizes contribute 0 on both paths
+    # (sum skips them, coalesce covers an all-NULL / NULL-last shard).
+    order_struct = F.struct(*[F.col(c) for c in order_by])
+    counts = df.groupBy(shard_col).agg(
+        (
+            F.floor(
+                (
+                    F.coalesce(F.sum(s), F.lit(0))
+                    - F.coalesce(F.max_by(s, order_struct), F.lit(0))
+                )
+                / budget
+            )
+            + 1
+        ).alias("__n_bins")
     )
     # Exclusive prefix sum over shards, computed DRIVER-side: the
     # aggregate is #shards rows (thousands at most, by contract), so
