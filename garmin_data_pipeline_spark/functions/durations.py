@@ -168,17 +168,47 @@ def epoch_millis_to_timestamp(millis: Column | str) -> Column:
     return F.timestamp_millis(c.cast("long"))
 
 
-def epoch_micros(ts: Column | str) -> Column:
-    """Timestamp -> epoch microseconds, tolerant of TIMESTAMP_NTZ.
+def _ntz_wall_micros(c: Column) -> Column:
+    """Wall-clock -> epoch micros by pure field arithmetic. Every
+    primitive here (date cast, hour/minute/second, the SSSSSS
+    fraction) reads the NTZ wall clock directly — no LTZ intermediary
+    exists in any evaluation path, so the result cannot depend on the
+    session or JVM time zone."""
+    return (
+        F.unix_date(c.cast("date")).cast("long") * 86_400_000_000
+        + F.hour(c).cast("long") * 3_600_000_000
+        + F.minute(c).cast("long") * 60_000_000
+        + F.second(c).cast("long") * 1_000_000
+        + F.date_format(c, "SSSSSS").cast("long")
+    )
 
-    ``unix_micros`` rejects TIMESTAMP_NTZ — the type Spark 4 infers
-    for parquet written with isAdjustedToUTC=false (pandas / DuckDB /
-    Arrow writers). ``to_utc_timestamp(ts, 'UTC')`` bridges both
-    types: for NTZ it stamps the wall clock as UTC (no session-tz
-    dependence, unlike a plain cast), for TIMESTAMP it is the
-    identity. Exact to the microsecond either way.
+
+def epoch_micros(ts: Column | str, dtype=None) -> Column:
+    """Timestamp -> epoch microseconds, tolerant of TIMESTAMP_NTZ
+    (the type Spark 4 infers for parquet written with
+    isAdjustedToUTC=false — pandas / DuckDB / Arrow writers), which
+    ``unix_micros`` rejects outright.
+
+    Pass ``dtype`` (``df.schema[col].dataType``) whenever the schema
+    is in hand: NTZ inputs then use wall-clock field arithmetic
+    (session-tz independent by construction — matching a naive-SQL
+    oracle's ``epoch_us``), and instants use plain ``unix_micros``.
+
+    Without ``dtype`` the expression falls back to
+    ``unix_micros(to_utc_timestamp(ts, 'UTC'))``, which accepts both
+    types but is NOT fully session-tz independent for NTZ: Spark's
+    interpreted/constant-folded path first casts NTZ to TIMESTAMP
+    with the session time zone (the codegen path reads the wall clock
+    as UTC). Exact when the session/JVM zone is UTC; prefer passing
+    ``dtype``. (Property-tested: tests/test_properties.py.)
     """
     c = F.col(ts) if isinstance(ts, str) else ts
+    if dtype is not None:
+        from pyspark.sql.types import TimestampNTZType
+
+        if isinstance(dtype, TimestampNTZType):
+            return _ntz_wall_micros(c)
+        return F.unix_micros(c)
     return F.unix_micros(F.to_utc_timestamp(c, "UTC"))
 
 

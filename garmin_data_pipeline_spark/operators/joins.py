@@ -138,14 +138,27 @@ def join_range(
     by = list(by)
     binus = bin_seconds * 1_000_000
     lb = left.withColumn(
-        "__bin", F.floor(epoch_micros(ts_col) / binus)
+        "__bin",
+        F.floor(
+            epoch_micros(ts_col, left.schema[ts_col].dataType) / binus
+        ),
     )
     rb = right.withColumn(
         "__bin",
         F.explode(
             F.sequence(
-                F.floor(epoch_micros(start_col) / binus),
-                F.floor(epoch_micros(end_col) / binus),
+                F.floor(
+                    epoch_micros(
+                        start_col, right.schema[start_col].dataType
+                    )
+                    / binus
+                ),
+                F.floor(
+                    epoch_micros(
+                        end_col, right.schema[end_col].dataType
+                    )
+                    / binus
+                ),
             )
         ),
     )

@@ -187,8 +187,10 @@ def sessionize(
         gap = F.lag("ts").over(w)
         # microsecond precision so the gap predicate is exact (and
         # matches a DuckDB epoch_us oracle bit-for-bit)
+        ts_type = events.schema["ts"].dataType
         new_session = (
-            epoch_micros(F.col("ts")) - epoch_micros(gap)
+            epoch_micros(F.col("ts"), ts_type)
+            - epoch_micros(gap, ts_type)
             > gap_minutes * 60 * 1_000_000
         ) | gap.isNull()
         with_id = events.withColumn(

@@ -1,0 +1,174 @@
+"""Property-based tests (hypothesis) for the operator contracts that
+have algebraic definitions — packing equivalence, chunk coverage,
+timestamp-shape independence. Each example generates a whole input
+table (one Spark job per example, small max_examples) so the suite
+stays fast while still searching the input space."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from garmin_data_pipeline_spark.operators import sampling as sp
+from garmin_data_pipeline_spark.operators import text as tx
+from garmin_data_pipeline_spark.functions.durations import epoch_micros
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@SET
+@given(
+    sizes=st.lists(
+        st.one_of(st.integers(min_value=0, max_value=120), st.none()),
+        min_size=1,
+        max_size=40,
+    ),
+    budget=st.integers(min_value=1, max_value=64),
+    n_shards=st.integers(min_value=1, max_value=4),
+)
+def test_sharded_packing_matches_global_within_each_shard(
+    spark, sizes, budget, n_shards
+):
+    """For ANY sizes (zeros, oversized rows, NULLs) and any budget:
+    (a) with one shard, the sharded packer reproduces the global
+    packer's bin ids exactly; (b) with any shard count, shards'
+    bin-id ranges are disjoint, ids only step forward in packing
+    order (an oversized row may SKIP ids — bin = floor(cumsum/
+    budget) — but never reuses one), and every row keeps exactly
+    one bin."""
+    rows = [
+        (i, sz, i % n_shards) for i, sz in enumerate(sizes)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, n long, shard long"
+    )
+    # (a) single-shard equivalence with the global form
+    one = df.withColumn("shard1", F.pmod("doc_id", F.lit(1)))
+    got = {
+        r["doc_id"]: r["bin_id"]
+        for r in sp.pack_sequences_sharded(
+            one, "n", budget, "shard1", ["doc_id"]
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r["bin_id"]
+        for r in sp.pack_sequences(df, "n", budget, ["doc_id"]).collect()
+    }
+    assert got == want
+
+    # (b) multi-shard invariants
+    out = sp.pack_sequences_sharded(
+        df, "n", budget, "shard", ["doc_id"]
+    ).collect()
+    assert len(out) == len(sizes)  # no row lost or duplicated
+    by_shard: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: r["doc_id"]):
+        by_shard.setdefault(r["shard"], []).append(r)
+    ranges: list[tuple[int, int]] = []
+    for shard_rows in by_shard.values():
+        bins = [r["bin_id"] for r in shard_rows]
+        # bins only step forward in packing order
+        assert bins == sorted(bins)
+        # exact local semantics: bin = floor(exclusive-cumsum/budget)
+        cum = 0
+        for r in shard_rows:
+            assert r["bin_id"] - bins[0] == cum // budget
+            cum += r["n"] or 0
+        ranges.append((min(bins), max(bins)))
+    # shards' bin-id ranges are pairwise disjoint (global uniqueness)
+    ranges.sort()
+    for (_, hi), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi < lo2
+
+
+@SET
+@given(
+    n_tokens=st.integers(min_value=0, max_value=200),
+    chunk=st.integers(min_value=2, max_value=64),
+    data=st.data(),
+)
+def test_chunking_rebuilds_the_document(spark, n_tokens, chunk, data):
+    """For ANY doc length and (chunk, overlap) with overlap < chunk:
+    concatenating chunk 0 plus each later chunk's post-overlap suffix
+    reproduces the token stream exactly; every chunk except the last
+    is full-width; chunk indexes are 0..k-1."""
+    overlap = data.draw(st.integers(min_value=0, max_value=chunk - 1))
+    text = " ".join(f"w{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    rows = sorted(
+        tx.chunk_documents(
+            df, chunk_tokens=chunk, overlap=overlap
+        ).collect(),
+        key=lambda r: r["chunk_index"],
+    )
+    if n_tokens == 0:
+        assert rows == []
+        return
+    assert [r["chunk_index"] for r in rows] == list(range(len(rows)))
+    chunks = [r["chunk_text"].split(" ") for r in rows]
+    rebuilt = chunks[0] + [t for c in chunks[1:] for t in c[overlap:]]
+    assert rebuilt == [f"w{i}" for i in range(n_tokens)]
+    for c in chunks[:-1]:
+        assert len(c) == chunk
+
+
+@SET
+@given(
+    micros=st.lists(
+        st.integers(
+            min_value=0,  # 1970
+            max_value=4102444800_000_000,  # 2100
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    tz=st.sampled_from(
+        ["UTC", "America/New_York", "Asia/Tokyo", "Europe/Berlin"]
+    ),
+)
+def test_epoch_micros_shape_and_timezone_independent(spark, micros, tz):
+    """With the dtype in hand (how every operator calls it),
+    epoch_micros returns the same integer whether ts is TIMESTAMP_NTZ
+    or TIMESTAMP (instant), under ANY session timezone — for NTZ it
+    inverts timestamp construction exactly. (Without dtype the
+    NTZ fallback is only exact under a UTC session/JVM zone — see the
+    epoch_micros docstring.)"""
+    naive = [
+        (i, dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=m), m)
+        for i, m in enumerate(micros)
+    ]
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", tz)
+    try:
+        ntz = spark.createDataFrame(
+            naive, "i long, ts timestamp_ntz, m long"
+        )
+        got_ntz = ntz.select(
+            "m",
+            epoch_micros("ts", ntz.schema["ts"].dataType).alias("e"),
+        ).collect()
+        assert all(r["e"] == r["m"] for r in got_ntz)
+
+        # instant twin: timestamp_micros() builds TIMESTAMP (LTZ)
+        ltz = spark.createDataFrame(
+            [(i, m) for i, _, m in naive], "i long, m long"
+        ).select("m", F.timestamp_micros("m").alias("ts"))
+        got_ltz = ltz.select(
+            "m",
+            epoch_micros("ts", ltz.schema["ts"].dataType).alias("e"),
+        ).collect()
+        assert all(r["e"] == r["m"] for r in got_ltz)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    pytest.main([__file__, "-q"])
