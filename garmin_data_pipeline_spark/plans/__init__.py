@@ -28,6 +28,7 @@ from garmin_data_pipeline_spark.plans.queries import (
 #          v4p (new in r4 — grid-codebook IVF, hash-matched)
 #          t11 t12 (new in r4 — chunking / PII scrub, hash-matched)
 #          st3 (new in r4 — streaming-dedup batch twin, hash-matched)
+#          d5 (new in r4 — connected-components dup groups, hash-matched)
 _HEAD = [
     # no driver row since r2 (green r1+r2, unchanged — re-certify):
     "f2_epoch_millis",
@@ -44,6 +45,7 @@ _HEAD = [
     "t11_document_chunking",
     "t12_pii_redaction",
     "st3_replay_dedup",
+    "d5_duplicate_groups",
     # rows-only family: last recorded r2; v4 additionally changed
     # behavior in r3 (sample_fraction) with no row since (ADVICE r3):
     "d3_minhash_lsh_pairs",
@@ -64,6 +66,7 @@ _TAIL = [
     "a11_correlation",
     "w2_prior_order_price",
     "u1_union_mixed_schemas",
+    "a8_impute_mean",
     "p1_projection_revenue",
     "p9_filter_status_neq",
     "p10_filter_notnull",

@@ -180,10 +180,10 @@ _D2_MAX_DF = 50
 _SH3 = T.sql_shingles(_TOKS, 3)
 
 
-@register(
-    "d2_token_jaccard_pairs",
-    f"""
-    WITH sh AS (
+# Shared CTE chain: df-capped exact-Jaccard pairs (d2's oracle body,
+# reused as the edge list of d5's recursive-components oracle).
+_SQL_JACCARD_CTES = f"""
+    sh AS (
         SELECT doc_id AS doc, UNNEST({_SH3}) AS shingle
         FROM documents
     ), sizes AS (
@@ -197,13 +197,21 @@ _SH3 = T.sql_shingles(_TOKS, 3)
         SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
         FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc < b.doc
         GROUP BY a.doc, b.doc
-    )
-    SELECT doc_a, doc_b, inter,
-           inter / (sa.sz + sb.sz - inter) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc = doc_a
-    JOIN sizes sb ON sb.doc = doc_b
-    WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+    ), jpairs AS (
+        SELECT doc_a, doc_b, inter,
+               inter / (sa.sz + sb.sz - inter) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc = doc_a
+        JOIN sizes sb ON sb.doc = doc_b
+        WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+    )"""
+
+
+@register(
+    "d2_token_jaccard_pairs",
+    f"""
+    WITH {_SQL_JACCARD_CTES}
+    SELECT doc_a, doc_b, inter, jaccard FROM jpairs
     """,
     doc="Exact 3-gram Jaccard >= 0.5 pairs via df-capped inverted index.",
 )
@@ -216,6 +224,50 @@ def d2_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
         max_df=_D2_MAX_DF,
     )
+
+
+@register(
+    "d5_duplicate_groups",
+    f"""
+    WITH RECURSIVE {_SQL_JACCARD_CTES},
+    e AS (
+        SELECT doc_a AS a, doc_b AS b FROM jpairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM jpairs
+    ),
+    reach(n, r) AS (
+        SELECT a, a FROM e
+        UNION
+        SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.n
+    ),
+    comp AS (
+        SELECT n AS doc_id, MIN(r) AS group_id FROM reach GROUP BY n
+    )
+    SELECT doc_id, group_id,
+           COUNT(*) OVER (PARTITION BY group_id) AS group_size
+    FROM comp
+    """,
+    doc="Duplicate-GROUP resolution: connected components of the d2 "
+    "pair graph via iterative min-label propagation (Pregel-style "
+    "DataFrame loop, localCheckpoint per round, convergence by "
+    "monotone label-sum; oracle = recursive transitive closure). "
+    "Each cluster is labeled by its smallest member — the same "
+    "canonical choice exact dedup makes.",
+)
+def d5_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.graph import (
+        duplicate_groups,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.5,
+        max_df=_D2_MAX_DF,
+    )
+    return duplicate_groups(pairs, "doc_a", "doc_b")
 
 
 def _sql_minhash_lsh(

@@ -917,3 +917,50 @@ def test_similarity_oracles_on_zero_and_null_vectors(spark, tmp_path):
         if probs:
             failures[name] = probs
     assert not failures, failures
+
+
+def test_connected_components_semantics(spark):
+    """Min-label propagation: multi-round convergence on a chain,
+    independent components, duplicate/reversed edges tolerated, empty
+    input yields empty output, and the non-convergence cap raises
+    instead of returning partial labels."""
+    from garmin_data_pipeline_spark.operators.graph import (
+        connected_components,
+        duplicate_groups,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            # chain 1-2-3-4-5 (needs several rounds for 5 -> 1)
+            (2, 1), (2, 3), (3, 4), (5, 4),
+            # triangle 10-11-12 with a duplicate edge
+            (10, 11), (11, 12), (12, 10), (11, 10),
+            # isolated pair
+            (20, 21),
+        ],
+        "doc_a long, doc_b long",
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, "doc_a", "doc_b").collect()
+    }
+    assert comp == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+    groups = duplicate_groups(edges).collect()
+    sizes = {r["doc_id"]: r["group_size"] for r in groups}
+    assert sizes == {
+        1: 5, 2: 5, 3: 5, 4: 5, 5: 5,
+        10: 3, 11: 3, 12: 3, 20: 2, 21: 2,
+    }
+
+    empty = edges.limit(0)
+    assert connected_components(empty, "doc_a", "doc_b").count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, "doc_a", "doc_b", max_iter=1)
