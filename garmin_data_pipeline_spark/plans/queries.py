@@ -1322,6 +1322,46 @@ def a12_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_A13_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "a13_pivot_event_values",
+    """
+    SELECT user_id,
+           {cols}
+    FROM events
+    GROUP BY user_id
+    """.format(
+        cols=",\n           ".join(
+            "CAST(SUM(CAST(value AS DECIMAL(18,6))) "
+            f"FILTER (WHERE event_type = '{t}') AS DOUBLE) AS {t}_value"
+            for t in _A13_TYPES
+        )
+    ),
+    doc="Pivot (long -> wide): per-user sum(value) by event type with "
+    "a FIXED column list — the schema-stable form a production "
+    "pipeline needs (an inferred pivot would re-scan to discover "
+    "labels and drift the schema when a type is absent). One "
+    "hash-aggregate shuffle on user_id; the oracle mirrors it as "
+    "conditional FILTER aggregation.",
+)
+def a13_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _A13_TYPES)
+        .agg(F.sum("v").cast("double"))
+    )
+    renames = {t: f"{t}_value" for t in _A13_TYPES}
+    return out.select(
+        "user_id",
+        *[F.col(t).alias(n) for t, n in renames.items()],
+    )
+
+
 # ---------------------------------------------------------------------------
 # J4 — spatial join (reference documents-but-never-runs an ST_Contains
 # join of runs to routes, ETL Scripts/README.md:200-210). Executed here
