@@ -88,6 +88,17 @@ HEADLINE = [
     "t4_length_quantiles",
     "j4_spatial_join",
     "t10_clean_corpus",
+    # r4 additions: chunking/PII are narrow text passes, st3 is the
+    # streaming-dedup twin, a13 the fixed-column pivot, and
+    # d5_groups_lsh the full dedup composition (LSH candidates ->
+    # connected-components groups — the pipeline a 100 TB dedup run
+    # actually executes; registered d5 uses the d2 exact verifier for
+    # oracle-ability and is priced by it).
+    "t11_document_chunking",
+    "t12_pii_redaction",
+    "st3_replay_dedup",
+    "a13_pivot_event_values",
+    "d5_groups_lsh",
 ]
 
 
@@ -106,6 +117,7 @@ def main() -> None:
     # double-accumulation path a real pipeline would run (the oracle
     # keeps DECIMAL purely for cross-engine hash stability).
     from garmin_data_pipeline_spark.plans.llm_queries import (
+        d5_groups_lsh,
         v2_lsh_serve_q500,
         v4_ivf_serve_q500,
     )
@@ -117,6 +129,7 @@ def main() -> None:
         "a1_pricing_summary": a1_pricing_summary_production,
         "v2_lsh_serve_q500": v2_lsh_serve_q500,
         "v4_ivf_serve_q500": v4_ivf_serve_q500,
+        "d5_groups_lsh": d5_groups_lsh,
     }
 
     def run(df) -> None:

@@ -48,9 +48,18 @@ def connected_components(
     # previous round's joins (exponential analysis cost), and a
     # persist would need a manual unpersist lifecycle. Blocks are
     # freed when the superseded DataFrame is garbage collected.
-    sym = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    # Materialize the symmetrized edge list ONCE: it is re-joined every
+    # round, and without this the whole upstream pipeline that produced
+    # the pairs (e.g. a shingle inverted-index self-join) re-executes
+    # per round — the loop's cost would be rounds x candidate-generation
+    # instead of rounds x |edges|.
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .localCheckpoint()
+    )
 
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -77,6 +86,8 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("nbr_label").alias("nbr_min"))
         )
+        # Lazy checkpoint: the convergence aggregate right below is the
+        # materializing action, so each round costs ONE job, not two.
         labels = (
             labels.join(
                 nbr_min, labels["node"] == nbr_min["a"], "left"
@@ -88,7 +99,7 @@ def connected_components(
                     F.coalesce(F.col("nbr_min"), F.col("label")),
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_sum = labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))

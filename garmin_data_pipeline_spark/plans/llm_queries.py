@@ -727,6 +727,25 @@ def _serve_queries(emb: DataFrame) -> DataFrame:
     )
 
 
+def d5_groups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: the composition a 100 TB dedup pipeline actually
+    runs — MinHash-LSH candidate pairs (d3's scale path, not d2's
+    O(df^2) exact verifier) resolved into duplicate groups by the
+    components loop. Registered d5 keeps the d2 input because exact
+    Jaccard is what the recursive-CTE oracle can mirror."""
+    from garmin_data_pipeline_spark.operators.dedup_scale import (
+        minhash_lsh_pairs,
+    )
+    from garmin_data_pipeline_spark.operators.graph import (
+        duplicate_groups,
+    )
+
+    pairs = minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    return duplicate_groups(pairs, "doc_a", "doc_b")
+
+
 def v2_lsh_serve_q500(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return cosine_topk_lsh(emb, _serve_queries(emb), k=10, n_planes=8)
