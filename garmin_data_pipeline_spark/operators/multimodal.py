@@ -210,6 +210,72 @@ def sample_video_frames(
     )
 
 
+def window_audio(
+    df: DataFrame,
+    window_bytes: int = 512,
+    hop_bytes: int = 256,
+    payload_col: str = "payload",
+    real: bool = False,
+) -> DataFrame:
+    """Overlapping audio windowing: one input row -> one row per
+    analysis window (the STFT/feature-extraction front end of an
+    audio pipeline), entirely JVM-side.
+
+    The *decoder* is stubbed (``real=True`` raises — no audio codecs
+    here): a fake "waveform" is the raw payload, windowed into
+    ``window_bytes`` slices every ``hop_bytes`` (hop < window =
+    overlap, exactly like the token chunker's stride). Same plan shape
+    as :func:`sample_video_frames`: window starts come from an
+    exploded ``sequence``, each window is a ``substring`` slice of the
+    BinaryType payload — no Python in the plan, O(payload x
+    window/hop) total bytes, and a real PCM/feature kernel plugs in
+    downstream via :func:`decode_frames` over the sliced windows.
+    Window starts are emitted while they contribute new bytes
+    (start < n_bytes - (window - hop), plus a first window for short
+    payloads) — the chunker's no-redundant-tail rule.
+    """
+    if real:
+        raise NotImplementedError(
+            "audio codecs not available; decode windows with "
+            "soundfile/librosa via decode_frames() over the slices"
+        )
+    if hop_bytes <= 0 or hop_bytes > window_bytes:
+        raise ValueError("need 0 < hop_bytes <= window_bytes")
+    in_cols = [c for c in df.columns if c != payload_col]
+    overlap = window_bytes - hop_bytes
+    n_bytes = F.length(F.col(payload_col))
+    return (
+        df.filter(n_bytes > 0)
+        .withColumn(
+            "window_start",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("bigint"),
+                    F.greatest(
+                        (n_bytes - overlap - 1).cast("bigint"),
+                        F.lit(0).cast("bigint"),
+                    ),
+                    F.lit(hop_bytes).cast("bigint"),
+                )
+            ),
+        )
+        .select(
+            *in_cols,
+            (F.col("window_start") / hop_bytes)
+            .cast("bigint")
+            .alias("window_idx"),
+            F.expr(
+                f"substring({payload_col}, "
+                f"window_start + 1, {window_bytes})"
+            ).alias("window"),
+            F.least(
+                F.lit(window_bytes).cast("bigint"),
+                n_bytes.cast("bigint") - F.col("window_start"),
+            ).alias("window_len"),
+        )
+    )
+
+
 def decode_frames(
     df: DataFrame,
     kernel,

@@ -838,6 +838,39 @@ def m2_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("doc_id", "frame_idx", "frame_len")
 
 
+@register(
+    "m3_audio_windows",
+    """
+    WITH t AS (
+        SELECT doc_id, octet_length(encode(text)) AS n_bytes
+        FROM documents
+    )
+    SELECT doc_id,
+           start // 256 AS window_idx,
+           LEAST(512, n_bytes - start) AS window_len
+    FROM t,
+         LATERAL (
+            SELECT unnest(range(0,
+                greatest(n_bytes - 256, 1), 256)) AS start
+         )
+    """,
+    doc="Overlapping audio windowing (512-byte windows, 256-byte hop "
+    "— 50% overlap, the STFT front-end shape): exploded sequence + "
+    "JVM-side substring slices, no Python in the plan; windows "
+    "emitted only while they contribute new bytes (the chunker's "
+    "no-redundant-tail rule). Fake codec, real plumbing.",
+)
+def m3_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.multimodal import (
+        window_audio,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    assets = attach_binary_payload(docs, "text").select("doc_id", "payload")
+    wins = window_audio(assets, window_bytes=512, hop_bytes=256)
+    return wins.select("doc_id", "window_idx", "window_len")
+
+
 # ---------------------------------------------------------------------------
 # T4 — corpus length profile: exact quantiles of per-doc token counts
 # (the pre-training data-profiling step that sizes truncation/packing).

@@ -964,3 +964,51 @@ def test_connected_components_semantics(spark):
 
     with _pytest.raises(RuntimeError, match="converge"):
         connected_components(edges, "doc_a", "doc_b", max_iter=1)
+
+
+def test_window_audio_overlap_and_coverage(spark):
+    """Audio windowing invariants (the byte analog of the token
+    chunker): windows advance by hop, adjacent full windows share
+    exactly window-hop bytes, every payload byte is covered, short
+    payloads yield one window, empty payloads none, and bad hop
+    values are rejected."""
+    from garmin_data_pipeline_spark.operators.multimodal import (
+        window_audio,
+    )
+
+    payloads = [
+        (0, bytes(range(256)) * 5),   # 1280 bytes -> several windows
+        (1, b"x" * 512),              # exactly one window
+        (2, b"y" * 513),              # one byte spills into window 2
+        (3, b"tiny"),                 # sub-window payload
+        (4, b""),                     # no windows
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    out = {}
+    for r in window_audio(df, window_bytes=512, hop_bytes=256).collect():
+        out.setdefault(r["doc_id"], {})[r["window_idx"]] = (
+            bytes(r["window"]), r["window_len"]
+        )
+    assert set(out) == {0, 1, 2, 3}
+    assert list(out[1]) == [0] and out[1][0][1] == 512
+    assert list(out[2]) == [0, 1] and out[2][1][1] == 513 - 256
+    assert out[3][0] == (b"tiny", 4)
+    full = payloads[0][1]
+    wins = [out[0][i][0] for i in sorted(out[0])]
+    # hop coverage: window i starts at i*256
+    for i, w in enumerate(wins):
+        assert w == full[i * 256 : i * 256 + 512]
+    # overlap: consecutive full windows share 256 bytes
+    for a, b in zip(wins, wins[1:]):
+        if len(a) == 512:
+            assert a[256:] == b[: len(a) - 256]
+    # rebuild the payload from window 0 + each later window's tail
+    rebuilt = wins[0] + b"".join(w[256:] for w in wins[1:])
+    assert rebuilt == full
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        window_audio(df, window_bytes=256, hop_bytes=512)
+    with _pytest.raises(NotImplementedError):
+        window_audio(df, real=True)
