@@ -31,6 +31,7 @@ from garmin_data_pipeline_spark.plans.queries import (
 #          d5 (new in r4 — connected-components dup groups, hash-matched)
 #          a13 (new in r4 — fixed-column pivot, hash-matched)
 #          m3 (new in r4 — audio windowing, hash-matched)
+#          a14 (new in r4 — salted skew-safe aggregate, hash-matched)
 _HEAD = [
     # no driver row since r2 (green r1+r2, unchanged — re-certify):
     "f2_epoch_millis",
@@ -50,6 +51,7 @@ _HEAD = [
     "d5_duplicate_groups",
     "a13_pivot_event_values",
     "m3_audio_windows",
+    "a14_salted_event_stats",
     # rows-only family: last recorded r2; v4 additionally changed
     # behavior in r3 (sample_fraction) with no row since (ADVICE r3):
     "d3_minhash_lsh_pairs",
@@ -73,6 +75,7 @@ _TAIL = [
     "a8_impute_mean",
     "a2_daily_min",
     "t7_bpe_token_count",
+    "t2_language_id",
     "p1_projection_revenue",
     "p9_filter_status_neq",
     "p10_filter_notnull",

@@ -1322,6 +1322,47 @@ def a12_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a14_salted_event_stats",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+           MIN(value) AS min_val,
+           COUNT(event_id) AS count_event_id
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Skew-resilient two-stage salted aggregation (operators/"
+    "skew.py): stage 1 groups on (key, hash-salt) so a pathological "
+    "hot key spreads over 16 reducers, stage 2 combines the algebraic "
+    "partials — bit-identical to the direct aggregate (the oracle IS "
+    "the direct aggregate). DECIMAL accumulation keeps the double sum "
+    "order-independent across the two stages.",
+)
+def a14_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.skew import salted_agg
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        F.col("value").alias("val"),
+    )
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {"v": "sum", "val": "min", "event_id": "count"},
+        salt_col="event_id",
+        buckets=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("sum_v").cast("double").alias("sum_v"),
+        F.col("min_val"),
+        "count_event_id",
+    )
+
+
 _A13_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
