@@ -18,9 +18,9 @@ handful of rounds suffices at any corpus size. For adversarial
 long-chain graphs, the documented upgrade path is the large-star/
 small-star algorithm (alternating pointer-doubling, O(log n) rounds,
 same per-round shape) — not needed for dedup workloads. Convergence
-is detected with a one-scalar action per round (labels only ever
-decrease, so an unchanged label SUM means a fixpoint); a capped
-non-converged run raises instead of returning silently wrong groups.
+is detected with a changed-label count per round (type-agnostic: ids
+may be strings — URLs, content hashes); a capped non-converged run
+raises instead of returning silently wrong groups.
 """
 
 from __future__ import annotations
@@ -67,12 +67,6 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    # Monotone convergence metric: labels only decrease, so the sum
-    # strictly decreases until the fixpoint. decimal(38,0) keeps the
-    # sum exact for arbitrarily many 64-bit ids.
-    prev_sum = labels.agg(
-        F.sum(F.col("label").cast("decimal(38,0)"))
-    ).first()[0]
 
     for _ in range(max_iter):
         nbr_min = (
@@ -86,7 +80,8 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("nbr_label").alias("nbr_min"))
         )
-        # Lazy checkpoint: the convergence aggregate right below is the
+        prev = labels
+        # Lazy checkpoint: the convergence count right below is the
         # materializing action, so each round costs ONE job, not two.
         labels = (
             labels.join(
@@ -101,14 +96,25 @@ def connected_components(
             )
             .localCheckpoint(eager=False)
         )
-        new_sum = labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))
-        ).first()[0]
-        if new_sum == prev_sum:
+        # Type-agnostic convergence: count nodes whose label changed
+        # this round (ids may be strings — URLs, content hashes — so
+        # no numeric summary of the label column is assumed). Labels
+        # are never NULL (they start as the node id and move through
+        # NULL-skipping min), so != is a safe comparison.
+        changed = (
+            labels.join(
+                prev.select(
+                    "node", F.col("label").alias("__prev_label")
+                ),
+                "node",
+            )
+            .filter(F.col("label") != F.col("__prev_label"))
+            .count()
+        )
+        if changed == 0:
             return labels.select(
                 "node", F.col("label").alias("component")
             )
-        prev_sum = new_sum
 
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
@@ -123,10 +129,13 @@ def duplicate_groups(
     exact-dedup operator also makes), with the cluster size attached
     for keep/drop policies."""
     comp = connected_components(pairs, id_a, id_b)
+    # No broadcast hint: the sizes table is O(#components) — unbounded
+    # at corpus scale. A plain equi-join lets AQE broadcast it only
+    # when runtime stats say it actually fits.
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("group_size")
     )
-    return comp.join(F.broadcast(sizes), "component").select(
+    return comp.join(sizes, "component").select(
         F.col("node").alias("doc_id"),
         F.col("component").alias("group_id"),
         "group_size",

@@ -125,6 +125,15 @@ def pack_sequences_sharded(
     Deterministic, engine-portable (SQL-mirrorable), and the wall cost
     is one partitioned window + one tiny aggregate instead of one task
     holding the corpus.
+
+    Contract: sizes must be NON-NEGATIVE (they are token/byte counts;
+    NULL is allowed and contributes 0) and ``order_by`` must be a
+    unique key per shard. Both are what make the per-shard bin-count
+    derivation below (max local bin sits on the shard's last row)
+    exact. NOTE the offsets are computed EAGERLY: building this
+    DataFrame runs one aggregation job and snapshots the per-shard
+    counts at build time — rebuild the plan if the input relation
+    changes underneath it.
     """
     s = F.col(size_col) if isinstance(size_col, str) else size_col
     w = (

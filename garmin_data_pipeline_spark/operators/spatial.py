@@ -89,8 +89,14 @@ def join_points_in_radius(
     lon_cell = lon_cell_deg if lon_cell_deg is not None else 2 * lat_cell
     # Longitude cell ids live on a ring of n_lon cells: lon is shifted
     # to [0, 360) and cell ids wrap with pmod, so a point at 179.9° and
-    # a place at −179.9° land in adjacent (joinable) cells.
-    n_lon = max(1, math.ceil(360.0 / lon_cell))
+    # a place at −179.9° land in adjacent (joinable) cells. The ring
+    # must divide 360° EVENLY: with ceil(360/w) cells of width w, the
+    # seam cell is narrower than w and near-seam pairs can sit 2 cells
+    # apart, escaping the ±1 neighborhood. So round the cell COUNT
+    # down and widen the cells to 360/n_lon (>= the requested width —
+    # oversizing only adds candidates, never drops pairs).
+    n_lon = max(1, math.floor(360.0 / lon_cell))
+    lon_cell = 360.0 / n_lon
 
     def cells(lat: str, lon: str) -> tuple[Column, Column]:
         return (

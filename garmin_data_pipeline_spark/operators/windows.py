@@ -91,8 +91,11 @@ def cumulative_sum_sharded(
         .orderBy("__bucket")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # Keep the raw prefix (no coalesce): its NULL-ness distinguishes
+    # "no prior non-NULL bucket" from "prior total is zero", which the
+    # final combine needs to reproduce window-sum NULL semantics.
     offsets = totals.withColumn(
-        "__offset", F.coalesce(F.sum("__bucket_total").over(w_prefix), F.lit(0))
+        "__offset", F.sum("__bucket_total").over(w_prefix)
     ).select(
         *[F.col(k).alias(f"__k_{k}") for k in keys],
         F.col("__bucket").alias("__k_bucket"),
@@ -103,9 +106,21 @@ def cumulative_sum_sharded(
     cond = [local[k].eqNullSafe(offsets[f"__k_{k}"]) for k in keys]
     cond.append(local["__bucket"].eqNullSafe(offsets["__k_bucket"]))
     joined = local.join(offsets, cond, "left")
-    return joined.withColumn(
-        out_col, F.col("__local_cum") + F.col("__offset")
-    ).select(*df.columns, out_col)
+    # Window-sum NULL contract: the direct cumsum is NULL only while NO
+    # non-NULL value has appeared for the key. A bucket whose leading
+    # rows are NULL has __local_cum NULL, but if an earlier bucket
+    # already contributed values the direct cumsum there is that prior
+    # total — so NULL survives only when BOTH parts are NULL.
+    combined = F.when(
+        F.col("__local_cum").isNull() & F.col("__offset").isNull(),
+        F.lit(None),
+    ).otherwise(
+        F.coalesce(F.col("__local_cum"), F.lit(0))
+        + F.coalesce(F.col("__offset"), F.lit(0))
+    )
+    return joined.withColumn(out_col, combined).select(
+        *df.columns, out_col
+    )
 
 
 def lag_with_default(

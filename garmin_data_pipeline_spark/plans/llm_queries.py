@@ -775,12 +775,16 @@ def v4_ivf_serve_q500(spark: SparkSession, sf_dir: str) -> DataFrame:
     "m1_multimodal_metadata",
     """
     WITH t AS (
+        -- NULL text decodes like an empty payload (the kernel maps
+        -- p or b'' before decoding), and an empty payload still has
+        -- metadata: checksum of no bytes is 0, not NULL.
         SELECT doc_id,
-               octet_length(encode(text)) AS n_bytes,
-               CAST(list_sum(list_transform(
-                   generate_series(1, least(64, length(text))),
+               octet_length(encode(COALESCE(text, ''))) AS n_bytes,
+               COALESCE(CAST(list_sum(list_transform(
+                   generate_series(1,
+                       least(64, length(COALESCE(text, '')))),
                    i -> ascii(substr(text, i, 1))
-               )) AS BIGINT) AS checksum
+               )) AS BIGINT), 0) AS checksum
         FROM documents
     )
     SELECT doc_id,
@@ -844,6 +848,10 @@ def m2_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
         SELECT doc_id, octet_length(encode(text)) AS n_bytes
         FROM documents
+        -- empty/NULL payloads have no windows (DuckDB's greatest()
+        -- IGNORES a NULL argument, so without this filter a NULL text
+        -- would fabricate a window the Spark plan never emits)
+        WHERE octet_length(encode(text)) > 0
     )
     SELECT doc_id,
            start // 256 AS window_idx,

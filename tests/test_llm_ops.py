@@ -729,7 +729,8 @@ def test_text_query_oracles_on_edge_corpus(spark, tmp_path):
         "t6b_sequence_packing_sharded", "d1_exact_dedup",
         "d2_token_jaccard_pairs", "t10_clean_corpus",
         "t4_length_quantiles", "t11_document_chunking",
-        "t12_pii_redaction",
+        "t12_pii_redaction", "m1_multimodal_metadata",
+        "m2_frame_sampling", "m3_audio_windows",
     ]
     failures = {}
     for name in targets:
@@ -959,6 +960,21 @@ def test_connected_components_semantics(spark):
 
     empty = edges.limit(0)
     assert connected_components(empty, "doc_a", "doc_b").count() == 0
+
+    # string ids (URLs / content hashes) — review regression: the old
+    # decimal-sum convergence metric crashed on non-numeric ids
+    sedges = spark.createDataFrame(
+        [("url/a", "url/b"), ("url/b", "url/c"), ("h:9", "h:7")],
+        "doc_a string, doc_b string",
+    )
+    scomp = {
+        r["node"]: r["component"]
+        for r in connected_components(sedges, "doc_a", "doc_b").collect()
+    }
+    assert scomp == {
+        "url/a": "url/a", "url/b": "url/a", "url/c": "url/a",
+        "h:7": "h:7", "h:9": "h:7",
+    }
 
     import pytest as _pytest
 

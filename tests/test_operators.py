@@ -531,6 +531,46 @@ class TestSpatialJoin:
         # on the same side; pid 3 is ~1100 km away.
         assert got == brute == {(1, "date-line"), (2, "date-line")}
 
+    def test_radius_join_seam_cell_not_narrow(self, spark):
+        """Review regression: with ceil(360/w) ring cells the seam
+        cell is narrower than w, so near-seam pairs at a radius whose
+        width does NOT divide 360 evenly sat 2 cells apart and were
+        dropped. radius 100 km at lat 55° reproduces it (old cells:
+        1.8018°, seam cell 1.44°)."""
+        from garmin_data_pipeline_spark.operators.spatial import (
+            haversine_km,
+            join_points_in_radius,
+        )
+
+        pts = spark.createDataFrame(
+            [(1, 55.0, 178.55), (2, 55.0, 179.7), (3, 55.0, 175.0)],
+            "pid int, lat double, lon double",
+        )
+        places = spark.createDataFrame(
+            [("seam", 55.0, -179.94)],
+            "station string, place_lat double, place_lon double",
+        )
+        radius = 100.0
+        got = {
+            (r["pid"], r["station"])
+            for r in join_points_in_radius(pts, places, radius).collect()
+        }
+        brute = {
+            (r["pid"], r["station"])
+            for r in pts.crossJoin(places)
+            .withColumn(
+                "d",
+                haversine_km(
+                    F.col("lat"), F.col("lon"),
+                    F.col("place_lat"), F.col("place_lon"),
+                ),
+            )
+            .filter(F.col("d") <= radius)
+            .collect()
+        }
+        assert got == brute
+        assert (1, "seam") in got  # the pair the narrow seam cell lost
+
     def test_radius_join_broadcasts_places(self, spark):
         from garmin_data_pipeline_spark.operators.spatial import (
             join_points_in_radius,

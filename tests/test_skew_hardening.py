@@ -191,3 +191,45 @@ class TestSkewSafeCumsum:
         for line in plan.splitlines():
             if "Window " in line and "windowspecdefinition" in line:
                 assert "key" in line and "__bucket" in line
+
+
+def test_cumulative_sum_sharded_null_value_runs(spark):
+    """NULL VALUES (not just NULL keys/buckets) must match the window
+    form: a bucket whose leading rows are NULL has a NULL local cumsum,
+    but the direct cumsum there is the prior bucket's total — NULL may
+    survive only while no non-NULL value has appeared for the key at
+    all (review finding, reproduced before the fix)."""
+    from garmin_data_pipeline_spark.operators import windows
+
+    df = spark.createDataFrame(
+        [
+            # key 'k': non-null in bucket 1, then bucket 2 LEADS with
+            # NULL -> direct cum = [5.0, 5.0, 8.0]
+            ("k", 1, 1, 5.0),
+            ("k", 2, 2, None),
+            ("k", 3, 2, 3.0),
+            # key 'z': all-NULL first bucket, value later -> direct
+            # cum = [None, None, 7.0]
+            ("z", 1, 1, None),
+            ("z", 2, 1, None),
+            ("z", 3, 2, 7.0),
+            # key 'w': never any value -> all NULL
+            ("w", 1, 1, None),
+            ("w", 2, 2, None),
+        ],
+        "key string, seq int, bkt int, v double",
+    )
+    want = {
+        (r["key"], r["seq"]): r["cum"]
+        for r in windows.cumulative_sum(
+            df, "v", ["key"], ["seq"], "cum"
+        ).collect()
+    }
+    got = {
+        (r["key"], r["seq"]): r["cum"]
+        for r in windows.cumulative_sum_sharded(
+            df, "v", ["key"], ["seq"], F.col("bkt"), "cum"
+        ).collect()
+    }
+    assert got == want
+    assert want[("k", 2)] == 5.0 and got[("w", 2)] is None
