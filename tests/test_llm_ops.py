@@ -264,6 +264,27 @@ def test_ivf_grid_codebook_and_self_match(spark, sf_dir):
     assert best == {0: 0, 1: 1, 2: 2}
 
 
+def test_ivf_grid_recall_vs_bruteforce(spark, sf_dir):
+    """Grid-codebook IVF is approximate: with 8 cells / 2 probes over
+    500 vectors the probed cells hold ~1/4 of the corpus, so top-k
+    recall vs brute force is partial — but the self-match must always
+    survive (a query's own argmax cell is its first probe) and recall
+    should clear a sanity floor."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    bf = sim.cosine_topk_bruteforce(emb, queries, k=5)
+    grid = sim.cosine_topk_ivf_grid(
+        emb, queries, k=5, n_cells=8, n_probe=2
+    )
+    bf_set = {(r["query_id"], r["vec_id"]) for r in bf.collect()}
+    g_set = {(r["query_id"], r["vec_id"]) for r in grid.collect()}
+    assert all((q, q) in g_set for q in range(5))
+    assert len(bf_set & g_set) / len(bf_set) >= 0.2
+
+
 def test_ivf_fit_input_is_the_sample(spark, sf_dir):
     """With sample_fraction set, KMeans must fit on the seeded sample,
     not the full corpus — and the index must still search correctly."""
