@@ -124,6 +124,20 @@ def lsh_bucket(vec_col, planes: list[list[float]]):
     return bucket
 
 
+def infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the first non-null vector (one
+    tiny probe job; LIMIT 1 stops the scan at the first file that has
+    a row). Raises if the column is all-NULL — a silent fallback would
+    degrade every LSH bucket to 0 (see :func:`cosine_topk_lsh`)."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    row = df.select(F.size(c).alias("d")).filter(F.col("d") > 0).first()
+    if row is None:
+        raise ValueError(
+            f"cannot infer embedding dim: no non-empty vectors in {vec_col!r}"
+        )
+    return int(row["d"])
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -133,11 +147,21 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: only candidates in the query's LSH bucket are
     scored. At 100 TB the bucket join replaces the full cross product;
-    recall < 1 by construction (report alongside brute force)."""
-    dim = 64
+    recall < 1 by construction (report alongside brute force).
+
+    ``dim`` is the embedding dimensionality the hyperplanes are drawn
+    for. It MUST match the data: ``zip_with`` NULL-pads the shorter
+    array, so planes longer than the vectors make every plane dot NULL
+    (-> every vector lands in bucket 0 == silent brute force), while
+    shorter planes ignore the vector's tail dimensions. Pass it
+    explicitly for a lazy plan, or leave ``None`` to infer it from the
+    corpus with one LIMIT-1 probe job at plan-construction time."""
+    if dim is None:
+        dim = infer_dim(corpus, vec_col)
     planes = hyperplanes(n_planes, dim)
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
@@ -430,10 +454,15 @@ def embedding_near_dup_pairs(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH self-join: pairs
-    in the same sign-bucket with cosine >= threshold (id_a < id_b)."""
-    planes = hyperplanes(n_planes, 64)
+    in the same sign-bucket with cosine >= threshold (id_a < id_b).
+    ``dim`` as in :func:`cosine_topk_lsh` — explicit keeps the plan
+    lazy, ``None`` infers it with one LIMIT-1 probe."""
+    if dim is None:
+        dim = infer_dim(df, vec_col)
+    planes = hyperplanes(n_planes, dim)
     v = df.select(
         F.col(id_col).alias("vid"),
         as_double_array(vec_col).alias("v"),

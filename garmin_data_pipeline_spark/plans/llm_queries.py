@@ -541,7 +541,7 @@ def v2_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    out = cosine_topk_lsh(emb, queries, k=10, n_planes=8)
+    out = cosine_topk_lsh(emb, queries, k=10, n_planes=8, dim=64)
     return out.select(
         "query_id",
         "vec_id",
@@ -574,7 +574,8 @@ def v2_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def v3_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = embedding_near_dup_pairs(
-        table(spark, sf_dir, "embeddings"), threshold=0.35, n_planes=8
+        table(spark, sf_dir, "embeddings"), threshold=0.35, n_planes=8,
+        dim=64,
     )
     return out.select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
@@ -748,7 +749,9 @@ def d5_groups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def v2_lsh_serve_q500(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    return cosine_topk_lsh(emb, _serve_queries(emb), k=10, n_planes=8)
+    return cosine_topk_lsh(
+        emb, _serve_queries(emb), k=10, n_planes=8, dim=64
+    )
 
 
 def v4_ivf_serve_q500(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -158,6 +158,64 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.2
 
 
+def test_lsh_dim_inference_non_64d(spark):
+    """The r4 verdict's finding: dim was hard-coded to 64, so on any
+    other corpus the zip_with NULL-padding sent EVERY vector to bucket
+    0 (silent brute force). Contract now: pass ``dim`` explicitly or it
+    is inferred from the corpus — either way buckets must actually
+    spread for a non-64-d corpus."""
+    import math
+
+    dim = 16
+    rows = [
+        (i, [math.sin(0.7 * (i + 1) * (j + 1)) for j in range(dim)])
+        for i in range(64)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>"
+    )
+    assert sim.infer_dim(emb, "embedding") == dim
+    planes = sim.hyperplanes(6, dim)
+    buckets = {
+        r["b"]
+        for r in emb.select(
+            sim.lsh_bucket(sim.as_double_array("embedding"), planes).alias(
+                "b"
+            )
+        ).collect()
+    }
+    # with the old dim=64 hard-code every plane-dot was NULL -> all
+    # rows in bucket 0; the contract is genuine bucket diversity
+    assert len(buckets) > 4
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    # inferred-dim path end-to-end: self-match must survive bucketing
+    out = sim.cosine_topk_lsh(emb, queries, k=3, n_planes=6)
+    top = {
+        r["query_id"]: r["vec_id"]
+        for r in out.filter(F.col("rank") == 1).collect()
+    }
+    assert top == {0: 0, 1: 1, 2: 2}
+    # explicit-dim path gives the identical result (lazy plan contract)
+    out2 = sim.cosine_topk_lsh(emb, queries, k=3, n_planes=6, dim=dim)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, out2.collect())
+    )
+
+
+def test_lsh_infer_dim_all_null_raises(spark):
+    emb = spark.createDataFrame(
+        [(0, None), (1, [])],
+        "vec_id: long, embedding: array<double>",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cannot infer"):
+        sim.infer_dim(emb, "embedding")
+
+
 def test_ivf_topk_self_match(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 3).select(
