@@ -4,29 +4,48 @@ north-star addition).
 
 Candidate generators (d2/d3/d4) emit duplicate PAIRS; choosing one
 canonical document per duplicate CLUSTER requires the transitive
-closure: connected components of the pair graph. Implemented as
-iterative min-label propagation in pure DataFrame ops (no GraphFrames
-dependency): every node repeatedly adopts the smallest label among
-itself and its neighbors, converging to the component's minimum node
-id.
+closure: connected components of the pair graph. Two pure-DataFrame
+algorithms (no GraphFrames dependency), identical output:
 
-Scale notes: each round is one shuffle-join of the (symmetrized) edge
-list against the current labels plus a hash aggregate — the classic
-Pregel-style shape. Rounds needed = graph diameter; duplicate
-clusters are dense and shallow (diameter 2-4 in practice), so a
-handful of rounds suffices at any corpus size. For adversarial
-long-chain graphs, the documented upgrade path is the large-star/
-small-star algorithm (alternating pointer-doubling, O(log n) rounds,
-same per-round shape) — not needed for dedup workloads. Convergence
-is detected with a changed-label count per round (type-agnostic: ids
-may be strings — URLs, content hashes); a capped non-converged run
-raises instead of returning silently wrong groups.
+- **min-label propagation with pointer jumping** (default): every
+  node repeatedly adopts the smallest label among itself, its
+  neighbors, and *its label's own label* (the pointer-jumping
+  shortcut). The shortcut halves the remaining distance to the
+  component minimum each round, so convergence is O(log diameter)
+  rounds instead of O(diameter) — a 10k-node chain resolves in ~15
+  rounds. Duplicate clusters are dense and shallow (diameter 2-4), so
+  they converge in 2-3 rounds either way.
+- **large-star / small-star** (``algorithm="star"``): the alternating
+  edge-rewriting algorithm of Kiveris et al., "Connected Components in
+  MapReduce and Beyond" (SoCC'14). Each round rewrites the edge list
+  itself (large-star links every strictly-larger neighbor to the local
+  minimum; small-star links the smaller-or-equal ones), converging in
+  O(log n) rounds to a forest of stars centered at each component's
+  minimum. Same per-round shape (shuffle join + hash aggregate), but
+  state is the edge list rather than a label table — the right choice
+  when the graph is adversarial (long chains, high-degree hubs) and
+  edges outnumber nodes.
+
+Scale notes: each round of either algorithm is one or two
+shuffle-joins plus a hash aggregate — the classic Pregel-style shape.
+Convergence is detected inside the SAME job that materializes the
+round's state (a ``__changed`` flag summed for min-label; an edge
+count + order-independent checksum for star), so a round costs ONE
+Spark job, not a separate join-and-count. A capped non-converged run
+raises instead of returning silently wrong groups. Node ids are
+type-agnostic (strings — URLs, content hashes — work).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    return edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
 
 
 def connected_components(
@@ -40,8 +59,9 @@ def connected_components(
     Returns (node, component) for every node appearing in ``edges``,
     where ``component`` is the smallest node id in the node's
     connected component. Deterministic; raises ``RuntimeError`` if the
-    fixpoint is not reached within ``max_iter`` rounds (diameter
-    bound) rather than returning partial labels.
+    fixpoint is not reached within ``max_iter`` rounds (~log2 of the
+    graph diameter, thanks to the pointer-jumping shortcut) rather
+    than returning partial labels.
     """
     # localCheckpoint (eager) per round: materializes the labels AND
     # truncates lineage — without it, round k's plan contains every
@@ -53,13 +73,7 @@ def connected_components(
     # the pairs (e.g. a shingle inverted-index self-join) re-executes
     # per round — the loop's cost would be rounds x candidate-generation
     # instead of rounds x |edges|.
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(
-            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-        )
-        .localCheckpoint()
-    )
+    sym = _symmetrize(edges, src, dst).localCheckpoint()
 
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -80,55 +94,171 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("nbr_label").alias("nbr_min"))
         )
-        prev = labels
-        # Lazy checkpoint: the convergence count right below is the
-        # materializing action, so each round costs ONE job, not two.
+        # Pointer-jumping shortcut: my new label may also come from my
+        # label's OWN label (labels joined against themselves on
+        # label = node). Each round the distance-to-minimum at least
+        # halves, so chains converge in O(log diameter) rounds.
+        jump = labels.select(
+            F.col("node").alias("__jt"), F.col("label").alias("jump_label")
+        )
+        new_label = F.least(
+            F.col("label"),
+            F.coalesce(F.col("nbr_min"), F.col("label")),
+            F.coalesce(F.col("jump_label"), F.col("label")),
+        )
+        # Lazy checkpoint: the convergence aggregate right below is the
+        # materializing action, so each round costs ONE job. The
+        # changed flag is computed IN the update projection (labels are
+        # never NULL and only ever decrease), which replaces the old
+        # separate join-against-previous-labels + count job.
         labels = (
-            labels.join(
-                nbr_min, labels["node"] == nbr_min["a"], "left"
-            )
+            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+            .join(jump, labels["label"] == F.col("__jt"), "left")
             .select(
                 "node",
-                F.least(
-                    F.col("label"),
-                    F.coalesce(F.col("nbr_min"), F.col("label")),
-                ).alias("label"),
+                new_label.alias("label"),
+                (new_label != F.col("label")).cast("long").alias("__changed"),
             )
             .localCheckpoint(eager=False)
         )
-        # Type-agnostic convergence: count nodes whose label changed
-        # this round (ids may be strings — URLs, content hashes — so
-        # no numeric summary of the label column is assumed). Labels
-        # are never NULL (they start as the node id and move through
-        # NULL-skipping min), so != is a safe comparison.
-        changed = (
-            labels.join(
-                prev.select(
-                    "node", F.col("label").alias("__prev_label")
-                ),
-                "node",
-            )
-            .filter(F.col("label") != F.col("__prev_label"))
-            .count()
-        )
-        if changed == 0:
-            return labels.select(
-                "node", F.col("label").alias("component")
-            )
+        changed = labels.agg(F.sum("__changed")).first()[0]
+        if not changed:
+            return labels.select("node", F.col("label").alias("component"))
 
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round: for each node u, link every strictly
+    larger neighbor to min(Γ(u) ∪ {u}). Connectivity-preserving
+    (Kiveris et al., Lemma 1); strictly-larger targets guarantee no
+    self-loops (m <= u < v)."""
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mins = sym.groupBy("a").agg(
+        F.least(F.min("b"), F.first("a")).alias("m")
+    )
+    return (
+        sym.filter(F.col("b") > F.col("a"))
+        .join(mins, "a")
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .dropDuplicates()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: orient every edge large->small, then for
+    each node u link its smaller-or-equal neighborhood (and u itself)
+    to min(Γ(u) ∪ {u})."""
+    dd = (
+        e.select(
+            F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .dropDuplicates()
+    )
+    mins = dd.groupBy("hi").agg(F.min("lo").alias("m"))
+    joined = dd.join(mins, "hi")
+    return (
+        joined.filter(F.col("lo") != F.col("m"))
+        .select(F.col("lo").alias("a"), F.col("m").alias("b"))
+        .union(joined.select(F.col("hi").alias("a"), F.col("m").alias("b")))
+        .dropDuplicates()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    SoCC'14): same (node, component) contract as
+    :func:`connected_components`, O(log n) rounds on any graph shape.
+
+    Convergence: the edge set is a fixpoint of both rewrites exactly
+    when it is a forest of stars rooted at each component minimum.
+    Stability is detected per half-round with an edge count plus an
+    order-independent xxhash64 checksum computed in the SAME job that
+    materializes the rewrite (collision odds ~2^-64 — accepted; an
+    exact set-difference would cost an extra shuffle per round).
+    Self-loop-only nodes (and any input self-loops) are preserved via
+    a final left join against the distinct-node table, labeling them
+    as their own singleton component, matching min-label behavior.
+    """
+    nodes = (
+        _symmetrize(edges, src, dst)
+        .select(F.col("a").alias("node"))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+
+    def _stats(df: DataFrame):
+        # decimal(38,0) sum: exact and overflow-free under ANSI mode
+        # (a plain long sum of 2^63-scale hashes throws)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev = None
+    converged = False
+    for _ in range(max_iter):
+        e = _large_star(e).localCheckpoint(eager=False)
+        s1 = _stats(e)  # materializes the half-round (single job)
+        e = _small_star(e).localCheckpoint(eager=False)
+        s2 = _stats(e)
+        if prev is not None and s1 == prev and s2 == s1:
+            converged = True
+            break
+        prev = s2
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+
+    # e is now (child, root) stars; roots appear only on the b side.
+    labels = e.select(F.col("a").alias("node"), F.col("b").alias("component"))
+    return (
+        nodes.join(labels, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("component"), F.col("node")).alias("component"),
+        )
+    )
+
+
 def duplicate_groups(
-    pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b"
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    algorithm: str = "min_label",
 ) -> DataFrame:
     """Pair list -> (doc_id, group_id, group_size): each duplicate
     cluster labeled by its smallest member (the canonical choice the
     exact-dedup operator also makes), with the cluster size attached
-    for keep/drop policies."""
-    comp = connected_components(pairs, id_a, id_b)
+    for keep/drop policies.
+
+    ``algorithm``: ``"min_label"`` (default — label-table propagation,
+    best when clusters are shallow, the dedup norm) or ``"star"``
+    (large-star/small-star edge rewriting — best for adversarial
+    shapes: long chains, hub-heavy graphs). Output is identical.
+    """
+    if algorithm == "min_label":
+        comp = connected_components(pairs, id_a, id_b)
+    elif algorithm == "star":
+        comp = connected_components_star(pairs, id_a, id_b)
+    else:
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     # No broadcast hint: the sizes table is O(#components) — unbounded
     # at corpus scale. A plain equi-join lets AQE broadcast it only
     # when runtime stats say it actually fits.

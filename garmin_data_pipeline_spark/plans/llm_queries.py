@@ -248,11 +248,14 @@ def d2_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM comp
     """,
     doc="Duplicate-GROUP resolution: connected components of the d2 "
-    "pair graph via iterative min-label propagation (Pregel-style "
-    "DataFrame loop, localCheckpoint per round, convergence by "
-    "monotone label-sum; oracle = recursive transitive closure). "
-    "Each cluster is labeled by its smallest member — the same "
-    "canonical choice exact dedup makes.",
+    "pair graph via iterative min-label propagation with a "
+    "pointer-jumping shortcut (Pregel-style DataFrame loop, "
+    "localCheckpoint per round, convergence by changed-label count "
+    "folded into the round's single job; oracle = recursive "
+    "transitive closure). Each cluster is labeled by its smallest "
+    "member — the same canonical choice exact dedup makes. "
+    "algorithm='star' swaps in large-star/small-star edge rewriting "
+    "for adversarial graph shapes.",
 )
 def d5_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from garmin_data_pipeline_spark.operators.graph import (

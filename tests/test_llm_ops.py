@@ -1061,6 +1061,95 @@ def test_connected_components_semantics(spark):
         connected_components(edges, "doc_a", "doc_b", max_iter=1)
 
 
+def test_connected_components_star_semantics(spark):
+    """Large-star/small-star must produce byte-identical components to
+    min-label on the same graph (chain, triangle with duplicate edge,
+    isolated pair, string ids, empty input)."""
+    from garmin_data_pipeline_spark.operators.graph import (
+        connected_components_star,
+        duplicate_groups,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            (2, 1), (2, 3), (3, 4), (5, 4),
+            (10, 11), (11, 12), (12, 10), (11, 10),
+            (20, 21),
+        ],
+        "doc_a long, doc_b long",
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components_star(edges, "doc_a", "doc_b").collect()
+    }
+    assert comp == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+    groups = duplicate_groups(edges, algorithm="star").collect()
+    sizes = {r["doc_id"]: r["group_size"] for r in groups}
+    assert sizes == {
+        1: 5, 2: 5, 3: 5, 4: 5, 5: 5,
+        10: 3, 11: 3, 12: 3, 20: 2, 21: 2,
+    }
+
+    empty = edges.limit(0)
+    assert connected_components_star(empty, "doc_a", "doc_b").count() == 0
+
+    sedges = spark.createDataFrame(
+        [("url/a", "url/b"), ("url/b", "url/c"), ("h:9", "h:7")],
+        "doc_a string, doc_b string",
+    )
+    scomp = {
+        r["node"]: r["component"]
+        for r in connected_components_star(
+            sedges, "doc_a", "doc_b"
+        ).collect()
+    }
+    assert scomp == {
+        "url/a": "url/a", "url/b": "url/a", "url/c": "url/a",
+        "h:7": "h:7", "h:9": "h:7",
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown algorithm"):
+        duplicate_groups(edges, algorithm="nope")
+
+
+def test_connected_components_long_chain_both_algorithms(spark):
+    """The r4 verdict's adversarial case: a 10k-node chain (diameter
+    10k). Plain min-label needed diameter rounds and raised at 50;
+    with the pointer-jumping shortcut it converges in ~log2(10k) ≈ 15
+    rounds, and large-star/small-star is O(log n) by construction.
+    Both must resolve the whole chain to component 0 inside the
+    default 50-round cap."""
+    from garmin_data_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 10_000
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    for algo in (connected_components, connected_components_star):
+        stats = (
+            algo(edges, "doc_a", "doc_b")
+            .agg(
+                F.count(F.lit(1)).alias("nodes"),
+                F.countDistinct("component").alias("ncomp"),
+                F.max("component").alias("maxc"),
+            )
+            .first()
+        )
+        assert stats["nodes"] == n + 1, algo.__name__
+        assert stats["ncomp"] == 1, algo.__name__
+        assert stats["maxc"] == 0, algo.__name__
+
+
 def test_window_audio_overlap_and_coverage(spark):
     """Audio windowing invariants (the byte analog of the token
     chunker): windows advance by hop, adjacent full windows share
