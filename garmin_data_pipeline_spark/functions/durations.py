@@ -212,18 +212,28 @@ def epoch_micros(ts: Column | str, dtype=None) -> Column:
     return F.unix_micros(F.to_utc_timestamp(c, "UTC"))
 
 
-def timestamp_diff_seconds(end: Column | str, start: Column | str) -> Column:
+def timestamp_diff_seconds(
+    end: Column | str,
+    start: Column | str,
+    end_dtype=None,
+    start_dtype=None,
+) -> Column:
     """end - start in whole seconds (reference sleep-duration calc,
     transform_all_datasets.py:105-112).
 
     Computed as a difference of per-side floored epoch seconds (the
     ``unix_timestamp`` contract the golden CSVs were produced under),
-    but via :func:`epoch_micros` so TIMESTAMP_NTZ inputs neither error
-    nor pick up a session-timezone dependence.
+    via :func:`epoch_micros`. Pass ``end_dtype``/``start_dtype``
+    (``df.schema[col].dataType``, or the known result type of an
+    expression such as ``to_timestamp`` -> ``TimestampType()``)
+    whenever the type is in hand: that routes TIMESTAMP_NTZ inputs
+    through wall-clock field arithmetic instead of the
+    plan-path-dependent ``to_utc_timestamp`` fallback (see
+    :func:`epoch_micros` — ADVICE r4).
     """
     e = F.col(end) if isinstance(end, str) else end
     s = F.col(start) if isinstance(start, str) else start
     return (
-        F.floor(epoch_micros(e) / 1_000_000)
-        - F.floor(epoch_micros(s) / 1_000_000)
+        F.floor(epoch_micros(e, end_dtype) / 1_000_000)
+        - F.floor(epoch_micros(s, start_dtype) / 1_000_000)
     ).cast("long")

@@ -295,3 +295,41 @@ def decode_frames(
             yield kernel(pdf)
 
     return df.mapInPandas(mapper, schema=out_schema)
+
+
+def checksum_frames(
+    df: DataFrame, frame_col: str = "frame"
+) -> DataFrame:
+    """Deterministic per-frame decode: md5 of each frame's bytes,
+    run THROUGH :func:`decode_frames` — i.e. this is the canned fake
+    codec that exercises the real Arrow decode boundary end-to-end
+    (slice JVM-side, ship only frame bytes to Python, one batch in ->
+    one batch out). A real ffmpeg/PIL kernel replaces the md5 line
+    and nothing else changes.
+
+    Output: the input columns minus ``frame_col``, plus
+    ``frame_md5 string``. md5 is computed over raw bytes, so it is
+    payload-exact for any corpus (the SQL oracle's VARCHAR md5 only
+    coincides for ASCII payloads — documented there, not here).
+    """
+    keep = [c for c in df.columns if c != frame_col]
+    keep_types = {
+        f.name: f.dataType.simpleString() for f in df.schema.fields
+    }
+    out_schema = ", ".join(
+        [f"{c} {keep_types[c]}" for c in keep] + ["frame_md5 string"]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        out = pdf[keep].copy()
+        out["frame_md5"] = [
+            hashlib.md5(
+                bytes(b) if b is not None else b""
+            ).hexdigest()
+            for b in pdf[frame_col]
+        ]
+        return out
+
+    return decode_frames(df, kernel, out_schema, frame_col)

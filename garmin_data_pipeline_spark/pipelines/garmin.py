@@ -25,6 +25,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampType
 
 from ..functions.cleaning import (
     bin_to_id,
@@ -238,7 +239,15 @@ def transform_sleep(df: DataFrame) -> DataFrame:
     out = (
         out.select("*", "sleepScores.*")
         .drop("sleepScores")
-        .withColumn("sleepDuration_s", timestamp_diff_seconds(end, start))
+        .withColumn(
+            "sleepDuration_s",
+            # to_timestamp returns TIMESTAMP (LTZ as an instant), so
+            # the dtype hint pins the unix_micros path regardless of
+            # evaluation mode (codegen vs interpreted)
+            timestamp_diff_seconds(
+                end, start, TimestampType(), TimestampType()
+            ),
+        )
         .withColumn(
             "sleepDurationHours",
             round_binary(F.col("sleepDuration_s") / 3600.0),

@@ -885,6 +885,48 @@ def m3_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wins.select("doc_id", "window_idx", "window_len")
 
 
+@register(
+    "m4_frame_checksums",
+    """
+    WITH t AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n_bytes
+        FROM documents
+    )
+    -- md5 over a VARCHAR slice equals the Spark kernel's md5 over the
+    -- frame BYTES only because this corpus is pure ASCII (asserted by
+    -- the testdata profile); the Spark side hashes raw bytes and is
+    -- corpus-agnostic.
+    SELECT doc_id,
+           idx AS frame_idx,
+           LEAST(256, n_bytes - idx * 256) AS frame_len,
+           md5(substring(text, idx * 256 + 1, 256)) AS frame_md5
+    FROM t,
+         LATERAL (
+            SELECT unnest(range(0,
+                CAST(ceil(n_bytes / 256.0) AS BIGINT), 2)) AS idx
+         )
+    """,
+    doc="Per-frame decode through the decode_frames Arrow boundary: "
+    "frames are sliced JVM-side (m2's plan), then ONLY the frame "
+    "bytes cross into an Arrow-batched pandas kernel that computes a "
+    "deterministic md5 per frame — the canned stand-in for a real "
+    "ffmpeg/PIL decode, exercising the exact plumbing (batch shape, "
+    "schema contract, binary transfer) a real codec would use.",
+)
+def m4_frame_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.multimodal import (
+        checksum_frames,
+        sample_video_frames,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    assets = attach_binary_payload(docs, "text").select("doc_id", "payload")
+    frames = sample_video_frames(assets, frame_size=256, every_n=2)
+    return checksum_frames(
+        frames.select("doc_id", "frame_idx", "frame_len", "frame")
+    )
+
+
 # ---------------------------------------------------------------------------
 # T4 — corpus length profile: exact quantiles of per-doc token counts
 # (the pre-training data-profiling step that sizes truncation/packing).

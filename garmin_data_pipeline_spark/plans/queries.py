@@ -1181,15 +1181,18 @@ def st2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedupe_stream collapses the replays — "
     "dropDuplicatesWithinWatermark on streaming frames (state "
     "bounded by the watermark horizon), dropDuplicates here. One "
-    "hash-partition shuffle on the dedup key.",
+    "hash-partition shuffle on the dedup key. Keyed on the FULL "
+    "column list to mirror the oracle's SELECT DISTINCT exactly: "
+    "keying on event_id alone would pick a nondeterministic "
+    "survivor if the generator ever shipped conflicting duplicate "
+    "ids (ADVICE r4).",
 )
 def st3_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from garmin_data_pipeline_spark.streaming import dedupe_stream
 
-    ev = table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
-    )
-    return dedupe_stream(ev.union(ev), ["event_id"])
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ev = table(spark, sf_dir, "events").select(*cols)
+    return dedupe_stream(ev.union(ev), cols)
 
 
 # ---------------------------------------------------------------------------
