@@ -72,8 +72,14 @@ def connected_components(
     # round, and without this the whole upstream pipeline that produced
     # the pairs (e.g. a shingle inverted-index self-join) re-executes
     # per round — the loop's cost would be rounds x candidate-generation
-    # instead of rounds x |edges|.
-    sym = _symmetrize(edges, src, dst).localCheckpoint()
+    # instead of rounds x |edges|. Hash-partitioned by the join key
+    # BEFORE the checkpoint: localCheckpoint preserves partitioning, so
+    # every round's neighbor join reuses this distribution and only the
+    # (smaller) label table shuffles — the edge side, the largest
+    # relation in the loop, shuffles exactly once for all rounds.
+    sym = (
+        _symmetrize(edges, src, dst).repartition("b").localCheckpoint()
+    )
 
     labels = (
         sym.select(F.col("a").alias("node"))

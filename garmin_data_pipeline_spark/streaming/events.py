@@ -22,7 +22,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.durations import epoch_micros
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -185,12 +184,18 @@ def sessionize(
 
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         gap = F.lag("ts").over(w)
-        # microsecond precision so the gap predicate is exact (and
-        # matches a DuckDB epoch_us oracle bit-for-bit)
-        ts_type = events.schema["ts"].dataType
+        # Microsecond precision so the gap predicate is exact (and
+        # matches a DuckDB epoch_us-difference oracle bit-for-bit).
+        # timestamp_diff is one JVM intrinsic accepting BOTH timestamp
+        # types; the r4 plan evaluated epoch_micros twice per row,
+        # which on the testdata's TIMESTAMP_NTZ shape meant ~10 field
+        # extractions including two date_format string renders — the
+        # st2 bench regression (r3 0.50s -> r4 0.76s). Semantics:
+        # wall-clock difference in the session zone (engine default
+        # UTC => identical to an instant difference; NTZ inputs are
+        # session-tz independent by construction).
         new_session = (
-            epoch_micros(F.col("ts"), ts_type)
-            - epoch_micros(gap, ts_type)
+            F.timestamp_diff("MICROSECOND", gap, F.col("ts"))
             > gap_minutes * 60 * 1_000_000
         ) | gap.isNull()
         with_id = events.withColumn(

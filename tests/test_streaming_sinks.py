@@ -460,6 +460,14 @@ class TestJdbcDerbyRoundTrip:
         assert got.rdd.getNumPartitions() == 4
         assert got.count() == 100
         assert got.agg(F.sum("k")).first()[0] == 4950
+        # every stripe actually reads rows — i.e. >1 task does real
+        # work, not one stripe swallowing the table (the single-
+        # connection bottleneck the partitioned read exists to avoid)
+        per_task = got.withColumn(
+            "pid", F.spark_partition_id()
+        ).groupBy("pid").count().collect()
+        assert len(per_task) == 4
+        assert all(r["count"] == 25 for r in per_task)
 
 
 def test_events_queries_portable_across_timestamp_shapes(
