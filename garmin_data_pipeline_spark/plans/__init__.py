@@ -19,55 +19,17 @@ from garmin_data_pipeline_spark.plans.queries import (
 #   3. Next round, last round's tail rotates back into the head.
 #
 # Coverage ledger (round each query last had a green driver row):
-#   r3: s3 st1 st2 a5 j5 j6 a12 t6b d2 j4 t10 t1 t2 t3 d1 v1 v2 v3 m1
-#       m2 t4 t5 t6 t7 t9 a1 a2 a3 a4 w1 w2 u1 a10 p11 j1 p1 p9 p10
-#       p12 p14 a6 a7 a8 a11 f4 f12 f22 f23 f26 w5
-#   r2: f2 p13 p3 p4 p6 o3 (green r1+r2, code unchanged since)
-#   r1/r2 rows-only: d3 d4 v4 t8 (no_oracle by design)
-#   never: d3p d4p t8p (new in r4 — md5 hash-parity twins)
-#          v4p (new in r4 — grid-codebook IVF, hash-matched)
-#          t11 t12 (new in r4 — chunking / PII scrub, hash-matched)
-#          st3 (new in r4 — streaming-dedup batch twin, hash-matched)
-#          d5 (new in r4 — connected-components dup groups, hash-matched)
-#          a13 (new in r4 — fixed-column pivot, hash-matched)
-#          m3 (new in r4 — audio windowing, hash-matched)
-#          a14 (new in r4 — salted skew-safe aggregate, hash-matched)
+#   r4: f2 p13 p3 p4 p6 o3 d3p d4p t8p v4p t11 t12 st3 d5 a13 m3 a14
+#       t6 t6b m2 t1 t3 d1 d2 v1 v2 v3 m1 t4 t5 t9 t10 a1 a3 a4 w1
+#       j1 f23 w5 s3 st1 st2 j5 j6 a12 j4
+#       (rows-only r4: d3 d4 v4 t8 — no_oracle by design)
+#   r3: a5 a11 w2 u1 a8 a2 t7 t2 p1 p9 p10 p12 p14 p11 a6 a7 a10 f4
+#       f12 f22 f26 (r4's committed tail — rotating back in NOW, the
+#       r4 verdict's top directive)
+#   never: m4 (new in r5 — decode_frames Arrow boundary, checksum
+#       kernel)
 _HEAD = [
-    # no driver row since r2 (green r1+r2, unchanged — re-certify):
-    "f2_epoch_millis",
-    "p13_threshold_count",
-    "p3_drop_all_null_columns",
-    "p4_drop_constant_columns",
-    "p6_clean_headers",
-    "o3_topk_orders",
-    # new in r4 (first driver row ever, hash-matched):
-    "d3p_minhash_lsh_pairs",
-    "d4p_simhash_candidates",
-    "t8p_rolling_fingerprint",
-    "v4p_cosine_topk_ivf_grid",
-    "t11_document_chunking",
-    "t12_pii_redaction",
-    "st3_replay_dedup",
-    "d5_duplicate_groups",
-    "a13_pivot_event_values",
-    "m3_audio_windows",
-    "a14_salted_event_stats",
-    # rows-only family: last recorded r2; v4 additionally changed
-    # behavior in r3 (sample_fraction) with no row since (ADVICE r3):
-    "d3_minhash_lsh_pairs",
-    "d4_simhash_candidates",
-    "v4_cosine_topk_ivf",
-    "t8_rolling_fingerprint",
-    # plans changed in r4 (t6 -> sharded packer; t6b -> driver-side
-    # offsets; m2 -> JVM-side substring slice):
-    "t6_sequence_packing",
-    "t6b_sequence_packing_sharded",
-    "m2_frame_sampling",
-]
-_TAIL = [
-    # green in r3, code unchanged in r4, trivial semantics — rotated
-    # out so the grown surface fits the 50-row cap (sized by the
-    # ordering test to len(QUERIES) - 50):
+    # r4's tail rotates back in (green r3, code unchanged since):
     "a5_total_duration",
     "a11_correlation",
     "w2_prior_order_price",
@@ -89,6 +51,46 @@ _TAIL = [
     "f12_time_string_kit",
     "f22_sentinel_replace",
     "f26_fill_and_coalesce",
+    # plans changed in r5 — must re-certify:
+    #   st2: gap predicate -> timestamp_diff intrinsic
+    #   st3: dedup keyed on the full column list (ADVICE r4)
+    #   d5:  CC convergence folded into the update job + pointer
+    #        jumping + pre-partitioned edge list
+    #   v2/v3: LSH dim now an explicit kwarg at the call site
+    "st2_sessionize",
+    "st3_replay_dedup",
+    "d5_duplicate_groups",
+    "v2_cosine_topk_lsh",
+    "v3_embedding_near_dups",
+    # new in r5 (first driver row ever):
+    "m4_frame_checksums",
+]
+_TAIL = [
+    # green in r4, code unchanged in r5, trivial-or-twice-certified
+    # semantics — rotated out so the grown surface fits the 50-row cap
+    # (sized by the ordering test to len(QUERIES) - 50):
+    "f2_epoch_millis",
+    "p13_threshold_count",
+    "p3_drop_all_null_columns",
+    "p4_drop_constant_columns",
+    "p6_clean_headers",
+    "o3_topk_orders",
+    "t1_token_quality",
+    "t3_fingerprint",
+    "t4_length_quantiles",
+    "t9_length_trim",
+    "t11_document_chunking",
+    "t12_pii_redaction",
+    "d1_exact_dedup",
+    "m1_multimodal_metadata",
+    "m2_frame_sampling",
+    "m3_audio_windows",
+    "a1_pricing_summary",
+    "a3_latest_order_per_customer",
+    "a4_dedupe_latest_lineitem",
+    "w1_cumulative_spend",
+    "f23_binned_group_mean",
+    "s3_json_props_extract",
 ]
 
 
