@@ -1,0 +1,91 @@
+"""Cross-corpus contamination detection (train/test n-gram overlap) —
+the decontamination step of an LLM training-data pipeline
+(BASELINE.json north-star addition; no reference counterpart).
+
+Benchmarks leak into web-scale training corpora, so before training
+you scan the training set for documents sharing long word n-grams
+with any evaluation document, and drop or flag them. The standard
+config is 8-gram overlap (long enough that a shared shingle is
+evidence of copying, not coincidence).
+
+Scale design: this is the d2 inverted-index shape WITHOUT the
+quadratic self-join risk — the index is built over the (small)
+evaluation corpus and probed by the (huge) training corpus, so join
+rows are O(shared shingles), never O(docs^2). The ``max_df`` cap
+drops boilerplate shingles (licence headers, navigation chrome) that
+would otherwise fan out: a shingle present in k eval docs and m train
+docs emits k x m rows. Everything is explode / join / hash-aggregate
+with map-side partials — no Python, no window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from garmin_data_pipeline_spark.operators.text import shingles
+
+
+def ngram_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Flag TRAIN documents sharing >= 1 distinct word ``n``-gram with
+    any TEST (evaluation) document.
+
+    Returns one row per contaminated train doc:
+    ``(doc_id, shared_ngrams, test_docs, ngram_total, overlap_frac)``
+    — distinct shared shingles, distinct eval docs hit, the train
+    doc's own distinct-shingle count, and shared/total (the drop/keep
+    score; 6-decimal rounded for cross-engine hashing). Clean train
+    docs emit nothing (inner join — at scale the contaminated set is
+    tiny and this is the set you act on).
+
+    ``max_df`` caps a shingle's TEST-side document frequency before
+    the join (stop-shingle guard — boilerplate appearing across the
+    eval corpus would fan out against every train doc containing it).
+    """
+    tr = train.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(text_col, n)).alias("s"),
+    )
+    te = test.select(
+        F.col(id_col).alias("test_id"),
+        F.explode(shingles(text_col, n)).alias("s"),
+    )
+    if max_df is not None:
+        keep = (
+            te.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("s")
+        )
+        te = te.join(keep, "s")
+    totals = train.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(shingles(text_col, n)).alias("ngram_total"),
+    )
+    hits = (
+        tr.join(te, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("shared_ngrams"),
+            F.countDistinct("test_id").alias("test_docs"),
+        )
+    )
+    return (
+        hits.join(totals, "doc_id")
+        .select(
+            "doc_id",
+            "shared_ngrams",
+            "test_docs",
+            "ngram_total",
+            F.round(
+                F.col("shared_ngrams") / F.col("ngram_total"), 6
+            ).alias("overlap_frac"),
+        )
+    )

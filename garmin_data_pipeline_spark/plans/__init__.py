@@ -64,6 +64,7 @@ _HEAD = [
     "v3_embedding_near_dups",
     # new in r5 (first driver row ever):
     "m4_frame_checksums",
+    "c1_contamination",
 ]
 _TAIL = [
     # green in r4, code unchanged in r5, trivial-or-twice-certified
@@ -91,6 +92,7 @@ _TAIL = [
     "w1_cumulative_spend",
     "f23_binned_group_mean",
     "s3_json_props_extract",
+    "t5_corpus_mix",
 ]
 
 

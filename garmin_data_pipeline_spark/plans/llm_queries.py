@@ -928,6 +928,65 @@ def m4_frame_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# C1 — train/eval contamination scan (decontamination): train docs
+# sharing a distinct 8-gram with any eval doc. Split by doc_id residue
+# (deterministic, oracle-expressible); 8-gram is the standard
+# decontamination config — long enough that overlap means copying.
+# ---------------------------------------------------------------------------
+_SH8 = T.sql_shingles(_TOKS, 8)
+_C1_MAX_DF = 50
+
+
+@register(
+    "c1_contamination",
+    f"""
+    WITH tr AS (
+        SELECT doc_id, UNNEST({_SH8}) AS s
+        FROM documents WHERE doc_id % 10 != 0
+    ), te0 AS (
+        SELECT doc_id AS test_id, UNNEST({_SH8}) AS s
+        FROM documents WHERE doc_id % 10 = 0
+    ), keep AS (
+        SELECT s FROM te0 GROUP BY s HAVING COUNT(*) <= {_C1_MAX_DF}
+    ), te AS (
+        SELECT test_id, te0.s FROM te0 JOIN keep USING (s)
+    ), tot AS (
+        SELECT doc_id, len({_SH8}) AS ngram_total
+        FROM documents WHERE doc_id % 10 != 0
+    ), hits AS (
+        SELECT tr.doc_id,
+               COUNT(DISTINCT tr.s) AS shared_ngrams,
+               COUNT(DISTINCT test_id) AS test_docs
+        FROM tr JOIN te USING (s)
+        GROUP BY tr.doc_id
+    )
+    SELECT doc_id, shared_ngrams, test_docs, ngram_total,
+           ROUND(shared_ngrams / ngram_total, 6) AS overlap_frac
+    FROM hits JOIN tot USING (doc_id)
+    """,
+    doc="Decontamination scan: train docs (doc_id % 10 != 0) sharing "
+    "a distinct word 8-gram with any eval doc (residue 0). Inverted "
+    "index over the SMALL eval corpus probed by the big train side — "
+    "O(shared shingles) join rows, never O(docs^2); stop-shingle "
+    "max_df cap on the eval side.",
+)
+def c1_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.contamination import (
+        ngram_contamination,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    test = docs.filter(F.col("doc_id") % 10 == 0)
+    out = ngram_contamination(
+        train, test, n=8, max_df=_C1_MAX_DF
+    )
+    return out.withColumn(
+        "ngram_total", F.col("ngram_total").cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
 # T4 — corpus length profile: exact quantiles of per-doc token counts
 # (the pre-training data-profiling step that sizes truncation/packing).
 # Spark `percentile` and DuckDB `quantile_cont` both do exact linear

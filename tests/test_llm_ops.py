@@ -1061,6 +1061,63 @@ def test_connected_components_semantics(spark):
         connected_components(edges, "doc_a", "doc_b", max_iter=1)
 
 
+def test_ngram_contamination_semantics(spark):
+    """Decontamination contract: a train doc sharing an n-gram with an
+    eval doc is flagged with exact shared/total counts; clean train
+    docs emit nothing; the max_df cap silences eval-side boilerplate
+    shingles; NULL/short docs contribute zero shingles."""
+    from garmin_data_pipeline_spark.operators.contamination import (
+        ngram_contamination,
+    )
+
+    leak = "the quick brown fox jumps over"  # 6 tokens -> one 6-gram
+    boiler = "all rights reserved by the owner"
+    train = spark.createDataFrame(
+        [
+            (1, f"intro words {leak} trailing content here"),
+            (2, f"{boiler} unrelated body text follows now"),
+            (3, "completely novel training text with no overlap at all"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [
+            (100, f"eval question about {leak} indeed"),
+            (101, f"{boiler} eval card one"),
+            (102, f"{boiler} eval card two"),
+            (103, f"{boiler} eval card three"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (
+            r["shared_ngrams"],
+            r["test_docs"],
+            r["overlap_frac"],
+        )
+        for r in ngram_contamination(train, test, n=6).collect()
+    }
+    # doc 1 shares exactly the one leaked 6-gram with one eval doc
+    assert 1 in out and out[1][0] == 1 and out[1][1] == 1
+    # doc 2 shares the boilerplate 6-gram with three eval docs
+    assert 2 in out and out[2][1] == 3
+    assert 3 not in out and 4 not in out
+    # overlap_frac = shared / doc's own distinct shingle count
+    n_shingles_doc1 = 11 - 6 + 1  # 11 tokens, n=6
+    assert out[1][2] == round(1 / n_shingles_doc1, 6)
+
+    # max_df=2: the boilerplate shingle appears in 3 eval docs -> cut,
+    # doc 2 is no longer flagged; doc 1 survives
+    capped = {
+        r["doc_id"]
+        for r in ngram_contamination(
+            train, test, n=6, max_df=2
+        ).collect()
+    }
+    assert capped == {1}
+
+
 def test_connected_components_star_semantics(spark):
     """Large-star/small-star must produce byte-identical components to
     min-label on the same graph (chain, triangle with duplicate edge,
