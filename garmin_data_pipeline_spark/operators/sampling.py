@@ -207,3 +207,84 @@ def pack_sequences_sharded(
         .withColumn(out_col, F.col("__local_bin") + F.col("__offset"))
         .drop("__shard", "__local_bin", "__offset")
     )
+
+
+def _salted_hash(key_col: str, salt: str) -> Column:
+    """Salted md5-derived 32-bit hash of a key column (cross-engine
+    reproducible; DuckDB mirror =
+    ``sql_base_hash32(CAST(key AS VARCHAR) || '#' || salt)``)."""
+    from garmin_data_pipeline_spark.operators.dedup_scale import (
+        base_hash32,
+    )
+
+    return base_hash32(
+        F.concat(F.col(key_col).cast("string"), F.lit(f"#{salt}")),
+        "md5",
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "split-v1",
+    modulus: int = 10_000,
+    out_col: str = "split",
+) -> DataFrame:
+    """Multi-way train/val/test assignment by SALTED key hash — the
+    dataset-card split. Unlike :func:`split_by_key` (raw residue),
+    hashing decorrelates the split from how ids were assigned
+    (sequential ids, per-source id ranges), and the salt makes
+    independent resplits possible without touching the data.
+
+    ``weights`` maps split name -> fraction, in order, summing to ~1;
+    cumulative thresholds use :func:`_cutoff` rounding and any residue
+    past the last threshold (float-sum slack) falls into the LAST
+    split. Pure column expression (one md5 per row, no shuffle, no
+    window); same key + salt => same split on any engine, any
+    partitioning — so feature tables joined later can never leak
+    across the split.
+    """
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    b = F.pmod(_salted_hash(key_col, salt), F.lit(modulus))
+    names = list(weights)
+    cum = 0.0
+    expr = F.lit(names[-1])
+    thresholds = []
+    for name, frac in list(weights.items())[:-1]:
+        cum += frac
+        thresholds.append((name, _cutoff(cum, modulus)))
+    for name, cut in reversed(thresholds):
+        expr = F.when(b < cut, F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def shuffle_order(
+    df: DataFrame,
+    key_col: str,
+    salt: str = "shuffle-v1",
+    out_col: str = "shuffle_key",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic corpus shuffle for training order: attach a
+    salted hash key and return the frame range-partitioned + sorted by
+    it, ready for a partitioned write that preserves the order.
+
+    Scale shape: ONE range exchange (sampled boundaries) + per-
+    partition sort — no global window, no row_number, no single-task
+    serialization point. A global rank column would force exactly the
+    unpartitioned-window shape the engine-wide plan invariant bans;
+    readers that need an ordinal get it from (file index, row
+    position) after the ordered write, and anything that only needs
+    the ORDER can sort by ``(shuffle_key, key)`` directly. Ties on the
+    32-bit hash are broken by the key, so the order is total and
+    reproducible across engines and partitionings.
+    """
+    out = df.withColumn(out_col, _salted_hash(key_col, salt))
+    parts = [F.col(out_col), F.col(key_col)]
+    if num_partitions:
+        out = out.repartitionByRange(num_partitions, *parts)
+    else:
+        out = out.repartitionByRange(*parts)
+    return out.sortWithinPartitions(*parts)

@@ -65,6 +65,7 @@ _HEAD = [
     # new in r5 (first driver row ever):
     "m4_frame_checksums",
     "c1_contamination",
+    "t13_hash_split",
 ]
 _TAIL = [
     # green in r4, code unchanged in r5, trivial-or-twice-certified
@@ -93,6 +94,7 @@ _TAIL = [
     "f23_binned_group_mean",
     "s3_json_props_extract",
     "t5_corpus_mix",
+    "a13_pivot_event_values",
 ]
 
 

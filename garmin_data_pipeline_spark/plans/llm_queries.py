@@ -1053,6 +1053,54 @@ def t5_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# T13 — dataset-card split + deterministic shuffle: salted-hash
+# train/val/test assignment (decorrelated from id assignment order,
+# resplittable by salt) and the salted shuffle key a reproducible
+# training order sorts by. No window, no RNG: one md5 per row.
+# ---------------------------------------------------------------------------
+_T13_SPLIT_HASH = sql_base_hash32("CAST(doc_id AS VARCHAR) || '#split-v1'")
+_T13_SHUF_HASH = sql_base_hash32(
+    "CAST(doc_id AS VARCHAR) || '#shuffle-v1'"
+)
+
+
+@register(
+    "t13_hash_split",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               {_T13_SPLIT_HASH} % 10000 AS b,
+               {_T13_SHUF_HASH} AS shuffle_key
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN b < 9000 THEN 'train'
+                WHEN b < 9500 THEN 'val'
+                ELSE 'test' END AS split,
+           shuffle_key
+    FROM t
+    """,
+    doc="Salted-hash 90/5/5 train/val/test split plus the "
+    "deterministic shuffle key (range-partition + sort, no global "
+    "window): the dataset-card split and reproducible training order "
+    "in one pass.",
+)
+def t13_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.sampling import (
+        hash_split,
+        shuffle_order,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    out = hash_split(
+        docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return shuffle_order(out, "doc_id").select(
+        "doc_id", "split", "shuffle_key"
+    )
+
+
+# ---------------------------------------------------------------------------
 # T6 — sequence packing: assign docs (ordered by id) to fixed
 # token-budget bins for context-window packing.
 # ---------------------------------------------------------------------------

@@ -1061,6 +1061,71 @@ def test_connected_components_semantics(spark):
         connected_components(edges, "doc_a", "doc_b", max_iter=1)
 
 
+def test_hash_split_and_shuffle_order(spark):
+    """Dataset-card split invariants: exhaustive + disjoint (every key
+    gets exactly one split), fractions land near the weights, the salt
+    actually resplits, assignment is independent of partitioning, and
+    shuffle_order yields a total deterministic order with no Window in
+    the plan."""
+    from garmin_data_pipeline_spark.operators.sampling import (
+        hash_split,
+        shuffle_order,
+    )
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = hash_split(
+        df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    counts = {
+        r["split"]: r["count"]
+        for r in out.groupBy("split").count().collect()
+    }
+    assert sum(counts.values()) == 2000
+    assert 0.75 <= counts["train"] / 2000 <= 0.85
+    assert counts["val"] > 0 and counts["test"] > 0
+    # partitioning-independence: same assignment after a repartition
+    a = {(r["doc_id"], r["split"]) for r in out.collect()}
+    b = {
+        (r["doc_id"], r["split"])
+        for r in hash_split(
+            df.repartition(7),
+            "doc_id",
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+        ).collect()
+    }
+    assert a == b
+    # a different salt produces a different (but still exhaustive) split
+    resplit = hash_split(
+        df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="split-v2",
+    )
+    moved = (
+        out.select("doc_id", "split")
+        .join(
+            resplit.select(
+                "doc_id", F.col("split").alias("split2")
+            ),
+            "doc_id",
+        )
+        .filter(F.col("split") != F.col("split2"))
+        .count()
+    )
+    assert moved > 0
+
+    shuffled = shuffle_order(df, "doc_id")
+    assert "Window" not in shuffled._jdf.queryExecution().executedPlan().toString()
+    rows = shuffled.select("doc_id", "shuffle_key").collect()
+    # total order: hash key + doc_id tiebreak is unique per row
+    keys = [(r["shuffle_key"], r["doc_id"]) for r in rows]
+    assert len(set(keys)) == 2000
+    # deterministic: a second evaluation gives the identical key map
+    again = {
+        r["doc_id"]: r["shuffle_key"]
+        for r in shuffle_order(df.repartition(5), "doc_id").collect()
+    }
+    assert again == {r["doc_id"]: r["shuffle_key"] for r in rows}
+
+
 def test_ngram_contamination_semantics(spark):
     """Decontamination contract: a train doc sharing an n-gram with an
     eval doc is flagged with exact shared/total counts; clean train
