@@ -36,24 +36,28 @@ _MERSENNE_P = (1 << 61) - 1
 
 # Signature relations persisted by the LSH operators, so a long-lived
 # session (the driver/bench loop) doesn't accumulate cached blocks:
-# each new invocation releases the previous one's cache first.
+# the registry is a bounded FIFO — building a new LSH plan evicts the
+# OLDEST cache once more than _MAX_LIVE_SIGNATURES are live.
 #
-# Operator-level contract: ONE live LSH plan at a time. Building a
-# second LSH DataFrame before *running* the first unpersists the
-# first's signatures — its self-join then recomputes them on both
-# sides (correctness is unaffected: the hashes are deterministic; the
-# cost is perf only). Callers that want several signature tables live
-# at once should persist/unpersist themselves.
+# Operator-level contract: at most _MAX_LIVE_SIGNATURES live LSH
+# plans at a time. The bound of 2 covers the realistic interleaving
+# (build plan A, build plan B, run both — e.g. a MinHash and a
+# SimHash pass over the same corpus) that the r4 one-live-plan rule
+# silently de-cached; past the bound the evicted plan's self-join
+# recomputes its signatures on both sides (correctness unaffected:
+# the hashes are deterministic; the cost is perf only). Callers that
+# want more live at once should persist/unpersist themselves.
 _SIG_LOCK = threading.Lock()
 _LIVE_SIGNATURES: list[DataFrame] = []
+_MAX_LIVE_SIGNATURES = 2
 
 
 def _persist_signature(sig: DataFrame) -> DataFrame:
-    """Persist a signature DataFrame, unpersisting any signature cached
-    by a previous invocation (see one-live-plan contract above)."""
+    """Persist a signature DataFrame, evicting the oldest cached
+    signature past the bound (see FIFO contract above)."""
     with _SIG_LOCK:
-        while _LIVE_SIGNATURES:
-            _LIVE_SIGNATURES.pop().unpersist()
+        while len(_LIVE_SIGNATURES) >= _MAX_LIVE_SIGNATURES:
+            _LIVE_SIGNATURES.pop(0).unpersist()
         _LIVE_SIGNATURES.append(sig.persist())
     return sig
 

@@ -242,7 +242,13 @@ def test_registered_plans_stay_jvm_side(spark, sf_dir):
       aggregate instead of a global window)."""
     from garmin_data_pipeline_spark import plans
 
-    arrow_ok = {"m1_multimodal_metadata"}
+    arrow_ok = {
+        "m1_multimodal_metadata",
+        # m4 exists precisely to exercise the decode_frames Arrow
+        # boundary with a driver row (r4 verdict item 8); only sliced
+        # frame bytes cross into Python, never the full payload
+        "m4_frame_checksums",
+    }
     nlj_ok = {
         "v1_cosine_topk_bruteforce",  # corpus x broadcast query set
         "t9_length_trim",             # corpus x broadcast 1-row bounds
