@@ -147,6 +147,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
+    from garmin_data_pipeline_spark.operators.dedup_scale import (
+        unpersist_signatures,
+    )
+
     for name in HEADLINE:
         fn = overrides[name] if name in overrides else qs[name]
         for _ in range(WARMUPS):
@@ -158,6 +162,13 @@ def main() -> None:
             reps.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(reps), 3)
         spread[name] = round(max(reps) - min(reps), 3)
+        # Cache hygiene BETWEEN cells: signature tables persisted by an
+        # LSH query would otherwise sit in executor storage while later
+        # cells run (each query rebuilds its own plan anyway), showing
+        # up as eviction/GC noise in unrelated cells — the d5 spread
+        # blow-up the r5 tuning pass chased. Inside a cell the cache is
+        # live and measured; releasing it here is outside any timer.
+        unpersist_signatures()
 
     anchor_total = round(sum(timings[n] for n in ANCHOR), 3)
     full_total = round(sum(timings.values()), 3)
