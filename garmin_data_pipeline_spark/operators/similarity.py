@@ -448,6 +448,76 @@ def cosine_topk_ivf_grid(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 256,
+) -> DataFrame:
+    """Per-vector min/max linear quantization of an embedding column
+    to ``levels`` integer buckets (int8 when levels=256) — the 4x
+    storage/bandwidth compression a 100 TB embedding store runs
+    before ANN serving.
+
+    q[i] = floor((x[i] - lo) / (hi - lo) * (levels-1)), clamped to
+    levels-1; a flat vector (hi == lo) quantizes to all zeros. floor
+    (not round) keeps the math bit-reproducible across engines: every
+    step is the same IEEE-754 double op in the same order, and floor
+    of identical doubles is identical — no round-half tie hazard.
+    Output: (id, qvec array<int>, lo, hi); dequantize with
+    :func:`dequantize_embeddings` (error <= (hi-lo)/(levels-1) per
+    element). NULL vectors pass through with NULL qvec. Pure column
+    expressions — scan-bound, no shuffle, no Python.
+    """
+    v0 = as_double_array(vec_col)
+    scaled = F.transform(
+        F.col("v"),
+        lambda x: F.least(
+            F.floor(
+                (x - F.col("lo")) / (F.col("hi") - F.col("lo"))
+                * F.lit(float(levels - 1))
+            ),
+            F.lit(levels - 1).cast("bigint"),
+        ).cast("int"),
+    )
+    flat = F.transform(F.col("v"), lambda x: F.lit(0))
+    return (
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            v0.alias("v"),
+            F.array_min(v0).alias("lo"),
+            F.array_max(v0).alias("hi"),
+        )
+        .select(
+            "vec_id",
+            F.when(F.col("hi") == F.col("lo"), flat)
+            .otherwise(scaled)
+            .alias("qvec"),
+            "lo",
+            "hi",
+        )
+    )
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    qvec_col: str = "qvec",
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    levels: int = 256,
+    out_col: str = "v",
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings` (bucket midpoint-free
+    lower-edge reconstruction): x' = lo + q * (hi - lo)/(levels-1)."""
+    step = (F.col(hi_col) - F.col(lo_col)) / F.lit(float(levels - 1))
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(qvec_col), lambda q: F.col(lo_col) + q * step
+        ),
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

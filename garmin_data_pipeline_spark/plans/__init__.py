@@ -66,6 +66,7 @@ _HEAD = [
     "m4_frame_checksums",
     "c1_contamination",
     "t13_hash_split",
+    "v5_quantize_embeddings",
 ]
 _TAIL = [
     # green in r4, code unchanged in r5, trivial-or-twice-certified
@@ -95,6 +96,7 @@ _TAIL = [
     "s3_json_props_extract",
     "t5_corpus_mix",
     "a13_pivot_event_values",
+    "j5_asof_join",
 ]
 
 

@@ -585,6 +585,58 @@ def v3_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# V5 — int8 embedding quantization: per-vector min/max linear
+# quantization (4x storage compression before ANN serving). floor
+# keeps every step the same IEEE double op on both engines — no
+# round-half hazard — so the oracle is exact without any rounding.
+# Output exploded to scalars (vec_id, idx, qval, lo, hi): the driver
+# hashes scalar columns, and 500 x 64 rows is nothing.
+# ---------------------------------------------------------------------------
+@register(
+    "v5_quantize_embeddings",
+    """
+    WITH t AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), b AS (
+        SELECT vec_id, v,
+               list_aggregate(v, 'min') AS lo,
+               list_aggregate(v, 'max') AS hi
+        FROM t
+    )
+    SELECT vec_id,
+           CAST(idx AS INT) AS idx,
+           CASE WHEN hi = lo THEN 0
+                ELSE CAST(least(floor(
+                    (v[idx + 1] - lo) / (hi - lo) * 255), 255) AS INT)
+           END AS qval,
+           ROUND(lo, 6) AS lo,
+           ROUND(hi, 6) AS hi
+    FROM b,
+         LATERAL (SELECT unnest(range(0, len(v))) AS idx)
+    """,
+    doc="Per-vector min/max int8 quantization of the embedding "
+    "column: q = floor((x-lo)/(hi-lo)*255) — the storage/bandwidth "
+    "compression pass an embedding store runs before ANN serving; "
+    "flat vectors quantize to zeros. Pure column expressions, "
+    "scan-bound.",
+)
+def v5_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    q = quantize_embeddings(table(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        F.posexplode("qvec").alias("idx", "qval"),
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+    )
+
+
 @register(
     "v4_cosine_topk_ivf",
     None,  # KMeans centroids not reproducible in SQL -> rows-only

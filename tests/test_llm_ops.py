@@ -1061,6 +1061,47 @@ def test_connected_components_semantics(spark):
         connected_components(edges, "doc_a", "doc_b", max_iter=1)
 
 
+def test_quantize_dequantize_embeddings(spark, sf_dir):
+    """Quantization invariants: every bucket in [0, 255], self-inverse
+    within one step ((hi-lo)/255 per element), extremes map to 0/255,
+    flat vectors quantize to zeros, NULL vectors pass through NULL."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = sim.quantize_embeddings(emb)
+    stats = q.select(
+        F.array_min("qvec").alias("mn"), F.array_max("qvec").alias("mx")
+    ).agg(
+        F.min("mn").alias("lo_bucket"), F.max("mx").alias("hi_bucket")
+    ).first()
+    assert stats["lo_bucket"] == 0 and stats["hi_bucket"] == 255
+    # reconstruction error bounded by one quantization step
+    d = sim.dequantize_embeddings(q).join(
+        emb.select(
+            "vec_id", sim.as_double_array("embedding").alias("orig")
+        ),
+        "vec_id",
+    )
+    worst = d.select(
+        F.array_max(
+            F.zip_with(
+                "v", "orig", lambda a, b: F.abs(a - b)
+                / ((F.col("hi") - F.col("lo")) / 255.0)
+            )
+        ).alias("err_steps")
+    ).agg(F.max("err_steps")).first()[0]
+    assert worst <= 1.0 + 1e-9
+    # flat + NULL vectors
+    edge = spark.createDataFrame(
+        [(1, [2.5, 2.5, 2.5]), (2, None)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r["vec_id"]: r["qvec"]
+        for r in sim.quantize_embeddings(edge).collect()
+    }
+    assert rows[1] == [0, 0, 0]
+    assert rows[2] is None
+
+
 def test_hash_split_and_shuffle_order(spark):
     """Dataset-card split invariants: exhaustive + disjoint (every key
     gets exactly one split), fractions land near the weights, the salt
