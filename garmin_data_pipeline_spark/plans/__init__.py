@@ -67,6 +67,8 @@ _HEAD = [
     "c1_contamination",
     "t13_hash_split",
     "v5_quantize_embeddings",
+    "t14_repetition_metrics",
+    "t15_vocab_topk",
 ]
 _TAIL = [
     # green in r4, code unchanged in r5, trivial-or-twice-certified
@@ -97,6 +99,8 @@ _TAIL = [
     "t5_corpus_mix",
     "a13_pivot_event_values",
     "j5_asof_join",
+    "j6_range_join",
+    "a12_time_rollup",
 ]
 
 

@@ -980,6 +980,98 @@ def m4_frame_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# T14 — Gopher-style repetition metrics: fraction of duplicate word
+# n-grams per document (Rae et al. 2021 §A1.1 quality rules). A doc
+# that repeats itself has distinct-ngrams << total-ngrams; the
+# filters drop docs above a dup-fraction threshold. Row-local array
+# math only — scan-bound at any corpus size.
+# ---------------------------------------------------------------------------
+def _sql_dup_frac(n: int) -> str:
+    sh = T.sql_shingles(_TOKS, n)
+    return (
+        f"CASE WHEN len({_TOKS}) >= {n} THEN "
+        f"ROUND(1.0 - len({sh}) / (len({_TOKS}) - {n} + 1), 6) "
+        f"ELSE 0.0 END"
+    )
+
+
+@register(
+    "t14_repetition_metrics",
+    f"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_tokens,
+           {_sql_dup_frac(2)} AS dup_2gram_frac,
+           {_sql_dup_frac(3)} AS dup_3gram_frac,
+           {_sql_dup_frac(4)} AS dup_4gram_frac
+    FROM documents
+    """,
+    doc="Gopher repetition rules: per-doc duplicate word 2/3/4-gram "
+    "fractions (1 - distinct/total; 0 for docs shorter than the "
+    "n-gram). Row-local tokenize + distinct-shingle counts — no "
+    "shuffle, no window.",
+)
+def t14_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.text import (
+        shingles,
+        tokens,
+    )
+
+    def dup_frac(n: int):
+        n_toks = F.size(tokens(F.col("text")))
+        total = n_toks - n + 1
+        return F.when(
+            n_toks >= n,
+            F.round(
+                1.0 - F.size(shingles(F.col("text"), n)) / total, 6
+            ),
+        ).otherwise(F.lit(0.0))
+
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(3).alias("dup_3gram_frac"),
+        dup_frac(4).alias("dup_4gram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T15 — vocabulary top-k: corpus-wide token frequencies, top 100 by
+# count with deterministic tiebreak (tokenizer-training prep). The
+# explode -> hash-aggregate has map-side partials; the top-k is
+# TakeOrderedAndProject (per-partition heads + tiny driver merge),
+# never a global sort or window.
+# ---------------------------------------------------------------------------
+@register(
+    "t15_vocab_topk",
+    f"""
+    WITH tok AS (
+        SELECT UNNEST({_TOKS}) AS token FROM documents
+    )
+    SELECT token, COUNT(*) AS cnt
+    FROM tok
+    GROUP BY token
+    ORDER BY cnt DESC, token
+    LIMIT 100
+    """,
+    doc="Corpus vocabulary top-100 by token frequency (tokenizer "
+    "training prep): explode + map-side-partial hash aggregate + "
+    "TakeOrderedAndProject.",
+)
+def t15_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.text import tokens
+
+    return (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.col("token"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
 # C1 — train/eval contamination scan (decontamination): train docs
 # sharing a distinct 8-gram with any eval doc. Split by doc_id residue
 # (deterministic, oracle-expressible); 8-gram is the standard

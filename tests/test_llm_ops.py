@@ -1061,6 +1061,54 @@ def test_connected_components_semantics(spark):
         connected_components(edges, "doc_a", "doc_b", max_iter=1)
 
 
+def test_repetition_metrics_semantics(spark, tmp_path):
+    """Gopher dup-ngram fractions: a doc that repeats a phrase scores
+    high, a no-repeat doc scores 0, docs shorter than the n-gram
+    score 0, and the registered query matches its oracle on this
+    crafted corpus."""
+    import duckdb
+    import pandas as pd
+
+    from garmin_data_pipeline_spark import plans
+
+    rows = [
+        # "spam spam spam spam spam spam" -> 5 total 2-grams, 1 distinct
+        (0, "spam spam spam spam spam spam"),
+        (1, "all words here are entirely unique tokens"),
+        (2, "tiny"),
+        (3, ""),
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in plans.queries()["t14_repetition_metrics"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[0]["dup_2gram_frac"] == 0.8  # 1 - 1/5
+    assert out[1]["dup_2gram_frac"] == 0.0
+    assert out[2]["dup_2gram_frac"] == 0.0 and out[2]["n_tokens"] == 1
+    assert out[3]["dup_4gram_frac"] == 0.0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet'"
+    )
+    odf = con.execute(
+        plans.oracle_sql()["t14_repetition_metrics"]
+    ).df()
+    ocol = {
+        int(r["doc_id"]): r["dup_2gram_frac"]
+        for _, r in odf.iterrows()
+    }
+    assert ocol == {
+        k: out[k]["dup_2gram_frac"] for k in ocol
+    }
+
+
 def test_quantize_dequantize_embeddings(spark, sf_dir):
     """Quantization invariants: every bucket in [0, 255], self-inverse
     within one step ((hi-lo)/255 per element), extremes map to 0/255,
