@@ -106,6 +106,14 @@ HEADLINE = [
     "st3_replay_dedup",
     "a13_pivot_event_values",
     "d5_groups_lsh",
+    # r5 additions: contamination scan (cross-corpus inverted index),
+    # dataset split + shuffle order (range exchange), int8 embedding
+    # quantization, Gopher repetition metrics, vocab top-k.
+    "c1_contamination",
+    "t13_hash_split",
+    "v5_quantize_embeddings",
+    "t14_repetition_metrics",
+    "t15_vocab_topk",
 ]
 
 
