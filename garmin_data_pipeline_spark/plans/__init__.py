@@ -71,6 +71,7 @@ _HEAD = [
     "v5_quantize_embeddings",
     "t14_repetition_metrics",
     "t15_vocab_topk",
+    "st4_attribution",
 ]
 _TAIL = [
     # green in r4, code unchanged in r5, trivial-or-twice-certified
@@ -103,6 +104,7 @@ _TAIL = [
     "j5_asof_join",
     "j6_range_join",
     "a12_time_rollup",
+    "st1_tumbling_daily",
 ]
 
 

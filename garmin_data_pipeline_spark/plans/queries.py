@@ -1195,6 +1195,45 @@ def st3_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupe_stream(ev.union(ev), cols)
 
 
+@register(
+    "st4_attribution",
+    """
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id,
+               ts AS purchase_ts, value AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+    ), c AS (
+        SELECT event_id AS click_id, user_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT purchase_id, p.user_id, purchase_ts,
+           ROUND(purchase_value, 6) AS purchase_value,
+           click_id, click_ts
+    FROM p JOIN c ON p.user_id = c.user_id
+        AND c.click_ts >= p.purchase_ts - INTERVAL 60 MINUTE
+        AND c.click_ts <= p.purchase_ts
+    """,
+    doc="Click->purchase attribution (stream-stream interval-join "
+    "batch twin): every purchase matched to the same user's clicks "
+    "in the preceding 60 minutes. Streaming mode is the watermarked "
+    "stream-stream inner join with bounded state; the batch twin is "
+    "the bin-bucketed range-join composition (hash join on "
+    "(user, hour-bin) + exact BETWEEN refilter), never a theta join.",
+)
+def st4_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.streaming import attribute_purchases
+
+    ev = table(spark, sf_dir, "events")
+    out = attribute_purchases(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+        window_minutes=60,
+    )
+    return out.withColumn(
+        "purchase_value", F.round("purchase_value", 6)
+    )
+
+
 # ---------------------------------------------------------------------------
 # J5 — as-of join (custom operator Spark lacks; DuckDB has native
 # ASOF JOIN, making this directly oracle-checkable): each purchase

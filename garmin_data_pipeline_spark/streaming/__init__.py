@@ -2,6 +2,7 @@
 
 from .events import (  # noqa: F401
     EVENTS_SCHEMA,
+    attribute_purchases,
     daily_event_summary,
     dedupe_stream,
     read_events_stream,

@@ -136,6 +136,85 @@ def dedupe_stream(
     ).dropDuplicatesWithinWatermark(keys)
 
 
+def attribute_purchases(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    window_minutes: int = 60,
+    watermark: str = "2 hours",
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Click->purchase attribution: each purchase matched to every
+    click by the SAME user within the preceding ``window_minutes``
+    (click_ts in [purchase_ts - W, purchase_ts]) — the canonical
+    stream-stream interval join.
+
+    Streaming frames: both sides get an event-time watermark and the
+    join carries the time-interval predicate, so Spark bounds BOTH
+    state stores to watermark + interval (late rows age out instead of
+    accumulating forever) — this is Structured Streaming's
+    stream-stream inner equi-join with an interval condition, the
+    shape its state-cleanup planning is built for.
+
+    Batch frames: the same semantics via the bin-bucketed
+    :func:`~garmin_data_pipeline_spark.operators.joins.join_range`
+    composition (explode intervals into time bins, hash-join on
+    (user, bin), exact BETWEEN refilter) — a plan AQE can size,
+    instead of a nested-loop theta join. Output columns:
+    (purchase_id, user_id, purchase_ts, purchase_value, click_id,
+    click_ts).
+    """
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    out_cols = [
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    ]
+    if purchases.isStreaming or clicks.isStreaming:
+        pw = p.withWatermark("purchase_ts", watermark)
+        cw = c.withWatermark("click_ts", watermark)
+        cond = (
+            (F.col("user_id") == F.col("click_user_id"))
+            & (
+                F.col("click_ts")
+                >= F.col("purchase_ts")
+                - F.expr(f"INTERVAL {window_minutes} MINUTES")
+            )
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+        )
+        return pw.join(cw, cond, "inner").select(*out_cols)
+
+    from ..operators.joins import join_range
+
+    pr = p.withColumn(
+        "win_start",
+        F.col("purchase_ts")
+        - F.expr(f"INTERVAL {window_minutes} MINUTES"),
+    )
+    joined = join_range(
+        c.withColumnRenamed("click_user_id", "user_id"),
+        pr,
+        ts_col="click_ts",
+        start_col="win_start",
+        end_col="purchase_ts",
+        by=["user_id"],
+        bin_seconds=bin_seconds,
+    )
+    return joined.select(*out_cols)
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator: per-user sessionization
 # ---------------------------------------------------------------------------

@@ -188,6 +188,56 @@ class TestStreaming:
         assert got.filter(F.col("events") <= 0).count() == 0
 
 
+def test_attribution_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join (click->purchase attribution):
+    the watermarked streaming join over file sources must produce
+    exactly the batch twin's match set, and the streaming plan must
+    carry watermarks on both sides (bounded state)."""
+    from garmin_data_pipeline_spark.plans.registry import table
+    from garmin_data_pipeline_spark.streaming import (
+        attribute_purchases,
+        read_events_stream,
+    )
+
+    src = tmp_path / "events_attr"
+    table(spark, sf_dir, "events").write.parquet(str(src))
+
+    ev_stream = read_events_stream(spark, str(src))
+    joined = attribute_purchases(
+        ev_stream.filter(F.col("event_type") == "purchase"),
+        read_events_stream(spark, str(src)).filter(
+            F.col("event_type") == "click"
+        ),
+        window_minutes=60,
+    )
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attr_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt_attr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.table("attr_test").collect()
+    }
+
+    ev = table(spark, sf_dir, "events")
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in attribute_purchases(
+            ev.filter(F.col("event_type") == "purchase"),
+            ev.filter(F.col("event_type") == "click"),
+            window_minutes=60,
+        ).collect()
+    }
+    assert want, "batch twin unexpectedly found no attributions"
+    assert got == want
+
+
 def test_daily_summary_stream_to_table(spark, sf_dir, tmp_path):
     import shutil as _sh
 
