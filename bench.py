@@ -114,6 +114,7 @@ HEADLINE = [
     "v5_quantize_embeddings",
     "t14_repetition_metrics",
     "t15_vocab_topk",
+    "st4_attribution",
 ]
 
 
