@@ -73,6 +73,7 @@ _HEAD = [
     "t14_repetition_metrics",
     "t15_vocab_topk",
     "st4_attribution",
+    "d5s_duplicate_groups_star",
 ]
 _TAIL = [
     # green in r4, code unchanged in r5, trivial-or-twice-certified
@@ -106,6 +107,7 @@ _TAIL = [
     "j6_range_join",
     "a12_time_rollup",
     "st1_tumbling_daily",
+    "t10_clean_corpus",
 ]
 
 

@@ -273,6 +273,52 @@ def d5_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_groups(pairs, "doc_a", "doc_b")
 
 
+@register(
+    "d5s_duplicate_groups_star",
+    f"""
+    WITH RECURSIVE {_SQL_JACCARD_CTES},
+    e AS (
+        SELECT doc_a AS a, doc_b AS b FROM jpairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM jpairs
+    ),
+    reach(n, r) AS (
+        SELECT a, a FROM e
+        UNION
+        SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.n
+    ),
+    comp AS (
+        SELECT n AS doc_id, MIN(r) AS group_id FROM reach GROUP BY n
+    )
+    SELECT doc_id, group_id,
+           COUNT(*) OVER (PARTITION BY group_id) AS group_size
+    FROM comp
+    """,
+    doc="d5's exact twin through the OTHER algorithm: duplicate "
+    "groups via large-star/small-star edge rewriting (Kiveris et "
+    "al. SoCC'14, O(log n) rounds on any graph shape) against the "
+    "identical recursive-transitive-closure oracle — certifying that "
+    "both connected-components implementations agree with the "
+    "ground truth, not just with each other.",
+)
+def d5s_duplicate_groups_star(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.graph import (
+        duplicate_groups,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.5,
+        max_df=_D2_MAX_DF,
+    )
+    return duplicate_groups(pairs, "doc_a", "doc_b", algorithm="star")
+
+
 def _sql_minhash_lsh(
     num_hashes: int, bands: int, threshold: float
 ) -> str:

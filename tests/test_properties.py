@@ -170,5 +170,130 @@ def test_epoch_micros_shape_and_timezone_independent(spark, micros, tz):
         spark.conf.set("spark.sql.session.timeZone", prev)
 
 
+@SET
+@given(
+    n_keys=st.integers(min_value=1, max_value=300),
+    w1=st.integers(min_value=1, max_value=8),
+    w2=st.integers(min_value=0, max_value=8),
+    w3=st.integers(min_value=0, max_value=8),
+    salt=st.sampled_from(["a", "b", "split-v1"]),
+)
+def test_hash_split_total_and_disjoint(spark, n_keys, w1, w2, w3, salt):
+    """For ANY weights and salt: hash_split is a total function (every
+    key gets exactly one split, no key lost), only names from the
+    weight dict appear, and the assignment is a pure function of
+    (key, salt) — re-evaluating over a different partitioning changes
+    nothing."""
+    total = w1 + w2 + w3
+    weights = {"train": w1 / total}
+    if w2:
+        weights["val"] = w2 / total
+    if w3:
+        weights["test"] = w3 / total
+    df = spark.range(0, n_keys).withColumnRenamed("id", "k")
+    out = sp.hash_split(df, "k", weights, salt=salt).collect()
+    assert len(out) == n_keys
+    assert {r["split"] for r in out} <= set(weights)
+    again = {
+        r["k"]: r["split"]
+        for r in sp.hash_split(
+            df.repartition(5), "k", weights, salt=salt
+        ).collect()
+    }
+    assert again == {r["k"]: r["split"] for r in out}
+
+
+@SET
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100,
+                max_value=100,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+)
+def test_quantize_buckets_bounded_and_monotone(spark, vecs):
+    """For ANY finite vectors: every bucket is in [0, 255], each
+    vector's min maps to 0 and max to 255 (or all-zero when flat),
+    and quantization preserves per-vector element order (monotone)."""
+    from garmin_data_pipeline_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<double>"
+    )
+    out = sim.quantize_embeddings(df).collect()
+    assert len(out) == len(vecs)
+    for r in out:
+        v, q = vecs[r["vec_id"]], r["qvec"]
+        assert all(0 <= b <= 255 for b in q)
+        if max(v) == min(v):
+            assert all(b == 0 for b in q)
+        else:
+            assert q[v.index(min(v))] == 0
+            assert q[v.index(max(v))] == 255
+        # monotone: x <= y => q(x) <= q(y)
+        pairs = sorted(zip(v, q))
+        assert all(
+            b1 <= b2 for (_, b1), (_, b2) in zip(pairs, pairs[1:])
+        )
+
+
+@SET
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=25),
+            st.integers(min_value=0, max_value=25),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_connected_components_algorithms_agree(spark, edges):
+    """For ANY random pair list (self-loops, duplicates, reversed
+    edges): min-label propagation and large-star/small-star produce
+    the IDENTICAL (node, component) labeling, and it equals a
+    driver-side union-find ground truth."""
+    from garmin_data_pipeline_spark.operators import graph as g
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    a = {
+        (r["node"], r["component"])
+        for r in g.connected_components(df, "doc_a", "doc_b").collect()
+    }
+    b = {
+        (r["node"], r["component"])
+        for r in g.connected_components_star(
+            df, "doc_a", "doc_b"
+        ).collect()
+    }
+    assert a == b
+
+    # union-find ground truth
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    want = {(n, find(n)) for n in parent}
+    assert a == want
+
+
 if __name__ == "__main__":  # pragma: no cover
     pytest.main([__file__, "-q"])
