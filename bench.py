@@ -160,12 +160,25 @@ def main() -> None:
         unpersist_signatures,
     )
 
+    import gc
+
+    def collect_garbage() -> None:
+        # localCheckpoint blocks (the CC loop's per-round state) and
+        # superseded caches free only after the Python DataFrame is
+        # collected AND the JVM's ContextCleaner sees the weak ref die
+        # — force both OUTSIDE the timed region so no rep eats a
+        # stop-the-world GC of a previous run's garbage (observed:
+        # 4-20s outlier reps on whatever ran near the d5 composition).
+        gc.collect()
+        spark._jvm.System.gc()
+
     for name in HEADLINE:
         fn = overrides[name] if name in overrides else qs[name]
         for _ in range(WARMUPS):
             run(fn(spark, sf_dir))
         reps = []
         for _ in range(REPEATS):
+            collect_garbage()
             t0 = time.perf_counter()
             run(fn(spark, sf_dir))
             reps.append(time.perf_counter() - t0)
