@@ -810,6 +810,10 @@ def test_text_query_oracles_on_edge_corpus(spark, tmp_path):
         "t4_length_quantiles", "t11_document_chunking",
         "t12_pii_redaction", "m1_multimodal_metadata",
         "m2_frame_sampling", "m3_audio_windows",
+        # r5 additions — all must hold on empty/NULL/short docs too
+        "m4_frame_checksums", "c1_contamination", "t13_hash_split",
+        "t14_repetition_metrics", "t15_vocab_topk",
+        "d5_duplicate_groups", "d5s_duplicate_groups_star",
     ]
     failures = {}
     for name in targets:
@@ -988,7 +992,8 @@ def test_similarity_oracles_on_zero_and_null_vectors(spark, tmp_path):
     oracles = plans.oracle_sql()
     failures = {}
     for name in ("v1_cosine_topk_bruteforce", "v2_cosine_topk_lsh",
-                 "v3_embedding_near_dups", "v4p_cosine_topk_ivf_grid"):
+                 "v3_embedding_near_dups", "v4p_cosine_topk_ivf_grid",
+                 "v5_quantize_embeddings"):
         sdf = qs[name](spark, str(tmp_path)).toPandas()
         assert not (sdf["vec_id" if "vec_id" in sdf else "id_a"].isna().any()
                     if name != "v3_embedding_near_dups" else False)
