@@ -110,7 +110,16 @@ def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
 
 
 def lsh_bucket(vec_col, planes: list[list[float]]):
-    """Sign-bit bucket id for a double-array column under ``planes``."""
+    """Sign-bit bucket id for a double-array column under ``planes``.
+
+    Stays on the ``zip_with``/``aggregate`` form deliberately: a
+    flat ``get(v,0)*w0 + get(v,1)*w1 + ...`` expansion was measured
+    3x SLOWER, because when the input array is itself a computed
+    expression (the float->double ``transform``), projection collapse
+    re-inlines that HOF into every one of the 8x64 ``get`` terms and
+    CodegenFallback evaluates it per term. The aggregate form
+    evaluates the array once per plane and its sequential summation
+    order matches the oracle's ``list_dot_product`` bit-for-bit."""
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         lit_plane = F.array(*[F.lit(x) for x in plane])

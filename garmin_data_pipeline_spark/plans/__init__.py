@@ -30,7 +30,8 @@ from garmin_data_pipeline_spark.plans.queries import (
 #       kernel), c1 (contamination scan), t13 (hash split + shuffle
 #       order), v5 (int8 quantization), t14 (repetition metrics),
 #       t15 (vocab top-k), st4 (stream-stream attribution batch
-#       twin) — all new in r5, all oracle-backed
+#       twin), d5s (star-CC twin of d5 against the same oracle) —
+#       all new in r5, all oracle-backed
 _HEAD = [
     # r4's tail rotates back in (green r3, code unchanged since):
     "a5_total_duration",
