@@ -115,6 +115,14 @@ HEADLINE = [
     "t14_repetition_metrics",
     "t15_vocab_topk",
     "st4_attribution",
+    # r6 additions: multi-probe LSH serve (prices the recall knob vs
+    # v2_lsh_serve_q500), int8-index serve (the v5 quantizer's
+    # consumer: 1/8-size index, dequantize-only-candidates), and the
+    # fused end-to-end master-table pipeline (MLPREP+MERGE in one
+    # plan).
+    "v2mp_lsh_serve_q500",
+    "v5_int8_serve_q500",
+    "e2e_master_daily",
 ]
 
 
@@ -135,7 +143,9 @@ def main() -> None:
     from garmin_data_pipeline_spark.plans.llm_queries import (
         d5_groups_lsh,
         v2_lsh_serve_q500,
+        v2mp_lsh_serve_q500,
         v4_ivf_serve_q500,
+        v5_int8_serve_q500,
     )
     from garmin_data_pipeline_spark.plans.queries import (
         a1_pricing_summary_production,
@@ -144,7 +154,9 @@ def main() -> None:
     overrides = {
         "a1_pricing_summary": a1_pricing_summary_production,
         "v2_lsh_serve_q500": v2_lsh_serve_q500,
+        "v2mp_lsh_serve_q500": v2mp_lsh_serve_q500,
         "v4_ivf_serve_q500": v4_ivf_serve_q500,
+        "v5_int8_serve_q500": v5_int8_serve_q500,
         "d5_groups_lsh": d5_groups_lsh,
     }
 
@@ -194,9 +206,7 @@ def main() -> None:
 
     anchor_total = round(sum(timings[n] for n in ANCHOR), 3)
     full_total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
+    payload = {
                 # r1-r4 name: headline_queries_total_wall. Renamed per
                 # ADVICE r4 so the name matches the definition; the
                 # VALUE is the same series (the 18-query r1 anchor sum,
@@ -219,8 +229,32 @@ def main() -> None:
                     "(2 untimed warm-ups per query since r5)"
                 ),
             }
-        )
-    )
+    line = json.dumps(payload)
+    print(line)
+
+    # The driver's BENCH_r{N}.json preserves only a 2000-char tail of
+    # this line, which loses the early per-query medians (r5: the d3/d4
+    # cells the r4 verdict asked to pin fell outside the window). Also
+    # persist the FULL payload to a committed per-round artifact so
+    # every median+spread stays auditable. Round number: explicit
+    # $SPARK_GRAFT_ROUND, else 1 + the highest BENCH_r*.json the driver
+    # has already recorded next to this script.
+    try:
+        here = Path(__file__).resolve().parent
+        round_no = os.environ.get("SPARK_GRAFT_ROUND")
+        if round_no is None:
+            import re
+
+            seen = [
+                int(m.group(1))
+                for p in here.glob("BENCH_r*.json")
+                if (m := re.match(r"BENCH_r(\d+)\.json", p.name))
+            ]
+            round_no = str(max(seen, default=0) + 1)
+        out = here / f"bench_full_r{int(round_no):02d}.json"
+        out.write_text(json.dumps(payload, indent=2) + "\n")
+    except OSError:
+        pass  # bench output on stdout is the contract; the file is extra
 
 
 if __name__ == "__main__":

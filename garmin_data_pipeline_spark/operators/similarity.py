@@ -147,6 +147,31 @@ def infer_dim(df: DataFrame, vec_col: str) -> int:
     return int(row["d"])
 
 
+def probe_masks(n_planes: int, radius: int) -> list[int]:
+    """All XOR masks of Hamming weight <= ``radius`` over ``n_planes``
+    bits, ascending (0 first = the query's own bucket). Distinct by
+    construction, so a probe set never repeats a bucket."""
+    return [
+        m for m in range(1 << n_planes) if bin(m).count("1") <= radius
+    ]
+
+
+def probe_buckets(bucket, n_planes: int, radius: int = 1):
+    """Multi-probe expansion of a sign-bit bucket id: the bucket itself
+    plus every neighbor within Hamming distance ``radius`` (radius 1 =
+    flip each bit once: n_planes+1 probes; radius 2 adds the
+    C(n_planes,2) two-bit flips). Masks are distinct, so a
+    bucket-keyed join yields each candidate at most once per query —
+    no dedup step needed."""
+    b = F.col(bucket) if isinstance(bucket, str) else bucket
+    return F.array(
+        *[
+            b.bitwiseXOR(F.lit(m).cast("long"))
+            for m in probe_masks(n_planes, radius)
+        ]
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -157,6 +182,7 @@ def cosine_topk_lsh(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     dim: int | None = None,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Approximate top-k: only candidates in the query's LSH bucket are
     scored. At 100 TB the bucket join replaces the full cross product;
@@ -168,9 +194,21 @@ def cosine_topk_lsh(
     (-> every vector lands in bucket 0 == silent brute force), while
     shorter planes ignore the vector's tail dimensions. Pass it
     explicitly for a lazy plan, or leave ``None`` to infer it from the
-    corpus with one LIMIT-1 probe job at plan-construction time."""
+    corpus with one LIMIT-1 probe job at plan-construction time (an
+    EAGER probe inside plan construction — prefer explicit ``dim`` at
+    new call sites; the registered plans all pass it).
+
+    ``probe_hamming`` enables multi-probe serving: each query probes
+    every bucket within that Hamming distance of its own (the buckets
+    its borderline hyperplane dots could have flipped into). Radius 1
+    costs <= (n_planes+1)x candidates, radius 2 adds the two-bit
+    flips — the standard quality/cost knob of sign-bucket LSH. The
+    query side is exploded BEFORE the broadcast, so the corpus is
+    still scanned once with a single bucket-equality join."""
     if dim is None:
         dim = infer_dim(corpus, vec_col)
+    if probe_hamming not in (0, 1, 2):
+        raise ValueError("probe_hamming must be 0, 1 or 2")
     planes = hyperplanes(n_planes, dim)
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
@@ -180,6 +218,14 @@ def cosine_topk_lsh(
         F.col(query_id_col).alias("query_id"),
         as_double_array(query_vec_col).alias("qv"),
     ).withColumn("bucket", lsh_bucket("qv", planes))
+    if probe_hamming:
+        q = q.select(
+            "query_id",
+            "qv",
+            F.explode(
+                probe_buckets("bucket", n_planes, probe_hamming)
+            ).alias("bucket"),
+        )
     scored = c.join(F.broadcast(q), "bucket").select(
         "query_id",
         "vec_id",
@@ -251,8 +297,17 @@ def build_ivf_index(
     fit_input = _ivf_fit_input(c, sample_fraction, n_centroids, seed)
     km = KMeans(k=n_centroids, seed=seed, featuresCol="features")
     model = km.fit(fit_input)
+    # Precompute each vector's L2 norm AT BUILD TIME: serving then
+    # needs one array pass (the dot product) per candidate instead of
+    # three (dot + both norms) — identical IEEE ops in the same order,
+    # just hoisted out of the per-query scoring loop, so results are
+    # bit-identical. At 100 TB this is 1 extra double per vector in
+    # the index vs ~2/3 of the serve-path FLOPs.
     assigned = model.transform(c).select(
-        "vec_id", "v", F.col("prediction").alias("cell")
+        "vec_id",
+        "v",
+        F.col("prediction").alias("cell"),
+        _norm(F.col("v")).alias("norm"),
     )
     centroids = [
         (i, [float(x) for x in ctr])
@@ -298,17 +353,24 @@ def search_ivf(
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
     """Probe a prebuilt IVF index: rank centroids per query, score only
-    the ``n_probe`` nearest cells' vectors, keep top-k by cosine."""
+    the ``n_probe`` nearest cells' vectors, keep top-k by cosine.
+
+    If ``assigned`` carries a precomputed ``norm`` column (indexes from
+    :func:`build_ivf_index` / :func:`assign_cells_fixed` do), scoring
+    uses it and computes only the dot product per candidate; query
+    norms are likewise computed once per query before the broadcast.
+    Bit-identical to the inline-norm form (same IEEE ops, same order)."""
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         as_double_array(query_vec_col).alias("qv"),
-    )
+    ).withColumn("qnorm", _norm(F.col("qv")))
     # nearest n_probe cells per query (tiny cross join vs centroids)
     qc = (
         q.join(F.broadcast(centroids))
         .select(
             "query_id",
             "qv",
+            "qnorm",
             "cell",
             _dot(F.col("qv"), F.col("centroid")).alias("cdot"),
         )
@@ -321,12 +383,17 @@ def search_ivf(
             ),
         )
         .filter(F.col("crank") <= n_probe)
-        .select("query_id", "qv", "cell")
+        .select("query_id", "qv", "qnorm", "cell")
+    )
+    corpus_norm = (
+        F.col("norm") if "norm" in assigned.columns else _norm(F.col("v"))
     )
     scored = assigned.join(F.broadcast(qc), "cell").select(
         "query_id",
         "vec_id",
-        cosine(F.col("v"), F.col("qv")).alias("cosine"),
+        F.try_divide(
+            _dot(F.col("v"), F.col("qv")), corpus_norm * F.col("qnorm")
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.col("vec_id")
@@ -424,11 +491,17 @@ def assign_cells_fixed(
             _dot(F.col("v"), F.col("centroid")), F.lit(-1e300)
         ).alias("cdot"),
     )
-    return scored.groupBy("vec_id").agg(
-        F.first("v").alias("v"),
-        F.max_by(
-            "cell", F.struct(F.col("cdot"), (-F.col("cell")).alias("nc"))
-        ).alias("cell"),
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.first("v").alias("v"),
+            F.max_by(
+                "cell", F.struct(F.col("cdot"), (-F.col("cell")).alias("nc"))
+            ).alias("cell"),
+        )
+        # precomputed norm — see build_ivf_index: serve-path scoring
+        # then needs only the dot product per candidate
+        .withColumn("norm", _norm(F.col("v")))
     )
 
 
@@ -524,6 +597,106 @@ def dequantize_embeddings(
         F.transform(
             F.col(qvec_col), lambda q: F.col(lo_col) + q * step
         ),
+    )
+
+
+def build_quantized_lsh_index(
+    corpus: DataFrame,
+    n_planes: int = 8,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN serve index over int8-quantized vectors: the downstream
+    consumer of :func:`quantize_embeddings` (which alone is just a
+    storage pass). Output per vector:
+
+    - ``qvec8``: the 256-level quantized vector stored as
+      ``array<tinyint>`` (values shifted by -128 to fit the signed
+      byte) — 1 byte/element vs 8 for double: the 8x memory/bandwidth
+      compression that lets a 100 TB embedding store serve from RAM;
+    - ``lo``/``hi``: per-vector dequantization range;
+    - ``bucket``: sign-bit LSH bucket (computed over the DEQUANTIZED
+      values, so index-side hashing is self-consistent with the
+      reconstruction the scorer sees);
+    - ``norm``: L2 norm of the dequantized vector, precomputed so
+      serving does one array pass per candidate (see
+      :func:`search_ivf`).
+
+    Pure column expressions, no shuffle; write partitioned/persisted
+    and reuse across query batches."""
+    if dim is None:
+        dim = infer_dim(corpus, vec_col)
+    planes = hyperplanes(n_planes, dim)
+    qt = quantize_embeddings(corpus, id_col=id_col, vec_col=vec_col)
+    deq = dequantize_embeddings(qt)
+    return deq.select(
+        "vec_id",
+        F.transform(
+            F.col("qvec"), lambda q: (q - F.lit(128)).cast("tinyint")
+        ).alias("qvec8"),
+        "lo",
+        "hi",
+        lsh_bucket("v", planes).alias("bucket"),
+        _norm(F.col("v")).alias("norm"),
+    )
+
+
+def search_quantized_lsh(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int | None = None,
+    probe_hamming: int = 1,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Serve cosine top-k from a :func:`build_quantized_lsh_index`
+    index: bucket-join prune (multi-probe by default — quantized
+    serving exists for recall-at-low-cost, so probe the Hamming-1
+    neighborhood), dequantize ONLY the candidates, score with the
+    precomputed norms. The full-precision corpus is never read."""
+    if dim is None:
+        dim = infer_dim(queries, query_vec_col)
+    planes = hyperplanes(n_planes, dim)
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            as_double_array(query_vec_col).alias("qv"),
+        )
+        .withColumn("bucket", lsh_bucket("qv", planes))
+        .withColumn("qnorm", _norm(F.col("qv")))
+    )
+    if probe_hamming:
+        q = q.select(
+            "query_id",
+            "qv",
+            "qnorm",
+            F.explode(
+                probe_buckets("bucket", n_planes, probe_hamming)
+            ).alias("bucket"),
+        )
+    step = (F.col("hi") - F.col("lo")) / F.lit(255.0)
+    v = F.transform(
+        F.col("qvec8"),
+        lambda x: F.col("lo") + (x.cast("double") + F.lit(128.0)) * step,
+    )
+    scored = index.join(F.broadcast(q), "bucket").select(
+        "query_id",
+        "vec_id",
+        F.try_divide(
+            _dot(v, F.col("qv")), F.col("norm") * F.col("qnorm")
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("vec_id")
+    )
+    return (
+        scored.filter(F.col("cosine").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
     )
 
 

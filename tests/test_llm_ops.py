@@ -158,6 +158,117 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.2
 
 
+def test_lsh_multiprobe_recall(spark, sf_dir):
+    """Multi-probe serving (all buckets within Hamming distance 2 of
+    the query's own) must lift recall to >= 0.6 at the full 8-plane
+    bucket granularity — the r5 verdict's target; single-probe at 8
+    planes is capped at 0.2 (256 buckets over ~500 vectors; radius 1
+    measured 0.28). Also pins the contract that multi-probe is a
+    superset of single-probe and never duplicates a (query, vec)
+    candidate."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    bf = sim.cosine_topk_bruteforce(emb, queries, k=5)
+    sp = sim.cosine_topk_lsh(emb, queries, k=5, n_planes=8, dim=64)
+    mp = sim.cosine_topk_lsh(
+        emb, queries, k=5, n_planes=8, dim=64, probe_hamming=2
+    )
+    bf_set = {(r["query_id"], r["vec_id"]) for r in bf.collect()}
+    sp_set = {(r["query_id"], r["vec_id"]) for r in sp.collect()}
+    mp_rows = mp.collect()
+    mp_set = {(r["query_id"], r["vec_id"]) for r in mp_rows}
+    assert len(mp_rows) == len(mp_set)  # no duplicate candidates
+    recall_sp = len(bf_set & sp_set) / len(bf_set)
+    recall_mp = len(bf_set & mp_set) / len(bf_set)
+    assert recall_mp >= 0.6, (recall_sp, recall_mp)
+    assert recall_mp >= recall_sp
+    # every query still finds itself (cosine 1.0 survives any probe set)
+    assert all((q, q) in mp_set for q in range(5))
+
+
+def test_quantized_lsh_index_schema_and_error_bound(spark, sf_dir):
+    """The int8 index stores 1-byte elements (array<tinyint>) and its
+    dequantized reconstruction is within one quantization step
+    (hi-lo)/255 of the original, per element."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = sim.build_quantized_lsh_index(emb, n_planes=8, dim=64)
+    f = dict(idx.dtypes)
+    assert f["qvec8"] == "array<tinyint>"
+    assert f["bucket"] == "bigint" and f["norm"] == "double"
+    step = (F.col("hi") - F.col("lo")) / F.lit(255.0)
+    recon = F.transform(
+        F.col("qvec8"),
+        lambda x: F.col("lo") + (x.cast("double") + F.lit(128.0)) * step,
+    )
+    err = (
+        idx.join(
+            emb.select(
+                "vec_id", sim.as_double_array("embedding").alias("v0")
+            ),
+            "vec_id",
+        )
+        .select(
+            F.array_max(
+                F.zip_with(recon, F.col("v0"), lambda a, b: F.abs(a - b))
+            ).alias("e"),
+            ((F.col("hi") - F.col("lo")) / F.lit(255.0)).alias("tol"),
+        )
+        .filter(F.col("e") > F.col("tol") + F.lit(1e-12))
+        .count()
+    )
+    assert err == 0
+
+
+def test_int8_serve_matches_float_lsh(spark, sf_dir):
+    """Serving from the int8 index must track the float multi-probe
+    LSH serve: same candidates (bucketing is on dequantized values but
+    8-bit noise rarely crosses a hyperplane), near-identical ranking.
+    Gate: >= 80% of (query, vec) top-5 pairs agree, recall vs exact
+    >= 0.6 (the quantized path may not lose the multi-probe win)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    idx = sim.build_quantized_lsh_index(emb, n_planes=8, dim=64)
+    q8 = sim.search_quantized_lsh(
+        idx, queries, k=5, n_planes=8, dim=64, probe_hamming=2
+    )
+    fl = sim.cosine_topk_lsh(
+        emb, queries, k=5, n_planes=8, dim=64, probe_hamming=2
+    )
+    bf = sim.cosine_topk_bruteforce(emb, queries, k=5)
+    q8_set = {(r["query_id"], r["vec_id"]) for r in q8.collect()}
+    fl_set = {(r["query_id"], r["vec_id"]) for r in fl.collect()}
+    bf_set = {(r["query_id"], r["vec_id"]) for r in bf.collect()}
+    assert len(q8_set & fl_set) / len(fl_set) >= 0.8
+    assert len(q8_set & bf_set) / len(bf_set) >= 0.6
+
+
+def test_ivf_precomputed_norm_is_bit_identical(spark, sf_dir):
+    """search_ivf with the index's precomputed ``norm`` column must
+    return bit-identical results to the inline-norm fallback (same
+    IEEE ops in the same order, just hoisted to build time)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    cents = sim.grid_centroids(8, 64)
+    assigned = sim.assign_cells_fixed(emb, cents)
+    cent_df = sim._centroid_df(spark, cents)
+    fast = sim.search_ivf(assigned, cent_df, queries, k=10, n_probe=3)
+    slow = sim.search_ivf(
+        assigned.drop("norm"), cent_df, queries, k=10, n_probe=3
+    )
+    a = sorted(map(tuple, fast.collect()))
+    b = sorted(map(tuple, slow.collect()))
+    assert a == b and len(a) > 0
+
+
 def test_lsh_dim_inference_non_64d(spark):
     """The r4 verdict's finding: dim was hard-coded to 64, so on any
     other corpus the zip_with NULL-padding sent EVERY vector to bucket
