@@ -186,10 +186,14 @@ def connected_components_star(
 
     Convergence: the edge set is a fixpoint of both rewrites exactly
     when it is a forest of stars rooted at each component minimum.
-    Stability is detected per half-round with an edge count plus an
-    order-independent xxhash64 checksum computed in the SAME job that
-    materializes the rewrite (collision odds ~2^-64 — accepted; an
-    exact set-difference would cost an extra shuffle per round).
+    Stability is detected for BOTH half-rounds in ONE job per round: a
+    tagged union of the two rewrites aggregated per half (edge count +
+    order-independent xxhash64 checksum), which also materializes both
+    lazy checkpoints. Collision odds ~2^-64 — accepted and documented
+    (ADVICE r5): a false convergence would need two different edge
+    sets with equal count AND equal checksum in the exact round the
+    counts first stabilize; an exact set-difference check would cost
+    an extra shuffle per round for protection against a 5e-20 event.
     Self-loop-only nodes (and any input self-loops) are preserved via
     a final left join against the distinct-node table, labeling them
     as their own singleton component, matching min-label behavior.
@@ -207,22 +211,37 @@ def connected_components_star(
         .localCheckpoint()
     )
 
-    def _stats(df: DataFrame):
-        # decimal(38,0) sum: exact and overflow-free under ANSI mode
-        # (a plain long sum of 2^63-scale hashes throws)
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
-        ).first()
-        return (row["n"], row["h"])
+    def _tagged(df: DataFrame, half: int) -> DataFrame:
+        return df.select(F.lit(half).alias("__half"), "a", "b")
 
     prev = None
     converged = False
     for _ in range(max_iter):
-        e = _large_star(e).localCheckpoint(eager=False)
-        s1 = _stats(e)  # materializes the half-round (single job)
-        e = _small_star(e).localCheckpoint(eager=False)
-        s2 = _stats(e)
+        e1 = _large_star(e).localCheckpoint(eager=False)
+        e2 = _small_star(e1).localCheckpoint(eager=False)
+        # ONE job per round (halved from r5's one per half-round): a
+        # tagged union of both rewrites aggregated per half. Computing
+        # it materializes e1's lazy checkpoint once — shared by the
+        # tag-1 branch and e2's lineage — then e2's. Per-half stats:
+        # edge count + order-independent checksum, decimal(38,0) sum
+        # so it is exact and overflow-free under ANSI mode (a plain
+        # long sum of 2^63-scale hashes throws).
+        stats = {
+            r["__half"]: (r["n"], r["h"])
+            for r in _tagged(e1, 1)
+            .unionAll(_tagged(e2, 2))
+            .groupBy("__half")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.xxhash64("a", "b").cast("decimal(38,0)")
+                ).alias("h"),
+            )
+            .collect()
+        }
+        s1 = stats.get(1, (0, None))
+        s2 = stats.get(2, (0, None))
+        e = e2
         if prev is not None and s1 == prev and s2 == s1:
             converged = True
             break
