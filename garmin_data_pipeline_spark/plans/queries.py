@@ -1509,6 +1509,206 @@ def j4_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# E2E — the fused master-table pipeline: the reference's flagship
+# MLPREP -> MERGE chain (MERGE cell 18: 7-way outer join on
+# calendarDate -> impute -> ffill -> flags -> TBL_ML_MASTER) composed
+# as ONE Catalyst plan. j1 certifies the join operator alone; this row
+# certifies the fusion SURVEY §3 promises: scan -> clean -> 7-way full
+# outer join on the day key -> mean imputation (1-row broadcast) ->
+# year-partitioned LOCF -> threshold flags, with the small dims
+# (nation, region) broadcast inside the same plan.
+#
+# Branch day ranges are deliberately disjoint (events: 2024-01;
+# orders/lineitem: 1995-2001), so the outer join produces real NULL
+# regions and the impute/ffill stages do real work. LOCF is
+# partitioned by year(day) — mirrored exactly in the oracle — so no
+# window serializes the whole series through one task at scale; day
+# is unique per partition, so ordering is unambiguous.
+# ---------------------------------------------------------------------------
+@register(
+    "e2e_master_daily",
+    """
+    WITH ev AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, value
+        FROM events WHERE ts IS NOT NULL
+    ), clicks AS (
+        SELECT day, COUNT(*) AS click_n FROM ev
+        WHERE event_type = 'click' GROUP BY day
+    ), views AS (
+        SELECT day, COUNT(*) AS view_n FROM ev
+        WHERE event_type = 'view' GROUP BY day
+    ), purchases AS (
+        SELECT day, COUNT(*) AS purchase_n FROM ev
+        WHERE event_type = 'purchase' GROUP BY day
+    ), od AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS order_n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS order_total
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    ), sd AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                   AS ship_qty
+        FROM lineitem
+        WHERE l_returnflag <> 'R' AND l_shipdate IS NOT NULL
+        GROUP BY 1
+    ), asia AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS asia_order_n
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA' AND o_orderdate IS NOT NULL
+        GROUP BY 1
+    ), vd AS (
+        -- sparse series (purchase days, day-of-month % 5 <> 2 holes)
+        -- so the LOCF stage has real gaps to fill
+        SELECT day,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(value) AS avg_value
+        FROM ev
+        WHERE event_type = 'purchase' AND day(day) % 5 <> 2
+        GROUP BY day
+    ), m AS (
+        SELECT * FROM clicks
+        FULL JOIN views USING (day)
+        FULL JOIN purchases USING (day)
+        FULL JOIN od USING (day)
+        FULL JOIN sd USING (day)
+        FULL JOIN asia USING (day)
+        FULL JOIN vd USING (day)
+    ), b AS (
+        SELECT CAST(SUM(CAST(ship_qty AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(ship_qty) AS ship_mean
+        FROM sd
+    )
+    SELECT day, click_n, view_n, purchase_n, order_n, order_total,
+           ROUND(COALESCE(ship_qty, (SELECT ship_mean FROM b)), 6)
+               AS ship_qty_filled,
+           asia_order_n,
+           ROUND(last_value(avg_value IGNORE NULLS) OVER (
+               PARTITION BY year(day) ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 6) AS value_locf,
+           CAST((COALESCE(click_n, 0) + COALESCE(view_n, 0)
+                 + COALESCE(purchase_n, 0)) > 200 AS INT) AS is_active,
+           CAST(day >= DATE '1998-01-01' AS INT) AS is_recent
+    FROM m
+    """,
+    doc="Fused master-table pipeline (MLPREP+MERGE in one plan): "
+    "clean -> 7-branch daily aggregates -> full outer join on day -> "
+    "broadcast-mean imputation -> year-partitioned LOCF -> flags. "
+    "The end-to-end TBL_ML_MASTER artifact (MERGE cell 18) as a "
+    "single Catalyst plan with nation/region broadcast.",
+)
+def e2e_master_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .withColumn("day", F.to_date("ts"))
+    )
+
+    # day is materialized BEFORE each groupBy (see j1's note): the
+    # aggregate then hash-partitions on the concrete column and every
+    # downstream full-outer join reuses that distribution.
+    def daily(event_type: str, out: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .withColumn("day", F.to_date("o_orderdate"))
+    )
+    od = orders.groupBy("day").agg(
+        F.count(F.lit(1)).alias("order_n"),
+        _dsum(F.col("o_totalprice")).alias("order_total"),
+    )
+    sd = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_returnflag") != "R")
+            & F.col("l_shipdate").isNotNull()
+        )
+        .withColumn("day", F.to_date("l_shipdate"))
+        .groupBy("day")
+        .agg(_dsum(F.col("l_quantity")).alias("ship_qty"))
+    )
+    # small-dim chain: nation (25 rows) and region (5) broadcast;
+    # orders x customer is the one genuine shuffle join of the branch
+    asia = (
+        orders.join(
+            table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_nationkey"
+            ),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(table(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(table(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("asia_order_n"))
+    )
+    vd = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & (F.dayofmonth("day") % 5 != 2)
+        )
+        .groupBy("day")
+        .agg((_dsum(F.col("value")) / F.count("value")).alias("avg_value"))
+    )
+
+    m = master_outer_join(
+        [daily("click", "click_n"), daily("view", "view_n"),
+         daily("purchase", "purchase_n"), od, sd, asia, vd],
+        on="day",
+    )
+    ship_mean = sd.agg(
+        (_dsum(F.col("ship_qty")) / F.count("ship_qty")).alias("ship_mean")
+    )
+    locf = Window.partitionBy(F.year("day")).orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return m.crossJoin(F.broadcast(ship_mean)).select(
+        "day",
+        "click_n",
+        "view_n",
+        "purchase_n",
+        "order_n",
+        "order_total",
+        F.round(
+            F.coalesce(F.col("ship_qty"), F.col("ship_mean")), 6
+        ).alias("ship_qty_filled"),
+        "asia_order_n",
+        F.round(
+            F.last("avg_value", ignorenulls=True).over(locf), 6
+        ).alias("value_locf"),
+        (
+            F.coalesce(F.col("click_n"), F.lit(0))
+            + F.coalesce(F.col("view_n"), F.lit(0))
+            + F.coalesce(F.col("purchase_n"), F.lit(0))
+            > 200
+        )
+        .cast("int")
+        .alias("is_active"),
+        (F.col("day") >= F.lit("1998-01-01").cast("date"))
+        .cast("int")
+        .alias("is_recent"),
+    )
+
+
 def queries():
     return {name: q.fn for name, q in QUERIES.items()}
 

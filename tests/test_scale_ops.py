@@ -254,6 +254,7 @@ def test_registered_plans_stay_jvm_side(spark, sf_dir):
         "t9_length_trim",             # corpus x broadcast 1-row bounds
         "v4_cosine_topk_ivf",         # queries x broadcast centroid table
         "v4p_cosine_topk_ivf_grid",   # corpus/queries x broadcast codebook
+        "e2e_master_daily",           # master x broadcast 1-row mean
     }
     for name, fn in plans.queries().items():
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
