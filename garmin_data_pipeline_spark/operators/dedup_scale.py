@@ -54,10 +54,21 @@ _MAX_LIVE_SIGNATURES = 2
 
 def _persist_signature(sig: DataFrame) -> DataFrame:
     """Persist a signature DataFrame, evicting the oldest cached
-    signature past the bound (see FIFO contract above)."""
+    signature past the bound (see FIFO contract above). Every eviction
+    is logged (ADVICE r5): a caller that builds 3+ LSH plans before
+    running any silently de-caches the first plan — perf-only, but
+    now observable when it bites a multi-plan caller."""
     with _SIG_LOCK:
         while len(_LIVE_SIGNATURES) >= _MAX_LIVE_SIGNATURES:
             _LIVE_SIGNATURES.pop(0).unpersist()
+            import logging
+
+            logging.getLogger(__name__).debug(
+                "evicted oldest LSH signature cache (bound %d); if that "
+                "plan was never run, its self-join will recompute "
+                "signatures on both sides",
+                _MAX_LIVE_SIGNATURES,
+            )
         _LIVE_SIGNATURES.append(sig.persist())
     return sig
 

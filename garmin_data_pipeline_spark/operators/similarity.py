@@ -624,7 +624,9 @@ def build_quantized_lsh_index(
       :func:`search_ivf`).
 
     Pure column expressions, no shuffle; write partitioned/persisted
-    and reuse across query batches."""
+    and reuse across query batches. ``dim=None`` runs infer_dim's
+    eager LIMIT-1 probe at plan-construction time — pass it
+    explicitly to keep the plan lazy (registered call sites do)."""
     if dim is None:
         dim = infer_dim(corpus, vec_col)
     planes = hyperplanes(n_planes, dim)
@@ -656,7 +658,9 @@ def search_quantized_lsh(
     index: bucket-join prune (multi-probe by default — quantized
     serving exists for recall-at-low-cost, so probe the Hamming-1
     neighborhood), dequantize ONLY the candidates, score with the
-    precomputed norms. The full-precision corpus is never read."""
+    precomputed norms. The full-precision corpus is never read.
+    ``dim=None`` triggers infer_dim's eager LIMIT-1 probe against the
+    QUERY side — pass dim explicitly to keep plan construction lazy."""
     if dim is None:
         dim = infer_dim(queries, query_vec_col)
     planes = hyperplanes(n_planes, dim)

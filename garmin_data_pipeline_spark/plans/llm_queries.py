@@ -1098,9 +1098,10 @@ def m3_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     -- md5 over a VARCHAR slice equals the Spark kernel's md5 over the
-    -- frame BYTES only because this corpus is pure ASCII (asserted by
-    -- the testdata profile); the Spark side hashes raw bytes and is
-    -- corpus-agnostic.
+    -- frame BYTES only because this corpus is pure ASCII — ENFORCED by
+    -- tests/test_llm_ops.py::test_m4_oracle_ascii_precondition over
+    -- every generated sf dir (octet_length == char length for all
+    -- docs); the Spark side hashes raw bytes and is corpus-agnostic.
     SELECT doc_id,
            idx AS frame_idx,
            LEAST(256, n_bytes - idx * 256) AS frame_len,

@@ -515,6 +515,34 @@ def test_ivf_index_write_read_partitioned(spark, sf_dir, tmp_path):
     assert orig == reopened
 
 
+def test_m4_oracle_ascii_precondition():
+    """ADVICE r5: the m4 oracle's md5 over a VARCHAR substring equals
+    the Spark kernel's md5 over raw frame bytes ONLY for pure-ASCII
+    text. That precondition was claimed in a comment but never
+    enforced — this test pins it over EVERY generated testdata scale
+    factor, so a generator change to non-ASCII text fails here with a
+    clear message instead of surfacing as a confusing m4 oracle
+    mismatch."""
+    from pathlib import Path
+
+    import duckdb
+
+    sf_dirs = sorted(Path("/root/testdata").glob("sf*/documents.parquet"))
+    assert sf_dirs, "no generated testdata found"
+    con = duckdb.connect()
+    for p in sf_dirs:
+        bad = con.execute(
+            f"SELECT COUNT(*) FROM '{p}' "
+            "WHERE text IS NOT NULL "
+            "AND octet_length(encode(text)) <> length(text)"
+        ).fetchone()[0]
+        assert bad == 0, (
+            f"{p}: {bad} non-ASCII documents — the m4 oracle's "
+            "substring/md5 equivalence no longer holds; rewrite the "
+            "oracle over encode(text) byte slices"
+        )
+
+
 def test_multimodal_plumbing(spark):
     df = spark.createDataFrame(
         [(1, "hello world"), (2, "x" * 100)], "id: long, text: string"
