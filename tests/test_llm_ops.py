@@ -846,12 +846,27 @@ def test_query_registry_ordering_invariants():
     assert names[-len(plans._TAIL):] == plans._TAIL
     # the tail is exactly the overflow past the driver's 50-row cap
     assert len(names) - len(plans._TAIL) == 50, len(names)
-    # rows-only (no-oracle) queries must sit inside the checked 50
+    # r5 verdict: rows-only (no-oracle) queries sit PERMANENTLY in the
+    # tail — they carry no oracle signal of their own, so a certified
+    # slot is wasted on them; each must have a registered, oracle-
+    # backed parity twin carrying the signal (the twin itself rotates
+    # like any other oracle query)
     no_oracle = {n for n in names if n not in oracles}
-    assert no_oracle <= set(names[:50]), no_oracle - set(names[:50])
-    # and everything rotated out is oracle-checkable (strong signal
+    twins = {
+        "d3_minhash_lsh_pairs": "d3p_minhash_lsh_pairs",
+        "d4_simhash_candidates": "d4p_simhash_candidates",
+        "v4_cosine_topk_ivf": "v4p_cosine_topk_ivf_grid",
+        "t8_rolling_fingerprint": "t8p_rolling_fingerprint",
+    }
+    assert no_oracle == set(twins), no_oracle.symmetric_difference(twins)
+    for rows_only, twin in twins.items():
+        assert rows_only in plans._TAIL, rows_only
+        assert twin in oracles and twin in names, twin
+    # everything ELSE rotated out is oracle-checkable (strong signal
     # retained for when it rotates back in)
-    assert all(n in oracles for n in plans._TAIL)
+    assert all(
+        n in oracles for n in plans._TAIL if n not in no_oracle
+    )
 
 
 def test_pack_sequences_sharded_oversized_docs(spark):
