@@ -123,6 +123,14 @@ HEADLINE = [
     "v2mp_lsh_serve_q500",
     "v5_int8_serve_q500",
     "e2e_master_daily",
+    # r6 batch-2 additions: semantic dedup (the SemDeDup scale path
+    # over the clustered embedding space), the bucketed co-located
+    # join (steady-state = exchange-free merge join; the one-off
+    # layout write happens in the warm-ups), and the stream-static
+    # segment rollup twin.
+    "v6_semantic_dedup",
+    "b1_bucketed_join_agg",
+    "st5_segment_rollup",
 ]
 
 

@@ -20,7 +20,10 @@ from garmin_data_pipeline_spark.operators.nested import (
 from garmin_data_pipeline_spark.operators.repair import (
     patch_null_dates_from_gaps,
 )
-from garmin_data_pipeline_spark.operators.skew import salted_agg
+from garmin_data_pipeline_spark.operators.skew import (
+    salted_agg,
+    salted_join,
+)
 from garmin_data_pipeline_spark.operators.spatial import (
     haversine_km,
     join_points_in_radius,
@@ -77,6 +80,7 @@ __all__ = [
     "pick_array_element",
     "reorder_after",
     "salted_agg",
+    "salted_join",
     "union_by_name",
     "value_counts",
 ]

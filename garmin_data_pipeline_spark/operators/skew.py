@@ -80,3 +80,46 @@ def salted_agg(
                 _COMBINE[how](f"__p_{how}_{col}").alias(f"{how}_{col}")
             )
     return stage1.groupBy(*keys).agg(*final_exprs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_col: str,
+    buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resilient equi-join via salting, for when the small side
+    is too big to broadcast and one hot key would pin a sort-merge
+    task. The big side's rows get a deterministic salt (hash of
+    ``salt_col``, a well-distributed column like a row id, mod
+    ``buckets``); the small side is replicated once per salt value
+    with ``explode(sequence(...))``; the join runs on
+    ``(key, salt)`` so the hot key's rows spread over ``buckets``
+    reducers. Row-identical to the unsalted join — salting only
+    re-partitions the work.
+
+    Scale notes: replication multiplies the small side by
+    ``buckets`` — size it so small x buckets still fits the shuffle
+    comfortably (this is precisely the regime where it can't be
+    broadcast but can be duplicated 8-16x). AQE's skew-join split
+    (`spark.sql.adaptive.skewJoin`) handles moderate skew at runtime;
+    explicit salting is the static fix for pathological keys and for
+    engines/plans AQE can't rewrite (e.g. a skewed LEFT join's build
+    side). The ``merge`` hint pins sort-merge so the demo measures
+    the salted-exchange path rather than being silently broadcast.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    salted_big = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(buckets))
+    )
+    replicated = small.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))),
+    ).withColumn("__salt", F.col("__salt").cast("long"))
+    joined = salted_big.join(
+        replicated.hint("merge"), [key, "__salt"], how
+    )
+    return joined.drop("__salt")

@@ -30,8 +30,10 @@ from garmin_data_pipeline_spark.plans.queries import (
 #   r4: f2 p13 p3 p4 p6 o3 t1 t3 t4 t9 t11 t12 d1 m1 m2 m3 a1 a3 a4
 #       w1 f23 s3 t5 a13 j5 j6 a12 st1 t10 (r5's committed tail —
 #       rotating back in NOW, the r5 verdict's top directive)
-#   never: v2mp (multi-probe LSH, new in r6), e2e (fused master-table
-#       pipeline, new in r6) — both oracle-backed
+#   never: new r6 registrations, all oracle-backed — v2mp (multi-probe
+#       LSH), e2e (fused master-table pipeline), v6 (semantic dedup),
+#       t16 (per-lang vocab top-k), j7 (salted skew join), st5
+#       (stream-static enrichment), b1 (bucketed co-located join)
 _HEAD = [
     # r5's tail rotates back in (green r4, code unchanged since):
     "f2_epoch_millis",
@@ -66,16 +68,23 @@ _HEAD = [
     # plans changed in r6 — must re-certify:
     #   d5s: star-CC convergence folded into one tagged-union job
     #   v4p: search_ivf scores with precomputed norms (bit-identical)
-    #   v2:  cosine_topk_lsh gained the probe_hamming parameter
-    #        (v2 itself runs probe_hamming=0, same plan shape)
+    #   v2:  cosine_topk_lsh gained the probe_hamming parameter AND
+    #        per-side precomputed norms (bit-identical values)
+    #   v3:  embedding_near_dup_pairs precomputes per-vector norms
     "d5s_duplicate_groups_star",
     "v4p_cosine_topk_ivf_grid",
     "v2_cosine_topk_lsh",
+    "v3_embedding_near_dups",
     # new in r6 (first driver row ever):
     "v2mp_lsh_multiprobe",
     "e2e_master_daily",
-    # remaining head slots are the unlisted middle: st2 st3 d5 v3 m4
-    # c1 t13 v5 t14 t15 st4 t6b j1 w5 a14 j4 (all green r5, unchanged)
+    "v6_semantic_dedup",
+    "t16_vocab_topk_per_lang",
+    "j7_salted_skew_join",
+    "st5_segment_rollup",
+    "b1_bucketed_join_agg",
+    # remaining head slots are the unlisted middle: d5 m4 c1 t14 t15
+    # st4 j1 w5 a14 j4 (all green r5, unchanged)
 ]
 _TAIL = [
     # rows-only variants — PERMANENT tail residents (see policy 2);
@@ -114,6 +123,13 @@ _TAIL = [
     "t8p_rolling_fingerprint",
     "v1_cosine_topk_bruteforce",
     "t6_sequence_packing",
+    # rotated out for the five r6 registrations (green r5, code
+    # unchanged in r6):
+    "st2_sessionize",
+    "st3_replay_dedup",
+    "t13_hash_split",
+    "v5_quantize_embeddings",
+    "t6b_sequence_packing_sharded",
 ]
 
 

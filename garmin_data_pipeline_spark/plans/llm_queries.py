@@ -1744,3 +1744,111 @@ def t9_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# V6 — SemDeDup-style semantic deduplication (Abbas et al. 2023):
+# grid-cell clustering + within-cell cosine pruning, min-id member
+# survives. The scale path of embedding dedup — the cells bound the
+# candidate self-join exactly like LSH bands bound d3's.
+# ---------------------------------------------------------------------------
+_SEMDEDUP_TAU = 0.3
+
+
+@register(
+    "v6_semantic_dedup",
+    f"""
+    WITH c AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), cent(cell, cv) AS (
+        VALUES {_cent_values_sql(_GRID)}
+    ), assigned AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT vec_id, v, cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY COALESCE(list_dot_product(v, cv), -1e300)
+                                DESC, cell
+                   ) AS arank
+            FROM c CROSS JOIN cent
+        ) WHERE arank = 1
+    ), losers AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) /
+              NULLIF(sqrt(list_dot_product(a.v, a.v)) *
+                     sqrt(list_dot_product(b.v, b.v)), 0)
+              >= {_SEMDEDUP_TAU}
+    )
+    SELECT s.vec_id, CAST(s.cell AS INT) AS cell
+    FROM assigned s LEFT JOIN losers l ON s.vec_id = l.vec_id
+    WHERE l.vec_id IS NULL
+    """,
+    doc="SemDeDup-style semantic dedup: coarse-cluster embeddings "
+    "against the fixed grid codebook, drop every vector with a "
+    "smaller-id cluster-mate at cosine >= 0.3, keep the min-id "
+    "representative (drops 182/500 at sf0.01). Cell-bucketed "
+    "self-join — candidate pairs bounded by sum(|cell|^2), never "
+    "all-pairs; the KMeans-codebook variant is the paper's exact "
+    "recipe (swap in build_ivf_index centroids).",
+)
+def v6_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    return semantic_dedup(
+        table(spark, sf_dir, "embeddings"),
+        _GRID,
+        threshold=_SEMDEDUP_TAU,
+    )
+
+
+# ---------------------------------------------------------------------------
+# T16 — per-language vocabulary top-k: the grouped variant of t15
+# (multilingual tokenizer training allocates vocab per language).
+# Window ranks run on the AGGREGATED (lang, token) counts — tiny next
+# to the corpus — and the window is partitioned by lang, so no global
+# sort and no single-reducer rank at any scale.
+# ---------------------------------------------------------------------------
+@register(
+    "t16_vocab_topk_per_lang",
+    f"""
+    WITH tok AS (
+        SELECT lang, UNNEST({_TOKS}) AS token FROM documents
+    ), counts AS (
+        SELECT lang, token, COUNT(*) AS cnt
+        FROM tok GROUP BY lang, token
+    )
+    SELECT lang, token, cnt, CAST(rnk AS INT) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY lang ORDER BY cnt DESC, token
+        ) AS rnk FROM counts
+    ) WHERE rnk <= 10
+    """,
+    doc="Per-language vocabulary top-10 by token frequency: explode "
+    "+ map-side-partial hash aggregate, then a lang-partitioned "
+    "row_number over the (small) aggregated counts — per-group top-k "
+    "without a global sort.",
+)
+def t16_vocab_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    counts = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "lang", F.explode(T.tokens(F.col("text"))).alias("token")
+        )
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("cnt"), F.col("token")
+    )
+    return counts.withColumn(
+        "rnk", F.row_number().over(w).cast("int")
+    ).filter(F.col("rnk") <= 10)

@@ -1709,6 +1709,145 @@ def e2e_master_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# J7 — skew-resilient salted equi-join (SURVEY §4 scale notes, the
+# join twin of a14's salted aggregate): events (big, potentially
+# hot-keyed) x customer (too big to broadcast in the 100 TB regime)
+# on user_id, salted over 8 buckets. Row-identical to the plain join
+# — the oracle IS the plain join.
+# ---------------------------------------------------------------------------
+@register(
+    "j7_salted_skew_join",
+    """
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS mktsegment, e.value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    doc="Salted sort-merge join: big side salted by hash(event_id) "
+    "mod 8, small side replicated once per salt, join on (key, salt) "
+    "- a pathological hot key spreads over 8 reducers instead of "
+    "pinning one task. Static fix for skew AQE can't rewrite; "
+    "results identical to the unsalted join.",
+)
+def j7_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators import salted_join
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    return salted_join(
+        ev, cust, key="user_id", salt_col="event_id", buckets=8
+    ).select("event_id", "user_id", "mktsegment", "value")
+
+
+# ---------------------------------------------------------------------------
+# ST5 — stream-static enrichment join + windowed rollup: the stream
+# side joins a static dim (stateless, broadcast per micro-batch),
+# then aggregates per (day, segment). Registered entry runs the
+# batch twin of the same code path; the streaming test asserts
+# stream-vs-batch row equivalence.
+# ---------------------------------------------------------------------------
+@register(
+    "st5_segment_rollup",
+    """
+    SELECT CAST(time_bucket(INTERVAL '1 day', e.ts) AS DATE) AS day,
+           c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_events,
+           {sv}
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.ts IS NOT NULL
+    GROUP BY 1, 2
+    """.format(sv=dsum("e.value", "total_value")),
+    doc="Stream-static enrichment: events joined to the customer dim "
+    "(broadcast - zero join state in streaming), tumbling-day rollup "
+    "per market segment. One shuffle (the windowed aggregate); the "
+    "dim never shuffles the stream.",
+)
+def st5_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.streaming import enrich_events
+
+    return enrich_events(
+        table(spark, sf_dir, "events"),
+        table(spark, sf_dir, "customer"),
+        window="1 day",
+    )
+
+
+# ---------------------------------------------------------------------------
+# B1 — bucketed co-located join: lineitem and orders written once as
+# 8-bucket bucket-sorted tables on the join key, then joined with NO
+# Exchange and NO Sort (the warehouse layout that amortizes one
+# write-time shuffle over every downstream join on that key — the
+# Spark analog of the reference warehouse's join-key B-tree indexes,
+# create_summarized_activities_table.sql:93-96). The plan invariant
+# is asserted by tests/test_scale_ops.py; the oracle is the plain
+# join+agg, since bucketing only changes layout, never results.
+# ---------------------------------------------------------------------------
+@register(
+    "b1_bucketed_join_agg",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           {sp}
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """.format(sp=dsum("l_extendedprice", "sum_price")),
+    doc="Join over pre-bucketed tables: both sides bucket-sorted by "
+    "the join key at write time (8 buckets here; cores x small "
+    "multiple at cluster scale), so the sort-merge join reads "
+    "co-located pre-sorted buckets - zero Exchange, zero Sort in "
+    "the join stage. Layout cost paid once, amortized per query.",
+)
+def b1_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from garmin_data_pipeline_spark.sources import write_bucketed_table
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tl, to = f"b1_lineitem_{tag}", f"b1_orders_{tag}"
+    base = f"/tmp/spark-bucketed-{tag}"
+    # write_bucketed_table lays out ONE file per bucket, which makes
+    # it safe to honor the written per-bucket sort at scan time —
+    # with it, the merge join needs neither Exchange NOR Sort.
+    spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+    )
+    # Layout pass: once per (session, sf_dir) — exactly the
+    # write-once / join-many contract bucketing exists for.
+    if not spark.catalog.tableExists(tl):
+        write_bucketed_table(
+            table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice"
+            ),
+            tl,
+            "l_orderkey",
+            n_buckets=8,
+            path=f"{base}/lineitem",
+        )
+    if not spark.catalog.tableExists(to):
+        write_bucketed_table(
+            table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority"
+            ),
+            to,
+            "o_orderkey",
+            n_buckets=8,
+            path=f"{base}/orders",
+        )
+    bl, bo = spark.table(tl), spark.table(to)
+    joined = bl.hint("merge").join(
+        bo, bl["l_orderkey"] == bo["o_orderkey"]
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        _dsum(F.col("l_extendedprice")).alias("sum_price"),
+    )
+
+
 def queries():
     return {name: q.fn for name, q in QUERIES.items()}
 

@@ -23,4 +23,5 @@ from .archive import (  # noqa: F401
 from .sinks import (  # noqa: F401
     jdbc_reader_options,
     read_jdbc,
+    write_bucketed_table,
 )

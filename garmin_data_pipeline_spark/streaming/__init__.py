@@ -5,6 +5,7 @@ from .events import (  # noqa: F401
     attribute_purchases,
     daily_event_summary,
     dedupe_stream,
+    enrich_events,
     read_events_stream,
     sessionize,
     start_daily_summary_stream,

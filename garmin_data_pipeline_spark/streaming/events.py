@@ -345,3 +345,56 @@ def sessionize(
         "append",
         GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def enrich_events(
+    events: DataFrame,
+    customers: DataFrame,
+    window: str = "1 day",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static enrichment join + windowed rollup: each event is
+    joined to the static customer dimension (user_id -> market
+    segment), then aggregated per (tumbling window, segment).
+
+    Streaming frames: the stream-static join is STATELESS — Spark
+    re-plans the static side per micro-batch and broadcasts it, so
+    unlike the stream-stream join (see :func:`attribute_purchases`)
+    there is no join state store at all; only the downstream windowed
+    aggregate keeps state, bounded by the watermark. This is the
+    canonical enrichment topology for a 100 TB/day event firehose:
+    dims live in the warehouse, refresh per batch, never shuffle the
+    stream.
+
+    Batch frames: the identical code path (``F.window`` works in
+    batch; only the watermark call is gated), so batch backfill and
+    the live stream share one definition — the driver-checked twin.
+
+    Output: (day, mktsegment, n_events, total_value) with the decimal
+    accumulation discipline for cross-engine hash parity.
+    """
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    e = events.select("user_id", "ts", "value")
+    if events.isStreaming:
+        e = e.withWatermark("ts", watermark)
+    joined = e.join(F.broadcast(dim), "user_id", "inner")
+    return (
+        joined.groupBy(
+            F.window("ts", window).alias("w"), "mktsegment"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            "mktsegment",
+            "n_events",
+            "total_value",
+        )
+    )

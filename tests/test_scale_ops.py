@@ -254,6 +254,7 @@ def test_registered_plans_stay_jvm_side(spark, sf_dir):
         "t9_length_trim",             # corpus x broadcast 1-row bounds
         "v4_cosine_topk_ivf",         # queries x broadcast centroid table
         "v4p_cosine_topk_ivf_grid",   # corpus/queries x broadcast codebook
+        "v6_semantic_dedup",          # corpus x broadcast grid codebook
         "e2e_master_daily",           # master x broadcast 1-row mean
     }
     for name, fn in plans.queries().items():
@@ -268,3 +269,85 @@ def test_registered_plans_stay_jvm_side(spark, sf_dir):
             )
         bad = _unpartitioned_window_specs(plan)
         assert not bad, f"{name}: unpartitioned window(s): {bad}"
+
+
+class TestSemanticDedup:
+    """SemDeDup-style semantic dedup: survivors/losers partition the
+    corpus; no surviving same-cell pair is over-threshold; the min-id
+    member of every cell always survives."""
+
+    TAU = 0.3
+
+    def _parts(self, spark, sf_dir):
+        from garmin_data_pipeline_spark.operators.similarity import (
+            assign_cells_fixed,
+            grid_centroids,
+            semantic_dedup,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        grid = grid_centroids(8, 64)
+        survivors = semantic_dedup(emb, grid, threshold=self.TAU)
+        assigned = assign_cells_fixed(emb, grid)
+        return emb, survivors, assigned
+
+    def test_partition_and_representatives(self, spark, sf_dir):
+        emb, survivors, assigned = self._parts(spark, sf_dir)
+        n_total = emb.count()
+        n_surv = survivors.count()
+        assert 0 < n_surv <= n_total
+        # every cell's min-id member has no smaller-id mate -> survives
+        min_ids = assigned.groupBy("cell").agg(
+            F.min("vec_id").alias("vec_id")
+        )
+        missing = min_ids.join(
+            survivors.select("vec_id"), "vec_id", "left_anti"
+        )
+        assert missing.count() == 0
+
+    def test_no_overthreshold_surviving_pair(self, spark, sf_dir):
+        from garmin_data_pipeline_spark.operators.similarity import cosine
+
+        emb, survivors, assigned = self._parts(spark, sf_dir)
+        sv = assigned.join(survivors.select("vec_id"), "vec_id")
+        a = sv.select(
+            F.col("vec_id").alias("ia"), F.col("v").alias("va"), "cell"
+        )
+        b = sv.select(
+            F.col("vec_id").alias("ib"), F.col("v").alias("vb"), "cell"
+        )
+        bad = (
+            a.join(b, "cell")
+            .filter(F.col("ia") < F.col("ib"))
+            .filter(cosine(F.col("va"), F.col("vb")) >= self.TAU)
+        )
+        assert bad.count() == 0
+
+
+def test_b1_bucketed_join_query_plan(spark, sf_dir):
+    """The registered b1 query's join stage must be exchange-free AND
+    sort-free: write_bucketed_table lays out one file per bucket and
+    the query enables bucketed-scan output ordering, so the merge
+    join zips pre-sorted co-located buckets. The single exchange in
+    the plan belongs to the downstream groupBy."""
+    import glob
+    import shutil
+
+    from garmin_data_pipeline_spark import plans
+
+    for d in glob.glob("/tmp/spark-bucketed-*"):
+        shutil.rmtree(d, ignore_errors=True)
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    for t in (f"b1_lineitem_{tag}", f"b1_orders_{tag}"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    df = plans.QUERIES["b1_bucketed_join_agg"].fn(spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Sort [") == 0, plan
+    # one file per bucket is what makes the sort-free scan legal
+    files = glob.glob(f"/tmp/spark-bucketed-{tag}/lineitem/*.parquet")
+    assert len(files) == 8, files

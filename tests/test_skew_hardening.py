@@ -233,3 +233,71 @@ def test_cumulative_sum_sharded_null_value_runs(spark):
     }
     assert got == want
     assert want[("k", 2)] == 5.0 and got[("w", 2)] is None
+
+
+class TestSaltedJoin:
+    """salted_join must be row-identical to the plain join while
+    spreading each key over `buckets` reducers."""
+
+    def test_matches_plain_join(self, spark):
+        from garmin_data_pipeline_spark.operators import salted_join
+
+        big = spark.range(0, 2000).select(
+            F.col("id").alias("row_id"),
+            (F.col("id") % 5).alias("k"),
+            (F.col("id") * 2).alias("val"),
+        )
+        # hot key: half the rows land on k=0
+        big = big.withColumn(
+            "k", F.when(F.col("row_id") < 1000, F.lit(0)).otherwise(F.col("k"))
+        )
+        small = spark.range(0, 5).select(
+            F.col("id").alias("k"), F.concat(F.lit("g"), F.col("id")).alias("grp")
+        )
+        got = salted_join(big, small, key="k", salt_col="row_id", buckets=8)
+        want = big.join(small, "k")
+        assert got.count() == want.count() == 2000
+        assert (
+            got.exceptAll(want.select(got.columns)).count() == 0
+            and want.select(got.columns).exceptAll(got).count() == 0
+        )
+
+    def test_left_join_keeps_unmatched(self, spark):
+        from garmin_data_pipeline_spark.operators import salted_join
+
+        big = spark.range(0, 100).select(
+            F.col("id").alias("row_id"), (F.col("id") % 10).alias("k")
+        )
+        small = spark.range(0, 3).select(
+            F.col("id").alias("k"), F.lit("x").alias("tag")
+        )
+        got = salted_join(
+            big, small, key="k", salt_col="row_id", how="left"
+        )
+        assert got.count() == 100
+        assert got.filter(F.col("tag").isNull()).count() == 70
+
+    def test_plan_joins_on_salted_key(self, spark):
+        from garmin_data_pipeline_spark.operators import salted_join
+
+        big = spark.range(0, 100).select(
+            F.col("id").alias("row_id"), (F.col("id") % 10).alias("k")
+        )
+        small = spark.range(0, 3).select(
+            F.col("id").alias("k"), F.lit("x").alias("tag")
+        )
+        out = salted_join(big, small, key="k", salt_col="row_id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # merge hint pins sort-merge; both join keys present means the
+        # exchange hashes on (k, __salt) — the skew spread.
+        assert "SortMergeJoin" in plan, plan
+        assert "__salt" in plan, plan
+
+    def test_rejects_unsupported_how(self, spark):
+        import pytest
+
+        from garmin_data_pipeline_spark.operators import salted_join
+
+        df = spark.range(2)
+        with pytest.raises(ValueError):
+            salted_join(df, df, key="id", salt_col="id", how="outer")

@@ -604,3 +604,44 @@ def test_events_queries_portable_across_timestamp_shapes(
     finally:
         if sess_tz is not None:
             spark.conf.set("spark.sql.session.timeZone", sess_tz)
+
+
+def test_enrich_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static enrichment (st5): the streaming side joins the
+    static customer dim per micro-batch (stateless — no join state
+    store) and its finalized windows must value-match the batch twin.
+    Append mode emits only watermark-finalized windows, so the
+    streamed rows are a subset; every emitted row must match."""
+    from garmin_data_pipeline_spark.plans.registry import table
+    from garmin_data_pipeline_spark.streaming import (
+        enrich_events,
+        read_events_stream,
+    )
+
+    src = tmp_path / "events_enrich"
+    table(spark, sf_dir, "events").write.parquet(str(src))
+    cust = table(spark, sf_dir, "customer")
+
+    streamed = enrich_events(
+        read_events_stream(spark, str(src)), cust, window="1 day"
+    )
+    assert streamed.isStreaming
+    q = (
+        streamed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrich_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("enrich_test")
+    batch = enrich_events(table(spark, sf_dir, "events"), cust)
+    assert 0 < got.count() <= batch.count()
+    j = got.alias("s").join(batch.alias("b"), ["day", "mktsegment"])
+    assert j.count() == got.count()
+    mism = j.filter(
+        (F.col("s.n_events") != F.col("b.n_events"))
+        | (F.abs(F.col("s.total_value") - F.col("b.total_value")) > 1e-6)
+    )
+    assert mism.count() == 0
