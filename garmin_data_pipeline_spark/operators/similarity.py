@@ -855,3 +855,38 @@ def semantic_dedup(
     return assigned.join(losers, "vec_id", "left_anti").select(
         "vec_id", F.col("cell").cast("int").alias("cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group embedding centroids (class prototypes / cluster means —
+# the aggregation half of nearest-class-mean classification and the
+# M-step a distributed KMeans runs; no reference counterpart).
+# ---------------------------------------------------------------------------
+def embedding_centroids(
+    emb: DataFrame, group_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Element-wise mean of ``vec_col`` per ``group_col``, in LONG
+    format ``(group, pos, mean_val, n)`` with 0-based ``pos``.
+
+    Scale shape: posexplode (rows x dim, embarrassingly parallel) ->
+    hash aggregate on (group, pos) with map-side partials — one
+    shuffle of groups x dim partial sums, never the raw vectors. Long
+    output keeps the plan pure-relational (downstream consumers pivot
+    or collect_list only if they truly need dense vectors).
+
+    Float discipline: partial sums accumulate in DECIMAL(18,6) (order-
+    independent, hash-stable vs the oracle — see plans/registry.py),
+    emitted as DOUBLE / count.
+    """
+    ex = emb.select(
+        F.col(group_col), F.posexplode(F.col(vec_col)).alias("pos", "v")
+    )
+    return ex.groupBy(group_col, "pos").agg(
+        (
+            F.sum(F.col("v").cast("double").cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / F.count("v")
+        ).alias("mean_val"),
+        F.count("v").alias("n"),
+    )

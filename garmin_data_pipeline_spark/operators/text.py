@@ -390,3 +390,80 @@ def sql_shingles(tokens_expr: str, n: int = 3) -> str:
         f"WHEN len({e}) = 0 THEN [] "
         f"ELSE [array_to_string({e}, ' ')] END)"
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF doc-term matrix (text analysis: term weighting for retrieval /
+# quality features; no reference counterpart — the reference corpus is
+# numeric telemetry).
+# ---------------------------------------------------------------------------
+def tfidf_matrix(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-(doc, token) TF-IDF: ``tf * ln(n_docs / df)``.
+
+    Scale shape: explode -> map-side-partial count for tf, a second
+    partial count over tf for df (one row per distinct (doc, token),
+    so df == document frequency), then a token-keyed join. The df side
+    is vocabulary-sized; AQE broadcasts it at small SFs and falls back
+    to a shuffle join (with skew splitting for stop-token keys) when a
+    100 TB corpus pushes the vocabulary past the broadcast threshold.
+    The 1-row corpus count is broadcast.
+
+    Float discipline: tf/df/n_docs are exact BIGINTs and ``ln`` of
+    their ratio is computed once per row on both engines; the product
+    is rounded to 6 dp so a <=1-ulp libm difference between JVM and
+    C++ ``log`` cannot flip the value hash.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(df_counts, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
+def bpe_pair_counts(
+    docs: DataFrame, text_col: str = "text", k: int = 20
+) -> DataFrame:
+    """One BPE-training merge step: corpus-wide counts of adjacent
+    character pairs inside tokens, top-``k``.
+
+    This is the inner loop of byte-pair-encoding tokenizer training
+    distributed as explode -> hash aggregate with map-side partials ->
+    ``TakeOrderedAndProject`` (no global sort). Counting character
+    bigrams of every token *instance* weights pairs by token frequency
+    exactly as sequential BPE does. All-integer output: hash-stable.
+    """
+    toks = docs.select(
+        F.explode(tokens(F.col(text_col))).alias("token")
+    ).filter(F.length("token") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("token") - 1),
+                lambda i: F.col("token").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.col("pair"))
+        .limit(k)
+    )

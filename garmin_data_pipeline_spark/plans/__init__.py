@@ -83,8 +83,13 @@ _HEAD = [
     "j7_salted_skew_join",
     "st5_segment_rollup",
     "b1_bucketed_join_agg",
+    "t17_tfidf_matrix",
+    "t18_bpe_pairs",
+    "v7_label_centroids",
+    "a15_cube_events",
     # remaining head slots are the unlisted middle: d5 m4 c1 t14 t15
-    # st4 j1 w5 a14 j4 (all green r5, unchanged)
+    # st4 (all first-green in r5, kept in for a second consecutive
+    # certified row)
 ]
 _TAIL = [
     # rows-only variants — PERMANENT tail residents (see policy 2);
@@ -130,6 +135,12 @@ _TAIL = [
     "t13_hash_split",
     "v5_quantize_embeddings",
     "t6b_sequence_packing_sharded",
+    # rotated out for the four late-r6 registrations (t17 t18 v7 a15):
+    # all green r5 AND r4-or-earlier, code unchanged
+    "j1_master_daily_join",
+    "w5_densify_ffill",
+    "a14_salted_event_stats",
+    "j4_spatial_join",
 ]
 
 

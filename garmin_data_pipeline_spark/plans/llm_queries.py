@@ -1852,3 +1852,93 @@ def t16_vocab_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn(
         "rnk", F.row_number().over(w).cast("int")
     ).filter(F.col("rnk") <= 10)
+
+
+# ---------------------------------------------------------------------------
+# T17 — TF-IDF doc-term matrix. The full matrix (not a top-k pick) so
+# the row set is float-ordering-insensitive: selection by a float rank
+# could flip on a 1-ulp ln() difference between engines, a cell value
+# rounded to 6 dp cannot.
+# ---------------------------------------------------------------------------
+@register(
+    "t17_tfidf_matrix",
+    f"""
+    WITH tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM (SELECT doc_id, UNNEST({_TOKS}) AS token FROM documents)
+        GROUP BY doc_id, token
+    ), dfreq AS (
+        SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+           ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6)
+               AS tfidf
+    FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    """,
+    doc="TF-IDF doc-term matrix: explode + two partial-agg counts + "
+    "token-keyed join (AQE broadcast at small vocab, skew-split "
+    "shuffle at 100 TB vocab) + broadcast 1-row corpus count.",
+)
+def t17_tfidf_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.tfidf_matrix(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# T18 — BPE merge-step pair counts (tokenizer training prep: the
+# distributed inner loop of byte-pair-encoding).
+# ---------------------------------------------------------------------------
+@register(
+    "t18_bpe_pairs",
+    f"""
+    WITH tok AS (
+        SELECT UNNEST({_TOKS}) AS token FROM documents
+    ), pairs AS (
+        SELECT UNNEST(list_transform(
+            generate_series(1, len(token) - 1),
+            i -> substr(token, i, 2))) AS pair
+        FROM tok WHERE len(token) >= 2
+    )
+    SELECT pair, COUNT(*) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair
+    LIMIT 20
+    """,
+    doc="BPE-training merge step: adjacent character-pair counts over "
+    "all token instances, top-20 via TakeOrderedAndProject (no global "
+    "sort); all-integer output.",
+)
+def t18_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.bpe_pair_counts(table(spark, sf_dir, "documents"), k=20)
+
+
+# ---------------------------------------------------------------------------
+# V7 — per-label embedding centroids (class prototypes; the M-step of
+# a distributed KMeans expressed as one relational aggregate).
+# ---------------------------------------------------------------------------
+@register(
+    "v7_label_centroids",
+    """
+    WITH ex AS (
+        -- parallel UNNESTs zip element-wise in DuckDB: 0-based pos
+        -- matches Spark's posexplode ordinal
+        SELECT label,
+               UNNEST(generate_series(0, len(embedding) - 1)) AS pos,
+               UNNEST(embedding) AS v
+        FROM embeddings
+    )
+    SELECT label, CAST(pos AS INT) AS pos,
+           CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(v) AS mean_val,
+           COUNT(v) AS n
+    FROM ex GROUP BY label, pos
+    """,
+    doc="Per-label embedding centroids in long format: posexplode -> "
+    "hash aggregate on (label, pos) with map-side DECIMAL partials — "
+    "one shuffle of labels x dim partial sums, never raw vectors.",
+)
+def v7_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.similarity import (
+        embedding_centroids,
+    )
+
+    return embedding_centroids(table(spark, sf_dir, "embeddings"))

@@ -1848,6 +1848,39 @@ def b1_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# A15 — CUBE over (event_type, day): every rollup combination in one
+# pass. Extends a12's ROLLUP (hypertable-style) to the full lattice —
+# Spark expands the cube with a single Expand node feeding one hash
+# aggregate (partial combine still applies), not 4 scans.
+# ---------------------------------------------------------------------------
+@register(
+    "a15_cube_events",
+    """
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           COUNT(*) AS n,
+           {v},
+           CAST(GROUPING(event_type) AS INT) AS g_type,
+           CAST(GROUPING(CAST(ts AS DATE)) AS INT) AS g_day
+    FROM events
+    GROUP BY CUBE (event_type, CAST(ts AS DATE))
+    """.format(v=dsum("value", "total_value")),
+    doc="GROUP BY CUBE over (event_type, day) with GROUPING flags to "
+    "disambiguate native NULLs from subtotal rows; one Expand + one "
+    "partial-combined hash aggregate, no re-scan per grouping set.",
+)
+def a15_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    return ev.cube("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("value")).alias("total_value"),
+        F.grouping("event_type").cast("int").alias("g_type"),
+        F.grouping("day").cast("int").alias("g_day"),
+    )
+
+
 def queries():
     return {name: q.fn for name, q in QUERIES.items()}
 

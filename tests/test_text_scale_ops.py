@@ -1,0 +1,136 @@
+"""Tests for the late-r6 batch: TF-IDF matrix, BPE pair counting,
+per-group embedding centroids, CUBE lattice aggregate."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from garmin_data_pipeline_spark.operators.similarity import (
+    embedding_centroids,
+)
+from garmin_data_pipeline_spark.operators.text import (
+    bpe_pair_counts,
+    tfidf_matrix,
+)
+
+
+class TestTfidf:
+    def test_known_corpus(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "cat dog cat"),
+                (2, "dog bird"),
+                (3, "fish"),
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {
+            (r["doc_id"], r["token"]): r
+            for r in tfidf_matrix(docs).collect()
+        }
+        # cat: tf=2 in doc 1, df=1, n=3 -> 2*ln(3)
+        r = rows[(1, "cat")]
+        assert r["tf"] == 2 and r["df"] == 1
+        assert abs(r["tfidf"] - round(2 * math.log(3.0), 6)) < 1e-9
+        # dog appears in docs 1 and 2 -> df=2
+        assert rows[(1, "dog")]["df"] == 2
+        assert abs(
+            rows[(2, "dog")]["tfidf"] - round(math.log(1.5), 6)
+        ) < 1e-9
+        # every (doc, token) pair present exactly once:
+        # {cat,dog} x doc1, {dog,bird} x doc2, {fish} x doc3
+        assert len(rows) == 5
+
+    def test_null_and_empty_text_produce_no_rows(self, spark):
+        docs = spark.createDataFrame(
+            [(1, None), (2, ""), (3, "word")], ["doc_id", "text"]
+        )
+        out = tfidf_matrix(docs).collect()
+        assert {(r["doc_id"], r["token"]) for r in out} == {(3, "word")}
+        # but the empty docs still count toward n_docs: ln(3/1)
+        assert abs(out[0]["tfidf"] - round(math.log(3.0), 6)) < 1e-9
+
+
+class TestBpePairs:
+    def test_pair_weighting_by_token_frequency(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "abab abab"), (2, "ab cd")], ["doc_id", "text"]
+        )
+        got = {r["pair"]: r["cnt"] for r in bpe_pair_counts(docs).collect()}
+        # "abab" x2 contributes ab,ba,ab each; "ab" x1 contributes ab
+        assert got["ab"] == 5
+        assert got["ba"] == 2
+        assert got["cd"] == 1
+
+    def test_single_char_tokens_ignored(self, spark):
+        docs = spark.createDataFrame([(1, "a b c ab")], ["doc_id", "text"])
+        got = {r["pair"]: r["cnt"] for r in bpe_pair_counts(docs).collect()}
+        assert got == {"ab": 1}
+
+    def test_topk_deterministic_tiebreak(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "xy zw xy zw qq")], ["doc_id", "text"]
+        )
+        rows = bpe_pair_counts(docs, k=2).collect()
+        assert [(r["pair"], r["cnt"]) for r in rows] == [
+            ("xy", 2),
+            ("zw", 2),
+        ]
+
+
+class TestEmbeddingCentroids:
+    def test_matches_numpy_mean(self, spark):
+        import numpy as np
+
+        data = [
+            (1, [1.0, 2.0, 3.0], 0),
+            (2, [3.0, 4.0, 5.0], 0),
+            (3, [10.0, 20.0, 30.0], 1),
+        ]
+        emb = spark.createDataFrame(
+            data, ["vec_id", "embedding", "label"]
+        )
+        got = {
+            (r["label"], r["pos"]): (r["mean_val"], r["n"])
+            for r in embedding_centroids(emb).collect()
+        }
+        arr0 = np.mean([data[0][1], data[1][1]], axis=0)
+        for pos in range(3):
+            assert abs(got[(0, pos)][0] - arr0[pos]) < 1e-6
+            assert got[(0, pos)][1] == 2
+            assert got[(1, pos)] == (data[2][1][pos], 1)
+
+    def test_null_vectors_skipped(self, spark):
+        emb = spark.createDataFrame(
+            [(1, [1.0, 2.0], 0), (2, None, 0)],
+            "vec_id long, embedding array<double>, label int",
+        )
+        got = embedding_centroids(emb).collect()
+        assert {(r["label"], r["pos"], r["n"]) for r in got} == {
+            (0, 0, 1),
+            (0, 1, 1),
+        }
+
+
+class TestCubeEvents:
+    def test_lattice_consistency(self, spark, sf_dir):
+        from garmin_data_pipeline_spark.plans.queries import (
+            a15_cube_events,
+        )
+
+        out = a15_cube_events(spark, sf_dir).collect()
+        total = [r for r in out if r["g_type"] == 1 and r["g_day"] == 1]
+        assert len(total) == 1
+        by_type = [r for r in out if r["g_type"] == 0 and r["g_day"] == 1]
+        by_day = [r for r in out if r["g_type"] == 1 and r["g_day"] == 0]
+        cells = [r for r in out if r["g_type"] == 0 and r["g_day"] == 0]
+        n = total[0]["n"]
+        assert sum(r["n"] for r in by_type) == n
+        assert sum(r["n"] for r in by_day) == n
+        assert sum(r["n"] for r in cells) == n
+        # subtotal value sums agree across every slice of the lattice
+        assert abs(
+            sum(r["total_value"] for r in by_type) - total[0]["total_value"]
+        ) < 1e-6
