@@ -131,6 +131,13 @@ HEADLINE = [
     "v6_semantic_dedup",
     "b1_bucketed_join_agg",
     "st5_segment_rollup",
+    # r6 batch-3 additions: TF-IDF matrix (vocab join), BPE merge-step
+    # pair counts, per-label centroids (posexplode aggregate), CUBE
+    # lattice aggregate.
+    "t17_tfidf_matrix",
+    "t18_bpe_pairs",
+    "v7_label_centroids",
+    "a15_cube_events",
 ]
 
 

@@ -22,6 +22,9 @@ from .archive import (  # noqa: F401
 )
 from .sinks import (  # noqa: F401
     jdbc_reader_options,
+    merge_upsert,
     read_jdbc,
+    read_orc,
     write_bucketed_table,
+    write_orc,
 )

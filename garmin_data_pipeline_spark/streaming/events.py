@@ -398,3 +398,57 @@ def enrich_events(
             "total_value",
         )
     )
+
+
+def start_upsert_stream(
+    spark: SparkSession,
+    source_path: str,
+    table: str,
+    checkpoint: str,
+    staging_dir: str | None = None,
+):
+    """Continuous MERGE ingest: stream event shards and upsert each
+    micro-batch into a day-partitioned warehouse table keyed by
+    ``event_id`` (st6 — the standing-pipeline shape: at-least-once
+    file delivery + keyed idempotent upsert = exactly-once table
+    contents).
+
+    ``foreachBatch`` is the right tool here, not a built-in sink:
+    parquet's append sink cannot replace rows, and the merge needs a
+    batch-scoped view of the target. Each micro-batch pre-dedupes
+    itself (same key may repeat within a batch), then
+    :func:`~garmin_data_pipeline_spark.sources.sinks.merge_upsert`
+    rewrites ONLY the day-partitions the batch touches (dynamic
+    partition overwrite) — a day of late events rewrites 1/365 of a
+    year-scale table, and replayed shards converge to the same table
+    state instead of duplicating. Checkpointing makes the replay
+    window [last commit, crash] and the upsert makes that window
+    harmless.
+    """
+    from garmin_data_pipeline_spark.sources.sinks import merge_upsert
+
+    events = read_events_stream(spark, source_path).withColumn(
+        "day", F.to_date("ts")
+    )
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        if not s.catalog.tableExists(table):
+            batch.write.partitionBy("day").saveAsTable(table)
+            return
+        merge_upsert(
+            s,
+            table,
+            batch,
+            keys=["event_id"],
+            order_col="ts",
+            partition_col="day",
+            staging_dir=staging_dir,
+        )
+
+    return (
+        events.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
