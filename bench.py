@@ -138,6 +138,8 @@ HEADLINE = [
     "t18_bpe_pairs",
     "v7_label_centroids",
     "a15_cube_events",
+    "a16_decile_stats",
+    "p15_semi_anti_orders",
 ]
 
 

@@ -17,6 +17,10 @@ from garmin_data_pipeline_spark.operators.nested import (
     pick_array_element,
     unwrap_envelope,
 )
+from garmin_data_pipeline_spark.operators.layout import (
+    interleave_bits,
+    zorder_code,
+)
 from garmin_data_pipeline_spark.operators.repair import (
     patch_null_dates_from_gaps,
 )
@@ -69,6 +73,7 @@ __all__ = [
     "forward_fill",
     "haversine_km",
     "impute_mean",
+    "interleave_bits",
     "join_asof",
     "join_points_in_radius",
     "join_range",
@@ -83,4 +88,5 @@ __all__ = [
     "salted_join",
     "union_by_name",
     "value_counts",
+    "zorder_code",
 ]

@@ -87,8 +87,10 @@ _HEAD = [
     "t18_bpe_pairs",
     "v7_label_centroids",
     "a15_cube_events",
-    # remaining head slots are the unlisted middle: d5 m4 c1 t14 t15
-    # st4 (all first-green in r5, kept in for a second consecutive
+    "a16_decile_stats",
+    "p15_semi_anti_orders",
+    # remaining head slots are the unlisted middle: d5 m4 c1 st4
+    # (all first-green in r5, kept in for a second consecutive
     # certified row)
 ]
 _TAIL = [
@@ -141,6 +143,10 @@ _TAIL = [
     "w5_densify_ffill",
     "a14_salted_event_stats",
     "j4_spatial_join",
+    # rotated out for a16/p15 (green r5, code unchanged, row-local
+    # semantics certified by the r5 hash match):
+    "t14_repetition_metrics",
+    "t15_vocab_topk",
 ]
 
 

@@ -1881,6 +1881,82 @@ def a15_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# A16 — NTILE decile stats: per-language document-length deciles, then
+# per-decile aggregates. The window runs per-lang (partitioned, never
+# global) over a deterministic ordering; the decile assignment is an
+# exact integer so the oracle hash cannot drift.
+# ---------------------------------------------------------------------------
+@register(
+    "a16_decile_stats",
+    """
+    WITH d AS (
+        SELECT lang, n_chars,
+               CAST(NTILE(10) OVER (
+                   PARTITION BY lang ORDER BY n_chars, doc_id
+               ) AS INT) AS decile
+        FROM documents
+    )
+    SELECT lang, decile, COUNT(*) AS n,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM d GROUP BY lang, decile
+    """,
+    doc="Per-language NTILE(10) length deciles -> per-decile count/"
+    "min/max: a lang-partitioned window (shuffle on lang only) feeding "
+    "a partial-combined hash aggregate. The decile boundary summary a "
+    "corpus length-profile report is built from.",
+)
+def a16_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    d = table(spark, sf_dir, "documents").select(
+        "lang",
+        "n_chars",
+        F.ntile(10).over(w).cast("int").alias("decile"),
+    )
+    return d.groupBy("lang", "decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P15 — semi/anti join surface: customers WITH at least one order vs
+# customers with NONE, one output with a flag. The semi/anti pair is
+# the relational idiom every retention/backfill audit runs; both sides
+# shuffle on the key once (or broadcast when the order side is small).
+# ---------------------------------------------------------------------------
+@register(
+    "p15_semi_anti_orders",
+    """
+    SELECT c_custkey, c_mktsegment,
+           CAST(EXISTS (
+               SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+           ) AS INT) AS has_orders
+    FROM customer c
+    """,
+    doc="LEFT SEMI + LEFT ANTI join pair (EXISTS / NOT EXISTS) "
+    "unioned with a flag: the customers-with/without-orders audit. "
+    "Spark plans both sides as one existence join, not two scans.",
+)
+def p15_semi_anti_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    with_o = cust.join(orders, "c_custkey", "left_semi").withColumn(
+        "has_orders", F.lit(1)
+    )
+    without_o = cust.join(orders, "c_custkey", "left_anti").withColumn(
+        "has_orders", F.lit(0)
+    )
+    return with_o.unionByName(without_o)
+
+
 def queries():
     return {name: q.fn for name, q in QUERIES.items()}
 
