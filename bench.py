@@ -140,6 +140,7 @@ HEADLINE = [
     "a15_cube_events",
     "a16_decile_stats",
     "p15_semi_anti_orders",
+    "g1_pagerank_bipartite",
 ]
 
 

@@ -295,3 +295,87 @@ def duplicate_groups(
         F.col("component").alias("group_id"),
         "group_size",
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (simplified: no dangling-mass redistribution — mass leaks
+# from sink nodes, the standard simplification when ranks are used
+# for ORDERING, e.g. picking canonical duplicates or ranking
+# crawl-frontier URLs). Second iterative algorithm beside connected
+# components; same Pregel-style per-round shape and the same
+# lineage-truncation discipline.
+# ---------------------------------------------------------------------------
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 5,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list; returns
+    (node, rank) for every node appearing as src or dst.
+
+    rank_{k+1}(v) = (1-d)/N + d * sum_{u->v} rank_k(u) / outdeg(u)
+
+    Scale shape: per round, ONE shuffle join (edge list x rank table
+    on src) + ONE hash aggregate on dst with map-side partials. The
+    edge list is hash-partitioned by ``src`` and localCheckpointed
+    ONCE before the loop, so the big relation shuffles once for all
+    rounds and only the (node-sized) rank table moves per round; rank
+    tables are lazily checkpointed per round to truncate lineage.
+
+    Determinism contract: per-edge contributions accumulate in
+    DECIMAL(28,12) — an order-independent exact sum — so the result
+    is bit-stable across partitionings AND mirror-able by an engine
+    summing in any other order (the driver oracle unrolls the same
+    ``iterations`` as chained CTEs; see plans/llm_queries.py g1).
+    Fixed iteration count, not a convergence test: rank deltas are
+    floats, and a float-threshold stop could converge after different
+    rounds on different engines.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .repartition("src")
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    teleport = (1.0 - damping) / n
+    for _ in range(iterations):
+        contribs = (
+            e.join(
+                ranks.join(out_deg, ranks["node"] == out_deg["src"])
+                .select(
+                    F.col("node").alias("c_src"),
+                    (F.col("rank") / F.col("outdeg")).alias("contrib"),
+                ),
+                F.col("src") == F.col("c_src"),
+            )
+            .groupBy("dst")
+            .agg(
+                F.sum(
+                    F.col("contrib").cast("decimal(28,12)")
+                ).cast("double").alias("inflow")
+            )
+        )
+        ranks = (
+            ranks.join(contribs, ranks["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -89,7 +89,8 @@ _HEAD = [
     "a15_cube_events",
     "a16_decile_stats",
     "p15_semi_anti_orders",
-    # remaining head slots are the unlisted middle: d5 m4 c1 st4
+    "g1_pagerank_bipartite",
+    # remaining head slots are the unlisted middle: d5 m4 c1
     # (all first-green in r5, kept in for a second consecutive
     # certified row)
 ]
@@ -143,10 +144,12 @@ _TAIL = [
     "w5_densify_ffill",
     "a14_salted_event_stats",
     "j4_spatial_join",
-    # rotated out for a16/p15 (green r5, code unchanged, row-local
-    # semantics certified by the r5 hash match):
+    # rotated out for a16/p15/g1 (green r5, code unchanged, certified
+    # by the r5 hash match — st4 additionally by its stream-vs-batch
+    # equivalence test):
     "t14_repetition_metrics",
     "t15_vocab_topk",
+    "st4_attribution",
 ]
 
 

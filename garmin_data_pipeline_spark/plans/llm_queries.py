@@ -1942,3 +1942,80 @@ def v7_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return embedding_centroids(table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# G1 — fixed-iteration PageRank over the bipartite user -> event_type
+# interaction graph (operators/graph.py pagerank). The oracle UNROLLS
+# the same 5 iterations as chained CTEs — possible because the
+# operator's determinism contract (DECIMAL(28,12) contribution sums,
+# fixed rounds, identical double expression structure) makes the
+# result bit-stable across engines. This certifies an ITERATIVE
+# algorithm against SQL, like d5's recursive-CTE components oracle.
+# ---------------------------------------------------------------------------
+_G1_ITER = 5
+_G1_DAMP = 0.85
+
+
+def _g1_oracle() -> str:
+    head = """
+    WITH e AS (
+        SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS src,
+                        't' || event_type AS dst
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ), nodes AS (
+        SELECT src AS node FROM e UNION SELECT dst FROM e
+    ), nn AS (SELECT COUNT(*) AS n FROM nodes),
+    outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+    r0 AS (
+        SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+        FROM nodes
+    )"""
+    steps = []
+    for k in range(_G1_ITER):
+        steps.append(f"""
+    , inflow{k} AS (
+        SELECT e.dst,
+               CAST(SUM(CAST(r{k}.rank / outdeg.outdeg
+                   AS DECIMAL(28,12))) AS DOUBLE) AS inflow
+        FROM e
+        JOIN r{k} ON e.src = r{k}.node
+        JOIN outdeg ON e.src = outdeg.src
+        GROUP BY e.dst
+    ), r{k + 1} AS (
+        SELECT nodes.node,
+               (CAST(1.0 AS DOUBLE) - {_G1_DAMP}) / (SELECT n FROM nn)
+                   + {_G1_DAMP} * COALESCE(inflow{k}.inflow,
+                                           CAST(0.0 AS DOUBLE)) AS rank
+        FROM nodes LEFT JOIN inflow{k} ON nodes.node = inflow{k}.dst
+    )""")
+    return (
+        head
+        + "".join(steps)
+        + f"\n    SELECT node, rank FROM r{_G1_ITER}"
+    )
+
+
+@register(
+    "g1_pagerank_bipartite",
+    _g1_oracle(),
+    doc="5-iteration PageRank over the user->event_type bipartite "
+    "graph: per round one shuffle join (edge list checkpointed + "
+    "pre-partitioned once) + one partial-combined hash aggregate; "
+    "DECIMAL-exact contribution sums make the float ranks "
+    "bit-stable and therefore oracle-hashable.",
+)
+def g1_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.graph import pagerank
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    edges = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t"), F.col("event_type")).alias("dst"),
+    )
+    return pagerank(
+        edges, damping=_G1_DAMP, iterations=_G1_ITER
+    ).select("node", "rank")

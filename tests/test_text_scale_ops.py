@@ -134,3 +134,52 @@ class TestCubeEvents:
         assert abs(
             sum(r["total_value"] for r in by_type) - total[0]["total_value"]
         ) < 1e-6
+
+
+class TestPageRank:
+    def test_matches_sequential_reference(self, spark):
+        from garmin_data_pipeline_spark.operators.graph import pagerank
+
+        edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(
+                spark.createDataFrame(edges, ["src", "dst"]),
+                iterations=5,
+            ).collect()
+        }
+        # sequential reference with the same semantics (no dangling
+        # redistribution; contributions summed exactly)
+        nodes = {"a", "b", "c"}
+        outdeg = {"a": 2, "b": 1, "c": 1}
+        ranks = {v: 1.0 / 3 for v in nodes}
+        for _ in range(5):
+            inflow = {v: 0.0 for v in nodes}
+            for s, d in edges:
+                inflow[d] += ranks[s] / outdeg[s]
+            ranks = {
+                v: (1.0 - 0.85) / 3 + 0.85 * inflow[v] for v in nodes
+            }
+        for v in nodes:
+            assert abs(got[v] - ranks[v]) < 1e-9, (v, got[v], ranks[v])
+
+    def test_dangling_node_gets_teleport_only(self, spark):
+        from garmin_data_pipeline_spark.operators.graph import pagerank
+
+        # b is a sink; a receives nothing
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(
+                spark.createDataFrame([("a", "b")], ["src", "dst"]),
+                iterations=3,
+            ).collect()
+        }
+        assert abs(got["a"] - 0.075) < 1e-12  # (1-0.85)/2 every round
+        assert got["b"] > got["a"]
+
+    def test_total_mass_bounded(self, spark, sf_dir):
+        import __spark_entry__ as e
+
+        df = e.queries()["g1_pagerank_bipartite"](spark, sf_dir)
+        total = df.agg(F.sum("rank")).collect()[0][0]
+        assert 0.0 < total <= 1.0 + 1e-9
