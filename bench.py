@@ -141,6 +141,8 @@ HEADLINE = [
     "a16_decile_stats",
     "p15_semi_anti_orders",
     "g1_pagerank_bipartite",
+    "g2_dup_triangles",
+    "st2b_session_window",
 ]
 
 

@@ -379,3 +379,78 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+# ---------------------------------------------------------------------------
+# Triangle enumeration (cluster-density analysis over the near-dup
+# pair graph: triangles = tightly-bound duplicate triples; the
+# triangle count / local clustering coefficient is the standard
+# graph-quality metric for candidate-pair generators).
+# ---------------------------------------------------------------------------
+def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Enumerate each triangle of the undirected graph exactly once,
+    as a canonical id-sorted triple ``(v1, v2, v3)``.
+
+    Algorithm (the MapReduce-classic degree orientation): orient every
+    edge from its (degree, id)-smaller endpoint to the larger; each
+    triangle then has exactly ONE vertex with two out-edges, so
+    enumerating out-neighbor pairs (wedges) and closing them against
+    the canonical edge set counts each triangle once. Orienting by
+    DEGREE (not id) bounds any vertex's out-degree by O(sqrt(m)) —
+    the wedge self-join is Sum(outdeg^2) work, so a celebrity hub
+    with 10^6 neighbors generates ~m wedges instead of 10^12
+    (Suri & Vassilvitskii, WWW'11 shape).
+
+    Per-stage shapes: one hash aggregate for degrees, two broadcast-
+    or-shuffle joins to attach them, a self-join on the apex, and one
+    closing equi-join — all spill-safe relational ops, no driver
+    state.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .union(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    withdeg = (
+        e.join(deg.select(F.col("n").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = withdeg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = x.join(y, F.col("x.u") == F.col("y.u")).filter(
+        F.col("x.v") < F.col("y.v")
+    )
+    closed = wedges.join(
+        e,
+        (F.least(F.col("x.v"), F.col("y.v")) == F.col("a"))
+        & (F.greatest(F.col("x.v"), F.col("y.v")) == F.col("b")),
+    )
+    tri = closed.select(
+        F.array_sort(
+            F.array(F.col("x.u"), F.col("x.v"), F.col("y.v"))
+        ).alias("t")
+    )
+    return tri.select(
+        F.col("t")[0].alias("v1"),
+        F.col("t")[1].alias("v2"),
+        F.col("t")[2].alias("v3"),
+    )

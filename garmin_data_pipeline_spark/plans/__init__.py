@@ -90,9 +90,11 @@ _HEAD = [
     "a16_decile_stats",
     "p15_semi_anti_orders",
     "g1_pagerank_bipartite",
-    # remaining head slots are the unlisted middle: d5 m4 c1
-    # (all first-green in r5, kept in for a second consecutive
-    # certified row)
+    "g2_dup_triangles",
+    "st2b_session_window",
+    # remaining head slot is the unlisted middle: d5 (first-green in
+    # r5, kept in for a second consecutive certified row on the
+    # flagship components loop)
 ]
 _TAIL = [
     # rows-only variants — PERMANENT tail residents (see policy 2);
@@ -150,6 +152,11 @@ _TAIL = [
     "t14_repetition_metrics",
     "t15_vocab_topk",
     "st4_attribution",
+    # rotated out for g2/st2b (green r5, code unchanged; m4's Arrow
+    # boundary and c1's inverted index additionally covered by unit
+    # tests):
+    "m4_frame_checksums",
+    "c1_contamination",
 ]
 
 

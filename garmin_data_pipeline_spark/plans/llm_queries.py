@@ -2019,3 +2019,42 @@ def g1_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(
         edges, damping=_G1_DAMP, iterations=_G1_ITER
     ).select("node", "rank")
+
+
+# ---------------------------------------------------------------------------
+# G2 — triangle enumeration over the d2 exact-Jaccard pair graph
+# (cluster-density analysis: a triangle is a mutually-similar triple,
+# the strongest near-dup signal a pair generator can produce).
+# ---------------------------------------------------------------------------
+@register(
+    "g2_dup_triangles",
+    f"""
+    WITH {_SQL_JACCARD_CTES},
+    e AS (
+        SELECT DISTINCT LEAST(doc_a, doc_b) AS a,
+                        GREATEST(doc_a, doc_b) AS b
+        FROM jpairs WHERE doc_a <> doc_b
+    )
+    SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+    FROM e e1
+    JOIN e e2 ON e1.b = e2.a
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+    doc="Triangles of the near-dup pair graph, each enumerated once "
+    "as an id-sorted triple. Spark side uses degree orientation "
+    "(apex = (deg,id)-min vertex) so wedge fan-out is bounded by "
+    "O(sqrt(m)) per node even under hub skew; the oracle's simple "
+    "id-ordered 3-way join enumerates the same set.",
+)
+def g2_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.graph import triangles
+
+    pairs = ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.5,
+        max_df=_D2_MAX_DF,
+    )
+    return triangles(pairs, "doc_a", "doc_b")

@@ -1167,6 +1167,59 @@ def st2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st2b_session_window",
+    """
+    WITH g AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > 30 * 60 * 1000000
+                    THEN 1 ELSE 0 END AS ns
+        FROM events
+        WHERE ts IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts, value,
+               SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS events,
+           {v}
+    FROM s
+    GROUP BY user_id, sid
+    """.format(v=dsum("value", "total_value")),
+    doc="Sessionization via the BUILT-IN session_window aggregate "
+    "(st2's applyInPandasWithState twin, fully JVM-side: one shuffle "
+    "on user_id, merging session state inside the aggregate — the "
+    "form to prefer when per-session logic IS expressible as an "
+    "aggregate). Boundary semantics probed, not assumed: events "
+    "exactly gap-apart MERGE (a new session starts strictly past the "
+    "gap), and window end = last event + gap, hence the oracle's "
+    "MAX(ts) + INTERVAL.",
+)
+def st2b_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            _dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "events",
+            "total_value",
+        )
+    )
+
+
+@register(
     "st3_replay_dedup",
     """
     SELECT DISTINCT event_id, ts, user_id, event_type, value, props

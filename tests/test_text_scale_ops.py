@@ -183,3 +183,62 @@ class TestPageRank:
         df = e.queries()["g1_pagerank_bipartite"](spark, sf_dir)
         total = df.agg(F.sum("rank")).collect()[0][0]
         assert 0.0 < total <= 1.0 + 1e-9
+
+
+class TestTriangles:
+    def test_complete_graph_k4(self, spark):
+        from itertools import combinations
+
+        from garmin_data_pipeline_spark.operators.graph import triangles
+
+        edges = list(combinations(range(4), 2))
+        got = {
+            (r["v1"], r["v2"], r["v3"])
+            for r in triangles(
+                spark.createDataFrame(edges, ["src", "dst"])
+            ).collect()
+        }
+        assert got == set(combinations(range(4), 3))
+
+    def test_star_and_chain_have_none(self, spark):
+        from garmin_data_pipeline_spark.operators.graph import triangles
+
+        # disjoint node ranges — a star overlaid ON a chain would
+        # genuinely close triangles (0-i, 0-i+1, i-i+1)
+        star = [(0, i) for i in range(1, 6)]
+        chain = [(i, i + 1) for i in range(10, 15)]
+        df = spark.createDataFrame(star + chain, ["src", "dst"])
+        assert triangles(df).count() == 0
+
+    def test_random_graph_matches_bruteforce(self, spark):
+        import random
+        from itertools import combinations
+
+        from garmin_data_pipeline_spark.operators.graph import triangles
+
+        rng = random.Random(13)
+        edges = {
+            tuple(sorted(rng.sample(range(20), 2))) for _ in range(60)
+        }
+        adj = {tuple(e) for e in edges}
+        want = {
+            (a, b, c)
+            for a, b, c in combinations(range(20), 3)
+            if (a, b) in adj and (b, c) in adj and (a, c) in adj
+        }
+        got = {
+            (r["v1"], r["v2"], r["v3"])
+            for r in triangles(
+                spark.createDataFrame(sorted(edges), ["src", "dst"])
+            ).collect()
+        }
+        assert got == want
+
+    def test_duplicate_and_reversed_edges_collapse(self, spark):
+        from garmin_data_pipeline_spark.operators.graph import triangles
+
+        edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (1, 1)]
+        got = triangles(
+            spark.createDataFrame(edges, ["src", "dst"])
+        ).collect()
+        assert [(r["v1"], r["v2"], r["v3"]) for r in got] == [(1, 2, 3)]
