@@ -143,6 +143,8 @@ HEADLINE = [
     "g1_pagerank_bipartite",
     "g2_dup_triangles",
     "st2b_session_window",
+    "t19_quality_verdicts",
+    "t20_stratified_take_k",
 ]
 
 

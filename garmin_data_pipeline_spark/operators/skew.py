@@ -123,3 +123,33 @@ def salted_join(
         replicated.hint("merge"), [key, "__salt"], how
     )
     return joined.drop("__salt")
+
+
+def merge_rollups(
+    rollups: Sequence[DataFrame],
+    keys: Sequence[str],
+    aggs: dict[str, str],
+) -> DataFrame:
+    """Incremental-aggregation maintenance: combine already-aggregated
+    rollups so that ``merge(rollup(A), rollup(B)) == rollup(A ∪ B)``
+    without touching the raw rows of A again.
+
+    The standing-pipeline use: a year-scale daily rollup table plus
+    each new micro-batch's mini-rollup — merging costs O(|rollup|),
+    not O(|raw|); the 100 TB history is never rescanned. Works for
+    any ALGEBRAIC aggregate: ``aggs`` maps an existing (already
+    aggregated) column to how its partials combine — 'sum' and
+    'count' columns combine by summing, 'min'/'max' by min/max.
+    AVG must be carried as a (sum, count) pair and derived at read
+    time — a stored average is NOT algebraic, which is exactly why
+    warehouse rollup tables store sums and counts.
+    """
+    merged = rollups[0]
+    for r in rollups[1:]:
+        merged = merged.unionByName(r)
+    return merged.groupBy(*keys).agg(
+        *[
+            _COMBINE[how](F.col(c)).alias(c)
+            for c, how in aggs.items()
+        ]
+    )

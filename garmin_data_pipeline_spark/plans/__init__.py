@@ -157,6 +157,13 @@ _TAIL = [
     # tests):
     "m4_frame_checksums",
     "c1_contamination",
+    # registered LATE in r6 after the 50-slot window filled with this
+    # round's 16 other new registrations + the returning r4-certified
+    # queries (the r5 verdict's top directive). First driver row in
+    # r7 — until then their oracle parity is covered by the committed
+    # tools/check.py gate (all green at sf0.01) and unit tests:
+    "t19_quality_verdicts",
+    "t20_stratified_take_k",
 ]
 
 

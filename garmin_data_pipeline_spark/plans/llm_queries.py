@@ -2058,3 +2058,139 @@ def g2_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_df=_D2_MAX_DF,
     )
     return triangles(pairs, "doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# T19 — Gopher-style quality VERDICTS: per-document boolean gates with
+# reason flags (t14 computes the metrics; this applies the rules — the
+# last step before a corpus filter drops rows). All comparisons are of
+# bit-identical doubles (exact-int divisions / distinct-shingle
+# fractions), so the integer flags hash cleanly.
+# ---------------------------------------------------------------------------
+_T19_RULES = (
+    # (flag column, min tokens / ratio thresholds chosen to actually
+    #  discriminate on the synthetic corpus)
+    "n_tokens BETWEEN 30 AND 5000",
+    "mean word length in [3, 10]",
+    "en-stopword ratio >= 0.05",
+    "duplicate 2-gram fraction <= 0.4",
+)
+
+
+@register(
+    "t19_quality_verdicts",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text, {_TOKS} AS toks FROM documents
+    ), m AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               CASE WHEN len(toks) > 0 THEN
+                   CAST(list_sum(list_transform(toks, x -> len(x)))
+                       AS BIGINT) / len(toks) ELSE 0.0 END AS mwl,
+               CASE WHEN len(toks) > 0 THEN
+                   {T.sql_stopword_hits("toks", "en")} / len(toks)
+                   ELSE 0.0 END AS swr,
+               {_sql_dup_frac(2)} AS dup2
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tokens BETWEEN 30 AND 5000 AS INT) AS ok_length,
+           CAST(mwl >= 3.0 AND mwl <= 10.0 AS INT) AS ok_word_len,
+           CAST(swr >= 0.05 AS INT) AS ok_stopwords,
+           CAST(dup2 <= 0.4 AS INT) AS ok_repetition,
+           CAST(n_tokens BETWEEN 30 AND 5000
+                AND mwl >= 3.0 AND mwl <= 10.0
+                AND swr >= 0.05
+                AND dup2 <= 0.4 AS INT) AS keep
+    FROM m
+    """,
+    doc="Gopher-rule verdicts per document: four boolean gates "
+    "(length band, mean word length band, stopword-ratio floor, "
+    "duplicate-2-gram ceiling) plus the conjunction — the filter "
+    "report a corpus-cleaning run logs before dropping rows. Pure "
+    "row-local column expressions, zero shuffle.",
+)
+def t19_quality_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.text import (
+        shingles,
+        stopword_hits,
+        tokens,
+    )
+
+    text = F.col("text")
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    mwl = F.when(
+        n_tokens > 0,
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+        / n_tokens,
+    ).otherwise(F.lit(0.0))
+    swr = F.when(
+        n_tokens > 0, stopword_hits(toks, "en") / n_tokens
+    ).otherwise(F.lit(0.0))
+    dup2 = F.when(
+        n_tokens >= 2,
+        F.round(1.0 - F.size(shingles(text, 2)) / (n_tokens - 1), 6),
+    ).otherwise(F.lit(0.0))
+    ok_length = n_tokens.between(30, 5000)
+    ok_word_len = (mwl >= 3.0) & (mwl <= 10.0)
+    ok_stopwords = swr >= 0.05
+    ok_repetition = dup2 <= 0.4
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        ok_length.cast("int").alias("ok_length"),
+        ok_word_len.cast("int").alias("ok_word_len"),
+        ok_stopwords.cast("int").alias("ok_stopwords"),
+        ok_repetition.cast("int").alias("ok_repetition"),
+        (ok_length & ok_word_len & ok_stopwords & ok_repetition)
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T20 — deterministic stratified take-k: exactly min(k, |stratum|)
+# docs per language, chosen by md5 rank. Unlike Bernoulli sampling
+# (t5's rate-based mix), this yields FIXED per-stratum counts — the
+# contract an eval-set builder needs — and is reproducible: the same
+# corpus always yields the same sample, and adding documents only
+# perturbs the sample marginally (hash rank is stable per doc).
+# ---------------------------------------------------------------------------
+_T20_K = 20
+
+
+@register(
+    "t20_stratified_take_k",
+    f"""
+    SELECT doc_id, lang, CAST(rnk AS INT) AS rnk
+    FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rnk
+        FROM documents
+    ) WHERE rnk <= {_T20_K}
+    """,
+    doc="Deterministic fixed-size per-stratum sample: lang-partitioned "
+    "row_number over the md5 hash rank (one shuffle on the stratum "
+    "key; the window sorts WITHIN strata only — no global sort).",
+)
+def t20_stratified_take_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).cast("int").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= _T20_K)
+    )

@@ -256,6 +256,7 @@ def test_registered_plans_stay_jvm_side(spark, sf_dir):
         "v4p_cosine_topk_ivf_grid",   # corpus/queries x broadcast codebook
         "v6_semantic_dedup",          # corpus x broadcast grid codebook
         "e2e_master_daily",           # master x broadcast 1-row mean
+        "t17_tfidf_matrix",           # tf x broadcast 1-row corpus count
     }
     for name, fn in plans.queries().items():
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
@@ -351,3 +352,54 @@ def test_b1_bucketed_join_query_plan(spark, sf_dir):
     # one file per bucket is what makes the sort-free scan legal
     files = glob.glob(f"/tmp/spark-bucketed-{tag}/lineitem/*.parquet")
     assert len(files) == 8, files
+
+
+class TestMergeRollups:
+    def test_merge_equals_full_rollup(self, spark, sf_dir):
+        from garmin_data_pipeline_spark.operators.skew import merge_rollups
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+        def rollup(df):
+            return df.groupBy("l_returnflag").agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.count(F.lit(1)).alias("n"),
+                F.min("l_shipdate").alias("first_ship"),
+                F.max("l_shipdate").alias("last_ship"),
+            )
+
+        parts = [
+            li.filter(F.col("l_orderkey") % 3 == i) for i in range(3)
+        ]
+        merged = merge_rollups(
+            [rollup(p) for p in parts],
+            keys=["l_returnflag"],
+            aggs={
+                "sum_qty": "sum",
+                "n": "count",
+                "first_ship": "min",
+                "last_ship": "max",
+            },
+        )
+        want = {tuple(r) for r in rollup(li).collect()}
+        got = {tuple(r) for r in merged.collect()}
+        # float sums: compare keyed with tolerance
+        w = {r[0]: r for r in want}
+        g = {r[0]: r for r in got}
+        assert set(w) == set(g)
+        for k in w:
+            assert abs(w[k][1] - g[k][1]) < 1e-6
+            assert w[k][2:] == g[k][2:]
+
+    def test_disjoint_and_overlapping_keys(self, spark):
+        from garmin_data_pipeline_spark.operators.skew import merge_rollups
+
+        a = spark.createDataFrame([("x", 1, 1), ("y", 2, 1)], ["k", "s", "n"])
+        b = spark.createDataFrame([("y", 5, 2), ("z", 7, 3)], ["k", "s", "n"])
+        got = {
+            r["k"]: (r["s"], r["n"])
+            for r in merge_rollups(
+                [a, b], keys=["k"], aggs={"s": "sum", "n": "count"}
+            ).collect()
+        }
+        assert got == {"x": (1, 1), "y": (7, 3), "z": (7, 3)}

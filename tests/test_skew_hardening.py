@@ -301,3 +301,68 @@ class TestSaltedJoin:
         df = spark.range(2)
         with pytest.raises(ValueError):
             salted_join(df, df, key="id", salt_col="id", how="outer")
+
+
+class TestAqeSkewJoin:
+    def test_aqe_splits_skewed_partition(self, spark):
+        """Plan-level evidence for the runtime half of the skew story:
+        salting (salted_agg/salted_join) is the WRITE-SIDE fix, AQE's
+        OptimizeSkewedJoin is the runtime one — a hot join key's
+        oversized partition is split into parallel sub-partitions
+        after the shuffle stage materializes real sizes. Thresholds
+        are lowered so the fixture-sized hot key trips detection; the
+        finalized adaptive plan must carry the skew=true marker."""
+        keys = [
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        ]
+        saved = {k: spark.conf.get(k, None) for k in keys}
+        try:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
+            )
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin."
+                "skewedPartitionThresholdInBytes",
+                "100KB",
+            )
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", "100KB"
+            )
+            # force a sort-merge join: broadcast would hide the skew
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+            left = spark.range(0, 120_000).select(
+                F.when(F.col("id") < 100_000, F.lit(0))
+                .otherwise(F.col("id"))
+                .alias("key"),
+                F.concat(F.lit("x" * 96), F.col("id").cast("string")).alias(
+                    "payload"
+                ),
+            )
+            right = spark.range(0, 500).select(
+                F.col("id").alias("key"),
+                F.col("id").cast("string").alias("dim"),
+            )
+            joined = left.join(right, "key")
+            # left's non-hot keys are 100000+, right's are 0..499 —
+            # only the hot key matches. collect() (not count()) so
+            # THIS DataFrame's own adaptive plan is the one finalized.
+            assert len(joined.collect()) == 100_000
+            plan = (
+                joined._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "isFinalPlan=true" in plan
+            assert "skew=true" in plan, plan[:2000]
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
