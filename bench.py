@@ -145,6 +145,8 @@ HEADLINE = [
     "st2b_session_window",
     "t19_quality_verdicts",
     "t20_stratified_take_k",
+    "d6_edit_distance_pairs",
+    "w6_rolling_7d",
 ]
 
 

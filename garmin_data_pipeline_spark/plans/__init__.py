@@ -164,6 +164,8 @@ _TAIL = [
     # tools/check.py gate (all green at sf0.01) and unit tests:
     "t19_quality_verdicts",
     "t20_stratified_take_k",
+    "d6_edit_distance_pairs",
+    "w6_rolling_7d",
 ]
 
 

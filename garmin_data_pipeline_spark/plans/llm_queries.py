@@ -2194,3 +2194,52 @@ def t20_stratified_take_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= _T20_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# D6 — edit-distance verification of near-dup candidates: the VERIFY
+# stage a fuzzy-dedup pipeline runs after candidate generation.
+# Levenshtein is O(len^2) per pair — running it on all pairs is
+# impossible at any scale; running it on the O(matches) candidate set
+# from the inverted index is the standard sketch-then-verify split
+# (d2 generates, d6 verifies at character level).
+# ---------------------------------------------------------------------------
+@register(
+    "d6_edit_distance_pairs",
+    f"""
+    WITH {_SQL_JACCARD_CTES}
+    SELECT p.doc_a, p.doc_b,
+           CAST(levenshtein(da.text, db.text) AS INT) AS edit_dist
+    FROM jpairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    """,
+    doc="Character-level Levenshtein distance for every Jaccard "
+    "candidate pair: two id-keyed joins re-attach the texts (the "
+    "pair generator deliberately drops them — shuffling full texts "
+    "through the index join would dominate its cost), then the "
+    "built-in JVM levenshtein kernel scores only O(candidates) "
+    "pairs, never O(n^2).",
+)
+def d6_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_df=_D2_MAX_DF
+    ).select("doc_a", "doc_b")
+    ta = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
+    )
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("text_a", "text_b").cast("int").alias(
+                "edit_dist"
+            ),
+        )
+    )

@@ -1935,6 +1935,57 @@ def a15_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# W6 — time-RANGE rolling aggregate: per-user 7-day rolling spend over
+# events. Distinct window form from w1's ROWS cumsum: the frame is a
+# TIME interval (rangeBetween on epoch micros), so peers at the same
+# instant aggregate together and gaps shrink the frame. Exact DECIMAL
+# accumulation keeps DuckDB's segment-tree window sums hash-equal.
+# ---------------------------------------------------------------------------
+@register(
+    "w6_rolling_7d",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+               AS roll_7d_sum,
+           COUNT(*) OVER w AS roll_7d_n
+    FROM events
+    WHERE ts IS NOT NULL
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+    )
+    """,
+    doc="Per-user 7-day rolling sum/count: user-partitioned window "
+    "(one shuffle on user_id), RANGE frame over epoch-microsecond "
+    "order — never a global window.",
+)
+def w6_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from garmin_data_pipeline_spark.functions.durations import (
+        epoch_micros,
+    )
+
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ts_us = epoch_micros("ts", dtype=ev.schema["ts"].dataType)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us)
+        .rangeBetween(-7 * 24 * 3600 * 1000000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("roll_7d_sum"),
+        F.count(F.lit(1)).over(w).alias("roll_7d_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # A16 — NTILE decile stats: per-language document-length deciles, then
 # per-decile aggregates. The window runs per-lang (partitioned, never
 # global) over a deterministic ordering; the decile assignment is an
