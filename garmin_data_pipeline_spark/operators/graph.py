@@ -406,6 +406,14 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
     closing equi-join — all spill-safe relational ops, no driver
     state.
     """
+    # Materialize the canonical edge set ONCE (eager, like the CC
+    # loop's edge checkpoint). The plan references it four times
+    # (degree attach x2, wedge self-join, closing join); exchange
+    # reuse already avoids recomputing the upstream pair generator
+    # within the job, but the checkpoint also skips the post-exchange
+    # distinct on each reference and keeps the triangle plan
+    # independent of how expensive the edge producer was (measured:
+    # ~10% on the near-dup graph, structural insurance elsewhere).
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -417,6 +425,7 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
             & (F.col("a") != F.col("b"))
         )
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         e.select(F.col("a").alias("n"))
