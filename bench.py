@@ -147,6 +147,8 @@ HEADLINE = [
     "t20_stratified_take_k",
     "d6_edit_distance_pairs",
     "w6_rolling_7d",
+    "c2_decontaminated_corpus",
+    "q3_sql_revenue_topk",
 ]
 
 

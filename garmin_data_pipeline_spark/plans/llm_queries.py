@@ -2243,3 +2243,62 @@ def d6_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C2 — decontaminated training corpus: c1 SCANS, c2 ACTS. Train docs
+# whose eval overlap exceeds a threshold are dropped via left-anti
+# join; the output is what actually ships to the tokenizer. Threshold
+# on ABSOLUTE shared 8-grams (>= 3) rather than the fraction: a long
+# doc quoting one eval item verbatim has tiny overlap_frac but is
+# still contaminated.
+# ---------------------------------------------------------------------------
+_C2_MIN_SHARED = 3
+
+
+@register(
+    "c2_decontaminated_corpus",
+    f"""
+    WITH tr AS (
+        SELECT doc_id, UNNEST({_SH8}) AS s
+        FROM documents WHERE doc_id % 10 != 0
+    ), te0 AS (
+        SELECT doc_id AS test_id, UNNEST({_SH8}) AS s
+        FROM documents WHERE doc_id % 10 = 0
+    ), keep AS (
+        SELECT s FROM te0 GROUP BY s HAVING COUNT(*) <= {_C1_MAX_DF}
+    ), te AS (
+        SELECT test_id, te0.s FROM te0 JOIN keep USING (s)
+    ), bad AS (
+        SELECT tr.doc_id
+        FROM tr JOIN te USING (s)
+        GROUP BY tr.doc_id
+        HAVING COUNT(DISTINCT tr.s) >= {_C2_MIN_SHARED}
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id % 10 != 0
+      AND NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = d.doc_id)
+    """,
+    doc="Decontaminated train corpus: the c1 inverted-index scan's "
+    "flagged ids removed by LEFT ANTI join — the contaminated set is "
+    "small, so Spark broadcasts it and the anti-join costs one "
+    "corpus scan, no shuffle of the train side.",
+)
+def c2_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.contamination import (
+        ngram_contamination,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    test = docs.filter(F.col("doc_id") % 10 == 0)
+    flagged = ngram_contamination(
+        train.select("doc_id", "text"),
+        test.select("doc_id", "text"),
+        n=8,
+        max_df=_C1_MAX_DF,
+    ).filter(F.col("shared_ngrams") >= _C2_MIN_SHARED)
+    return train.join(
+        F.broadcast(flagged.select("doc_id")), "doc_id", "left_anti"
+    ).select("doc_id", "lang", "source")

@@ -2069,3 +2069,45 @@ def oracle_sql():
     return {
         name: q.oracle for name, q in QUERIES.items() if q.oracle is not None
     }
+
+
+# ---------------------------------------------------------------------------
+# Q3 — shipping-priority revenue top-10, registered as a PURE SQL
+# query: the Spark side runs the SAME ANSI text through spark.sql()
+# over temp views that the oracle runs on DuckDB — certifying the
+# SQL entry path end-to-end (every other query certifies the
+# DataFrame API; a reference user migrating raw SQL gets this path).
+# Dialect-shared constructs only: DATE literals, DECIMAL-exact
+# revenue sum (bit-identical, so the float top-10 selection is
+# deterministic on both engines).
+# ---------------------------------------------------------------------------
+_Q3_SQL = """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+               AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS order_date
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+      AND CAST(l.l_shipdate AS DATE) > DATE '1996-06-30'
+    GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+"""
+
+
+@register(
+    "q3_sql_revenue_topk",
+    _Q3_SQL,
+    doc="TPC-H Q3-shaped shipping-priority query run through "
+    "spark.sql() verbatim — the identical ANSI text IS the oracle. "
+    "Catalyst gets the full query at once: both joins plan as "
+    "broadcast-hash under AQE (customer filter first), dates prune "
+    "at the scans, and the top-10 is TakeOrderedAndProject.",
+)
+def q3_sql_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders", "lineitem"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q3_SQL)

@@ -213,3 +213,49 @@ class TestStreamingUpsert:
         shutil.rmtree(
             f"/tmp/spark-test-warehouse/{table}", ignore_errors=True
         )
+
+
+class TestCrossFormatAndEvolution:
+    def test_cross_format_union(self, spark, sf_dir, tmp_path):
+        """One logical dataset served from three physical formats
+        (parquet + csv + json shards — the shape of a corpus
+        accumulated across pipeline generations) unions losslessly
+        under an explicit schema: schema is DECLARED once, never
+        inferred per format (csv would type everything string, json
+        would sample)."""
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        p = {f: str(tmp_path / f) for f in ("pq", "csv", "js")}
+        nation.write.parquet(p["pq"])
+        nation.write.option("header", True).csv(p["csv"])
+        nation.write.json(p["js"])
+
+        schema = nation.schema
+        back = (
+            spark.read.schema(schema).parquet(p["pq"])
+            .unionByName(
+                spark.read.schema(schema)
+                .option("header", True)
+                .csv(p["csv"])
+            )
+            .unionByName(spark.read.schema(schema).json(p["js"]))
+        )
+        n = nation.count()
+        assert back.count() == 3 * n
+        assert back.distinct().count() == n
+        assert back.schema == schema
+
+    def test_merge_schema_evolution(self, spark, tmp_path):
+        """A column added mid-history reads back across old+new shards
+        with mergeSchema: old rows surface NULL, new rows carry the
+        value — no rewrite of historical data."""
+        path = str(tmp_path / "evolving")
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], ["id", "v"]
+        ).write.parquet(path + "/gen=1")
+        spark.createDataFrame(
+            [(3, "c", 9.5)], ["id", "v", "score"]
+        ).write.parquet(path + "/gen=2")
+        back = spark.read.option("mergeSchema", True).parquet(path)
+        assert set(back.columns) == {"id", "v", "score", "gen"}
+        rows = {r["id"]: r["score"] for r in back.collect()}
+        assert rows == {1: None, 2: None, 3: 9.5}
