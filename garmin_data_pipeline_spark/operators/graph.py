@@ -189,11 +189,11 @@ def connected_components_star(
     Stability is detected for BOTH half-rounds in ONE job per round: a
     tagged union of the two rewrites aggregated per half (edge count +
     order-independent xxhash64 checksum), which also materializes both
-    lazy checkpoints. Collision odds ~2^-64 — accepted and documented
-    (ADVICE r5): a false convergence would need two different edge
-    sets with equal count AND equal checksum in the exact round the
-    counts first stabilize; an exact set-difference check would cost
-    an extra shuffle per round for protection against a 5e-20 event.
+    lazy checkpoints. Per-round collision odds ~2^-64; a per-round
+    exact check would cost an extra shuffle each round, so instead the
+    FINAL edge set gets one exact fixpoint audit (both rewrites must
+    reproduce it; symmetric difference empty) — the returned answer is
+    therefore exact, not probabilistic (ADVICE r5 closed).
     Self-loop-only nodes (and any input self-loops) are preserved via
     a final left join against the distinct-node table, labeling them
     as their own singleton component, matching min-label behavior.
@@ -249,6 +249,25 @@ def connected_components_star(
     if not converged:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} rounds"
+        )
+
+    # Exact fixpoint audit on the FINAL edge set only (ADVICE r5): the
+    # per-round checksum tolerates a ~2^-64 collision; this closes it
+    # for the answer actually returned, at the cost of ONE extra job
+    # total (not per round). A converged star forest must be a strict
+    # fixpoint of both rewrites — any symmetric-difference row means
+    # the checksum converged on a lie.
+    ls, ss = _large_star(e), _small_star(e)
+    drift = (
+        ls.exceptAll(e)
+        .unionAll(e.exceptAll(ls))
+        .unionAll(ss.exceptAll(e))
+        .unionAll(e.exceptAll(ss))
+    )
+    if drift.limit(1).count() > 0:
+        raise RuntimeError(
+            "connected_components_star: checksum convergence did not "
+            "survive the exact fixpoint audit (hash collision)"
         )
 
     # e is now (child, root) stars; roots appear only on the b side.

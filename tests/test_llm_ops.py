@@ -1526,7 +1526,11 @@ def test_star_cc_one_driver_action_per_round(spark, monkeypatch):
     )
     out = g.connected_components_star(edges, "doc_a", "doc_b")
     assert rounds["n"] >= 3  # a chain takes several rewrite rounds
-    assert actions["n"] == rounds["n"], (actions, rounds)
+    # one _large_star call per loop round PLUS the single post-loop
+    # exact fixpoint audit (ADVICE r5); each loop round costs exactly
+    # one collect (the tagged-union stats job) and the audit uses
+    # count(), not collect
+    assert actions["n"] == rounds["n"] - 1, (actions, rounds)
     comp = {r["component"] for r in orig_collect(out.select("component"))}
     assert comp == {0}
 
