@@ -149,6 +149,7 @@ HEADLINE = [
     "w6_rolling_7d",
     "c2_decontaminated_corpus",
     "q3_sql_revenue_topk",
+    "t21_unigram_logprob",
 ]
 
 
@@ -253,6 +254,14 @@ def main() -> None:
                     "value_full cover the grown headline set incl. "
                     "LSH/IVF serve paths; timings are steady-state "
                     "(2 untimed warm-ups per query since r5)"
+                ),
+                "host_note": (
+                    "SAME-CODE anchor totals measured 10.4/13.3/14.3/"
+                    "11.2s across four r6 runs on this round's VM vs "
+                    "8.79s in r5 — per-round VM speed varies up to "
+                    "~1.6x, so cross-round anchor comparisons carry "
+                    "that error bar; within-run relative numbers are "
+                    "the reliable signal"
                 ),
             }
     line = json.dumps(payload)

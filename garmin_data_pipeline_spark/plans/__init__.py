@@ -168,6 +168,7 @@ _TAIL = [
     "w6_rolling_7d",
     "c2_decontaminated_corpus",
     "q3_sql_revenue_topk",
+    "t21_unigram_logprob",
 ]
 
 

@@ -2302,3 +2302,59 @@ def c2_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train.join(
         F.broadcast(flagged.select("doc_id")), "doc_id", "left_anti"
     ).select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# T21 — unigram-LM document scoring (the CCNet/C4-style model-based
+# quality signal): mean token log-probability under the corpus's own
+# unigram distribution. Rare-token-heavy (or garbled) docs score low;
+# the score ranks documents for quality-tiered sampling. This is the
+# simplest member of the model-scoring family — swap the frequency
+# join for any token->logprob table (e.g. a KenLM export) and the
+# plan shape is unchanged.
+# ---------------------------------------------------------------------------
+@register(
+    "t21_unigram_logprob",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST({_TOKS}) AS token FROM documents
+    ), vocab AS (
+        SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+    ), tot AS (SELECT COUNT(*) AS total FROM tok)
+    SELECT tok.doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(
+               CAST(SUM(CAST(ln(CAST(vocab.cnt AS DOUBLE) / tot.total)
+                   AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6
+           ) AS mean_logp
+    FROM tok JOIN vocab USING (token) CROSS JOIN tot
+    GROUP BY tok.doc_id
+    """,
+    doc="Mean token log-probability under the corpus unigram LM: one "
+    "explode feeds both the vocabulary aggregate and the scoring "
+    "join (AQE broadcasts the vocab at small SFs, skew-splits the "
+    "shuffle at web-corpus vocab sizes); the 1-row token total is "
+    "broadcast. Per-token ln values round through DECIMAL(18,6) "
+    "before the order-independent sum so JVM-vs-C libm ULP "
+    "differences cannot reach the hash.",
+)
+def t21_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    logp = F.log(F.col("cnt").cast("double") / F.col("total"))
+    return (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(logp.cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_logp"),
+        )
+    )

@@ -257,6 +257,7 @@ def test_registered_plans_stay_jvm_side(spark, sf_dir):
         "v6_semantic_dedup",          # corpus x broadcast grid codebook
         "e2e_master_daily",           # master x broadcast 1-row mean
         "t17_tfidf_matrix",           # tf x broadcast 1-row corpus count
+        "t21_unigram_logprob",        # tokens x broadcast 1-row total
     }
     for name, fn in plans.queries().items():
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
