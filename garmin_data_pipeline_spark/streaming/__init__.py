@@ -8,6 +8,7 @@ from .events import (  # noqa: F401
     enrich_events,
     read_events_stream,
     sessionize,
+    sessionize_stream,
     start_daily_summary_stream,
     start_upsert_stream,
 )

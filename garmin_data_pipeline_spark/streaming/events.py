@@ -452,3 +452,43 @@ def start_upsert_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization via the BUILT-IN session_window
+    aggregate (st7) — the fully-JVM-side alternative to
+    :func:`sessionize`'s applyInPandasWithState: session-merge state
+    lives in the state store keyed by (user, session), evicted when
+    the watermark passes a session's close. Use THIS form whenever
+    the per-session result is expressible as an aggregate (count /
+    sum / min / max); reach for ``applyInPandasWithState`` only when
+    per-event custom logic inside the session is genuinely needed.
+
+    Emits one row per CLOSED session (append mode): late events
+    inside the watermark horizon still merge/extend their session;
+    events older than the watermark are dropped.
+    """
+    return (
+        events.filter(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(
+            "user_id", F.session_window("ts", f"{gap_minutes} minutes")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "events",
+            "total_value",
+        )
+    )

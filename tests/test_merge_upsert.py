@@ -259,3 +259,74 @@ class TestCrossFormatAndEvolution:
         assert set(back.columns) == {"id", "v", "score", "gen"}
         rows = {r["id"]: r["score"] for r in back.collect()}
         assert rows == {1: None, 2: None, 3: 9.5}
+
+
+class TestStreamingSessionWindow:
+    def test_stream_matches_batch_sessionize(self, spark, sf_dir, tmp_path):
+        """st7: the built-in session_window aggregate produces the
+        SAME closed sessions in streaming (availableNow, watermark
+        far past the data) as st2b's batch plan over the same
+        events."""
+        from garmin_data_pipeline_spark.plans.queries import (
+            st2b_session_window,
+        )
+        from garmin_data_pipeline_spark.streaming import (
+            sessionize_stream,
+        )
+
+        out_dir = str(tmp_path / "sessions_out")
+        ckpt = str(tmp_path / "ckpt")
+        src = str(tmp_path / "src")
+        # copy a deterministic slice of events as the stream source
+        # watermarks require TIMESTAMP (LTZ); the testdata ships NTZ.
+        # The session runs UTC, so the cast preserves wall-clock times
+        # and the batch (NTZ) plan stays comparable.
+        ev = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .filter(F.col("user_id") < 20)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        ev.write.parquet(src)
+
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        got = {
+            (r["user_id"], r["session_start"], r["session_end"]): (
+                r["events"],
+                round(r["total_value"], 6),
+            )
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        want_all = {
+            (r["user_id"], r["session_start"], r["session_end"]): (
+                r["events"],
+                round(r["total_value"], 6),
+            )
+            for r in st2b_session_window(spark, sf_dir).collect()
+            if r["user_id"] < 20
+        }
+        # append mode emits only sessions CLOSED by the final
+        # watermark: every emitted session must match batch exactly,
+        # and the only batch sessions allowed to be missing are the
+        # ones still open at the stream's end (within 1h+gap of max
+        # ts)
+        assert got, "stream emitted no sessions"
+        for k, v in got.items():
+            assert want_all.get(k) == v, (k, v, want_all.get(k))
+        import datetime as dt
+
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        horizon = max_ts - dt.timedelta(hours=1)
+        for k in set(want_all) - set(got):
+            # k[2] is session_end = last event + gap
+            assert k[2] >= horizon, (k, "closed session not emitted")
