@@ -145,10 +145,19 @@ def ngram_jaccard_pairs(
     before the self-join (skew guard — a shingle in 1M docs would
     produce 10^12 join rows). Exact only when max_df is None.
     """
+    # Lazy checkpoint: the exploded shingle table feeds FOUR plan
+    # branches (doc sizes, the max_df filter aggregate, and both sides
+    # of the inverted-index self-join); without materialization each
+    # branch re-runs the scan + tokenize + shingle explode. Lazy (not
+    # eager) keeps the operator's plan-construction contract — the
+    # table materializes once inside the first action and every branch
+    # reads the stored blocks (MEMORY_AND_DISK, spill-safe at corpus
+    # scale; the stored relation is (id, shingle) — the same data the
+    # join must shuffle anyway).
     sh = df.select(
         F.col(id_col).alias("doc"),
         F.explode(shingles(F.col(text_col), n)).alias("shingle"),
-    )
+    ).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     if max_df is not None:
         good = (
