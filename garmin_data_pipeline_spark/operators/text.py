@@ -418,7 +418,14 @@ def tfidf_matrix(
     toks = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
     )
-    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds both the df aggregate and the scoring join; lazy
+    # checkpoint so the explode + first aggregate run once, not per
+    # branch (same discipline as the Jaccard pair generator).
+    tf = (
+        toks.groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     df_counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     return (

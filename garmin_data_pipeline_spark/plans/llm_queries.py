@@ -2339,9 +2339,11 @@ def c2_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "differences cannot reach the hash.",
 )
 def t21_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # toks feeds three branches (vocab agg, corpus total, scoring
+    # join); lazy checkpoint = one tokenize pass, not three.
     toks = table(spark, sf_dir, "documents").select(
         "doc_id", F.explode(T.tokens(F.col("text"))).alias("token")
-    )
+    ).localCheckpoint(eager=False)
     vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     total = toks.agg(F.count(F.lit(1)).alias("total"))
     logp = F.log(F.col("cnt").cast("double") / F.col("total"))
