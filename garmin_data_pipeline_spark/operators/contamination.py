@@ -49,10 +49,16 @@ def ngram_contamination(
     the join (stop-shingle guard — boilerplate appearing across the
     eval corpus would fan out against every train doc containing it).
     """
+    # Lazy checkpoint: the exploded TRAIN shingles (the big side) feed
+    # both the index join and the per-doc totals; one scan + tokenize
+    # pass, not two. ``shingles()`` emits DISTINCT shingles per doc,
+    # so counting tr rows IS the doc's distinct-n-gram total — docs
+    # with zero shingles drop out of tr, but they also cannot appear
+    # in ``hits`` (inner join), so the totals join never misses.
     tr = train.select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles(text_col, n)).alias("s"),
-    )
+    ).localCheckpoint(eager=False)
     te = test.select(
         F.col(id_col).alias("test_id"),
         F.explode(shingles(text_col, n)).alias("s"),
@@ -65,9 +71,8 @@ def ngram_contamination(
             .select("s")
         )
         te = te.join(keep, "s")
-    totals = train.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(shingles(text_col, n)).alias("ngram_total"),
+    totals = tr.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("ngram_total")
     )
     hits = (
         tr.join(te, "s")
