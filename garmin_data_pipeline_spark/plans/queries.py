@@ -1996,8 +1996,12 @@ def w6_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH d AS (
         SELECT lang, n_chars,
+               -- NULLS FIRST: Spark's ASC default; DuckDB defaults
+               -- NULLS LAST, which would shift every decile when a
+               -- length is missing
                CAST(NTILE(10) OVER (
-                   PARTITION BY lang ORDER BY n_chars, doc_id
+                   PARTITION BY lang
+                   ORDER BY n_chars NULLS FIRST, doc_id
                ) AS INT) AS decile
         FROM documents
     )

@@ -937,18 +937,24 @@ def test_text_query_oracles_on_edge_corpus(spark, tmp_path):
     from garmin_data_pipeline_spark import plans
 
     rows = [
-        (0, "", "en", 0),
-        (1, "   ", "en", 1),
-        (2, None, "en", 2),
-        (3, "one", "en", 3),
-        (4, "one two", "en", 4),
-        (5, "the quick brown fox jumps over the lazy dog again", "en", 5),
-        (6, "der hund und die katze sind nicht hier aber doch da", "de", 6),
-        (7, "the quick brown fox jumps over the lazy dog again", "en", 7),
+        (0, "", "en", 0, "web", 0),
+        (1, "   ", "en", 1, "web", None),
+        (2, None, "en", 2, None, 3),
+        (3, "one", "en", 3, "book", 3),
+        (4, "one two", "en", 4, "book", 7),
+        (5, "the quick brown fox jumps over the lazy dog again",
+         "en", 5, "web", 49),
+        (6, "der hund und die katze sind nicht hier aber doch da",
+         "de", 6, "web", 51),
+        (7, "the quick brown fox jumps over the lazy dog again",
+         "en", 7, "web", 49),
     ]
-    pd.DataFrame(
-        rows, columns=["doc_id", "text", "lang", "chunk"]
-    ).to_parquet(tmp_path / "documents.parquet")
+    pdf = pd.DataFrame(
+        rows,
+        columns=["doc_id", "text", "lang", "chunk", "source", "n_chars"],
+    )
+    pdf["n_chars"] = pdf["n_chars"].astype("Int64")
+    pdf.to_parquet(tmp_path / "documents.parquet")
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW documents AS SELECT * "
@@ -968,6 +974,14 @@ def test_text_query_oracles_on_edge_corpus(spark, tmp_path):
         "m4_frame_checksums", "c1_contamination", "t13_hash_split",
         "t14_repetition_metrics", "t15_vocab_topk",
         "d5_duplicate_groups", "d5s_duplicate_groups_star",
+        # r6 additions — incl. NULL source and NULL n_chars rows (the
+        # NTILE NULLS FIRST/LAST trap) and a duplicate-text pair (so
+        # d6/g2/c2 exercise real candidate pairs)
+        "t16_vocab_topk_per_lang", "t17_tfidf_matrix",
+        "t18_bpe_pairs", "t19_quality_verdicts",
+        "t20_stratified_take_k", "t21_unigram_logprob",
+        "d6_edit_distance_pairs", "g2_dup_triangles",
+        "c2_decontaminated_corpus", "a16_decile_stats",
     ]
     failures = {}
     for name in targets:
@@ -1035,6 +1049,11 @@ def test_events_query_oracles_on_edge_events(spark, tmp_path):
         "s3_json_props_extract", "st1_tumbling_daily", "st2_sessionize",
         "j5_asof_join", "j6_range_join", "a12_time_rollup",
         "a10_event_type_counts", "w5_densify_ffill", "j4_spatial_join",
+        # r6 additions: NULL ts (watermark/window drop rules), NULL
+        # user (g1's filter), NULL value (decimal window sums), ties
+        # at the same instant (w6 RANGE peers, st2b session merges)
+        "w6_rolling_7d", "st2b_session_window", "a15_cube_events",
+        "g1_pagerank_bipartite",
     ]
     failures = {}
     for name in targets:
