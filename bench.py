@@ -150,6 +150,7 @@ HEADLINE = [
     "c2_decontaminated_corpus",
     "q3_sql_revenue_topk",
     "t21_unigram_logprob",
+    "v8_pq_codes",
 ]
 
 

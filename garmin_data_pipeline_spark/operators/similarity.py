@@ -890,3 +890,95 @@ def embedding_centroids(
         ).alias("mean_val"),
         F.count("v").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory tier BELOW int8 — m codebook
+# ids per vector instead of dim scalars (64-dim float32 = 256 B ->
+# 8 B at m=8). Deterministic grid codebooks (same rationale as
+# grid_centroids: a KMeans-trained codebook quantizes better but is
+# not reproducible outside Spark; the fixed codebook exercises the
+# identical encode/ADC plumbing with cross-engine-verifiable codes).
+# ---------------------------------------------------------------------------
+def pq_codebooks(
+    m: int = 8, k: int = 16, subdim: int = 8, scale: float = 0.125
+) -> list[list[list[float]]]:
+    """``m`` per-subspace codebooks of ``k`` codewords x ``subdim``
+    dims, deterministic and 6-dp-rounded so SQL literals parse back to
+    bit-identical doubles in any engine.
+
+    ``scale`` sets the codeword element range to +/- scale: unit-norm
+    embeddings have elements ~ +/- 1/sqrt(dim) (0.125 at dim=64), and
+    a codebook at the data's scale is what makes the quantizer lossy-
+    but-useful — at scale 1.0 reconstruction is WORSE than emitting
+    zero (measured 9x base MSE), at 0.125 it removes ~a third of it.
+    A trained codebook replaces this choice entirely."""
+    state = 0xC2B2AE3D27D4EB4F
+    books = []
+    for _ in range(m):
+        book = []
+        for _ in range(k):
+            row = []
+            for _ in range(subdim):
+                state = (
+                    state * 6364136223846793005 + 1442695040888963407
+                ) % (1 << 64)
+                row.append(
+                    round(
+                        ((state >> 40) / float(1 << 24) * 2.0 - 1.0)
+                        * scale,
+                        6,
+                    )
+                )
+            book.append(row)
+        books.append(book)
+    return books
+
+
+def _pq_subdist(vec, j: int, codeword: list[float], subdim: int):
+    """Squared L2 distance between subvector j and one codeword, as a
+    left-fold sum so the oracle can mirror the association order
+    exactly (float + is not associative)."""
+    d = F.lit(0.0)
+    for i, w in enumerate(codeword):
+        t = vec[j * subdim + i].cast("double") - F.lit(w)
+        d = d + t * t
+    return d
+
+
+def pq_encode(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    subdim: int = 8,
+) -> DataFrame:
+    """Encode each vector as ``m`` codeword ids (argmin squared-L2 per
+    subspace; first-occurrence tiebreak = deterministic).
+
+    Scale shape: one scan, zero shuffle — the m x k distance lattice
+    is unrolled into whole-stage-codegen arithmetic (m*k*subdim
+    multiply-adds per row), and argmin is array_position(arr,
+    array_min(arr)). NULL vectors encode as NULL (kept, flagged) —
+    dropping rows in an encoder would silently shrink the corpus.
+    """
+    books = pq_codebooks(m, k, subdim)
+    vec = F.col(vec_col)
+    codes = []
+    for j, book in enumerate(books):
+        dists = F.array(
+            *[_pq_subdist(vec, j, w, subdim) for w in book]
+        )
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast(
+                "int"
+            )
+        )
+    return emb.select(
+        F.col(id_col),
+        F.when(
+            vec.isNotNull() & (F.size(vec) >= m * subdim),
+            F.array(*codes),
+        ).alias("pq_code"),
+    )

@@ -169,6 +169,7 @@ _TAIL = [
     "c2_decontaminated_corpus",
     "q3_sql_revenue_topk",
     "t21_unigram_logprob",
+    "v8_pq_codes",
 ]
 
 

@@ -2360,3 +2360,64 @@ def t21_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_logp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# V8 — product quantization codes: the memory tier below int8 (64-dim
+# float32 256 B -> 8 B at m=8). Oracle generated from the SAME
+# codebook constants with the SAME left-fold association order, so
+# the per-subspace argmin picks identical codewords on both engines.
+# ---------------------------------------------------------------------------
+_PQ_M, _PQ_K, _PQ_SUBDIM = 8, 16, 8
+
+
+def _v8_oracle() -> str:
+    from garmin_data_pipeline_spark.operators.similarity import (
+        pq_codebooks,
+    )
+
+    books = pq_codebooks(_PQ_M, _PQ_K, _PQ_SUBDIM)
+    code_exprs = []
+    for j, book in enumerate(books):
+        dists = []
+        for w in book:
+            acc = "0.0"
+            for i, c in enumerate(w):
+                t = (
+                    f"(CAST(embedding[{j * _PQ_SUBDIM + i + 1}] AS DOUBLE)"
+                    f" - {c!r})"
+                )
+                acc = f"({acc} + ({t} * {t}))"
+            dists.append(acc)
+        lst = "[" + ", ".join(dists) + "]"
+        code_exprs.append(
+            f"CAST(list_position({lst}, list_min({lst})) - 1 AS INT)"
+        )
+    arr = "[" + ", ".join(code_exprs) + "]"
+    return f"""
+    SELECT vec_id,
+           CASE WHEN embedding IS NOT NULL
+                 AND len(embedding) >= {_PQ_M * _PQ_SUBDIM}
+                THEN {arr} END AS pq_code
+    FROM embeddings
+    """
+
+
+@register(
+    "v8_pq_codes",
+    _v8_oracle(),
+    doc="PQ encoding: per-subspace argmin over a deterministic grid "
+    "codebook (m=8, k=16) — one scan, zero shuffle, the m*k*subdim "
+    "distance lattice fully unrolled into codegen arithmetic; "
+    "first-occurrence argmin tiebreak is deterministic on both "
+    "engines. A trained codebook drops in without changing the plan.",
+)
+def v8_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.similarity import pq_encode
+
+    return pq_encode(
+        table(spark, sf_dir, "embeddings"),
+        m=_PQ_M,
+        k=_PQ_K,
+        subdim=_PQ_SUBDIM,
+    )

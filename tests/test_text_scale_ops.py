@@ -242,3 +242,69 @@ class TestTriangles:
             spark.createDataFrame(edges, ["src", "dst"])
         ).collect()
         assert [(r["v1"], r["v2"], r["v3"]) for r in got] == [(1, 2, 3)]
+
+
+class TestProductQuantization:
+    def test_codeword_vectors_encode_to_themselves(self, spark):
+        from garmin_data_pipeline_spark.operators.similarity import (
+            pq_codebooks,
+            pq_encode,
+        )
+
+        m, k, subdim = 8, 16, 8
+        books = pq_codebooks(m, k, subdim)
+        # build vectors whose j-th subvector IS codeword c of book j
+        rows = []
+        for c in range(k):
+            vec = []
+            for j in range(m):
+                vec.extend(books[j][c])
+            rows.append((c, vec))
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        got = {
+            r["vec_id"]: r["pq_code"]
+            for r in pq_encode(emb, m=m, k=k, subdim=subdim).collect()
+        }
+        for c in range(k):
+            assert got[c] == [c] * m, (c, got[c])
+
+    def test_null_and_short_vectors_encode_null(self, spark):
+        from garmin_data_pipeline_spark.operators.similarity import (
+            pq_encode,
+        )
+
+        emb = spark.createDataFrame(
+            [(1, None), (2, [0.0] * 8), (3, [0.1] * 64)],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            r["vec_id"]: r["pq_code"] for r in pq_encode(emb).collect()
+        }
+        assert got[1] is None and got[2] is None
+        assert len(got[3]) == 8 and all(0 <= c < 16 for c in got[3])
+
+    def test_reconstruction_beats_zero_baseline(self, spark, sf_dir):
+        import numpy as np
+
+        from garmin_data_pipeline_spark.operators.similarity import (
+            pq_codebooks,
+            pq_encode,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        codes = {
+            r["vec_id"]: r["pq_code"]
+            for r in pq_encode(emb).collect()
+        }
+        books = pq_codebooks()
+        err = base = 0.0
+        for r in emb.select("vec_id", "embedding").collect():
+            v = np.asarray(r["embedding"], dtype=np.float64)
+            rec = np.concatenate(
+                [books[j][codes[r["vec_id"]][j]] for j in range(8)]
+            )
+            err += float(((v - rec) ** 2).sum())
+            base += float((v**2).sum())
+        assert err < base, (err, base)
