@@ -935,15 +935,32 @@ def pq_codebooks(
     return books
 
 
-def _pq_subdist(vec, j: int, codeword: list[float], subdim: int):
-    """Squared L2 distance between subvector j and one codeword, as a
-    left-fold sum so the oracle can mirror the association order
-    exactly (float + is not associative)."""
-    d = F.lit(0.0)
-    for i, w in enumerate(codeword):
-        t = vec[j * subdim + i].cast("double") - F.lit(w)
-        d = d + t * t
-    return d
+def _pq_subdists(vec, j: int, book: list[list[float]], subdim: int):
+    """Array of squared L2 distances from subvector j to every
+    codeword of its book, via array higher-order functions. A fully
+    unrolled m*k*subdim expression tree (the obvious alternative)
+    exceeds Janino's method-size limit, kicks the whole projection out
+    of codegen, and ran 20x slower interpreted; the HOF form keeps the
+    tree O(1). The fold is left-to-right over zip order — the SAME
+    association the oracle's hand-unrolled sum uses, so the doubles
+    stay bit-identical (float + is not associative)."""
+    sub = F.slice(vec, j * subdim + 1, subdim)
+    book_lit = F.array(
+        *[F.array(*[F.lit(w) for w in cw]) for cw in book]
+    )
+    return F.transform(
+        book_lit,
+        lambda cw: F.aggregate(
+            F.zip_with(
+                sub,
+                cw,
+                lambda a, b: (a.cast("double") - b)
+                * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
 
 
 def pq_encode(
@@ -967,9 +984,7 @@ def pq_encode(
     vec = F.col(vec_col)
     codes = []
     for j, book in enumerate(books):
-        dists = F.array(
-            *[_pq_subdist(vec, j, w, subdim) for w in book]
-        )
+        dists = _pq_subdists(vec, j, book, subdim)
         codes.append(
             (F.array_position(dists, F.array_min(dists)) - 1).cast(
                 "int"
