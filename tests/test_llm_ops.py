@@ -1170,10 +1170,17 @@ def test_similarity_oracles_on_zero_and_null_vectors(spark, tmp_path):
     failures = {}
     for name in ("v1_cosine_topk_bruteforce", "v2_cosine_topk_lsh",
                  "v3_embedding_near_dups", "v4p_cosine_topk_ivf_grid",
-                 "v5_quantize_embeddings"):
+                 "v5_quantize_embeddings",
+                 # r6 additions: the centroid aggregate must skip the
+                 # NULL vector but absorb the zero one; semantic dedup
+                 # must place both deterministically; PQ must encode
+                 # the zero vector to a valid code and NULL to NULL
+                 "v7_label_centroids", "v6_semantic_dedup",
+                 "v8_pq_codes", "v2mp_lsh_multiprobe"):
         sdf = qs[name](spark, str(tmp_path)).toPandas()
-        assert not (sdf["vec_id" if "vec_id" in sdf else "id_a"].isna().any()
-                    if name != "v3_embedding_near_dups" else False)
+        id_col = "vec_id" if "vec_id" in sdf else None
+        if id_col and name != "v3_embedding_near_dups":
+            assert not sdf[id_col].isna().any()
         odf = con.execute(oracles[name]).df()
         probs = compare(name, sdf, odf)
         if probs:
