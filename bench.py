@@ -151,6 +151,7 @@ HEADLINE = [
     "q3_sql_revenue_topk",
     "t21_unigram_logprob",
     "v8_pq_codes",
+    "v8_pq_serve_q500",
 ]
 
 
@@ -174,6 +175,7 @@ def main() -> None:
         v2mp_lsh_serve_q500,
         v4_ivf_serve_q500,
         v5_int8_serve_q500,
+        v8_pq_serve_q500,
     )
     from garmin_data_pipeline_spark.plans.queries import (
         a1_pricing_summary_production,
@@ -185,6 +187,7 @@ def main() -> None:
         "v2mp_lsh_serve_q500": v2mp_lsh_serve_q500,
         "v4_ivf_serve_q500": v4_ivf_serve_q500,
         "v5_int8_serve_q500": v5_int8_serve_q500,
+        "v8_pq_serve_q500": v8_pq_serve_q500,
         "d5_groups_lsh": d5_groups_lsh,
     }
 

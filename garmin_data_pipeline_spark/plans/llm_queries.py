@@ -2421,3 +2421,30 @@ def v8_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_PQ_K,
         subdim=_PQ_SUBDIM,
     )
+
+
+_PQ_SERVE_CACHE: dict[str, DataFrame] = {}
+
+
+def v8_pq_serve_q500(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: ADC serving from the PQ index at Q=500 — the
+    smallest-footprint serve tier (8 B/vector + bucket id; compare
+    v5_int8_serve_q500 at ~64 B and v2mp over raw floats at 256 B).
+    Each query precomputes its m x k LUT once; candidates cost m
+    element_at adds. Recall is the documented tradeoff (~0.27@10 with
+    the grid codebook, test_text_scale_ops.TestPqServe)."""
+    from garmin_data_pipeline_spark.operators.similarity import (
+        build_pq_lsh_index,
+        search_pq_lsh,
+    )
+
+    if sf_dir not in _PQ_SERVE_CACHE:
+        _PQ_SERVE_CACHE[sf_dir] = build_pq_lsh_index(
+            table(spark, sf_dir, "embeddings"), n_planes=8, dim=64
+        ).persist()
+    index = _PQ_SERVE_CACHE[sf_dir]
+    emb = table(spark, sf_dir, "embeddings")
+    return search_pq_lsh(
+        index, _serve_queries(emb), k=10, n_planes=8, dim=64,
+        probe_hamming=_PROBE_RADIUS,
+    )

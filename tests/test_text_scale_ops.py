@@ -308,3 +308,79 @@ class TestProductQuantization:
             err += float(((v - rec) ** 2).sum())
             base += float((v**2).sum())
         assert err < base, (err, base)
+
+
+class TestPqServe:
+    def test_adc_recall_beats_random(self, spark, sf_dir):
+        """ADC over the PQ index: recall@10 vs exact cosine must clear
+        a conservative floor (grid codebook + radius-2 probing
+        measured ~0.27 — modest by design: 8-byte codes; a trained
+        codebook is the quality lever) and beat the random baseline
+        (k / corpus) by >= 2x."""
+        from collections import defaultdict
+
+        from garmin_data_pipeline_spark.operators.similarity import (
+            build_pq_lsh_index,
+            cosine_topk_bruteforce,
+            search_pq_lsh,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 50).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        idx = build_pq_lsh_index(emb).persist()
+        try:
+            got = search_pq_lsh(
+                idx, queries, k=10, probe_hamming=2
+            ).collect()
+            exact = cosine_topk_bruteforce(emb, queries, k=10).collect()
+        finally:
+            idx.unpersist()
+        g, e = defaultdict(set), defaultdict(set)
+        for r in got:
+            g[r["query_id"]].add(r["vec_id"])
+            assert 1 <= r["rank"] <= 10 and r["adc_dist"] >= 0.0
+        for r in exact:
+            e[r["query_id"]].add(r["vec_id"])
+        recall = sum(len(g[q] & e[q]) for q in e) / sum(
+            len(e[q]) for q in e
+        )
+        n_corpus = emb.count()
+        random_baseline = 10.0 / n_corpus
+        assert recall >= 0.2, recall
+        assert recall >= 2 * random_baseline, (recall, random_baseline)
+
+    def test_adc_is_exact_on_codebook_vectors(self, spark):
+        """A corpus vector that IS a concatenation of codewords has
+        zero quantization error, so its own query must rank it first
+        with adc_dist equal to the true squared distance (0)."""
+        from garmin_data_pipeline_spark.operators.similarity import (
+            build_pq_lsh_index,
+            pq_codebooks,
+            search_pq_lsh,
+        )
+
+        books = pq_codebooks()
+        rows = []
+        for c in range(8):
+            vec = []
+            for j in range(8):
+                vec.extend(books[j][c])
+            rows.append((c, [float(x) for x in vec]))
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        idx = build_pq_lsh_index(emb)
+        queries = emb.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        got = {
+            (r["query_id"], r["rank"]): (r["vec_id"], r["adc_dist"])
+            for r in search_pq_lsh(idx, queries, k=1).collect()
+        }
+        for c in range(8):
+            vid, dist = got[(c, 1)]
+            assert vid == c and abs(dist) < 1e-9, (c, vid, dist)
