@@ -152,6 +152,7 @@ HEADLINE = [
     "t21_unigram_logprob",
     "v8_pq_codes",
     "v8_pq_serve_q500",
+    "o4_topk_orders_per_customer",
 ]
 
 

@@ -170,6 +170,7 @@ _TAIL = [
     "q3_sql_revenue_topk",
     "t21_unigram_logprob",
     "v8_pq_codes",
+    "o4_topk_orders_per_customer",
 ]
 
 

@@ -2065,6 +2065,59 @@ def p15_semi_anti_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_o.unionByName(without_o)
 
 
+# ---------------------------------------------------------------------------
+# O4 — per-group top-k via AGGREGATE (collect_list -> sort_array ->
+# slice) instead of o3's window. The tradeoff this query certifies:
+# the window form shuffles once then sorts every group fully; the
+# aggregate form carries whole groups through collect_list (no
+# map-side partial), so it wins only when groups are small and the
+# input is already partitioned by the key — and it can never spill a
+# single group. Pick per workload; both are now oracle-certified to
+# agree.
+# ---------------------------------------------------------------------------
+@register(
+    "o4_topk_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rnk
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rnk
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ) WHERE rnk <= 3
+    """,
+    doc="Top-3 orders per customer via the aggregate strategy: "
+    "collect_list of (neg-price, key) structs, sort_array, slice — "
+    "struct comparison gives the DESC-price / ASC-key order without "
+    "a window sort of full groups. NULL prices excluded on both "
+    "sides (a NULL struct field would sort engine-specifically).",
+)
+def o4_topk_orders_per_customer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    s = F.struct(
+        (-F.col("o_totalprice")).alias("np"),
+        F.col("o_orderkey").alias("k"),
+    )
+    agg = orders.groupBy("o_custkey").agg(
+        F.slice(F.sort_array(F.collect_list(s)), 1, 3).alias("top")
+    )
+    ex = agg.select(
+        "o_custkey", F.posexplode("top").alias("pos", "t")
+    )
+    return ex.select(
+        "o_custkey",
+        F.col("t.k").alias("o_orderkey"),
+        (-F.col("t.np")).alias("o_totalprice"),
+        (F.col("pos") + 1).cast("int").alias("rnk"),
+    )
+
+
 def queries():
     return {name: q.fn for name, q in QUERIES.items()}
 
