@@ -867,6 +867,19 @@ def test_query_registry_ordering_invariants():
     assert all(
         n in oracles for n in plans._TAIL if n not in no_oracle
     )
+    # policy 4 (r7): the pytest tier is disjoint from the driver
+    # registry, every demoted query kept its oracle (replayed by
+    # tests/test_pytest_tier.py), and the registry is small enough
+    # that a two-round rotation certifies every query — i.e. nothing
+    # outside the 50-row window this round exceeds the window next
+    # round. That bound is what keeps every registered query ≤1 round
+    # from its last green driver row.
+    assert set(plans._PYTEST_TIER) == set(plans.PYTEST_QUERIES)
+    assert not set(plans.PYTEST_QUERIES) & set(names)
+    assert all(q.oracle for q in plans.PYTEST_QUERIES.values())
+    assert len(names) - 50 <= 50, (
+        f"registry {len(names)} breaks the 2-round certification bound"
+    )
 
 
 def test_pack_sequences_sharded_oversized_docs(spark):
