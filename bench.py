@@ -32,6 +32,58 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 REPEATS = 3
 WARMUPS = 2
 
+# --- Host-speed calibration (r6 verdict directive 2) -----------------
+# Same-code anchor totals drifted up to ~1.6x between round VMs (r5:
+# 8.79s; four r6 runs: 10.4-14.3s), making cross-round per-query
+# comparisons undecidable. Fix: time a FIXED pure-compute job (no
+# parquet IO, fully deterministic: range -> xxhash64 -> 2M-group
+# aggregate -> terminal sort, exercising codegen CPU + shuffle + sort
+# like the real queries) in the same session, and report
+#   host_factor = calibration_s / CALIBRATION_REF_S
+# so any series can be divided by host_factor to compare across
+# rounds. CALIBRATION_REF_S is the r7 VM's steady-state median
+# (pinned 2026-08-14: five back-to-back in-session calibrations gave
+# 2.81/2.89/2.90/2.96/3.21 — within-session repeatability ~±10%,
+# adequate for the ~1.3-1.6x cross-round drift this detects);
+# host_factor == 1.0 means "as fast as the r7 reference host".
+CALIBRATION_REF_S = 2.90
+CAL_ROWS = 30_000_000
+CAL_GROUPS = 2_000_003
+CAL_REPS = 5
+
+
+def calibrate(spark) -> float:
+    """Median wall time of the fixed calibration job (2 warm-ups)."""
+    import gc
+
+    from pyspark.sql import functions as F
+
+    def job() -> None:
+        df = (
+            spark.range(0, CAL_ROWS, 1, 32)
+            .withColumn("h", F.xxhash64("id"))
+            .withColumn("k", F.pmod("h", F.lit(CAL_GROUPS)))
+            .groupBy("k")
+            .agg(
+                # pmod keeps the ANSI sum far from LONG overflow
+                F.sum(F.pmod("h", F.lit(1_000_003))).alias("s"),
+                F.count("*").alias("c"),
+            )
+            .orderBy("s", "k")
+        )
+        df.write.mode("overwrite").format("noop").save()
+
+    for _ in range(WARMUPS):
+        job()
+    reps = []
+    for _ in range(CAL_REPS):
+        gc.collect()
+        spark._jvm.System.gc()
+        t0 = time.perf_counter()
+        job()
+        reps.append(time.perf_counter() - t0)
+    return round(statistics.median(reps), 3)
+
 # Headline set: scan-heavy agg, window chains, multi-joins, streaming-
 # equivalent, plus the LLM ops that scale (exact dedup, minhash AND
 # simhash candidate generation, text quality, ANN top-k — brute-force
@@ -198,6 +250,11 @@ def main() -> None:
     # Warm-up: spin the JVM/codegen once on a small plan.
     run(qs["a2_daily_min"](spark, sf_dir).limit(10))
 
+    # Host-speed calibration BEFORE the query loop (same session, same
+    # JVM) — see calibrate() above.
+    calibration_s = calibrate(spark)
+    host_factor = round(calibration_s / CALIBRATION_REF_S, 3)
+
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     from garmin_data_pipeline_spark.operators.dedup_scale import (
@@ -238,6 +295,9 @@ def main() -> None:
 
     anchor_total = round(sum(timings[n] for n in ANCHOR), 3)
     full_total = round(sum(timings.values()), 3)
+    normalized = {
+        n: round(t / host_factor, 3) for n, t in timings.items()
+    }
     payload = {
                 # r1-r4 name: headline_queries_total_wall. Renamed per
                 # ADVICE r4 so the name matches the definition; the
@@ -253,6 +313,31 @@ def main() -> None:
                 "value_anchor18": anchor_total,
                 "value_full": full_total,
                 "value_scale_paths": round(full_total - anchor_total, 3),
+                "calibration_s": calibration_s,
+                "calibration_ref_s": CALIBRATION_REF_S,
+                "host_factor": host_factor,
+                "value_anchor18_normalized": round(
+                    anchor_total / host_factor, 3
+                ),
+                "queries_normalized": normalized,
+                "c1_ab_note": (
+                    "r6 verdict directive 3 settled by same-host A/B "
+                    "(2026-08-14, 2 warm-ups + 7 reps each): c1 with "
+                    "the r6 single-train-scan change (da6b7b5) median "
+                    "2.544s vs its parent (238f722) 2.949s at sf0.1 — "
+                    "the change is a real ~14% win; the r6 2.55->3.69s "
+                    "series move was host drift. Change kept"
+                ),
+                "calibration_note": (
+                    "calibration_s = median wall of a fixed pure-"
+                    "compute job (range->xxhash64->2M-group agg->sort,"
+                    " no IO) timed in this session; host_factor = "
+                    "calibration_s / calibration_ref_s where the ref "
+                    "is the r7 VM. Divide any series by host_factor "
+                    "before cross-round comparison (the r6 verdict's "
+                    "~1.6x VM-drift fix); queries_normalized is that "
+                    "division applied to queries"
+                ),
                 "anchor_note": (
                     "value == value_anchor18 sums the 18-query round-1 "
                     "anchor set (r1=27.797s at sf0.1); queries/"
@@ -262,11 +347,11 @@ def main() -> None:
                 ),
                 "host_note": (
                     "SAME-CODE anchor totals measured 10.4/13.3/14.3/"
-                    "11.2s across four r6 runs on this round's VM vs "
+                    "11.2s across four r6 runs on that round's VM vs "
                     "8.79s in r5 — per-round VM speed varies up to "
-                    "~1.6x, so cross-round anchor comparisons carry "
-                    "that error bar; within-run relative numbers are "
-                    "the reliable signal"
+                    "~1.6x. Since r7 the calibration job quantifies "
+                    "this: use host_factor / queries_normalized for "
+                    "any cross-round comparison"
                 ),
             }
     line = json.dumps(payload)
