@@ -439,3 +439,69 @@ def simhash_candidate_pairs(
     return pairs.withColumn(
         "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     ).select("doc_a", "doc_b", "hamming")
+
+
+def verify_edit_distance(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_dist: int | None = None,
+) -> DataFrame:
+    """Character-level Levenshtein verification of candidate pairs —
+    the VERIFY stage after any sketch-based generator (reference
+    parity: the notebooks' pandas ``drop_duplicates`` has no fuzzy
+    verifier; this is the beyond-reference LLM-pipeline stage).
+
+    ``pairs`` carries ids only; texts are re-attached here by two
+    id-keyed joins so the candidate generator never shuffles full
+    texts through its index join. The kernel is the built-in JVM
+    ``levenshtein`` — O(len_a * len_b) per pair, which is exactly why
+    it runs on O(candidates), never all pairs.
+
+    ``max_dist`` (capped mode) keeps only pairs with
+    ``edit_dist <= max_dist`` and makes the worst case cheap twice
+    over:
+
+    - ``abs(len_a - len_b)`` is a lower bound on edit distance
+      (every length change costs >= 1 edit), so pairs whose length
+      gap already exceeds the cap are pruned BEFORE the kernel — a
+      single skewed mega-document candidate-paired with short docs
+      never reaches the O(len^2) code path;
+    - surviving pairs use the 3-arg banded ``levenshtein(a, b, k)``
+      (O(len * k), returns -1 past the cap) instead of the full
+      matrix.
+
+    Output in capped mode is provably identical to
+    ``verify_edit_distance(...).filter(edit_dist <= max_dist)``.
+    """
+    ta = docs.select(
+        F.col(id_col).alias(a_col), F.col(text_col).alias("text_a")
+    )
+    tb = docs.select(
+        F.col(id_col).alias(b_col), F.col(text_col).alias("text_b")
+    )
+    joined = pairs.join(ta, a_col).join(tb, b_col)
+    if max_dist is None:
+        return joined.select(
+            a_col,
+            b_col,
+            F.levenshtein("text_a", "text_b").cast("int").alias(
+                "edit_dist"
+            ),
+        )
+    pruned = joined.filter(
+        F.abs(F.length("text_a") - F.length("text_b")) <= max_dist
+    )
+    return (
+        pruned.select(
+            a_col,
+            b_col,
+            F.levenshtein("text_a", "text_b", max_dist)
+            .cast("int")
+            .alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") >= 0)
+    )

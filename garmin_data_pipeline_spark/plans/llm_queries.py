@@ -2222,27 +2222,18 @@ def t20_stratified_take_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pairs, never O(n^2).",
 )
 def d6_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.dedup_scale import (
+        verify_edit_distance,
+    )
+
     docs = table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.5, max_df=_D2_MAX_DF
     ).select("doc_a", "doc_b")
-    ta = docs.select(
-        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
-    )
-    tb = docs.select(
-        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
-    )
-    return (
-        pairs.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.levenshtein("text_a", "text_b").cast("int").alias(
-                "edit_dist"
-            ),
-        )
-    )
+    # Uncapped: the oracle reports the distance for EVERY candidate
+    # pair. Capped callers pass max_dist for the length-bound prune +
+    # banded kernel (see the operator; covered by the skew test).
+    return verify_edit_distance(pairs, docs)
 
 
 # ---------------------------------------------------------------------------

@@ -1658,3 +1658,77 @@ def test_window_audio_overlap_and_coverage(spark):
         window_audio(df, window_bytes=256, hop_bytes=512)
     with _pytest.raises(NotImplementedError):
         window_audio(df, real=True)
+
+
+class TestVerifyEditDistance:
+    """Capped-mode contract of verify_edit_distance: identical output
+    to uncapped-then-filter, with the length-difference lower bound
+    pruning skewed pairs BEFORE the O(len^2) kernel."""
+
+    CAP = 4
+
+    def _fixture(self, spark):
+        # one skewed mega-doc (len 5000) candidate-paired against
+        # short docs: its pairs can never be within CAP edits, and the
+        # length bound proves that without running the kernel
+        rows = [
+            (1, "hello world"),
+            (2, "hello w0rld"),          # dist 1 from doc 1
+            (3, "hello there world"),    # dist 6 from doc 1
+            (4, "x" * 5000),             # the skewed doc
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 3), (1, 4), (2, 4), (3, 4)],
+            ["doc_a", "doc_b"],
+        )
+        return docs, pairs
+
+    def test_capped_equals_uncapped_filtered(self, spark):
+        from garmin_data_pipeline_spark.operators.dedup_scale import (
+            verify_edit_distance,
+        )
+
+        docs, pairs = self._fixture(spark)
+        uncapped = {
+            (r.doc_a, r.doc_b, r.edit_dist)
+            for r in verify_edit_distance(pairs, docs).collect()
+            if r.edit_dist <= self.CAP
+        }
+        capped = {
+            (r.doc_a, r.doc_b, r.edit_dist)
+            for r in verify_edit_distance(
+                pairs, docs, max_dist=self.CAP
+            ).collect()
+        }
+        assert capped == uncapped == {(1, 2, 1)}
+
+    def test_length_bound_prunes_before_kernel(self, spark):
+        """All three mega-doc pairs (and 1-3, gap 6 > cap 4) are
+        pruned by the length bound: the rows REACHING the levenshtein
+        kernel are exactly the length-compatible ones, enforced by the
+        plan (the length Filter sits strictly below the levenshtein
+        Project) and by count."""
+        from garmin_data_pipeline_spark.operators.dedup_scale import (
+            verify_edit_distance,
+        )
+
+        docs, pairs = self._fixture(spark)
+        capped = verify_edit_distance(pairs, docs, max_dist=self.CAP)
+        ta = docs.selectExpr("doc_id AS doc_a", "text AS text_a")
+        tb = docs.selectExpr("doc_id AS doc_b", "text AS text_b")
+        joined = pairs.join(ta, "doc_a").join(tb, "doc_b")
+        kernel_rows = joined.filter(
+            "abs(length(text_a) - length(text_b)) <= 4"
+        ).count()
+        assert joined.count() == 5
+        assert kernel_rows == 1  # only (1,2) is length-compatible
+        plan = (
+            capped._jdf.queryExecution().optimizedPlan().toString()
+        )
+        lev_at = plan.find("levenshtein")
+        filt_at = plan.find("abs(")
+        assert lev_at != -1 and filt_at != -1
+        # optimizedPlan prints top-down: the pruning Filter must
+        # appear BELOW (after) the levenshtein projection
+        assert filt_at > lev_at, plan
