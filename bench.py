@@ -204,6 +204,10 @@ HEADLINE = [
     "t21_unigram_logprob",
     "v8_pq_codes",
     "v8_pq_serve_q500",
+    # r7: trained-codebook ADC serve (fit_pq_codebooks on a corpus
+    # sample during warm-up; timed region is serve-only, same plan
+    # shape as v8_pq_serve_q500 — prices the trained-vs-grid tier).
+    "v8t_pq_serve_q500",
     "o4_topk_orders_per_customer",
 ]
 
@@ -229,6 +233,7 @@ def main() -> None:
         v4_ivf_serve_q500,
         v5_int8_serve_q500,
         v8_pq_serve_q500,
+        v8t_pq_serve_q500,
     )
     from garmin_data_pipeline_spark.plans.queries import (
         a1_pricing_summary_production,
@@ -241,6 +246,7 @@ def main() -> None:
         "v4_ivf_serve_q500": v4_ivf_serve_q500,
         "v5_int8_serve_q500": v5_int8_serve_q500,
         "v8_pq_serve_q500": v8_pq_serve_q500,
+        "v8t_pq_serve_q500": v8t_pq_serve_q500,
         "d5_groups_lsh": d5_groups_lsh,
     }
 

@@ -935,6 +935,65 @@ def pq_codebooks(
     return books
 
 
+def fit_pq_codebooks(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    subdim: int = 8,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> list[list[list[float]]]:
+    """K-means-TRAINED per-subspace codebooks (Jégou et al., PQ):
+    same ``m x k x subdim`` nested-list contract as
+    :func:`pq_codebooks`, so trained books drop into ``pq_encode`` /
+    ``build_pq_lsh_index`` / ``search_pq_lsh`` via their ``books``
+    parameter WITHOUT changing the plan — codebooks enter the plan as
+    literals either way; only the literal values differ.
+
+    Reuses the IVF sample-fit lever (:func:`_ivf_fit_input`): the
+    iterative fit runs on a seeded sample — centroid quality
+    converges long before the full corpus is seen, so at 100 TB you
+    fit on ~10^5 subvectors per subspace and the corpus itself is
+    touched only by the (single-pass) encoder. The m fits share one
+    cached sample scan; each fits ``k`` centers over ``subdim``-dim
+    slices. Codewords round to 6 dp like the grid books (stable SQL
+    literals on any engine)."""
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "pyspark.ml unavailable; use pq_codebooks() instead"
+        ) from exc
+
+    c = emb.filter(
+        F.col(vec_col).isNotNull()
+        & (F.size(vec_col) >= m * subdim)
+    ).select(as_double_array(vec_col).alias("v"))
+    fit_input = _ivf_fit_input(c, sample_fraction, k, seed).persist()
+    try:
+        books = []
+        for j in range(m):
+            sub = fit_input.select(
+                array_to_vector(
+                    F.slice("v", j * subdim + 1, subdim)
+                ).alias("features")
+            )
+            model = KMeans(
+                k=k, seed=seed + j, featuresCol="features"
+            ).fit(sub)
+            books.append(
+                [
+                    [round(float(x), 6) for x in ctr]
+                    for ctr in model.clusterCenters()
+                ]
+            )
+    finally:
+        fit_input.unpersist()
+    return books
+
+
 def _pq_subdists(vec, j: int, book: list[list[float]], subdim: int):
     """Array of squared L2 distances from subvector j to every
     codeword of its book, via array higher-order functions. A fully
@@ -970,6 +1029,7 @@ def pq_encode(
     m: int = 8,
     k: int = 16,
     subdim: int = 8,
+    books: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Encode each vector as ``m`` codeword ids (argmin squared-L2 per
     subspace; first-occurrence tiebreak = deterministic).
@@ -983,14 +1043,24 @@ def pq_encode(
     vec = F.col(vec_col)
     return emb.select(
         F.col(id_col),
-        _pq_code_expr(vec, m, k, subdim).alias("pq_code"),
+        _pq_code_expr(vec, m, k, subdim, books).alias("pq_code"),
     )
 
 
-def _pq_code_expr(vec, m: int, k: int, subdim: int):
+def _pq_code_expr(
+    vec,
+    m: int,
+    k: int,
+    subdim: int,
+    books: list[list[list[float]]] | None = None,
+):
     """The PQ code as a reusable column expression (NULL for NULL or
-    too-short vectors)."""
-    books = pq_codebooks(m, k, subdim)
+    too-short vectors). ``books`` defaults to the deterministic grid
+    codebooks; pass :func:`fit_pq_codebooks` output for trained ones
+    — the expression tree (and so the plan) is identical either way,
+    only the literals differ."""
+    if books is None:
+        books = pq_codebooks(m, k, subdim)
     codes = []
     for j, book in enumerate(books):
         dists = _pq_subdists(vec, j, book, subdim)
@@ -1014,6 +1084,7 @@ def build_pq_lsh_index(
     m: int = 8,
     k: int = 16,
     subdim: int = 8,
+    books: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """PQ-compressed ANN index: (vec_id, lsh bucket, pq_code). The
     float corpus never ships to serving — m bytes + a bucket id per
@@ -1026,7 +1097,9 @@ def build_pq_lsh_index(
     ).select(
         F.col(id_col).alias("vec_id"),
         lsh_bucket(vec, planes).alias("bucket"),
-        _pq_code_expr(F.col(vec_col), m, k, subdim).alias("pq_code"),
+        _pq_code_expr(F.col(vec_col), m, k, subdim, books).alias(
+            "pq_code"
+        ),
     )
 
 
@@ -1042,6 +1115,7 @@ def search_pq_lsh(
     probe_hamming: int = 1,
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    books: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """ADC (asymmetric distance computation) serve over the PQ index:
     each query precomputes its m x k lookup table of subspace
@@ -1056,7 +1130,8 @@ def search_pq_lsh(
     error only — the query side is exact (that is the 'asymmetric').
     """
     planes = hyperplanes(n_planes, dim)
-    books = pq_codebooks(pq_m, pq_k, subdim)
+    if books is None:
+        books = pq_codebooks(pq_m, pq_k, subdim)
     qv = as_double_array(query_vec_col)
     lut = F.array(
         *[

@@ -2439,3 +2439,42 @@ def v8_pq_serve_q500(spark: SparkSession, sf_dir: str) -> DataFrame:
         index, _serve_queries(emb), k=10, n_planes=8, dim=64,
         probe_hamming=_PROBE_RADIUS,
     )
+
+
+_PQT_SERVE_CACHE: dict[str, tuple[DataFrame, list]] = {}
+
+
+def v8t_pq_serve_q500(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: v8 ADC serving with TRAINED per-subspace codebooks
+    (k-means on a seeded corpus sample via fit_pq_codebooks — the
+    'trained codebook drops in without changing the plan' claim made
+    by v8_pq_codes, demonstrated: identical plan shape, only the
+    codeword literals differ; trained-vs-grid quality is pinned by
+    test_text_scale_ops.TestPqTrainedCodebooks). The fit runs once
+    per sf_dir during warm-up (cached with the index — a standing
+    deployment trains offline); the timed region is serve-only,
+    directly comparable to v8_pq_serve_q500."""
+    from garmin_data_pipeline_spark.operators.similarity import (
+        build_pq_lsh_index,
+        fit_pq_codebooks,
+        search_pq_lsh,
+    )
+
+    if sf_dir not in _PQT_SERVE_CACHE:
+        emb = table(spark, sf_dir, "embeddings")
+        books = fit_pq_codebooks(
+            emb, m=_PQ_M, k=_PQ_K, subdim=_PQ_SUBDIM,
+            sample_fraction=0.1,
+        )
+        _PQT_SERVE_CACHE[sf_dir] = (
+            build_pq_lsh_index(
+                emb, n_planes=8, dim=64, books=books
+            ).persist(),
+            books,
+        )
+    index, books = _PQT_SERVE_CACHE[sf_dir]
+    emb = table(spark, sf_dir, "embeddings")
+    return search_pq_lsh(
+        index, _serve_queries(emb), k=10, n_planes=8, dim=64,
+        probe_hamming=_PROBE_RADIUS, books=books,
+    )

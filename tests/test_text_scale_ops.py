@@ -384,3 +384,109 @@ class TestPqServe:
         for c in range(8):
             vid, dist = got[(c, 1)]
             assert vid == c and abs(dist) < 1e-9, (c, vid, dist)
+
+
+class TestPqTrainedCodebooks:
+    """fit_pq_codebooks: k-means-trained books must beat the grid
+    books at equal m/k — the r6 verdict's 'demonstrate the drop-in'
+    item. Everything here is seeded/deterministic, so the comparisons
+    are exact repeatable numbers, not flaky thresholds."""
+
+    def _books(self, spark, sf_dir):
+        from garmin_data_pipeline_spark.operators.similarity import (
+            fit_pq_codebooks,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return emb, fit_pq_codebooks(emb)
+
+    def test_shape_contract_matches_grid(self, spark, sf_dir):
+        emb, trained = self._books(spark, sf_dir)
+        assert len(trained) == 8
+        assert all(len(book) == 16 for book in trained)
+        assert all(len(cw) == 8 for book in trained for cw in book)
+        # 6-dp rounding like the grid books (stable literals)
+        assert all(
+            round(x, 6) == x for book in trained for cw in book for x in cw
+        )
+
+    def test_trained_reconstruction_beats_grid(self, spark, sf_dir):
+        """Mean squared reconstruction error (decode = concatenate
+        chosen codewords) — the quantity PQ training minimizes —
+        must be strictly lower with trained books (measured ~24%
+        lower on the sf0.001 fixture)."""
+        import numpy as np
+
+        from garmin_data_pipeline_spark.operators.similarity import (
+            pq_codebooks,
+            pq_encode,
+        )
+
+        emb, trained = self._books(spark, sf_dir)
+        vecs = {
+            r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.collect()
+        }
+
+        def mse(books):
+            codes = {
+                r.vec_id: r.pq_code
+                for r in pq_encode(emb, books=books).collect()
+            }
+            arr = np.asarray(books)
+            errs = [
+                ((v - np.concatenate(
+                    [arr[j, codes[vid][j]] for j in range(8)]
+                )) ** 2).mean()
+                for vid, v in vecs.items()
+            ]
+            return float(np.mean(errs))
+
+        grid_mse = mse(pq_codebooks())
+        trained_mse = mse(trained)
+        assert trained_mse < grid_mse, (trained_mse, grid_mse)
+
+    def test_trained_recall_geq_grid_same_plan(self, spark, sf_dir):
+        """End-to-end ADC serve: trained recall@5 >= grid recall@5
+        (the bucket join, not the codebook, caps recall here — the
+        codebook's win shows as >= plus the MSE test above), and the
+        physical plan SHAPE is identical — the books enter only as
+        literals, which is the drop-in claim v8_pq_codes makes."""
+        import re
+
+        from garmin_data_pipeline_spark.operators.similarity import (
+            build_pq_lsh_index,
+            cosine_topk_bruteforce,
+            pq_codebooks,
+            search_pq_lsh,
+        )
+
+        emb, trained = self._books(spark, sf_dir)
+        queries = emb.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        bf = {
+            (r.query_id, r.vec_id)
+            for r in cosine_topk_bruteforce(emb, queries, k=5).collect()
+        }
+
+        def serve(books):
+            idx = build_pq_lsh_index(emb, books=books)
+            return search_pq_lsh(idx, queries, k=5, books=books)
+
+        def recall(df):
+            s = {(r.query_id, r.vec_id) for r in df.collect()}
+            return len(bf & s) / len(bf)
+
+        grid_df, trained_df = serve(pq_codebooks()), serve(trained)
+        assert recall(trained_df) >= recall(grid_df)
+
+        def shape(df):
+            plan = (
+                df._jdf.queryExecution().executedPlan().toString()
+            )
+            # strip literal payloads/ids: compare operator skeleton
+            return re.sub(r"[-0-9.eE#]+", "", plan)
+
+        assert shape(trained_df) == shape(grid_df)
