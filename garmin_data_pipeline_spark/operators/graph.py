@@ -365,6 +365,11 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:
+        # Empty edge input (e.g. every row dropped by NULL guards):
+        # return an empty (node, rank) relation with the contract
+        # schema instead of tripping ZeroDivisionError on 1/n below.
+        return nodes.withColumn("rank", F.lit(0.0))
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))

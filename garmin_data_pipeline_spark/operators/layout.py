@@ -31,8 +31,21 @@ def interleave_bits(cols: list[Column], bits: int = 8) -> Column:
     ``i*k + j`` is bit ``i`` of column ``j`` — columns share the high
     bits evenly, so a range predicate on any column maps to few
     contiguous code ranges per resolution level.
+
+    ``bits * len(cols)`` must stay <= 63: bit 63 is the LONG sign
+    bit, and a code landing there goes negative and sorts BEFORE all
+    others — silently destroying the clustering order the Z-code
+    exists to provide (8 cols at the default bits=8, or 4 cols at
+    bits=16, would hit this). Raises instead.
     """
     k = len(cols)
+    if bits * k > 63:
+        raise ValueError(
+            f"interleave_bits: bits*len(cols) = {bits * k} exceeds 63 "
+            "— the top bit would land in the LONG sign bit and "
+            "negative codes would sort before all others; lower "
+            "`bits` or interleave fewer columns"
+        )
     out = F.lit(0).cast("long")
     for j, c in enumerate(cols):
         x = c.cast("long")
@@ -77,7 +90,17 @@ def zorder_code(
     Eager-action note: like ``similarity.infer_dim``, this runs a
     Spark job at plan-construction time (the quantile pass); it is a
     write-time layout helper, not a lazy query operator.
+
+    Bound: ``bits * len(by) <= 63`` (LONG sign bit) — enforced by
+    :func:`interleave_bits` before any job runs; at the default
+    bits=8 that means at most 7 dimensions, which is already far past
+    the 2-4 dims where Z-ordering stops paying.
     """
+    if bits * len(by) > 63:
+        raise ValueError(
+            f"zorder_code: bits*len(by) = {bits * len(by)} exceeds 63 "
+            "(LONG sign bit) — lower `bits` or drop dimensions"
+        )
     n = 1 << bits
     code_inputs = []
     for c in by:

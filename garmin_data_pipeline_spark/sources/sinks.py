@@ -350,10 +350,32 @@ def merge_upsert(
     order_col: str,
     partition_col: str | None = None,
     staging_dir: str | None = None,
+    validate_partition_stability: bool = False,
 ) -> None:
     """MERGE/upsert into a parquet warehouse table: rows in
     ``updates`` replace target rows with the same ``keys`` (latest
     ``order_col`` wins; ties prefer the update), new keys append.
+
+    INVARIANT: a key's ``partition_col`` value must never change
+    between the target and an update. The merge prunes the target
+    scan to the partitions the update batch touches, so a key that
+    moved partitions would leave its old row stale in the old
+    partition (the new row lands correctly — the table then holds a
+    duplicate key). This is the same contract every partition-pruned
+    MERGE (Delta/Iceberg with partition predicates) imposes; derive
+    the partition from an immutable attribute of the key (e.g.
+    ``day = to_date(event ts)`` keyed by event_id). Set
+    ``validate_partition_stability=True`` to enforce it with one
+    key-semi-join against the unpruned target (a full-table key scan
+    — fine in tests and small tables, measurable at 100 TB, hence
+    opt-in).
+
+    NULL partition values in ``updates`` are handled null-safely:
+    target rows in the NULL partition (__HIVE_DEFAULT_PARTITION__)
+    are included in the merge whenever the batch touches it, so
+    existing keys there survive (a plain ``isin`` would drop them
+    from the merge while dynamic overwrite still replaced that
+    partition — silent deletion).
 
     The reference explicitly rejects the upsert load strategy
     (db_utils.py raises on ``load_strategy: upsert``;
@@ -386,7 +408,33 @@ def merge_upsert(
             r[0]
             for r in updates.select(partition_col).distinct().collect()
         ]
-        current = current.filter(F.col(partition_col).isin(touched))
+        non_null = [t for t in touched if t is not None]
+        # isin() is three-valued: NULL partition values never match,
+        # so build the prune predicate null-safely (ADVICE r6).
+        prune = (
+            F.col(partition_col).isin(non_null)
+            if non_null
+            else F.lit(False)
+        )
+        if len(non_null) != len(touched):
+            prune = prune | F.col(partition_col).isNull()
+        if validate_partition_stability:
+            moved = (
+                spark.table(table)
+                .filter(~F.coalesce(prune, F.lit(False)))
+                .select(*keys)
+                .join(updates.select(*keys).distinct(), keys, "semi")
+                .limit(1)
+                .count()
+            )
+            if moved:
+                raise ValueError(
+                    "merge_upsert: update batch contains key(s) whose "
+                    f"{partition_col!r} differs from the target row's "
+                    "— the old-partition row would go stale (see the "
+                    "partition-stability invariant in the docstring)"
+                )
+        current = current.filter(prune)
 
     from pyspark.sql.window import Window
 

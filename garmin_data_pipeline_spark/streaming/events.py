@@ -434,7 +434,24 @@ def start_upsert_stream(
     def _merge(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
         if not s.catalog.tableExists(table):
-            batch.write.partitionBy("day").saveAsTable(table)
+            # The creation path must uphold the same exactly-once
+            # contract as the merge path: at-least-once delivery can
+            # duplicate event_ids WITHIN the very first batch, and a
+            # direct write would persist them (merge_upsert only
+            # collapses dups when the partition is touched again).
+            # Keep the latest-ts row per key — identical tiebreak to
+            # merge_upsert's window (ADVICE r6).
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy("event_id").orderBy(
+                F.col("ts").desc()
+            )
+            deduped = (
+                batch.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            deduped.write.partitionBy("day").saveAsTable(table)
             return
         merge_upsert(
             s,

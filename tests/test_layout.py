@@ -116,3 +116,28 @@ class TestZorderClustering:
                 for r in spark.read.parquet(f).select("__zorder").collect()
             ]
             assert vals == sorted(vals)
+
+
+def test_interleave_bits_sign_bit_bound(spark):
+    """ADVICE r6: bits*len(cols) > 63 would put the top bit in the
+    LONG sign bit (negative Morton codes sort first, silently
+    destroying the clustering) — both entry points must refuse."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from garmin_data_pipeline_spark.operators.layout import (
+        interleave_bits,
+        zorder_code,
+    )
+
+    cols = [F.col(f"c{i}") for i in range(8)]
+    with pytest.raises(ValueError, match="63"):
+        interleave_bits(cols, bits=8)  # 64 bits
+    with pytest.raises(ValueError, match="63"):
+        interleave_bits(cols[:4], bits=16)  # 64 bits
+    # 63 exactly is fine (7 cols x 9 bits)
+    interleave_bits(cols[:7], bits=9)
+    df = spark.range(4).selectExpr(*[f"id as c{i}" for i in range(8)])
+    with pytest.raises(ValueError, match="63"):
+        zorder_code(df, [f"c{i}" for i in range(8)], bits=8)

@@ -1732,3 +1732,15 @@ class TestVerifyEditDistance:
         # optimizedPlan prints top-down: the pruning Filter must
         # appear BELOW (after) the levenshtein projection
         assert filt_at > lev_at, plan
+
+
+def test_pagerank_empty_edges(spark):
+    """ADVICE r6: an empty edge input (e.g. everything NULL-filtered)
+    returns an empty (node, rank) relation instead of an opaque
+    ZeroDivisionError from 1/n."""
+    from garmin_data_pipeline_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(empty)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0
