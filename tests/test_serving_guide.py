@@ -1,0 +1,39 @@
+"""SERVING.md's recall column is a committed measurement — this test
+recomputes every figure (all tiers are seeded/deterministic, so exact
+equality, not thresholds) so the guide can never silently drift from
+the code it describes. (r6 verdict directive 5.)"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+sys.path.insert(0, str(ROOT / "tools"))
+
+EXPECTED = {
+    "v1_float": 1.0,
+    "v2_lsh": 0.114,
+    "v2mp_lsh": 0.378,
+    "v4_ivf": 0.359,
+    "v5_int8": 0.378,
+    "v8_pq_grid": 0.239,
+    "v8t_pq_trained": 0.267,
+}
+
+
+def test_recall_figures_match_serving_md(spark, sf_dir):
+    from serving_recall import tier_recalls
+
+    got = tier_recalls(spark, sf_dir, k=10)
+    assert got == EXPECTED, got
+
+
+def test_serving_md_table_carries_these_numbers():
+    """The committed table's recall column must literally contain the
+    measured figures (guards against editing one side only)."""
+    text = (ROOT / "SERVING.md").read_text()
+    cells = re.findall(r"\| ([01]\.\d{3}) \|", text)
+    assert sorted(float(c) for c in cells) == sorted(EXPECTED.values())

@@ -1,0 +1,77 @@
+"""Measured recall@k of every ANN serve tier vs brute force.
+
+Feeds SERVING.md (the committed serve-tier selection guide) and
+tests/test_serving_guide.py (which recomputes these figures — every
+tier is seeded/deterministic, so the numbers are exact, not
+thresholds). Run directly for a refresh:
+
+    python tools/serving_recall.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def tier_recalls(spark, sf_dir: str, k: int = 10) -> dict[str, float]:
+    """recall@k against exact cosine for each serve tier, at the
+    bench serve shape (Q=500 queries, the tiers' registered build
+    parameters: 8 planes / dim 64 / radius-2 probes / 64-cell IVF
+    with n_probe=4 / m=8 k=16 PQ)."""
+    from garmin_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+    from garmin_data_pipeline_spark.plans.llm_queries import (
+        _serve_queries,
+        v2_lsh_serve_q500,
+        v2mp_lsh_serve_q500,
+        v4_ivf_serve_q500,
+        v5_int8_serve_q500,
+        v8_pq_serve_q500,
+        v8t_pq_serve_q500,
+    )
+    from garmin_data_pipeline_spark.plans.registry import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    exact = cosine_topk_bruteforce(emb, _serve_queries(emb), k=k)
+    exact_set = {
+        (r.query_id, r.vec_id) for r in exact.collect()
+    }
+
+    def recall(df) -> float:
+        got = {
+            (r.query_id, r.vec_id)
+            for r in df.limit(10_000_000).collect()
+        }
+        return round(len(exact_set & got) / len(exact_set), 3)
+
+    tiers = {
+        "v2_lsh": v2_lsh_serve_q500,
+        "v2mp_lsh": v2mp_lsh_serve_q500,
+        "v4_ivf": v4_ivf_serve_q500,
+        "v5_int8": v5_int8_serve_q500,
+        "v8_pq_grid": v8_pq_serve_q500,
+        "v8t_pq_trained": v8t_pq_serve_q500,
+    }
+    out = {"v1_float": 1.0}
+    for name, fn in tiers.items():
+        out[name] = recall(fn(spark, sf_dir))
+    return out
+
+
+def main() -> None:
+    from garmin_data_pipeline_spark.session import get_spark
+
+    sf_dir = (
+        sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    )
+    spark = get_spark("serving_recall")
+    for name, r in tier_recalls(spark, sf_dir).items():
+        print(f"{name}: {r}")
+
+
+if __name__ == "__main__":
+    main()
