@@ -83,14 +83,18 @@ _HEAD = [
     "st4_attribution",
     "m4_frame_checksums",
     "c1_contamination",
+    # --- new in r7 (first driver row; registered under policy 4's
+    #     growth rule — registry stays <= 100, displacing three
+    #     r6-certified first-timers with standalone plan-assert/pytest
+    #     coverage, j7/st5/b1, to the tail) ---
+    "e3_cohort_retention",
+    "e4_funnel_stages",
+    "u2_unpivot_measures",
     # --- r6 first-timers: second consecutive certified row ---
     "v2mp_lsh_multiprobe",
     "e2e_master_daily",
     "v6_semantic_dedup",
     "t16_vocab_topk_per_lang",
-    "j7_salted_skew_join",
-    "st5_segment_rollup",
-    "b1_bucketed_join_agg",
     "t17_tfidf_matrix",
     "t18_bpe_pairs",
     "v7_label_centroids",
@@ -107,11 +111,17 @@ _TAIL = [
     "d4_simhash_candidates",
     "v4_cosine_topk_ivf",
     "t8_rolling_fingerprint",
-    # green r6, code unchanged — the r6 first-timer st2b (whose
+    # green r6, code unchanged — the r6 first-timers st2b (whose
     # session-window boundary semantics are additionally pinned by
-    # the stream-vs-batch pytest suite) plus the 34 r6-certified
-    # veterans, rotating out per policy 2:
+    # the stream-vs-batch pytest suite), j7/st5/b1 (displaced for the
+    # three r7 registrations; b1's zero-Exchange plan is pytest-
+    # asserted, st5 has the stream-vs-batch equivalence suite, j7 the
+    # salted-join parity tests) plus the 34 r6-certified veterans,
+    # rotating out per policy 2:
     "st2b_session_window",
+    "j7_salted_skew_join",
+    "st5_segment_rollup",
+    "b1_bucketed_join_agg",
     "f2_epoch_millis",
     "p13_threshold_count",
     "p3_drop_all_null_columns",

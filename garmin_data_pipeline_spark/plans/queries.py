@@ -2168,3 +2168,178 @@ def q3_sql_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders", "lineitem"):
         table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q3_SQL)
+
+
+# ---------------------------------------------------------------------------
+# E3 — cohort retention matrix: users bucketed by first-activity day,
+# distinct-user counts per (cohort, day-offset). THE standard product-
+# analytics rollup over an event stream; the reference's notebooks
+# stop at per-day aggregates — this is the cross-day composition a
+# warehouse user asks for next.
+# Scale shape: one groupBy(user) for cohort assignment, one join back
+# on user_id (both sides keyed by the same column — at 100 TB this is
+# two shuffles on user_id total), then a (cohort, offset) aggregate
+# whose distinct-count gets map-side partial aggregation. No windows,
+# no driver state.
+# ---------------------------------------------------------------------------
+@register(
+    "e3_cohort_retention",
+    """
+    WITH ev AS (
+        SELECT user_id, CAST(ts AS DATE) AS day FROM events
+    ), cohort AS (
+        SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id
+    )
+    SELECT c.cohort_day,
+           CAST(date_diff('day', c.cohort_day, e.day) AS INT)
+               AS offset_days,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM ev e JOIN cohort c ON e.user_id = c.user_id
+    GROUP BY c.cohort_day, offset_days
+    """,
+    doc="Cohort retention: first-activity-day cohorts x day offset "
+    "-> distinct active users. Two user-keyed shuffles + one "
+    "partial-aggregated distinct count.",
+)
+def e3_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    cohort = ev.groupBy("user_id").agg(
+        F.min("day").alias("cohort_day")
+    )
+    return (
+        ev.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day")
+            .cast("int")
+            .alias("offset_days"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# E4 — strictly-ordered conversion funnel: view -> click -> purchase,
+# each stage's timestamp must FOLLOW the previous stage's first
+# occurrence (a click before any view doesn't count). Per stage, the
+# distinct users who reached it.
+# Scale shape: one events scan feeds three stage branches, each a
+# pushed-down filter on event_type + a user-keyed min-aggregate; the
+# stage joins are user-keyed equi-joins (no windows, no per-user
+# event sorting — the min-ts reduction is all the ordering needed).
+# ---------------------------------------------------------------------------
+@register(
+    "e4_funnel_stages",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_buy
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT stage, COUNT(*) AS n_users FROM (
+        SELECT 'view' AS stage, user_id FROM v
+        UNION ALL SELECT 'click' AS stage, user_id FROM c
+        UNION ALL SELECT 'purchase' AS stage, user_id FROM p
+    ) GROUP BY stage
+    """,
+    doc="Ordered funnel view->click->purchase (each stage strictly "
+    "after the previous stage's first event): per-stage reached-user "
+    "counts. Filter-pushed stage scans + user-keyed min aggregates.",
+)
+def e4_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    stages = (
+        v.select(F.lit("view").alias("stage"), "user_id")
+        .unionByName(c.select(F.lit("click").alias("stage"), "user_id"))
+        .unionByName(
+            p.select(F.lit("purchase").alias("stage"), "user_id")
+        )
+    )
+    return stages.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# U2 — unpivot/melt (wide -> long): the reshape half the reference's
+# pandas surface implies (U-family is concat/flatten; melt is its
+# inverse). Values pass through unchanged — no arithmetic, so doubles
+# hash exactly. Narrow month filter keeps the oracle compare fast;
+# the operator itself is a zero-shuffle row-local expansion
+# (Catalyst compiles unpivot to Expand — 4 output rows per input row
+# in one codegen stage, no exchange).
+# ---------------------------------------------------------------------------
+@register(
+    "u2_unpivot_measures",
+    """
+    SELECT l_orderkey, l_linenumber, measure, val FROM (
+        SELECT l_orderkey, l_linenumber,
+               'l_quantity' AS measure, l_quantity AS val
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1997-08-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1997-09-01'
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1997-08-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1997-09-01'
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1997-08-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1997-09-01'
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1997-08-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1997-09-01'
+    )
+    """,
+    doc="Wide->long melt of the four lineitem measures via "
+    "DataFrame.unpivot (Expand node: row-local, zero shuffle); "
+    "oracle spells it as the dialect-shared UNION ALL.",
+)
+def u2_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    month = li.filter(
+        (F.to_date("l_shipdate") >= F.lit("1997-08-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1997-09-01").cast("date"))
+    )
+    return month.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
