@@ -973,8 +973,13 @@ def test_text_query_oracles_on_edge_corpus(spark, tmp_path):
         f"CREATE VIEW documents AS SELECT * "
         f"FROM '{tmp_path}/documents.parquet'"
     )
-    qs = plans.queries()
-    oracles = plans.oracle_sql()
+    # demoted pytest-tier queries stay edge-tested: merge them in
+    qs = dict(plans.queries())
+    qs.update({n: q.fn for n, q in plans.PYTEST_QUERIES.items()})
+    oracles = dict(plans.oracle_sql())
+    oracles.update(
+        {n: q.oracle for n, q in plans.PYTEST_QUERIES.items()}
+    )
     targets = [
         "t1_token_quality", "t2_language_id", "t3_fingerprint",
         "t7_bpe_token_count", "t5_corpus_mix", "t6_sequence_packing",
@@ -1056,8 +1061,13 @@ def test_events_query_oracles_on_edge_events(spark, tmp_path):
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
     )
-    qs = plans.queries()
-    oracles = plans.oracle_sql()
+    # demoted pytest-tier queries stay edge-tested: merge them in
+    qs = dict(plans.queries())
+    qs.update({n: q.fn for n, q in plans.PYTEST_QUERIES.items()})
+    oracles = dict(plans.oracle_sql())
+    oracles.update(
+        {n: q.oracle for n, q in plans.PYTEST_QUERIES.items()}
+    )
     targets = [
         "s3_json_props_extract", "st1_tumbling_daily", "st2_sessionize",
         "j5_asof_join", "j6_range_join", "a12_time_rollup",
@@ -1121,8 +1131,13 @@ def test_relational_query_oracles_on_poisoned_tables(spark, tmp_path):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{tmp_path}/{t}.parquet'"
         )
-    qs = plans.queries()
-    oracles = plans.oracle_sql()
+    # demoted pytest-tier queries stay edge-tested: merge them in
+    qs = dict(plans.queries())
+    qs.update({n: q.fn for n, q in plans.PYTEST_QUERIES.items()})
+    oracles = dict(plans.oracle_sql())
+    oracles.update(
+        {n: q.oracle for n, q in plans.PYTEST_QUERIES.items()}
+    )
     targets = [
         "a1_pricing_summary", "a2_daily_min",
         "a3_latest_order_per_customer", "a4_dedupe_latest_lineitem",
@@ -1181,8 +1196,13 @@ def test_similarity_oracles_on_zero_and_null_vectors(spark, tmp_path):
         f"CREATE VIEW embeddings AS SELECT * "
         f"FROM '{tmp_path}/embeddings.parquet'"
     )
-    qs = plans.queries()
-    oracles = plans.oracle_sql()
+    # demoted pytest-tier queries stay edge-tested: merge them in
+    qs = dict(plans.queries())
+    qs.update({n: q.fn for n, q in plans.PYTEST_QUERIES.items()})
+    oracles = dict(plans.oracle_sql())
+    oracles.update(
+        {n: q.oracle for n, q in plans.PYTEST_QUERIES.items()}
+    )
     failures = {}
     for name in ("v1_cosine_topk_bruteforce", "v2_cosine_topk_lsh",
                  "v3_embedding_near_dups", "v4p_cosine_topk_ivf_grid",
