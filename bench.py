@@ -41,12 +41,15 @@ WARMUPS = 2
 # like the real queries) in the same session, and report
 #   host_factor = calibration_s / CALIBRATION_REF_S
 # so any series can be divided by host_factor to compare across
-# rounds. CALIBRATION_REF_S is the r7 VM's steady-state median
-# (pinned 2026-08-14: five back-to-back in-session calibrations gave
-# 2.81/2.89/2.90/2.96/3.21 — within-session repeatability ~±10%,
-# adequate for the ~1.3-1.6x cross-round drift this detects);
-# host_factor == 1.0 means "as fast as the r7 reference host".
-CALIBRATION_REF_S = 2.90
+# rounds. CALIBRATION_REF_S is the calibration as measured BY THE
+# BENCH ITSELF on the r7 reference VM (bench_full_r07.json,
+# 2026-08-14) — the ref must come from the same position in the same
+# sequence the factor is measured in, because JVM/session context
+# shifts the job ~15% (quiet-session medians read 2.8-3.2 on the same
+# host). host_factor == 1.0 therefore means "the r7 bench host";
+# within-session repeatability is ~±10%, adequate for the ~1.3-1.6x
+# cross-round drift this exists to detect.
+CALIBRATION_REF_S = 3.383
 CAL_ROWS = 30_000_000
 CAL_GROUPS = 2_000_003
 CAL_REPS = 5

@@ -89,7 +89,7 @@ _HEAD = [
     #     coverage, j7/st5/b1, to the tail) ---
     "e3_cohort_retention",
     "e4_funnel_stages",
-    "u2_unpivot_measures",
+    "u3_unpivot_measures",
     # --- r6 first-timers: second consecutive certified row ---
     "v2mp_lsh_multiprobe",
     "e2e_master_daily",

@@ -2293,16 +2293,17 @@ def e4_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# U2 — unpivot/melt (wide -> long): the reshape half the reference's
-# pandas surface implies (U-family is concat/flatten; melt is its
-# inverse). Values pass through unchanged — no arithmetic, so doubles
+# U3 — unpivot/melt (wide -> long), beyond-reference: SURVEY's
+# U-family stops at concat (U1) and struct flatten (U2); melt is
+# their inverse and the reshape a pandas user reaches for next.
+# Values pass through unchanged — no arithmetic, so doubles
 # hash exactly. Narrow month filter keeps the oracle compare fast;
 # the operator itself is a zero-shuffle row-local expansion
 # (Catalyst compiles unpivot to Expand — 4 output rows per input row
 # in one codegen stage, no exchange).
 # ---------------------------------------------------------------------------
 @register(
-    "u2_unpivot_measures",
+    "u3_unpivot_measures",
     """
     SELECT l_orderkey, l_linenumber, measure, val FROM (
         SELECT l_orderkey, l_linenumber,
@@ -2331,7 +2332,7 @@ def e4_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DataFrame.unpivot (Expand node: row-local, zero shuffle); "
     "oracle spells it as the dialect-shared UNION ALL.",
 )
-def u2_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def u3_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     month = li.filter(
         (F.to_date("l_shipdate") >= F.lit("1997-08-01").cast("date"))
