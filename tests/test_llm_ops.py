@@ -1077,6 +1077,12 @@ def test_events_query_oracles_on_edge_events(spark, tmp_path):
         # at the same instant (w6 RANGE peers, st2b session merges)
         "w6_rolling_7d", "st2b_session_window", "a15_cube_events",
         "g1_pagerank_bipartite",
+        # r7: cohorts must agree on the NULL-user group (GROUP BY
+        # keeps NULL as its own key on both engines) and on users
+        # whose first event is the NULL-ts row (MIN skips NULLs);
+        # the funnel's ts > t_prev comparisons exclude NULLs
+        # identically
+        "e3_cohort_retention", "e4_funnel_stages",
     ]
     failures = {}
     for name in targets:
@@ -1157,6 +1163,10 @@ def test_relational_query_oracles_on_poisoned_tables(spark, tmp_path):
         # the aggregate-strategy top-k must drop the NULL price and
         # break price ties identically to the oracle's ROW_NUMBER
         "o4_topk_orders_per_customer",
+        # r7: the melt must pass NULL measures and NULL ship dates
+        # through unchanged (the date filter drops NaT rows on both
+        # engines; NULL vals survive as NULL long rows)
+        "u3_unpivot_measures",
     ]
     failures = {}
     for name in targets:

@@ -297,3 +297,128 @@ def test_connected_components_algorithms_agree(spark, edges):
 
 if __name__ == "__main__":  # pragma: no cover
     pytest.main([__file__, "-q"])
+
+
+@SET
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="ab c",  # tiny alphabet => real dup/near-dup pairs
+            min_size=0,
+            max_size=24,
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    max_dist=st.integers(min_value=0, max_value=6),
+)
+def test_capped_edit_distance_equals_uncapped_filtered(
+    spark, texts, max_dist
+):
+    """For ANY corpus and ANY cap: capped verify_edit_distance ==
+    uncapped-then-filter (the provable-equivalence claim its
+    docstring makes — the length gap lower-bounds edit distance, and
+    the banded kernel agrees with the full kernel inside the band).
+    All-pairs candidates so the property covers every pair shape,
+    including empty strings and identical texts."""
+    from garmin_data_pipeline_spark.operators.dedup_scale import (
+        verify_edit_distance,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [
+            (a, b)
+            for a in range(len(texts))
+            for b in range(a + 1, len(texts))
+        ],
+        "doc_a long, doc_b long",
+    )
+    uncapped = {
+        (r.doc_a, r.doc_b): r.edit_dist
+        for r in verify_edit_distance(pairs, docs).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.edit_dist
+        for r in verify_edit_distance(
+            pairs, docs, max_dist=max_dist
+        ).collect()
+    }
+    expected = {k: v for k, v in uncapped.items() if v <= max_dist}
+    assert capped == expected
+
+
+@SET
+@given(
+    base=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),           # key
+            st.one_of(st.none(), st.sampled_from(["d1", "d2"])),  # part
+            st.integers(min_value=0, max_value=50),          # ver
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    ups=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=51, max_value=99),
+        ),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_merge_upsert_nullsafe_partitions_property(
+    spark, tmp_path_factory, base, ups
+):
+    """For ANY base table (incl. NULL partitions) and ANY update
+    batch: after merge_upsert, the table holds exactly
+    base-keys ∪ update-keys, update rows win for their keys, and
+    every untouched base row survives byte-identical — in particular
+    rows sharing the NULL partition with updated keys. (The ADVICE r6
+    silent-deletion shape, searched over the input space.)
+
+    Updates keep each key's original partition (the documented
+    partition-stability invariant); new keys land in 'd1'."""
+    from garmin_data_pipeline_spark.sources.sinks import merge_upsert
+
+    part_of = {k: p for k, p, _ in base}
+    rows = [(k, p, float(v)) for k, p, v in base]
+    up_rows = [
+        (k, part_of.get(k, "d1"), float(v)) for k, v in ups
+    ]
+    tmp = tmp_path_factory.mktemp("merge_prop")
+    table = "t_merge_prop"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    import shutil
+
+    shutil.rmtree(
+        f"/tmp/spark-test-warehouse/{table}", ignore_errors=True
+    )
+    spark.createDataFrame(
+        rows, "k long, part string, v double"
+    ).write.partitionBy("part").saveAsTable(table)
+    merge_upsert(
+        spark,
+        table,
+        spark.createDataFrame(
+            up_rows, "k long, part string, v double"
+        ),
+        keys=["k"],
+        order_col="v",
+        partition_col="part",
+        staging_dir=str(tmp / "stage"),
+    )
+    spark.sql(f"REFRESH TABLE {table}")
+    got = {r.k: (r.part, r.v) for r in spark.table(table).collect()}
+    want = {k: (p, float(v)) for k, p, v in rows}
+    want.update(
+        {k: (part_of.get(k, "d1"), float(v)) for k, v in ups}
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    assert got == want
