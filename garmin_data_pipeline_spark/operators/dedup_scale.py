@@ -245,6 +245,58 @@ def minhash_signatures(
     )
 
 
+def minhash_band_buckets(
+    sig: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_impl: str = "xxhash64",
+) -> DataFrame:
+    """LSH banding of a (doc, signature) relation: one (doc, band,
+    bucket) row per band. Shared by the batch pair generator and the
+    streaming corpus index — identical expressions, so batch pairs
+    and stream-vs-corpus candidates land in the same buckets."""
+    rows = num_hashes // bands
+
+    def band_key(i: int):
+        key = F.concat_ws(
+            ",",
+            *[
+                F.element_at("signature", i * rows + j + 1).cast("string")
+                for j in range(rows)
+            ],
+        )
+        # Production: fold the band slice to a 64-bit bucket id (8-byte
+        # shuffle key). Parity impl: ship the slice string itself — one
+        # fewer unreproducible hash, same buckets, mirrorable in SQL.
+        return F.xxhash64(key) if hash_impl == "xxhash64" else key
+
+    return sig.select(
+        "doc",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        band_key(i).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+
+
+def minhash_est_jaccard(sig_a, sig_b, num_hashes: int):
+    """Estimated Jaccard = fraction of agreeing minhash positions."""
+    return F.size(
+        F.filter(
+            F.zip_with(sig_a, sig_b, lambda x, y: x == y),
+            lambda m: m,
+        )
+    ) / F.lit(num_hashes)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -262,7 +314,6 @@ def minhash_lsh_pairs(
     all-pairs); candidates are scored by estimated Jaccard = fraction
     of matching minhashes, kept at >= threshold.
     """
-    rows = num_hashes // bands
     # The signature relation is referenced three times (banding + two
     # pair-side re-attachments); persist so the scan+shingle+hash work
     # runs once. At cluster scale this is where you'd checkpoint the
@@ -272,35 +323,7 @@ def minhash_lsh_pairs(
             df, id_col, text_col, num_hashes, shingle_n, hash_impl
         )
     )
-
-    def band_key(i: int):
-        key = F.concat_ws(
-            ",",
-            *[
-                F.element_at("signature", i * rows + j + 1).cast("string")
-                for j in range(rows)
-            ],
-        )
-        # Production: fold the band slice to a 64-bit bucket id (8-byte
-        # shuffle key). Parity impl: ship the slice string itself — one
-        # fewer unreproducible hash, same buckets, mirrorable in SQL.
-        return F.xxhash64(key) if hash_impl == "xxhash64" else key
-
-    banded = sig.select(
-        "doc",
-        "signature",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        band_key(i).alias("bucket"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc", "bb.band", "bb.bucket")
+    banded = minhash_band_buckets(sig, num_hashes, bands, hash_impl)
     # Band rows carry only the doc id: the (band, bucket) self-join and
     # the pair dedup shuffle ids, not 32-long signature arrays;
     # signatures re-attach to the (much smaller) deduped pair set.
@@ -323,12 +346,7 @@ def minhash_lsh_pairs(
         ),
         "doc_b",
     )
-    est = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-            lambda m: m,
-        )
-    ) / F.lit(num_hashes)
+    est = minhash_est_jaccard(F.col("sig_a"), F.col("sig_b"), num_hashes)
     return (
         cand.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)

@@ -1,5 +1,10 @@
 """Structured Streaming ingest + stateful operators (SURVEY.md §2.10)."""
 
+from .dedup import (  # noqa: F401
+    build_minhash_band_index,
+    neardup_candidates,
+    start_neardup_stream,
+)
 from .events import (  # noqa: F401
     EVENTS_SCHEMA,
     attribute_purchases,

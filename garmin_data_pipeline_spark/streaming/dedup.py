@@ -1,0 +1,158 @@
+"""Streaming near-duplicate detection: incoming document shards vs a
+static corpus MinHash-LSH index.
+
+The batch d-series (``operators/dedup_scale.py``) answers "which
+pairs inside THIS corpus are near-dups"; a standing ingest pipeline
+asks the other question — "is this NEW document a near-dup of
+anything we already hold?" — continuously, as crawl shards land.
+This module supplies that: build the corpus band index once (the
+expensive part — amortized exactly like the ANN serve indexes), then
+every micro-batch of new documents is signatured, banded with the
+SAME expressions (``minhash_band_buckets``), joined against the
+index on (band, bucket), and scored by estimated Jaccard.
+
+Scale shape per micro-batch: the signature aggregate is WITHIN-batch
+(stateless across batches — no streaming state store, no watermark
+needed), the band join shuffles only the new docs' band rows against
+the pre-bucketed index, and candidates are O(matching buckets), never
+new×corpus. At 100 TB corpus / steady crawl, the index is the big
+static side (bucket-partitioned parquet), each batch the small probe
+side.
+
+Reference: the notebooks dedup with pandas ``drop_duplicates``
+(WRANGLE cells, exact only, single-shot); both the fuzzy sketch and
+the standing-stream shape are beyond-reference capabilities.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from garmin_data_pipeline_spark.operators.dedup_scale import (
+    minhash_band_buckets,
+    minhash_est_jaccard,
+    minhash_signatures,
+)
+
+DOCS_SCHEMA = "doc_id long, text string"
+
+
+def build_minhash_band_index(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    hash_impl: str = "xxhash64",
+) -> DataFrame:
+    """The static side: (doc, band, bucket, signature) — one row per
+    band per corpus doc. Persist or write this partitioned by
+    ``bucket`` (pmod to a fixed partition count at real scale) and
+    reuse it across every batch; rebuilding per batch would re-pay
+    the corpus scan the index exists to amortize."""
+    sig = minhash_signatures(
+        corpus, id_col, text_col, num_hashes, shingle_n, hash_impl
+    )
+    return minhash_band_buckets(sig, num_hashes, bands, hash_impl).join(
+        sig, "doc"
+    )
+
+
+def neardup_candidates(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    hash_impl: str = "xxhash64",
+) -> DataFrame:
+    """(new_doc, corpus_doc, est_jaccard) for every new document
+    whose estimated Jaccard vs an indexed document clears
+    ``threshold``. Pure batch function (used per micro-batch by
+    :func:`start_neardup_stream`, and directly for backfills): band
+    the new docs with the index's own expressions, join on
+    (band, bucket), dedup the (new, corpus) id pairs BEFORE scoring
+    (a pair sharing b bands must score once, not b times), then
+    re-attach both signatures and score."""
+    sig_new = minhash_signatures(
+        new_docs, id_col, text_col, num_hashes, shingle_n, hash_impl
+    )
+    banded_new = minhash_band_buckets(
+        sig_new, num_hashes, bands, hash_impl
+    )
+    pair_ids = (
+        banded_new.select(
+            F.col("doc").alias("new_doc"), "band", "bucket"
+        )
+        .join(
+            index.select(
+                F.col("doc").alias("corpus_doc"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
+        .select("new_doc", "corpus_doc")
+        .dropDuplicates(["new_doc", "corpus_doc"])
+    )
+    cand = pair_ids.join(
+        sig_new.select(
+            F.col("doc").alias("new_doc"),
+            F.col("signature").alias("sig_new"),
+        ),
+        "new_doc",
+    ).join(
+        index.select(
+            F.col("doc").alias("corpus_doc"),
+            F.col("signature").alias("sig_corpus"),
+        ).dropDuplicates(["corpus_doc"]),
+        "corpus_doc",
+    )
+    est = minhash_est_jaccard(
+        F.col("sig_new"), F.col("sig_corpus"), num_hashes
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("new_doc", "corpus_doc", "est_jaccard")
+    )
+
+
+def start_neardup_stream(
+    spark: SparkSession,
+    source_path: str,
+    index: DataFrame,
+    output_path: str,
+    checkpoint: str,
+    threshold: float = 0.5,
+    **kwargs,
+):
+    """Stand the detector up: new-document parquet shards landing
+    under ``source_path`` stream through :func:`neardup_candidates`
+    against ``index``; flagged pairs append to ``output_path``.
+
+    ``foreachBatch``, not a built-in sink: the signature aggregate is
+    a batch-local groupBy (each shard's docs are complete in their
+    file), which a streaming aggregate would needlessly hold in the
+    state store forever — there is deliberately NO cross-batch state,
+    so replayed shards just re-emit the same pairs (idempotent input
+    for a downstream keyed merge, same at-least-once contract as
+    st6's upsert)."""
+
+    def _detect(batch: DataFrame, batch_id: int) -> None:
+        neardup_candidates(
+            batch, index, threshold=threshold, **kwargs
+        ).write.mode("append").parquet(output_path)
+
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_path)
+        .writeStream.foreachBatch(_detect)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
