@@ -212,6 +212,12 @@ HEADLINE = [
     # shape as v8_pq_serve_q500 — prices the trained-vs-grid tier).
     "v8t_pq_serve_q500",
     "o4_topk_orders_per_customer",
+    # r7 registrations: cohort retention (two user-keyed shuffles +
+    # distinct count), ordered funnel (stage scans + min-aggregates),
+    # unpivot (zero-shuffle Expand).
+    "e3_cohort_retention",
+    "e4_funnel_stages",
+    "u3_unpivot_measures",
 ]
 
 

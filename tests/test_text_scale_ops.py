@@ -461,6 +461,13 @@ class TestPqTrainedCodebooks:
             search_pq_lsh,
         )
 
+        # Earlier tests in the same session may have PERSISTED the
+        # identical grid-book index (the serve caches); Spark's
+        # CacheManager then substitutes InMemoryRelation into the
+        # grid plan but not the trained one (different literals), and
+        # the shape comparison below would see the cache, not the
+        # query. Compare both sides uncached.
+        spark.catalog.clearCache()
         emb, trained = self._books(spark, sf_dir)
         queries = emb.filter(F.col("vec_id") < 20).select(
             F.col("vec_id").alias("query_id"),
