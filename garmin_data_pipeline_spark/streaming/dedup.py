@@ -156,3 +156,24 @@ def start_neardup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def write_band_index(
+    index: DataFrame, path: str, n_partitions: int = 64
+) -> None:
+    """Persist a band index with the layout probes want: parquet
+    partitioned by ``pt = pmod(bucket, n_partitions)`` — a FIXED
+    partition count (raw ``bucket`` is a 64-bit hash: one directory
+    per distinct value would melt the filesystem), so a batch's band
+    join prunes to the probe buckets' files under dynamic partition
+    pruning while directories stay bounded."""
+    index.withColumn(
+        "pt", F.pmod(F.col("bucket"), F.lit(n_partitions)).cast("int")
+    ).write.mode("overwrite").partitionBy("pt").parquet(path)
+
+
+def read_band_index(spark: SparkSession, path: str) -> DataFrame:
+    """Reopen a written band index for :func:`neardup_candidates`
+    (the ``pt`` layout column is dropped — join keys are
+    (band, bucket) exactly as for an in-memory index)."""
+    return spark.read.parquet(path).drop("pt")

@@ -142,3 +142,27 @@ class TestNeardupStream:
         finally:
             index.unpersist()
         assert deduped == batch
+
+
+class TestBandIndexIO:
+    def test_roundtrip_equals_in_memory(self, spark, tmp_path):
+        from garmin_data_pipeline_spark.streaming.dedup import (
+            read_band_index,
+            write_band_index,
+        )
+
+        index = build_minhash_band_index(_mk(spark, CORPUS))
+        path = str(tmp_path / "band_index")
+        write_band_index(index, path, n_partitions=8)
+        reopened = read_band_index(spark, path)
+        assert sorted(reopened.columns) == sorted(index.columns)
+        new = _mk(spark, NEW_BATCH_1 + NEW_BATCH_2)
+        mem = {
+            (r.new_doc, r.corpus_doc, round(r.est_jaccard, 6))
+            for r in neardup_candidates(new, index).collect()
+        }
+        disk = {
+            (r.new_doc, r.corpus_doc, round(r.est_jaccard, 6))
+            for r in neardup_candidates(new, reopened).collect()
+        }
+        assert mem == disk and mem
