@@ -86,18 +86,19 @@ _HEAD = [
     # --- new in r7 (first driver row; registered under policy 4's
     #     growth rule — registry stays <= 100, displacing three
     #     r6-certified first-timers with standalone plan-assert/pytest
-    #     coverage, j7/st5/b1, to the tail) ---
+    #     coverage - j7/st5/b1, then t16/v7 for the j8/w8 batch - to
+    #     the tail) ---
     "e3_cohort_retention",
     "e4_funnel_stages",
     "u3_unpivot_measures",
+    "j8_snapshot_diff",
+    "w8_scd2_intervals",
     # --- r6 first-timers: second consecutive certified row ---
     "v2mp_lsh_multiprobe",
     "e2e_master_daily",
     "v6_semantic_dedup",
-    "t16_vocab_topk_per_lang",
     "t17_tfidf_matrix",
     "t18_bpe_pairs",
-    "v7_label_centroids",
     "a15_cube_events",
     "a16_decile_stats",
     "p15_semi_anti_orders",
@@ -122,6 +123,8 @@ _TAIL = [
     "j7_salted_skew_join",
     "st5_segment_rollup",
     "b1_bucketed_join_agg",
+    "t16_vocab_topk_per_lang",
+    "v7_label_centroids",
     "f2_epoch_millis",
     "p13_threshold_count",
     "p3_drop_all_null_columns",

@@ -2344,3 +2344,142 @@ def u3_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="val",
     )
+
+
+# ---------------------------------------------------------------------------
+# J8 — snapshot diff / CDC classification, beyond-reference: given a
+# keyed table's state at two times, emit (key, change_type, old, new)
+# for inserts / deletes / updates — the operator every incremental
+# warehouse load and table-comparison job runs. Snapshots here are
+# the per-order LATEST lineitem quantity as of two ship-date cutoffs
+# (a real "state of the table at time T" pair); classification is one
+# full-outer join on the key.
+# Scale shape: two argmax-per-key aggregates (window over the key) +
+# one key-keyed full-outer sort-merge join; unchanged keys are
+# filtered out before the sink, so output is O(changes), not O(keys).
+# ---------------------------------------------------------------------------
+_J8_OLD = "1997-01-01"
+_J8_NEW = "1998-01-01"
+
+
+@register(
+    "j8_snapshot_diff",
+    f"""
+    WITH snap_old AS (
+        SELECT l_orderkey, l_quantity AS qty FROM (
+            SELECT l_orderkey, l_quantity, ROW_NUMBER() OVER (
+                PARTITION BY l_orderkey
+                ORDER BY l_shipdate DESC, l_linenumber DESC
+            ) AS rn
+            FROM lineitem
+            WHERE CAST(l_shipdate AS DATE) < DATE '{_J8_OLD}'
+        ) WHERE rn = 1
+    ), snap_new AS (
+        SELECT l_orderkey, l_quantity AS qty FROM (
+            SELECT l_orderkey, l_quantity, ROW_NUMBER() OVER (
+                PARTITION BY l_orderkey
+                ORDER BY l_shipdate DESC, l_linenumber DESC
+            ) AS rn
+            FROM lineitem
+            WHERE CAST(l_shipdate AS DATE) < DATE '{_J8_NEW}'
+        ) WHERE rn = 1
+    )
+    SELECT COALESCE(o.l_orderkey, n.l_orderkey) AS l_orderkey,
+           CASE WHEN o.l_orderkey IS NULL THEN 'insert'
+                WHEN n.l_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           o.qty AS old_qty, n.qty AS new_qty
+    FROM snap_old o FULL OUTER JOIN snap_new n
+      ON o.l_orderkey = n.l_orderkey
+    WHERE o.l_orderkey IS NULL OR n.l_orderkey IS NULL
+       OR o.qty IS DISTINCT FROM n.qty
+    """,
+    doc="Snapshot diff (CDC classify): per-order latest-lineitem "
+    "state at two cutoffs, full-outer joined on the key and "
+    "classified insert/delete/update; unchanged keys dropped before "
+    "the sink so output is O(changes).",
+)
+def j8_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem")
+
+    def snapshot(cutoff: str) -> DataFrame:
+        w = Window.partitionBy("l_orderkey").orderBy(
+            F.col("l_shipdate").desc(), F.col("l_linenumber").desc()
+        )
+        return (
+            li.filter(
+                F.to_date("l_shipdate") < F.lit(cutoff).cast("date")
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("l_orderkey", F.col("l_quantity").alias("qty"))
+        )
+
+    old = snapshot(_J8_OLD).alias("o")
+    new = snapshot(_J8_NEW).alias("n")
+    joined = old.join(
+        new, F.col("o.l_orderkey") == F.col("n.l_orderkey"), "full_outer"
+    )
+    change = (
+        F.when(F.col("o.l_orderkey").isNull(), F.lit("insert"))
+        .when(F.col("n.l_orderkey").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    return joined.select(
+        F.coalesce(F.col("o.l_orderkey"), F.col("n.l_orderkey")).alias(
+            "l_orderkey"
+        ),
+        change.alias("change_type"),
+        F.col("o.qty").alias("old_qty"),
+        F.col("n.qty").alias("new_qty"),
+    ).filter(
+        F.col("o.l_orderkey").isNull()
+        | F.col("n.l_orderkey").isNull()
+        | ~F.col("o.qty").eqNullSafe(F.col("n.qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# W8 — SCD2 validity intervals, beyond-reference: turn an event log
+# into slowly-changing-dimension rows (state, valid_from, valid_to,
+# is_current) — the standard way a warehouse materializes "what was
+# this user's state at time T". One user-partitioned window (LEAD);
+# no self-join, no driver state.
+# ---------------------------------------------------------------------------
+@register(
+    "w8_scd2_intervals",
+    """
+    SELECT user_id,
+           event_type AS state,
+           ts AS valid_from,
+           LEAD(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS valid_to,
+           CAST(LEAD(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) IS NULL AS BOOLEAN) AS is_current
+    FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    """,
+    doc="SCD2 interval build from the event log: each event opens a "
+    "state valid until the user's next event (LEAD over a "
+    "user-partitioned window, event_id tiebreak for simultaneous "
+    "events); NULL valid_to marks the current row.",
+)
+def w8_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
