@@ -218,6 +218,12 @@ HEADLINE = [
     "e3_cohort_retention",
     "e4_funnel_stages",
     "u3_unpivot_measures",
+    # r7 batch 2: CDC snapshot diff (two argmax snapshots + full-outer
+    # classify), SCD2 intervals (one LEAD window), exact grouped
+    # median (percentile aggregate).
+    "j8_snapshot_diff",
+    "w8_scd2_intervals",
+    "o5_median_quantity",
 ]
 
 

@@ -93,12 +93,12 @@ _HEAD = [
     "u3_unpivot_measures",
     "j8_snapshot_diff",
     "w8_scd2_intervals",
+    "o5_median_quantity",
     # --- r6 first-timers: second consecutive certified row ---
     "v2mp_lsh_multiprobe",
     "e2e_master_daily",
     "v6_semantic_dedup",
     "t17_tfidf_matrix",
-    "t18_bpe_pairs",
     "a15_cube_events",
     "a16_decile_stats",
     "p15_semi_anti_orders",
@@ -125,6 +125,7 @@ _TAIL = [
     "b1_bucketed_join_agg",
     "t16_vocab_topk_per_lang",
     "v7_label_centroids",
+    "t18_bpe_pairs",
     "f2_epoch_millis",
     "p13_threshold_count",
     "p3_drop_all_null_columns",

@@ -2483,3 +2483,36 @@ def w8_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# O5 — exact grouped median, beyond-reference: the percentile family
+# demonstrated per-group (t4's quantiles are global and approximate —
+# this is the exact form a reporting layer asks for). EXACT because
+# l_quantity is integer-valued: the 0.5-quantile interpolation is a
+# midpoint of two representable doubles, identical on both engines
+# regardless of their interpolation formulae. (Non-midpoint quantiles
+# of arbitrary doubles would NOT hash cross-engine — Spark computes
+# (1-g)*a + g*b, DuckDB a + (b-a)*g, which differ in ULPs.)
+# Scale shape: Spark's percentile is a full-sort-free aggregate
+# (OpenHashMap of counts per group); one shuffle on the group key.
+# ---------------------------------------------------------------------------
+@register(
+    "o5_median_quantity",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS median_qty,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Exact per-group median of an integer-valued measure — "
+    "midpoint interpolation is representable, so the double is "
+    "bit-identical cross-engine; one group-keyed aggregate.",
+)
+def o5_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
