@@ -211,6 +211,9 @@ HEADLINE = [
     # sample during warm-up; timed region is serve-only, same plan
     # shape as v8_pq_serve_q500 — prices the trained-vs-grid tier).
     "v8t_pq_serve_q500",
+    # r7: IVFADC — IVF cells + trained residual PQ; the composed
+    # index at the same 8-byte code budget (best quantized recall).
+    "v9_ivfpq_serve_q500",
     "o4_topk_orders_per_customer",
     # r7 registrations: cohort retention (two user-keyed shuffles +
     # distinct count), ordered funnel (stage scans + min-aggregates),
@@ -249,6 +252,7 @@ def main() -> None:
         v5_int8_serve_q500,
         v8_pq_serve_q500,
         v8t_pq_serve_q500,
+        v9_ivfpq_serve_q500,
     )
     from garmin_data_pipeline_spark.plans.queries import (
         a1_pricing_summary_production,
@@ -262,6 +266,7 @@ def main() -> None:
         "v5_int8_serve_q500": v5_int8_serve_q500,
         "v8_pq_serve_q500": v8_pq_serve_q500,
         "v8t_pq_serve_q500": v8t_pq_serve_q500,
+        "v9_ivfpq_serve_q500": v9_ivfpq_serve_q500,
         "d5_groups_lsh": d5_groups_lsh,
     }
 

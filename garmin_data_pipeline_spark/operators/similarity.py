@@ -1103,6 +1103,23 @@ def build_pq_lsh_index(
     )
 
 
+def _adc_fold(pq_m: int):
+    """ADC score: sum of m LUT lookups (lut[j][code[j]]) — the only
+    per-candidate arithmetic in any PQ serve tier. Shared by the
+    LSH-bucketed (:func:`search_pq_lsh`) and IVF-residual
+    (:func:`search_ivf_pq`) serves."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(pq_m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(F.col("lut"), (j + 1).cast("int")),
+            (F.element_at(F.col("pq_code"), (j + 1).cast("int")) + 1),
+        ),
+    )
+
+
+
 def search_pq_lsh(
     index: DataFrame,
     queries: DataFrame,
@@ -1155,17 +1172,139 @@ def search_pq_lsh(
         "query_id", "lut", F.explode("probes").alias("bucket")
     )
     cand = index.join(q, "bucket")
-    score = F.aggregate(
-        F.sequence(F.lit(0), F.lit(pq_m - 1)),
-        F.lit(0.0),
-        lambda acc, j: acc
-        + F.element_at(
-            F.element_at(F.col("lut"), (j + 1).cast("int")),
-            (F.element_at(F.col("pq_code"), (j + 1).cast("int")) + 1),
-        ),
-    )
+    score = _adc_fold(pq_m)
     scored = cand.select(
         "query_id", "vec_id", score.alias("adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_dist", "rank")
+    )
+
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    subdim: int = 8,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> tuple[DataFrame, DataFrame, list[list[list[float]]]]:
+    """IVF-PQ index (Jégou et al.: IVFADC) — the industry-standard
+    composed ANN index: KMeans-partition the corpus (IVF), then
+    PQ-encode each vector's RESIDUAL against its cell centroid.
+    Residuals are centered near zero with much smaller spread than
+    raw vectors, so the same code budget quantizes them far more
+    finely — and the codebooks are FIT on the residual distribution
+    (:func:`fit_pq_codebooks`), not guessed, which the r6 scale
+    lesson showed is the difference between a useful quantizer and
+    noise. Returns (index rows (vec_id, cell, pq_code), centroid
+    table, trained books).
+
+    Scale shape: the KMeans fit runs on a seeded sample; the corpus
+    is touched by one transform pass + one residual/encode pass
+    (broadcast centroid join, zero shuffle beyond the IVF build's
+    own); the serving index is m bytes + a cell id per vector."""
+    assigned, cents = build_ivf_index(
+        corpus, n_centroids, id_col, vec_col, seed, sample_fraction
+    )
+    resid = assigned.join(F.broadcast(cents), "cell").select(
+        "vec_id",
+        "cell",
+        F.zip_with("v", "centroid", lambda a, b: a - b).alias(
+            "residual"
+        ),
+    )
+    books = fit_pq_codebooks(
+        resid,
+        vec_col="residual",
+        m=m,
+        k=k,
+        subdim=subdim,
+        seed=seed,
+        sample_fraction=sample_fraction,
+    )
+    index = resid.select(
+        "vec_id",
+        "cell",
+        _pq_code_expr(F.col("residual"), m, k, subdim, books).alias(
+            "pq_code"
+        ),
+    )
+    return index, cents, books
+
+
+def search_ivf_pq(
+    index: DataFrame,
+    centroids: DataFrame,
+    books: list[list[list[float]]],
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    pq_m: int = 8,
+    pq_k: int = 16,
+    subdim: int = 8,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVFADC serve: rank cells by exact L2 to the query, and for
+    each of the ``n_probe`` probed cells build the query's LUT over
+    the RESIDUAL space (distances from q - centroid to every
+    codeword — the asymmetric part: the query side is exact).
+    Candidates in probed cells then cost m table-lookup adds each
+    (:func:`_adc_fold`), approximating ||q - v||^2 with only the PQ
+    quantization error. Returns (query_id, vec_id, adc_dist, rank).
+
+    Scale shape: the LUT relation is queries x n_probe rows (tiny,
+    lazily checkpointed so projection collapse cannot re-inline the
+    m*k lattice into every candidate row); the index streams through
+    one bucket... cell join. Same pattern as :func:`search_pq_lsh`,
+    with cells instead of hash buckets and per-(query, cell) LUTs
+    instead of one per query."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        as_double_array(query_vec_col).alias("qv"),
+    )
+    cdist = F.aggregate(
+        F.zip_with(
+            F.col("qv"), F.col("centroid"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qc = (
+        q.join(F.broadcast(centroids))
+        .select("query_id", "qv", "cell", "centroid", cdist.alias("cd"))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.asc("cd"), F.col("cell")
+                )
+            ),
+        )
+        .filter(F.col("crank") <= n_probe)
+    )
+    rq = F.zip_with(F.col("qv"), F.col("centroid"), lambda a, b: a - b)
+    lut = F.array(
+        *[
+            _pq_subdists(rq, j, books[j], subdim)
+            for j in range(pq_m)
+        ]
+    )
+    q_lut = qc.select(
+        "query_id", "cell", lut.alias("lut")
+    ).localCheckpoint(eager=False)
+    cand = index.join(q_lut, "cell")
+    scored = cand.select(
+        "query_id", "vec_id", _adc_fold(pq_m).alias("adc_dist")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.col("vec_id")

@@ -21,6 +21,7 @@ EXPECTED = {
     "v5_int8": 0.378,
     "v8_pq_grid": 0.239,
     "v8t_pq_trained": 0.267,
+    "v9_ivfpq": 0.387,
 }
 
 
@@ -31,7 +32,7 @@ def test_recall_figures_match_serving_md(spark, sf_dir):
     # hash-derived tiers are exactly reproducible; the two tiers with
     # an iterative k-means fit get an ulp-drift tolerance (the fit can
     # shift one codeword/centroid under session-order effects)
-    kmeans_tiers = {"v4_ivf", "v8t_pq_trained"}
+    kmeans_tiers = {"v4_ivf", "v8t_pq_trained", "v9_ivfpq"}
     for name, want in EXPECTED.items():
         if name in kmeans_tiers:
             assert abs(got[name] - want) <= 0.02, (name, got[name])

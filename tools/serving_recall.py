@@ -32,6 +32,7 @@ def tier_recalls(spark, sf_dir: str, k: int = 10) -> dict[str, float]:
         v5_int8_serve_q500,
         v8_pq_serve_q500,
         v8t_pq_serve_q500,
+        v9_ivfpq_serve_q500,
     )
     from garmin_data_pipeline_spark.plans.registry import table
 
@@ -55,6 +56,7 @@ def tier_recalls(spark, sf_dir: str, k: int = 10) -> dict[str, float]:
         "v5_int8": v5_int8_serve_q500,
         "v8_pq_grid": v8_pq_serve_q500,
         "v8t_pq_trained": v8t_pq_serve_q500,
+        "v9_ivfpq": v9_ivfpq_serve_q500,
     }
     out = {"v1_float": 1.0}
     for name, fn in tiers.items():
