@@ -1047,6 +1047,21 @@ def pq_encode(
     )
 
 
+def pack_pq_code(code_col, k: int = 16):
+    """Fold an ``array<int>`` PQ code into ONE BIGINT (left fold
+    ``acc*k + code`` — at m=8, k=16 that is 8 x 4 bits = 32 bits, well
+    inside 63). Registered/driver-facing outputs must be scalar (the
+    driver canonicalizer cannot hash list cells — the r7 v8 err; see
+    the schema lint in tests/test_scale_ops.py), so the packed form is
+    what certification rows carry while the serve internals keep the
+    array. NULL code packs to NULL."""
+    return F.aggregate(
+        code_col,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: acc * k + c,
+    )
+
+
 def _pq_code_expr(
     vec,
     m: int,
@@ -1302,7 +1317,13 @@ def search_ivf_pq(
     q_lut = qc.select(
         "query_id", "cell", lut.alias("lut")
     ).localCheckpoint(eager=False)
-    cand = index.join(q_lut, "cell")
+    # The LUT side is queries x n_probe rows (tiny); the index is the
+    # corpus. BROADCAST the LUT so the index never moves at serve
+    # time — without the hint AQE picked a sort-merge join here,
+    # shuffling + sorting the corpus-sized index per serve batch
+    # (r7 verdict: 3 shuffles/1 smj on the most expensive bench
+    # entry). Same shape search_pq_lsh gets: 1 shuffle, 1 bhj.
+    cand = index.join(F.broadcast(q_lut), "cell")
     scored = cand.select(
         "query_id", "vec_id", _adc_fold(pq_m).alias("adc_dist")
     )
@@ -1313,4 +1334,70 @@ def search_ivf_pq(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "adc_dist", "rank")
+    )
+
+
+def ivf_pq_grid_centroids(
+    n_cells: int = 16, dim: int = 64, scale: float = 0.125
+) -> list[list[float]]:
+    """:func:`grid_centroids` scaled to the DATA's element range and
+    re-rounded to 6 dp (exact literals on any engine). Unit-norm
+    embeddings have elements ~ +/- 1/sqrt(dim) = 0.125 at dim 64;
+    centroids at that scale leave residuals of comparable spread
+    instead of residuals dominated by the centroid itself — the same
+    scale lesson :func:`pq_codebooks` documents. Scaling does not
+    change max-dot cell RANKING (dot(v, s*c) = s*dot(v, c), s > 0),
+    but the residuals it leaves behind do depend on it."""
+    return [
+        [round(x * scale, 6) for x in row]
+        for row in grid_centroids(n_cells, dim)
+    ]
+
+
+def build_ivf_pq_grid_index(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    subdim: int = 8,
+    book_scale: float = 0.25,
+) -> DataFrame:
+    """Deterministic IVFADC twin of :func:`build_ivf_pq_index`: the
+    KMeans coarse quantizer is swapped for :func:`ivf_pq_grid_centroids`
+    (max-dot assignment via :func:`assign_cells_fixed` — the exact
+    plumbing v4p certified) and the trained residual codebooks for
+    :func:`pq_codebooks` at residual scale, so a DuckDB oracle can
+    reproduce cell assignment, residual computation, and per-subspace
+    argmin bit-for-bit (same left-fold association everywhere).
+    v9's production path keeps the trained fit; this twin certifies
+    the IVF->residual->PQ machinery with a hash-matched driver row
+    (r7 verdict directive 4). Returns (vec_id, cell, pq_code).
+
+    Scale shape: identical to the production build minus the fit —
+    broadcast centroid scoring + max_by coarse assignment (one
+    shuffle), broadcast centroid join for residuals, then the
+    zero-shuffle PQ encode projection."""
+    filtered = corpus.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) >= dim)
+    )
+    cents = ivf_pq_grid_centroids(n_cells, dim)
+    assigned = assign_cells_fixed(filtered, cents, id_col, vec_col)
+    cent_df = _centroid_df(corpus.sparkSession, cents)
+    books = pq_codebooks(m, k, subdim, scale=book_scale)
+    resid = assigned.join(F.broadcast(cent_df), "cell").select(
+        "vec_id",
+        "cell",
+        F.zip_with(
+            "v", "centroid", lambda a, b: a - b
+        ).alias("residual"),
+    )
+    return resid.select(
+        "vec_id",
+        "cell",
+        _pq_code_expr(F.col("residual"), m, k, subdim, books).alias(
+            "pq_code"
+        ),
     )

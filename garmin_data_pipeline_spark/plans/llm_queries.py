@@ -2358,16 +2358,25 @@ def t21_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 # float32 256 B -> 8 B at m=8). Oracle generated from the SAME
 # codebook constants with the SAME left-fold association order, so
 # the per-subspace argmin picks identical codewords on both engines.
+# Registered output packs the m 4-bit codes into ONE BIGINT
+# (acc*k + code left fold): the driver's canonicalizer hashes scalar
+# columns only (pandas sort_values cannot hash list cells — the r7
+# `v8_pq_codes` err), and the schema lint in tests/test_scale_ops.py
+# now bans complex types in every registered output. The serve path
+# (`search_pq_lsh`) keeps consuming the array form internally.
 # ---------------------------------------------------------------------------
 _PQ_M, _PQ_K, _PQ_SUBDIM = 8, 16, 8
 
 
-def _v8_oracle() -> str:
-    from garmin_data_pipeline_spark.operators.similarity import (
-        pq_codebooks,
-    )
-
-    books = pq_codebooks(_PQ_M, _PQ_K, _PQ_SUBDIM)
+def _pq_code_sql_exprs(
+    books: list[list[list[float]]],
+    subdim: int,
+    vec_sql: str = "embedding",
+) -> list[str]:
+    """Per-subspace DuckDB argmin expressions mirroring
+    ``_pq_subdists``'s left-fold association exactly (float + is not
+    associative; the hand-unrolled ``((0.0 + t*t) + t*t)`` chain is
+    what keeps the doubles — and so the argmin — bit-identical)."""
     code_exprs = []
     for j, book in enumerate(books):
         dists = []
@@ -2375,7 +2384,7 @@ def _v8_oracle() -> str:
             acc = "0.0"
             for i, c in enumerate(w):
                 t = (
-                    f"(CAST(embedding[{j * _PQ_SUBDIM + i + 1}] AS DOUBLE)"
+                    f"(CAST({vec_sql}[{j * subdim + i + 1}] AS DOUBLE)"
                     f" - {c!r})"
                 )
                 acc = f"({acc} + ({t} * {t}))"
@@ -2384,12 +2393,32 @@ def _v8_oracle() -> str:
         code_exprs.append(
             f"CAST(list_position({lst}, list_min({lst})) - 1 AS INT)"
         )
-    arr = "[" + ", ".join(code_exprs) + "]"
+    return code_exprs
+
+
+def _pack_sql(code_exprs: list[str], k: int) -> str:
+    """Left-fold ``acc*k + code`` packing as SQL arithmetic — the
+    mirror of :func:`...operators.similarity.pack_pq_code`."""
+    acc = f"CAST({code_exprs[0]} AS BIGINT)"
+    for e in code_exprs[1:]:
+        acc = f"(({acc}) * {k} + ({e}))"
+    return acc
+
+
+def _v8_oracle() -> str:
+    from garmin_data_pipeline_spark.operators.similarity import (
+        pq_codebooks,
+    )
+
+    books = pq_codebooks(_PQ_M, _PQ_K, _PQ_SUBDIM)
+    packed = _pack_sql(
+        _pq_code_sql_exprs(books, _PQ_SUBDIM), _PQ_K
+    )
     return f"""
     SELECT vec_id,
            CASE WHEN embedding IS NOT NULL
                  AND len(embedding) >= {_PQ_M * _PQ_SUBDIM}
-                THEN {arr} END AS pq_code
+                THEN {packed} END AS pq_packed
     FROM embeddings
     """
 
@@ -2401,16 +2430,25 @@ def _v8_oracle() -> str:
     "codebook (m=8, k=16) — one scan, zero shuffle, the m*k*subdim "
     "distance lattice fully unrolled into codegen arithmetic; "
     "first-occurrence argmin tiebreak is deterministic on both "
-    "engines. A trained codebook drops in without changing the plan.",
+    "engines. A trained codebook drops in without changing the plan. "
+    "Output packs the 8 codes into one BIGINT (driver-hashable "
+    "scalar); the array form stays internal to the serve path.",
 )
 def v8_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from garmin_data_pipeline_spark.operators.similarity import pq_encode
+    from garmin_data_pipeline_spark.operators.similarity import (
+        pack_pq_code,
+        pq_encode,
+    )
 
-    return pq_encode(
+    codes = pq_encode(
         table(spark, sf_dir, "embeddings"),
         m=_PQ_M,
         k=_PQ_K,
         subdim=_PQ_SUBDIM,
+    )
+    return codes.select(
+        "vec_id",
+        pack_pq_code(F.col("pq_code"), _PQ_K).alias("pq_packed"),
     )
 
 
@@ -2487,11 +2525,12 @@ def v9_ivfpq_serve_q500(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only: IVFADC serving (IVF cells + trained residual PQ,
     Jégou et al.) at Q=500 — the industry-standard composed index.
     Same 8-byte code budget as v8/v8t but the codes quantize cell
-    RESIDUALS (smaller spread => finer codes), so it clears both on
-    recall (0.322 vs 0.268 @10 on the fixture at n_probe=4) while
-    probing only 1/4 of the cells. Build (KMeans + residual fit +
-    encode) runs once per sf_dir in warm-up; the timed region is
-    serve-only."""
+    RESIDUALS (smaller spread => finer codes), so at this function's
+    n_probe=16 (1/4 of the 64 cells — the recall/wall knob) it clears
+    both on recall: 0.387@10 vs v8t's 0.267 on the fixture (SERVING.md
+    / test_serving_guide.py; the tighter n_probe=4 unit-test shape
+    measures 0.322 vs 0.268). Build (KMeans + residual fit + encode)
+    runs once per sf_dir in warm-up; the timed region is serve-only."""
     from garmin_data_pipeline_spark.operators.similarity import (
         build_ivf_pq_index,
         search_ivf_pq,
@@ -2509,4 +2548,90 @@ def v9_ivfpq_serve_q500(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_ivf_pq(
         index, cents, books, _serve_queries(emb), k=10, n_probe=16,
         pq_m=_PQ_M, pq_k=_PQ_K, subdim=_PQ_SUBDIM,
+    )
+
+# ---------------------------------------------------------------------------
+# V9P — oracle-certified IVFADC twin (r7 verdict directive 4): the
+# flagship serve tier's build machinery (coarse cell assignment ->
+# residual -> per-subspace argmin PQ) with every nondeterministic
+# piece pinned — grid centroids at data scale for max-dot assignment
+# (the plumbing v4p already certified), grid residual codebooks, and
+# the packed-BIGINT code representation (driver-hashable scalars; see
+# the schema lint). v9 stays the production KMeans+trained fit; this
+# row proves the composed pipeline bit-for-bit against DuckDB.
+# ---------------------------------------------------------------------------
+_V9P_CELLS = 16
+
+
+def _v9p_oracle() -> str:
+    from garmin_data_pipeline_spark.operators.similarity import (
+        ivf_pq_grid_centroids,
+        pq_codebooks,
+    )
+
+    cents = ivf_pq_grid_centroids(_V9P_CELLS, 64)
+    books = pq_codebooks(_PQ_M, _PQ_K, _PQ_SUBDIM, scale=0.25)
+    packed = _pack_sql(
+        _pq_code_sql_exprs(books, _PQ_SUBDIM, vec_sql="rv"), _PQ_K
+    )
+    return f"""
+    WITH c AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) >= 64
+    ), cent(cell, cv) AS (
+        VALUES {_cent_values_sql(cents)}
+    ), assigned AS (
+        -- coarse quantization: max-dot cell, ties to the lowest cell
+        -- (identical ordering to assign_cells_fixed's max_by struct)
+        SELECT vec_id, v, cell, cv FROM (
+            SELECT vec_id, v, cell, cv,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY COALESCE(list_dot_product(v, cv), -1e300)
+                                DESC, cell
+                   ) AS arank
+            FROM c CROSS JOIN cent
+        ) WHERE arank = 1
+    ), resid AS (
+        -- same association as Spark's zip_with(v, centroid, a - b)
+        SELECT vec_id, cell,
+               list_transform(range(1, 65), i -> v[i] - cv[i]) AS rv
+        FROM assigned
+    )
+    SELECT vec_id, CAST(cell AS INT) AS cell, {packed} AS pq_packed
+    FROM resid
+    """
+
+
+@register(
+    "v9p_ivfpq_codes_grid",
+    _v9p_oracle(),
+    doc="IVFADC build, oracle-certified twin: max-dot coarse cell "
+    "assignment against a fixed data-scale codebook, residual vs the "
+    "cell centroid, per-subspace argmin PQ on the residual, codes "
+    "packed to one BIGINT. Certifies the composed IVF->residual->PQ "
+    "machinery the production v9 (KMeans + trained books) runs; "
+    "broadcast centroid scoring + max_by assignment (one shuffle), "
+    "zero-shuffle encode.",
+)
+def v9p_ivfpq_codes_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.similarity import (
+        build_ivf_pq_grid_index,
+        pack_pq_code,
+    )
+
+    idx = build_ivf_pq_grid_index(
+        table(spark, sf_dir, "embeddings"),
+        n_cells=_V9P_CELLS,
+        dim=64,
+        m=_PQ_M,
+        k=_PQ_K,
+        subdim=_PQ_SUBDIM,
+    )
+    return idx.select(
+        "vec_id",
+        "cell",
+        pack_pq_code(F.col("pq_code"), _PQ_K).alias("pq_packed"),
     )

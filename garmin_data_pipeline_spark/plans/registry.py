@@ -11,6 +11,15 @@ trees in DuckDB windows, so any float *accumulation* goes through an
 exact DECIMAL(18,6) cast first and is cast back to DOUBLE at the end —
 bit-identical on both engines. Plain min/max/count/lag picks are exact
 already.
+
+Output-schema contract: every registered query's output must be SCALAR
+columns only — no Array/Map/Struct. The driver canonicalizes results
+with pandas ``sort_values`` over all columns before value-hashing,
+which raises ``unhashable type: 'list'`` on complex-typed cells (the
+r7 ``v8_pq_codes`` err — correct values, red row). Pack arrays into a
+BIGINT (``operators.similarity.pack_pq_code``) or explode to rows
+(v5's posexplode). Enforced by tools/check.py's runner and
+tests/test_scale_ops.py::test_registered_outputs_are_driver_hashable.
 """
 
 from __future__ import annotations

@@ -438,8 +438,18 @@ def merge_upsert(
 
     from pyspark.sql.window import Window
 
+    # Final tiebreak: a stable hash of the full payload (sorted
+    # column order so it never depends on projection order). Without
+    # it, two UPDATE rows with the same key and order_col (both
+    # __src=1 — at-least-once redelivery within one batch) resolve
+    # nondeterministically and replays could converge to different
+    # table states (ADVICE r7, flagged on the creation path; the
+    # hazard is identical here).
+    payload_cols = sorted(c for c in updates.columns if c != "__src")
     w = Window.partitionBy(*keys).orderBy(
-        F.col(order_col).desc(), prefer_update
+        F.col(order_col).desc(),
+        prefer_update,
+        F.xxhash64(*[F.col(c) for c in payload_cols]).asc(),
     )
     merged = (
         current.unionByName(updates)

@@ -52,8 +52,18 @@ def build_minhash_band_index(
     ``bucket`` (pmod to a fixed partition count at real scale) and
     reuse it across every batch; rebuilding per batch would re-pay
     the corpus scan the index exists to amortize."""
-    sig = minhash_signatures(
-        corpus, id_col, text_col, num_hashes, shingle_n, hash_impl
+    from garmin_data_pipeline_spark.operators.dedup_scale import (
+        _persist_signature,
+    )
+
+    # The signature relation feeds BOTH sides of the band/signature
+    # join below; unpersisted, the corpus scan + shingle + minhash
+    # work would run twice per index build (ADVICE r7) — the exact
+    # cost minhash_lsh_pairs already avoids with the same cache.
+    sig = _persist_signature(
+        minhash_signatures(
+            corpus, id_col, text_col, num_hashes, shingle_n, hash_impl
+        )
     )
     return minhash_band_buckets(sig, num_hashes, bands, hash_impl).join(
         sig, "doc"

@@ -406,6 +406,7 @@ def start_upsert_stream(
     table: str,
     checkpoint: str,
     staging_dir: str | None = None,
+    validate_partition_stability: bool = True,
 ):
     """Continuous MERGE ingest: stream event shards and upsert each
     micro-batch into a day-partitioned warehouse table keyed by
@@ -424,6 +425,16 @@ def start_upsert_stream(
     state instead of duplicating. Checkpointing makes the replay
     window [last commit, crash] and the upsert makes that window
     harmless.
+
+    ``validate_partition_stability`` defaults ON here (it is opt-in
+    on the batch :func:`merge_upsert`): the stream derives ``day``
+    from the event ``ts``, and a late CORRECTION that changes a key's
+    ts across midnight moves its partition — exactly the drift the
+    partition-pruned merge cannot absorb (the old-day row would go
+    stale and the table would hold the key twice). The cost is one
+    key-semi-join against the unpruned target per micro-batch —
+    bounded by batch size on the probe side; disable only for tables
+    whose partition key is provably immutable (r7 verdict item 7).
     """
     from garmin_data_pipeline_spark.sources.sinks import merge_upsert
 
@@ -440,11 +451,18 @@ def start_upsert_stream(
             # direct write would persist them (merge_upsert only
             # collapses dups when the partition is touched again).
             # Keep the latest-ts row per key — identical tiebreak to
-            # merge_upsert's window (ADVICE r6).
+            # merge_upsert's window (ADVICE r6), including its stable
+            # payload-hash final key (ADVICE r7): first-batch
+            # duplicate event_ids with EQUAL ts but different payloads
+            # must resolve the same way on every replay.
             from pyspark.sql.window import Window
 
+            payload_cols = sorted(batch.columns)
             w = Window.partitionBy("event_id").orderBy(
-                F.col("ts").desc()
+                F.col("ts").desc(),
+                F.xxhash64(
+                    *[F.col(c) for c in payload_cols]
+                ).asc(),
             )
             deduped = (
                 batch.withColumn("__rn", F.row_number().over(w))
@@ -461,6 +479,7 @@ def start_upsert_stream(
             order_col="ts",
             partition_col="day",
             staging_dir=staging_dir,
+            validate_partition_stability=validate_partition_stability,
         )
 
     return (

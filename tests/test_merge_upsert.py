@@ -423,6 +423,153 @@ class TestStreamingUpsertChaos:
             f"/tmp/spark-test-warehouse/{table}", ignore_errors=True
         )
 
+    def test_partition_migrating_key_is_rejected(self, spark, tmp_path):
+        """r7 verdict item 7: the streaming upsert derives the `day`
+        partition from the event ts, so a late correction that moves
+        a key's ts across midnight MIGRATES its partition — the
+        partition-pruned merge would leave the old-day row stale and
+        the table would hold the key twice. With
+        validate_partition_stability defaulting ON in
+        start_upsert_stream, the batch must be explicitly REJECTED
+        (streaming query fails), not silently half-applied."""
+        import datetime as dt
+        import shutil
+
+        import pytest
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+
+        from garmin_data_pipeline_spark.streaming import (
+            start_upsert_stream,
+        )
+
+        table = "t_stream_upsert_migrate"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(
+            f"/tmp/spark-test-warehouse/{table}", ignore_errors=True
+        )
+        src = tmp_path / "in"
+        src.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        schema = (
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+
+        def land(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+
+        def run():
+            q = start_upsert_stream(
+                spark,
+                str(src),
+                table,
+                ckpt,
+                staging_dir=str(tmp_path / "stage"),
+            )
+            q.awaitTermination(120)
+            if q.exception() is not None:
+                raise q.exception()
+
+        d1 = dt.datetime(2024, 3, 1, 23, 30, 0)
+        land([(1, d1, 10, "click", 1.0, "{}")])
+        run()
+        # correction shifts event 1 past midnight -> day changes
+        land(
+            [
+                (
+                    1,
+                    d1 + dt.timedelta(hours=1),
+                    10,
+                    "click",
+                    1.5,
+                    "{}",
+                )
+            ]
+        )
+        with pytest.raises(
+            (StreamingQueryException, ValueError),
+            match="partition-stability|partition",
+        ):
+            run()
+        # the rejected batch must not have half-applied: the original
+        # row is intact, exactly once
+        spark.sql(f"REFRESH TABLE {table}")
+        rows = spark.table(table).collect()
+        assert len(rows) == 1 and rows[0]["value"] == 1.0, rows
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(
+            f"/tmp/spark-test-warehouse/{table}", ignore_errors=True
+        )
+
+    def test_equal_ts_creation_dups_resolve_deterministically(
+        self, spark, tmp_path
+    ):
+        """ADVICE r7: first-batch duplicate event_ids with EQUAL ts
+        but different payloads must resolve identically on every
+        replay. The creation-path window now breaks the ts tie with a
+        stable payload hash (sorted column order) — assert the kept
+        row is the hash-minimal one, i.e. the choice is a pure
+        function of the payloads, not of partition scan order."""
+        import datetime as dt
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from garmin_data_pipeline_spark.streaming import (
+            start_upsert_stream,
+        )
+
+        table = "t_stream_upsert_eqts"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(
+            f"/tmp/spark-test-warehouse/{table}", ignore_errors=True
+        )
+        src = tmp_path / "in"
+        src.mkdir()
+        schema = (
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        d1 = dt.datetime(2024, 3, 1, 9, 0, 0)
+        rows = [
+            (7, d1, 10, "click", 1.0, "{}"),
+            (7, d1, 10, "click", 2.0, "{}"),
+        ]
+        batch = spark.createDataFrame(rows, schema)
+        payload_cols = sorted(
+            batch.withColumn("day", F.to_date("ts")).columns
+        )
+        expected = (
+            batch.withColumn("day", F.to_date("ts"))
+            .withColumn(
+                "__h", F.xxhash64(*[F.col(c) for c in payload_cols])
+            )
+            .orderBy("__h")
+            .first()["value"]
+        )
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        q = start_upsert_stream(
+            spark,
+            str(src),
+            table,
+            str(tmp_path / "ckpt"),
+            staging_dir=str(tmp_path / "stage"),
+        )
+        q.awaitTermination(120)
+        spark.sql(f"REFRESH TABLE {table}")
+        got = spark.table(table).collect()
+        assert len(got) == 1 and got[0]["value"] == expected, got
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(
+            f"/tmp/spark-test-warehouse/{table}", ignore_errors=True
+        )
+
 
 class TestMergeUpsertNullPartition:
     """ADVICE r6: NULL partition values must merge null-safely — keys

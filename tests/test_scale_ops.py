@@ -277,6 +277,84 @@ def test_registered_plans_stay_jvm_side(spark, sf_dir):
         assert not bad, f"{name}: unpartitioned window(s): {bad}"
 
 
+def test_serve_plans_never_move_the_index(spark, sf_dir):
+    """Serving-tier invariant (r7 verdict directive 3): at serve time
+    the corpus-sized index must NEVER be shuffled or sorted — the
+    query-side relation (buckets / probe cells / LUTs) is the tiny
+    side and must broadcast. Concretely: no SortMergeJoin in any
+    `*_serve_q500` plan (an smj sorts BOTH sides — on the index that
+    is a corpus sort per serve batch), and at most one Exchange (the
+    final per-query top-k rank window; v4's extra probe-rank window
+    over queries x cells is documented and query-side-only). The r7
+    regression this pins down: v9's un-broadcast LUT join cost
+    3 shuffles + 1 smj on the most expensive bench entry."""
+    import re
+
+    from garmin_data_pipeline_spark.plans.llm_queries import (
+        v2_lsh_serve_q500,
+        v2mp_lsh_serve_q500,
+        v4_ivf_serve_q500,
+        v5_int8_serve_q500,
+        v8_pq_serve_q500,
+        v8t_pq_serve_q500,
+        v9_ivfpq_serve_q500,
+    )
+
+    serves = {
+        "v2_lsh_serve_q500": (v2_lsh_serve_q500, 1),
+        "v2mp_lsh_serve_q500": (v2mp_lsh_serve_q500, 1),
+        "v4_ivf_serve_q500": (v4_ivf_serve_q500, 2),
+        "v5_int8_serve_q500": (v5_int8_serve_q500, 1),
+        "v8_pq_serve_q500": (v8_pq_serve_q500, 1),
+        "v8t_pq_serve_q500": (v8t_pq_serve_q500, 1),
+        "v9_ivfpq_serve_q500": (v9_ivfpq_serve_q500, 1),
+    }
+    shuffle_re = (
+        r"Exchange (?:hashpartitioning|rangepartitioning"
+        r"|RoundRobinPartitioning|SinglePartition)"
+    )
+    for name, (fn, max_shuffles) in serves.items():
+        plan = (
+            fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SortMergeJoin" not in plan, f"{name}: smj at serve time"
+        n = len(re.findall(shuffle_re, plan))
+        assert n <= max_shuffles, (
+            f"{name}: {n} shuffles at serve time (max {max_shuffles})"
+        )
+
+
+def test_registered_outputs_are_driver_hashable(spark, sf_dir):
+    """No Array/Map/Struct column in ANY driver-registered query's
+    output schema. The driver's canonicalizer (pandas sort_values
+    over every column before value-hashing) raises `unhashable type:
+    'list'` on complex-typed cells — the r7 `v8_pq_codes` err, which
+    tools/check.py's tuple-normalizing compare silently tolerated for
+    two rounds. Registered outputs must pack (pack_pq_code) or
+    explode (v5's posexplode) complex values to scalars; internal
+    operator surfaces may keep arrays. Applies to rows-only entries
+    too (same driver ingestion path), and to the pytest tier for
+    uniformity — its DuckDB comparisons share the pandas path."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from garmin_data_pipeline_spark import plans
+
+    surface = dict(plans.queries())
+    surface.update({n: q.fn for n, q in plans.PYTEST_QUERIES.items()})
+    offenders = []
+    for name, fn in surface.items():
+        for f in fn(spark, sf_dir).schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{f.name}: {f.dataType}")
+    assert not offenders, (
+        "driver-unhashable complex-typed output columns: "
+        + "; ".join(offenders)
+    )
+
+
 class TestSemanticDedup:
     """SemDeDup-style semantic dedup: survivors/losers partition the
     corpus; no surviving same-cell pair is over-threshold; the min-id

@@ -3,7 +3,16 @@
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
 DuckDB over the same parquet, then compares row count, column-name
 set, and order-insensitive values (rows sorted by all columns after
-normalization). Stricter-or-equal to the driver's value-hash check.
+normalization). Stricter-or-equal to the driver's value-hash check,
+WITH one extra gate the r7 round proved necessary: the driver's
+canonicalizer (pandas sort_values over all columns) cannot hash list
+cells, so any Array/Map/Struct column in a registered output errs in
+the driver even when the values are correct (the r7 ``v8_pq_codes``
+err). ``normalize`` below converts lists to tuples to make them
+locally comparable — which is LOOSER than the driver — so the runner
+fails any registered query whose Spark schema contains a complex
+type before comparison. The same invariant is pytest-enforced in
+tests/test_scale_ops.py.
 
 Usage: python tools/check.py [sf_dir] [query ...]
 """
@@ -112,7 +121,22 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            sdf_spark = fn(spark, sf_dir)
+            from pyspark.sql.types import ArrayType, MapType, StructType
+
+            complex_cols = [
+                f.name
+                for f in sdf_spark.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType, StructType))
+            ]
+            if complex_cols:
+                failed.append(name)
+                print(
+                    f"FAIL {name}: driver-unhashable complex-typed "
+                    f"columns {complex_cols} (pack/explode to scalars)"
+                )
+                continue
+            sdf = sdf_spark.toPandas()
         except Exception as e:  # noqa: BLE001
             failed.append(name)
             print(f"FAIL {name}: spark error: {e}")

@@ -19,8 +19,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def tier_recalls(spark, sf_dir: str, k: int = 10) -> dict[str, float]:
     """recall@k against exact cosine for each serve tier, at the
     bench serve shape (Q=500 queries, the tiers' registered build
-    parameters: 8 planes / dim 64 / radius-2 probes / 64-cell IVF
-    with n_probe=4 / m=8 k=16 PQ)."""
+    parameters: 8 planes / dim 64 / radius-2 probes / 64-cell IVF —
+    n_probe=4 for v4's exact rerank, n_probe=16 for v9's IVFADC
+    bench shape / m=8 k=16 PQ)."""
     from garmin_data_pipeline_spark.operators.similarity import (
         cosine_topk_bruteforce,
     )
