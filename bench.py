@@ -184,6 +184,10 @@ HEADLINE = [
     # layout write happens in the warm-ups), and the stream-static
     # segment rollup twin.
     "v6_semantic_dedup",
+    # r8: the SemDeDup SCALE path (corpus-sized codebook — the sf1.0
+    # probe measured the fixed 8-cell oracle shape quadratic at 17x
+    # wall for 10x data; this is what a 100 TB run calls).
+    "v6s_semantic_dedup_scaled",
     "b1_bucketed_join_agg",
     "st5_segment_rollup",
     # r6 batch-3 additions: TF-IDF matrix (vocab join), BPE merge-step
@@ -250,6 +254,7 @@ def main() -> None:
         v2mp_lsh_serve_q500,
         v4_ivf_serve_q500,
         v5_int8_serve_q500,
+        v6s_semantic_dedup_scaled,
         v8_pq_serve_q500,
         v8t_pq_serve_q500,
         v9_ivfpq_serve_q500,
@@ -264,6 +269,7 @@ def main() -> None:
         "v2mp_lsh_serve_q500": v2mp_lsh_serve_q500,
         "v4_ivf_serve_q500": v4_ivf_serve_q500,
         "v5_int8_serve_q500": v5_int8_serve_q500,
+        "v6s_semantic_dedup_scaled": v6s_semantic_dedup_scaled,
         "v8_pq_serve_q500": v8_pq_serve_q500,
         "v8t_pq_serve_q500": v8t_pq_serve_q500,
         "v9_ivfpq_serve_q500": v9_ivfpq_serve_q500,
@@ -321,6 +327,23 @@ def main() -> None:
 
     anchor_total = round(sum(timings[n] for n in ANCHOR), 3)
     full_total = round(sum(timings.values()), 3)
+
+    # One-shot sf1.0 scale probe (r7 verdict directive 8): walls and
+    # sf1/sf0.1 ratios measured by tools/scale_probe.py in a single
+    # session over a deterministic 10x replica set. Folded in from
+    # its committed artifact so the per-round bench payload carries
+    # the sf1 evidence next to the sf0.1 numbers; ratios are host-
+    # independent (both SFs in one session), so staleness only
+    # matters when a probed query's plan changes — re-run the probe
+    # then.
+    sf1_probe = None
+    try:
+        sf1_probe = json.loads(
+            (Path(__file__).resolve().parent / "sf1_probe.json")
+            .read_text()
+        )
+    except (OSError, ValueError):
+        pass
     normalized = {
         n: round(t / host_factor, 3) for n, t in timings.items()
     }
@@ -371,6 +394,7 @@ def main() -> None:
                     "LSH/IVF serve paths; timings are steady-state "
                     "(2 untimed warm-ups per query since r5)"
                 ),
+                "sf1_probe": sf1_probe,
                 "host_note": (
                     "SAME-CODE anchor totals measured 10.4/13.3/14.3/"
                     "11.2s across four r6 runs on that round's VM vs "

@@ -447,7 +447,9 @@ def cosine_topk_ivf(
     )
 
 
-def grid_centroids(n_cells: int, dim: int) -> list[list[float]]:
+def grid_centroids(
+    n_cells: int, dim: int, salt: int = 0
+) -> list[list[float]]:
     """Deterministic pseudo-random centroids (same LCG family as
     :func:`hyperplanes`, but float-valued in [-1, 1)), rounded to 6
     decimals so oracle SQL can embed literals that parse back to
@@ -458,8 +460,13 @@ def grid_centroids(n_cells: int, dim: int) -> list[list[float]]:
     but are not reproducible outside Spark; a fixed pseudo-random
     codebook exercises the identical probe/rerank plumbing with
     cross-engine-verifiable results.
+
+    ``salt`` selects an independent codebook from the same family
+    (:func:`assign_cells_product` needs two); ``salt=0`` reproduces
+    the historical sequence bit-for-bit — the v4p/v9p oracle literals
+    depend on it.
     """
-    state = 0x9E3779B97F4A7C15
+    state = 0x9E3779B97F4A7C15 ^ (salt * 0xD1B54A32D192ED03 % (1 << 64))
     out = []
     for _ in range(n_cells):
         row = []
@@ -519,6 +526,85 @@ def assign_cells_fixed(
         )
         # precomputed norm — see build_ivf_index: serve-path scoring
         # then needs only the dot product per candidate
+        .withColumn("norm", _norm(F.col("v")))
+    )
+
+
+def assign_cells_product(
+    corpus: DataFrame,
+    books_a: list[list[float]],
+    books_b: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product cell assignment — the inverted-multi-index idea
+    (Babenko & Lempitsky, CVPR 2012) flattened to full-vector dual
+    quantization: two INDEPENDENT codebooks of ~sqrt(C) centroids
+    each, a vector's cell is the PAIR of its nearest centroid in
+    each, giving C = |A| x |B| effective cells for |A| + |B| dot
+    products per vector.
+
+    This is the fix for the flat assignment's hidden quadratic: with
+    cells sized to the corpus (C = n / occupancy),
+    :func:`assign_cells_fixed` scores n x C pairs = O(n^2) — the r8
+    sf1.0 probe measured exactly that (v6s still ~15x wall at 10x
+    data with the flat scan). Product assignment scores
+    n x 2*sqrt(C) = O(n^1.5), and the constant is what matters at
+    real scale: SemDeDup's 50k cells become 2 x 224 dots/vector
+    instead of 50k.
+
+    Plan shape: ONE broadcast join against the union of both
+    codebooks (tagged ``level``), one hash aggregate with a per-level
+    ``max_by`` whose ordering struct puts in-level rows first —
+    identical shuffle count to the flat path, only the fan-out
+    shrinks. Determinism: ties break to the lowest cell per level,
+    like :func:`assign_cells_fixed`."""
+    spark = corpus.sparkSession
+    n_b = len(books_b)
+    cents = spark.createDataFrame(
+        [(0, i, c) for i, c in enumerate(books_a)]
+        + [(1, i, c) for i, c in enumerate(books_b)],
+        "level int, cell int, centroid array<double>",
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        as_double_array(vec_col).alias("v"),
+    )
+    scored = c.join(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "level",
+        "cell",
+        F.coalesce(
+            _dot(F.col("v"), F.col("centroid")), F.lit(-1e300)
+        ).alias("cdot"),
+    )
+
+    def pick(level: int):
+        # in-level rows always outrank out-of-level rows (lv=1 > 0),
+        # then best dot, then lowest cell — so the winner is a
+        # genuine level-`level` row with a deterministic tie-break.
+        return F.max_by(
+            "cell",
+            F.struct(
+                (F.col("level") == F.lit(level)).cast("int").alias("lv"),
+                F.col("cdot").alias("d"),
+                (-F.col("cell")).alias("nc"),
+            ),
+        )
+
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.first("v").alias("v"),
+            pick(0).alias("__a"),
+            pick(1).alias("__b"),
+        )
+        .select(
+            "vec_id",
+            "v",
+            (F.col("__a") * n_b + F.col("__b")).alias("cell"),
+        )
         .withColumn("norm", _norm(F.col("v")))
     )
 
@@ -820,12 +906,25 @@ def semantic_dedup(
     codebook size bounds candidate pairs at sum(|cell|^2), never
     all-pairs; one shuffle on ``cell`` for the join, one hash
     aggregate for the distinct-losers set, one shuffled anti-join
-    back. Cell imbalance is the knob: more centroids -> smaller
-    cells (the paper runs ~50k clusters at 100M docs), and AQE's
-    skew-join split handles residual hot cells.
+    back. THE CODEBOOK MUST GROW WITH THE CORPUS: sum(|cell|^2) is
+    linear only while occupancy is bounded — a fixed codebook at 10x
+    the data is 100x the pairs (measured: the r8 sf1.0 probe's 17x
+    wall, sf1_probe.json). Use :func:`semantic_dedup_scaled` to size
+    cells automatically (the paper runs ~50k clusters at 100M docs);
+    AQE's skew-join split handles residual hot cells.
     """
     assigned = assign_cells_fixed(corpus, centroids, id_col, vec_col)
-    # assign_cells_fixed precomputes the per-vector norm: the per-pair
+    return _semantic_dedup_assigned(assigned, threshold)
+
+
+def _semantic_dedup_assigned(
+    assigned: DataFrame, threshold: float
+) -> DataFrame:
+    """Dedup half of :func:`semantic_dedup`, factored out so any cell
+    assignment (flat :func:`assign_cells_fixed`, product
+    :func:`assign_cells_product`, or a trained KMeans) feeds the same
+    bucketed self-join. Expects ``(vec_id, v, cell, norm)``."""
+    # the assignment precomputes the per-vector norm: the per-pair
     # score inside the cell self-join is dot-only.
     a = assigned.select(
         F.col("vec_id").alias("id_a"),
@@ -855,6 +954,53 @@ def semantic_dedup(
     return assigned.join(losers, "vec_id", "left_anti").select(
         "vec_id", F.col("cell").cast("int").alias("cell")
     )
+
+
+def semantic_dedup_scaled(
+    corpus: DataFrame,
+    threshold: float = 0.3,
+    target_cell_size: int = 64,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`semantic_dedup` with the codebook SIZED TO THE CORPUS —
+    the scale path. The r8 sf1.0 probe caught the failure mode of a
+    fixed codebook empirically: with 8 cells, 10x the vectors means
+    10x the cell occupancy and 100x the self-join pairs — measured
+    17x wall at 10x data (sf1_probe.json), the only super-linear
+    entry in the probe set. Holding occupancy constant instead
+    (n_cells = corpus / ``target_cell_size``) keeps pairs-per-cell
+    bounded and total pair count LINEAR in the corpus — which is
+    exactly why SemDeDup's authors run ~50k clusters at 100M docs
+    (cells sized to the data, not a constant).
+
+    Cost model: one COUNT job for the corpus size (a sanctioned
+    driver-side scalar), then assignment and the self-join at
+    ~n x target_cell_size. The flat assignment scan hides its OWN
+    quadratic — n x n_cells = n^2 / occupancy dot products (the
+    first cut of this function still probed ~15x wall at 10x data
+    because of it) — so past 64 cells the assignment switches to
+    :func:`assign_cells_product`: two independent ~sqrt(n_cells)
+    codebooks, n x 2*sqrt(n_cells) dots, same dedup downstream."""
+    n = corpus.count()
+    n_cells = max(8, int(n // target_cell_size))
+    if n_cells <= 64:
+        cents = grid_centroids(n_cells, dim)
+        return semantic_dedup(
+            corpus, cents, threshold, id_col, vec_col
+        )
+    import math
+
+    side = math.isqrt(n_cells - 1) + 1  # ceil(sqrt)
+    assigned = assign_cells_product(
+        corpus,
+        grid_centroids(side, dim, salt=1),
+        grid_centroids(side, dim, salt=2),
+        id_col,
+        vec_col,
+    )
+    return _semantic_dedup_assigned(assigned, threshold)
 
 
 # ---------------------------------------------------------------------------

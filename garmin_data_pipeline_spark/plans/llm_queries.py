@@ -1807,6 +1807,28 @@ def v6_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def v6s_semantic_dedup_scaled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bench/probe-only: SemDeDup through the SCALE path —
+    corpus-sized codebook (constant cell occupancy => linear pair
+    count) instead of the registered v6's fixed 8-cell oracle shape.
+    The r8 sf1.0 probe measured the fixed codebook at 17x wall for
+    10x data (quadratic pairs); this variant is what a 100 TB run
+    calls (sf1_probe.json carries both ratios). Not oracle-registered:
+    the cell count depends on a runtime COUNT, which a static SQL
+    string cannot mirror — the dedup logic itself is certified by v6."""
+    from garmin_data_pipeline_spark.operators.similarity import (
+        semantic_dedup_scaled,
+    )
+
+    return semantic_dedup_scaled(
+        table(spark, sf_dir, "embeddings"),
+        threshold=_SEMDEDUP_TAU,
+        target_cell_size=64,
+    )
+
+
 # ---------------------------------------------------------------------------
 # T16 — per-language vocabulary top-k: the grouped variant of t15
 # (multilingual tokenizer training allocates vocab per language).

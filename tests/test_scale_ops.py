@@ -254,6 +254,8 @@ def test_registered_plans_stay_jvm_side(spark, sf_dir):
         "t9_length_trim",             # corpus x broadcast 1-row bounds
         "v4_cosine_topk_ivf",         # queries x broadcast centroid table
         "v4p_cosine_topk_ivf_grid",   # corpus/queries x broadcast codebook
+        "v9p_ivfpq_codes_grid",       # corpus x broadcast codebook (same
+                                      # assign_cells_fixed scoring as v4p)
         "v6_semantic_dedup",          # corpus x broadcast grid codebook
         "e2e_master_daily",           # master x broadcast 1-row mean
         "t17_tfidf_matrix",           # tf x broadcast 1-row corpus count
