@@ -169,6 +169,80 @@ def join_range(
     return joined.drop("__bin")
 
 
+def join_interval_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    start_a: str,
+    end_a: str,
+    start_b: str,
+    end_b: str,
+    by: Sequence[str] = (),
+    bin_seconds: int = 86400,
+    overlap_col: str = "overlap_us",
+) -> DataFrame:
+    """Interval x interval OVERLAP join: pairs of (a, b) rows sharing
+    the ``by`` keys whose [start, end] intervals intersect, with the
+    exact overlap length in microseconds appended. The interval x
+    point case is :func:`join_range`; this is its two-sided sibling
+    (co-occurrence analysis, downtime x session attribution, SCD2 x
+    SCD2 reconciliation).
+
+    Scale shape — same bin-bucketing trick as :func:`join_range`,
+    extended to two exploded sides: each interval explodes into the
+    coarse time bins it covers, the equi-join runs on (by, bin) — a
+    hash join Catalyst/AQE can plan and shuffle-partition evenly —
+    and the exact predicate ``s1 <= e2 AND s2 <= e1`` filters the
+    candidates. A pair overlapping several shared bins would match in
+    each; it is kept ONLY in the bin containing the overlap start
+    (``bin == floor(max(s1, s2) / bin_width)``) so every pair appears
+    exactly once WITHOUT a distinct — dedup-by-construction instead
+    of a second shuffle. Fan-out per row is interval length /
+    bin width, never |other side|. Overlap arithmetic is integer
+    epoch-micros throughout (cross-engine exact)."""
+    by = list(by)
+    binus = bin_seconds * 1_000_000
+
+    def us(df, col):
+        return epoch_micros(col, df.schema[col].dataType)
+
+    ab = a.withColumn("__sa_us", us(a, start_a)).withColumn(
+        "__ea_us", us(a, end_a)
+    )
+    bb = b.withColumn("__sb_us", us(b, start_b)).withColumn(
+        "__eb_us", us(b, end_b)
+    )
+    ae = ab.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__sa_us") / binus),
+                F.floor(F.col("__ea_us") / binus),
+            )
+        ),
+    )
+    be = bb.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__sb_us") / binus),
+                F.floor(F.col("__eb_us") / binus),
+            )
+        ),
+    )
+    ov_start = F.greatest(F.col("__sa_us"), F.col("__sb_us"))
+    ov_end = F.least(F.col("__ea_us"), F.col("__eb_us"))
+    joined = (
+        ae.join(be, by + ["__bin"])
+        .filter(
+            (F.col("__sa_us") <= F.col("__eb_us"))
+            & (F.col("__sb_us") <= F.col("__ea_us"))
+            & (F.col("__bin") == F.floor(ov_start / binus))
+        )
+        .withColumn(overlap_col, ov_end - ov_start)
+    )
+    return joined.drop("__bin", "__sa_us", "__ea_us", "__sb_us", "__eb_us")
+
+
 def union_by_name(dfs: Sequence[DataFrame]) -> DataFrame:
     """Union-all by column name with missing-column tolerance
     (reference ``pd.concat(ignore_index=True)``, aggregate_json_files.py:91).

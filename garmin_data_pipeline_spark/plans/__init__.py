@@ -46,16 +46,25 @@ from garmin_data_pipeline_spark.plans.queries import (
 #       tests/test_scale_ops.py bans the class of failure.
 #   r6: the 41 oracled queries of the r7 tail — rotating back in NOW
 #       (policy 3).
-#   never: v9p_ivfpq_codes_grid, NEW this round (r7 verdict
-#       directive 4 — the oracle-certified IVFADC twin); registered
-#       under policy 4's growth rule: registry 95 -> 96, tail 46
-#       <= 50 so the 2-round rotation bound still certifies every
-#       query at most 1 round from its last green row.
+#   never: the three r8 registrations — v9p_ivfpq_codes_grid (r7
+#       verdict directive 4, the oracle-certified IVFADC twin),
+#       w9_time_weighted_avg and j9_interval_overlap (beyond-
+#       reference warehouse ops: interval-weighted mean, interval x
+#       interval overlap join). Policy 4 accounting: v9p enters under
+#       the growth rule (registry stays <= 100, tail <= 50); w9/j9
+#       enter alongside SAME-ROUND demotions of o3_topk_orders and
+#       p13_threshold_count to the pytest tier (each has 4 green
+#       driver rows — r1/r2/r4/r6 — and a trivial single-operator
+#       plan; their oracles replay every pytest run). Net: registry
+#       96, tail 46, every registered query <= 1 round from its last
+#       green row.
 _HEAD = [
-    # --- changed / new this round: v8's packed-BIGINT output and the
-    #     IVFADC twin ---
+    # --- changed / new this round: v8's packed-BIGINT output, the
+    #     IVFADC twin, and the two new warehouse ops ---
     "v8_pq_codes",
     "v9p_ivfpq_codes_grid",
+    "w9_time_weighted_avg",
+    "j9_interval_overlap",
     # --- r7's tail rotates back in (green r6, code unchanged) ---
     "st2b_session_window",
     "j7_salted_skew_join",
@@ -65,11 +74,9 @@ _HEAD = [
     "v7_label_centroids",
     "t18_bpe_pairs",
     "f2_epoch_millis",
-    "p13_threshold_count",
     "p3_drop_all_null_columns",
     "p4_drop_constant_columns",
     "p6_clean_headers",
-    "o3_topk_orders",
     "t1_token_quality",
     "t3_fingerprint",
     "t4_length_quantiles",
@@ -170,6 +177,10 @@ _TAIL = [
 # oracle on every pytest run; tests/test_scale_ops.py keeps them under
 # the plan-shape invariants.
 _PYTEST_TIER = [
+    # r8 demotions (balancing the w9/j9 registrations): both
+    # 4x-certified trivial single-operator plans
+    "o3_topk_orders",
+    "p13_threshold_count",
     "a5_total_duration",
     "a6_null_counts",
     "a7_distinct_counts",

@@ -2516,3 +2516,181 @@ def o5_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W9 — time-weighted average, beyond-reference: the irregular-series
+# mean a metrics warehouse actually wants (arithmetic mean over-weights
+# burst periods). Each observation's value is held until the user's
+# next observation (same step-function reading as w8's SCD2
+# intervals); weight = hold duration in integer epoch micros. Float
+# discipline: each value*duration product is ONE double multiply
+# (bit-identical cross-engine), accumulation is DECIMAL(38,6)-exact
+# (38, not the usual 18: micro-second weights push sums past
+# DECIMAL(18,6)'s 1e12 range), and the final division is one double
+# op. Users with a single observation have no held interval ->
+# NULL twa (both engines: SUM over empty is NULL).
+# Scale shape: one user-partitioned LEAD window + one hash aggregate
+# — the same single shuffle w8 pays; no global window anywhere.
+# ---------------------------------------------------------------------------
+@register(
+    "w9_time_weighted_avg",
+    """
+    WITH pts AS (
+        SELECT user_id, value, epoch_us(ts) AS t,
+               LEAD(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS nxt
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND value IS NOT NULL
+    )
+    SELECT user_id,
+           ROUND(CAST(CAST(SUM(CAST(value * CAST(nxt - t AS DOUBLE)
+                             AS DECIMAL(38,6))) AS DOUBLE)
+                / CAST(SUM(CAST(nxt - t AS DECIMAL(38,6))) AS DOUBLE)
+                AS DOUBLE), 6) AS twa,
+           SUM(nxt - t) AS held_us,
+           COUNT(*) AS n_obs
+    FROM pts
+    GROUP BY user_id
+    """,
+    doc="Time-weighted average of the event value per user: value "
+    "held until the next observation, weighted by integer hold "
+    "micros; DECIMAL(38,6)-exact accumulation, one LEAD window + "
+    "one aggregate (single user-keyed shuffle).",
+)
+def w9_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from garmin_data_pipeline_spark.functions.durations import (
+        epoch_micros,
+    )
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    t_us = epoch_micros("ts", dtype=ev.schema["ts"].dataType)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = ev.select(
+        "user_id",
+        "value",
+        t_us.alias("t"),
+        (F.lead(t_us).over(w)).alias("nxt"),
+    )
+    dur = F.col("nxt") - F.col("t")
+    # Final ROUND(6): the value*dur -> DECIMAL(38,6) cast rounds
+    # HALF_UP on Spark but HALF_EVEN on DuckDB, so per-term 1e-6
+    # rounding can differ and the quotient drifts in its last ULPs
+    # (measured 1e-14 relative); the sums themselves are exact.
+    return pts.groupBy("user_id").agg(
+        F.round(
+            F.sum(
+                (F.col("value") * dur.cast("double")).cast(
+                    "decimal(38,6)"
+                )
+            ).cast("double")
+            / F.sum(dur.cast("decimal(38,6)")).cast("double"),
+            6,
+        ).alias("twa"),
+        F.sum(dur).alias("held_us"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J9 — interval x interval overlap join, beyond-reference: j6's
+# two-sided sibling (co-occurrence analysis, downtime x session
+# attribution, SCD2 x SCD2 reconciliation). Interval sources are
+# w8-style state intervals per event TYPE — each click holds until
+# the user's next click, each view until the next view — which
+# interleave and so genuinely overlap (30-min sessions from a sparse
+# event log almost never do: the first cut of this query returned
+# zero rows — a vacuous PASS — and was reshaped). Closed-interval
+# semantics: touching intervals match with overlap_us = 0. The
+# bin-bucket trick keeps it a hash join (fan-out = interval length /
+# bin, never |other side|) and the pair-kept-only-in-its-overlap-
+# start-bin rule dedupes WITHOUT a distinct
+# (see operators/joins.py:join_interval_overlap).
+# ---------------------------------------------------------------------------
+def _typed_intervals_cte(tag: str, etype: str) -> str:
+    return f"""
+    iv_{tag} AS (
+        SELECT user_id, ts AS s,
+               LEAD(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS e
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_type = '{etype}'
+        QUALIFY e IS NOT NULL
+    )"""
+
+
+@register(
+    "j9_interval_overlap",
+    "WITH "
+    + _typed_intervals_cte("c", "click")
+    + ", "
+    + _typed_intervals_cte("v", "view")
+    + """
+    SELECT a.user_id,
+           a.s AS click_start, a.e AS click_end,
+           b.s AS view_start, b.e AS view_end,
+           LEAST(epoch_us(a.e), epoch_us(b.e))
+             - GREATEST(epoch_us(a.s), epoch_us(b.s)) AS overlap_us
+    FROM iv_c a
+    JOIN iv_v b
+      ON a.user_id = b.user_id
+     AND epoch_us(a.s) <= epoch_us(b.e)
+     AND epoch_us(b.s) <= epoch_us(a.e)
+    """,
+    doc="Interval x interval overlap join: per-user click-state x "
+    "view-state intervals (w8's LEAD construction per event type) "
+    "with exact integer overlap micros; bin-bucketed hash join, "
+    "dedup-by-construction (pair kept only in its overlap-start "
+    "bin), no theta/nested-loop join.",
+)
+def j9_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from garmin_data_pipeline_spark.operators.joins import (
+        join_interval_overlap,
+    )
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def intervals(etype: str, s_name: str, e_name: str) -> DataFrame:
+        sub = ev.filter(F.col("event_type") == etype)
+        return (
+            sub.select(
+                "user_id",
+                F.col("ts").alias(s_name),
+                F.lead("ts").over(w).alias(e_name),
+            )
+            .filter(F.col(e_name).isNotNull())
+        )
+
+    out = join_interval_overlap(
+        intervals("click", "click_start", "click_end"),
+        intervals("view", "view_start", "view_end"),
+        "click_start",
+        "click_end",
+        "view_start",
+        "view_end",
+        by=["user_id"],
+        bin_seconds=86400,
+    )
+    return out.select(
+        "user_id",
+        "click_start",
+        "click_end",
+        "view_start",
+        "view_end",
+        "overlap_us",
+    )
