@@ -234,12 +234,17 @@ def main() -> None:
             "honestly); both SFs timed in ONE session so ratios are "
             "host-independent. On fixed local[32] cores, ~10x wall "
             "at 10x data = linear work (sub-10x when sf0.1 "
-            "under-fills the cores). FINDING: v6_semantic_dedup's "
-            "fixed 8-cell oracle codebook is quadratic in corpus "
-            "(17x wall at 10x data — 10x occupancy = 100x self-join "
-            "pairs); v6s_semantic_dedup_scaled is the fix (corpus-"
-            "sized codebook, constant occupancy) and its ratio is "
-            "the scale-path number"
+            "under-fills the cores). FINDING (r8): "
+            "v6_semantic_dedup's fixed 8-cell oracle codebook is "
+            "quadratic in corpus (17-18x wall at 10x data — 10x "
+            "occupancy = 100x self-join pairs), and the first "
+            "corpus-sized-codebook fix still probed ~15x because "
+            "the FLAT assignment scan (n x n_cells dots) is itself "
+            "quadratic; v6s_semantic_dedup_scaled with product "
+            "(two-codebook) assignment — n x 2*sqrt(C) dots — "
+            "probes 2.4x at 10x data and is the scale-path number. "
+            "v6 stays in the probe set as the measured "
+            "counter-example"
         ),
         "queries_sf01": walls01,
         "queries_sf1": walls1,
