@@ -1483,6 +1483,83 @@ def search_ivf_pq(
     )
 
 
+def search_ivf_pq_rerank(
+    index: DataFrame,
+    centroids: DataFrame,
+    books: list[list[list[float]]],
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    n_probe: int = 4,
+    pq_m: int = 8,
+    pq_k: int = 16,
+    subdim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVFADC + exact re-ranking (the refinement stage of Jégou et
+    al.'s IVFADC+R, TPAMI 2011 §V): stage 1 retrieves a SHORTLIST of
+    ``shortlist`` candidates per query by ADC distance (8-byte codes,
+    quantization error and all), stage 2 re-scores ONLY those
+    queries x shortlist rows with exact cosine against the raw
+    vectors and keeps the top ``k``. Buys back the ADC ranking error
+    for the price of touching ``shortlist`` full vectors per query —
+    recall is then bounded by the shortlist's candidate recall, not
+    by code resolution, which is why production ANN serves pair a
+    coarse quantized index with a small exact rerank.
+
+    Scale shape: the shortlist relation is queries x shortlist rows
+    (tiny — lazily checkpointed so stage 1's window/filter isn't
+    re-planned into the rerank join) and is BROADCAST into one raw
+    corpus scan: neither the PQ index (stage 1) nor the raw corpus
+    (stage 2) ever shuffles at serve time. One bhj per stage, both
+    windows partitioned by query_id."""
+    cand = (
+        search_ivf_pq(
+            index,
+            centroids,
+            books,
+            queries,
+            k=shortlist,
+            n_probe=n_probe,
+            pq_m=pq_m,
+            pq_k=pq_k,
+            subdim=subdim,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        )
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=False)
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        as_double_array(query_vec_col).alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        as_double_array(vec_col).alias("v"),
+    )
+    scored = c.join(
+        F.broadcast(cand.join(q, "query_id")), "vec_id"
+    ).select(
+        "query_id",
+        "vec_id",
+        cosine(F.col("v"), F.col("qv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("vec_id")
+    )
+    return (
+        scored.filter(F.col("cosine").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def ivf_pq_grid_centroids(
     n_cells: int = 16, dim: int = 64, scale: float = 0.125
 ) -> list[list[float]]:

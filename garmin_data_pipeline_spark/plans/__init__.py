@@ -46,25 +46,33 @@ from garmin_data_pipeline_spark.plans.queries import (
 #       tests/test_scale_ops.py bans the class of failure.
 #   r6: the 41 oracled queries of the r7 tail — rotating back in NOW
 #       (policy 3).
-#   never: the three r8 registrations — v9p_ivfpq_codes_grid (r7
+#   never: the five r8 registrations — v9p_ivfpq_codes_grid (r7
 #       verdict directive 4, the oracle-certified IVFADC twin),
 #       w9_time_weighted_avg and j9_interval_overlap (beyond-
 #       reference warehouse ops: interval-weighted mean, interval x
-#       interval overlap join). Policy 4 accounting: v9p enters under
-#       the growth rule (registry stays <= 100, tail <= 50); w9/j9
-#       enter alongside SAME-ROUND demotions of o3_topk_orders and
-#       p13_threshold_count to the pytest tier (each has 4 green
-#       driver rows — r1/r2/r4/r6 — and a trivial single-operator
-#       plan; their oracles replay every pytest run). Net: registry
-#       96, tail 46, every registered query <= 1 round from its last
-#       green row.
+#       interval overlap join), d7_canonical_docs (dedup-purge
+#       representative selection per near-dup cluster) and
+#       t22_lm_quality_zscore (corpus-standardized LM quality
+#       score). Policy 4 accounting: v9p enters under the growth
+#       rule (registry stays <= 100, tail <= 50); w9/j9 enter
+#       alongside SAME-ROUND demotions of o3_topk_orders and
+#       p13_threshold_count (each 4 green driver rows — r1/r2/r4/r6
+#       — trivial single-operator plans), d7/t22 alongside
+#       demotions of f2_epoch_millis (greens r1/r2/r4/r6) and
+#       t3_fingerprint (greens r1-r4, r6); all demoted oracles
+#       replay every pytest run. Net: registry stays 96 (92
+#       oracled), tail 46, pytest tier 19, every registered query
+#       <= 1 round from its last green row.
 _HEAD = [
     # --- changed / new this round: v8's packed-BIGINT output, the
-    #     IVFADC twin, and the two new warehouse ops ---
+    #     IVFADC twin, the two warehouse ops, and the two LLM-corpus
+    #     ops (canonical-doc retention, standardized LM quality) ---
     "v8_pq_codes",
     "v9p_ivfpq_codes_grid",
     "w9_time_weighted_avg",
     "j9_interval_overlap",
+    "d7_canonical_docs",
+    "t22_lm_quality_zscore",
     # --- r7's tail rotates back in (green r6, code unchanged) ---
     "st2b_session_window",
     "j7_salted_skew_join",
@@ -73,12 +81,10 @@ _HEAD = [
     "t16_vocab_topk_per_lang",
     "v7_label_centroids",
     "t18_bpe_pairs",
-    "f2_epoch_millis",
     "p3_drop_all_null_columns",
     "p4_drop_constant_columns",
     "p6_clean_headers",
     "t1_token_quality",
-    "t3_fingerprint",
     "t4_length_quantiles",
     "t9_length_trim",
     "t11_document_chunking",
@@ -177,10 +183,12 @@ _TAIL = [
 # oracle on every pytest run; tests/test_scale_ops.py keeps them under
 # the plan-shape invariants.
 _PYTEST_TIER = [
-    # r8 demotions (balancing the w9/j9 registrations): both
-    # 4x-certified trivial single-operator plans
+    # r8 demotions (balancing the w9/j9 and d7/t22 registrations):
+    # all 4-5x-certified trivial single-operator plans
     "o3_topk_orders",
     "p13_threshold_count",
+    "f2_epoch_millis",
+    "t3_fingerprint",
     "a5_total_duration",
     "a6_null_counts",
     "a7_distinct_counts",

@@ -2657,3 +2657,171 @@ def v9p_ivfpq_codes_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
         pack_pq_code(F.col("pq_code"), _PQ_K).alias("pq_packed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D7 — canonical-document selection: the RETENTION half of a dedup
+# purge. d5 resolves the near-dup clusters; this picks ONE
+# representative per cluster (the longest text, ties to the lowest
+# doc_id — the "keep the most complete copy" policy web-corpus
+# pipelines apply after clustering) and keeps every singleton
+# untouched. Output is exactly the post-dedup corpus manifest.
+# ---------------------------------------------------------------------------
+@register(
+    "d7_canonical_docs",
+    f"""
+    WITH RECURSIVE {_SQL_JACCARD_CTES},
+    e AS (
+        SELECT doc_a AS a, doc_b AS b FROM jpairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM jpairs
+    ),
+    reach(n, r) AS (
+        SELECT a, a FROM e
+        UNION
+        SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.n
+    ),
+    comp AS (
+        SELECT n AS doc_id, MIN(r) AS group_id FROM reach GROUP BY n
+    ),
+    sized AS (
+        SELECT doc_id, group_id,
+               COUNT(*) OVER (PARTITION BY group_id) AS group_size
+        FROM comp
+    ),
+    m AS (
+        SELECT d.doc_id,
+               COALESCE(s.group_id, d.doc_id) AS group_id,
+               COALESCE(s.group_size, 1) AS group_size,
+               length(d.text) AS text_len
+        FROM documents d LEFT JOIN sized s USING (doc_id)
+    )
+    SELECT group_id, doc_id AS kept_doc, group_size, text_len
+    FROM m
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY group_id ORDER BY text_len DESC, doc_id) = 1
+    """,
+    doc="Canonical-doc selection per near-dup cluster: connected "
+    "components over the d2 Jaccard pair graph (the d5 machinery), "
+    "left-joined back to the full corpus so singletons keep "
+    "themselves, then one representative per group by (text_len "
+    "DESC, doc_id) row_number — a PARTITIONED window, never a "
+    "global sort. Integer-only ordering keys, so the pick is "
+    "cross-engine exact. At 100 TB the group table is "
+    "O(clustered docs) << corpus and AQE broadcasts it into the "
+    "left join.",
+)
+def d7_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from garmin_data_pipeline_spark.operators.graph import (
+        duplicate_groups,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_df=_D2_MAX_DF
+    )
+    groups = duplicate_groups(pairs, "doc_a", "doc_b")
+    m = docs.join(groups, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("group_id", "doc_id").alias("group_id"),
+        F.coalesce("group_size", F.lit(1).cast("long")).alias(
+            "group_size"
+        ),
+        F.length("text").cast("long").alias("text_len"),
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("text_len").desc(), F.col("doc_id")
+    )
+    return (
+        m.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "group_id",
+            F.col("doc_id").alias("kept_doc"),
+            "group_size",
+            "text_len",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# T22 — LM-quality z-score: t21's mean unigram log-probability,
+# standardized against the corpus distribution (the form CCNet-style
+# pipelines threshold on: "keep docs above z = -1", robust to corpus
+# drift where a raw logprob cutoff is not). Moments are computed from
+# the ROUNDED t21 scores with DECIMAL-exact sums, so both engines
+# standardize the identical value set; sqrt is IEEE
+# correctly-rounded, and the final z rounds to 6.
+# ---------------------------------------------------------------------------
+@register(
+    "t22_lm_quality_zscore",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST({_TOKS}) AS token FROM documents
+    ), vocab AS (
+        SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+    ), tot AS (SELECT COUNT(*) AS total FROM tok),
+    scores AS (
+        SELECT tok.doc_id,
+               COUNT(*) AS n_tokens,
+               ROUND(
+                   CAST(SUM(CAST(ln(CAST(vocab.cnt AS DOUBLE) / tot.total)
+                       AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6
+               ) AS mean_logp
+        FROM tok JOIN vocab USING (token) CROSS JOIN tot
+        GROUP BY tok.doc_id
+    ), mom AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(mean_logp AS DECIMAL(18,6)))
+                   AS DOUBLE) AS s1,
+               CAST(SUM(CAST(mean_logp * mean_logp AS DECIMAL(38,12)))
+                   AS DOUBLE) AS s2
+        FROM scores
+    )
+    SELECT doc_id, n_tokens, mean_logp,
+           ROUND((mean_logp - s1 / n)
+                 / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS lm_zscore
+    FROM scores CROSS JOIN mom
+    """,
+    doc="Model-based quality score, corpus-standardized: t21's mean "
+    "unigram logprob plus a z-score against corpus moments. ONE "
+    "extra aggregate over the O(docs) score table and a broadcast "
+    "1-row cross join — the tokenize/vocab work is shared with t21's "
+    "single-pass shape. Moments accumulate the rounded scores in "
+    "DECIMAL (sum and sum-of-squares are exact: 6-decimal inputs, "
+    "12-decimal squares), variance arithmetic and sqrt are "
+    "IEEE-deterministic, so the z-scores hash-match.",
+)
+def t22_lm_quality_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # scores feeds two branches (corpus moments + the standardized
+    # output); lazy checkpoint = one tokenize/score pass, not two
+    # (without it the audit counted 7 shuffles — t21's whole subtree
+    # duplicated under the moments aggregate).
+    scores = t21_unigram_logprob(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
+    mom = scores.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("mean_logp").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("s1"),
+        F.sum(
+            (F.col("mean_logp") * F.col("mean_logp")).cast(
+                "decimal(38,12)"
+            )
+        )
+        .cast("double")
+        .alias("s2"),
+    )
+    mu = F.col("s1") / F.col("n")
+    sigma = F.sqrt(F.col("s2") / F.col("n") - mu * mu)
+    return scores.crossJoin(F.broadcast(mom)).select(
+        "doc_id",
+        "n_tokens",
+        "mean_logp",
+        F.round((F.col("mean_logp") - mu) / sigma, 6).alias(
+            "lm_zscore"
+        ),
+    )

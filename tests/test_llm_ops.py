@@ -1781,3 +1781,61 @@ def test_pagerank_empty_edges(spark):
     out = pagerank(empty)
     assert out.columns == ["node", "rank"]
     assert out.count() == 0
+
+
+def test_canonical_docs_semantics(spark, tmp_path):
+    """d7: near-dup cluster keeps its LONGEST member (tie -> lowest
+    doc_id), singletons keep themselves with group_size 1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from garmin_data_pipeline_spark.plans.llm_queries import (
+        d7_canonical_docs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog today"
+    rows = {
+        "doc_id": [1, 2, 3],
+        "lang": ["en"] * 3,
+        "source": ["t"] * 3,
+        # 1 and 2 share every 3-gram of 1 (prefix) -> Jaccard 8/12;
+        # 3 shares none.
+        "text": [
+            base,
+            base + " with four extra tail words",
+            "completely different words about unrelated topics",
+        ],
+    }
+    pq.write_table(
+        pa.table(rows), str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r["group_id"]: r
+        for r in d7_canonical_docs(spark, str(tmp_path)).collect()
+    }
+    # cluster {1, 2} labeled by its min member, keeps 2 (longer)
+    assert out[1]["kept_doc"] == 2
+    assert out[1]["group_size"] == 2
+    # singleton 3 keeps itself
+    assert out[3]["kept_doc"] == 3
+    assert out[3]["group_size"] == 1
+    assert len(out) == 2
+
+
+def test_lm_quality_zscore_is_standardized(spark, sf_dir):
+    """t22: z-scores of the corpus LM quality signal have population
+    mean ~0 and std ~1 (up to the committed 1e-6 output rounding)."""
+    import math
+
+    from garmin_data_pipeline_spark.plans.llm_queries import (
+        t22_lm_quality_zscore,
+    )
+
+    rows = t22_lm_quality_zscore(spark, sf_dir).collect()
+    zs = [r["lm_zscore"] for r in rows]
+    n = len(zs)
+    assert n > 10
+    mean = sum(zs) / n
+    std = math.sqrt(sum((z - mean) ** 2 for z in zs) / n)
+    assert abs(mean) < 1e-4
+    assert abs(std - 1.0) < 1e-4

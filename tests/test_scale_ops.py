@@ -260,6 +260,7 @@ def test_registered_plans_stay_jvm_side(spark, sf_dir):
         "e2e_master_daily",           # master x broadcast 1-row mean
         "t17_tfidf_matrix",           # tf x broadcast 1-row corpus count
         "t21_unigram_logprob",        # tokens x broadcast 1-row total
+        "t22_lm_quality_zscore",      # t21's 1-row total + 1-row moments
     }
     # demoted pytest-tier queries stay under the same invariants —
     # demotion changes driver visibility, not engine standards

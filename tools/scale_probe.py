@@ -79,6 +79,12 @@ PROBES = [
     "v2_lsh_serve_q500",
     "v9_ivfpq_serve_q500",
     "d5_groups_lsh",
+    # r8 registrations — interval explode-join, LEAD-state weighted
+    # mean, the dedup-purge composition, and the standardized LM score
+    "j9_interval_overlap",
+    "w9_time_weighted_avg",
+    "d7_canonical_docs",
+    "t22_lm_quality_zscore",
 ]
 
 WARMUPS = 1
