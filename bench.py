@@ -218,6 +218,10 @@ HEADLINE = [
     # r7: IVFADC — IVF cells + trained residual PQ; the composed
     # index at the same 8-byte code budget (best quantized recall).
     "v9_ivfpq_serve_q500",
+    # r8: IVFADC + exact rerank of a 50-candidate shortlist
+    # (IVFADC+R) — same index, recall bounded by shortlist recall
+    # instead of code resolution (0.711 vs 0.387 @10 on the fixture).
+    "v9r_ivfpq_rerank_serve_q500",
     "o4_topk_orders_per_customer",
     # r7 registrations: cohort retention (two user-keyed shuffles +
     # distinct count), ordered funnel (stage scans + min-aggregates),
@@ -258,6 +262,7 @@ def main() -> None:
         v8_pq_serve_q500,
         v8t_pq_serve_q500,
         v9_ivfpq_serve_q500,
+        v9r_ivfpq_rerank_serve_q500,
     )
     from garmin_data_pipeline_spark.plans.queries import (
         a1_pricing_summary_production,
@@ -273,6 +278,7 @@ def main() -> None:
         "v8_pq_serve_q500": v8_pq_serve_q500,
         "v8t_pq_serve_q500": v8t_pq_serve_q500,
         "v9_ivfpq_serve_q500": v9_ivfpq_serve_q500,
+        "v9r_ivfpq_rerank_serve_q500": v9r_ivfpq_rerank_serve_q500,
         "d5_groups_lsh": d5_groups_lsh,
     }
 

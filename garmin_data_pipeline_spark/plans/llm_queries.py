@@ -2572,6 +2572,41 @@ def v9_ivfpq_serve_q500(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_m=_PQ_M, pq_k=_PQ_K, subdim=_PQ_SUBDIM,
     )
 
+
+def v9r_ivfpq_rerank_serve_q500(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bench-only: IVFADC + exact re-rank (IVFADC+R — the refinement
+    stage production ANN serves bolt onto a quantized index). Same
+    index/cells/books as v9 (shared build cache — the refinement is
+    a serve-time choice, not a different index); stage 1 shortlists
+    50 candidates per query by ADC, stage 2 re-scores only those
+    queries x 50 rows with exact cosine against the raw vectors.
+    Recall is then bounded by shortlist candidate recall instead of
+    8-byte code resolution. The raw-vector side stays a single
+    un-shuffled scan (broadcast shortlist bhj), so the memory story
+    holds: the INDEX is 8 B/vector; the raw vectors are only scanned,
+    never sorted or shuffled."""
+    from garmin_data_pipeline_spark.operators.similarity import (
+        build_ivf_pq_index,
+        search_ivf_pq_rerank,
+    )
+
+    if sf_dir not in _IVFPQ_SERVE_CACHE:
+        emb = table(spark, sf_dir, "embeddings")
+        index, cents, books = build_ivf_pq_index(
+            emb, n_centroids=64, sample_fraction=0.1,
+            m=_PQ_M, k=_PQ_K, subdim=_PQ_SUBDIM,
+        )
+        _IVFPQ_SERVE_CACHE[sf_dir] = (index.persist(), cents, books)
+    index, cents, books = _IVFPQ_SERVE_CACHE[sf_dir]
+    emb = table(spark, sf_dir, "embeddings")
+    return search_ivf_pq_rerank(
+        index, cents, books, _serve_queries(emb), emb,
+        k=10, shortlist=50, n_probe=16,
+        pq_m=_PQ_M, pq_k=_PQ_K, subdim=_PQ_SUBDIM,
+    )
+
 # ---------------------------------------------------------------------------
 # V9P — oracle-certified IVFADC twin (r7 verdict directive 4): the
 # flagship serve tier's build machinery (coarse cell assignment ->

@@ -22,6 +22,7 @@ EXPECTED = {
     "v8_pq_grid": 0.239,
     "v8t_pq_trained": 0.267,
     "v9_ivfpq": 0.387,
+    "v9r_ivfpq_rerank": 0.711,
 }
 
 # The OPERATIVE column (r7 verdict directive 5): recall at sf0.1's
@@ -40,6 +41,7 @@ EXPECTED_SF01 = {
     "v8_pq_grid": 0.194,
     "v8t_pq_trained": 0.206,
     "v9_ivfpq": 0.252,
+    "v9r_ivfpq_rerank": 0.487,
 }
 
 
@@ -50,7 +52,12 @@ def test_recall_figures_match_serving_md(spark, sf_dir):
     # hash-derived tiers are exactly reproducible; the two tiers with
     # an iterative k-means fit get an ulp-drift tolerance (the fit can
     # shift one codeword/centroid under session-order effects)
-    kmeans_tiers = {"v4_ivf", "v8t_pq_trained", "v9_ivfpq"}
+    kmeans_tiers = {
+        "v4_ivf",
+        "v8t_pq_trained",
+        "v9_ivfpq",
+        "v9r_ivfpq_rerank",
+    }
     for name, want in EXPECTED.items():
         if name in kmeans_tiers:
             assert abs(got[name] - want) <= 0.02, (name, got[name])

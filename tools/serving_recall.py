@@ -21,7 +21,8 @@ def tier_recalls(spark, sf_dir: str, k: int = 10) -> dict[str, float]:
     bench serve shape (Q=500 queries, the tiers' registered build
     parameters: 8 planes / dim 64 / radius-2 probes / 64-cell IVF —
     n_probe=4 for v4's exact rerank, n_probe=16 for v9's IVFADC
-    bench shape / m=8 k=16 PQ)."""
+    bench shape / m=8 k=16 PQ; v9r = v9's index + exact rerank of a
+    50-candidate shortlist)."""
     from garmin_data_pipeline_spark.operators.similarity import (
         cosine_topk_bruteforce,
     )
@@ -34,6 +35,7 @@ def tier_recalls(spark, sf_dir: str, k: int = 10) -> dict[str, float]:
         v8_pq_serve_q500,
         v8t_pq_serve_q500,
         v9_ivfpq_serve_q500,
+        v9r_ivfpq_rerank_serve_q500,
     )
     from garmin_data_pipeline_spark.plans.registry import table
 
@@ -58,6 +60,7 @@ def tier_recalls(spark, sf_dir: str, k: int = 10) -> dict[str, float]:
         "v8_pq_grid": v8_pq_serve_q500,
         "v8t_pq_trained": v8t_pq_serve_q500,
         "v9_ivfpq": v9_ivfpq_serve_q500,
+        "v9r_ivfpq_rerank": v9r_ivfpq_rerank_serve_q500,
     }
     out = {"v1_float": 1.0}
     for name, fn in tiers.items():
