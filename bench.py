@@ -248,6 +248,12 @@ def main() -> None:
 
     spark = get_spark("bench")
     qs = entrymod.queries()
+    # Demoted pytest-tier queries leave the driver registry but stay
+    # benchable (t3_fingerprint is in the pinned r1 ANCHOR set — the
+    # anchor series must keep timing it across demotions).
+    from garmin_data_pipeline_spark import plans as _plans
+
+    qs.update({n: q.fn for n, q in _plans.PYTEST_QUERIES.items()})
 
     # Production (non-oracle-parity) plan overrides: same query, the
     # double-accumulation path a real pipeline would run (the oracle
