@@ -53,15 +53,18 @@ from garmin_data_pipeline_spark.plans.queries import (
 #       interval overlap join), d7_canonical_docs (dedup-purge
 #       representative selection per near-dup cluster) and
 #       t22_lm_quality_zscore (corpus-standardized LM quality
-#       score). Policy 4 accounting: v9p enters under the growth
-#       rule (registry stays <= 100, tail <= 50); w9/j9 enter
-#       alongside SAME-ROUND demotions of o3_topk_orders and
+#       score), and v6p_semantic_dedup_product (the oracle-certified
+#       twin of the product cell assignment v6s runs at scale).
+#       Policy 4 accounting: v9p enters under the growth rule
+#       (registry stays <= 100, tail <= 50); w9/j9 enter alongside
+#       SAME-ROUND demotions of o3_topk_orders and
 #       p13_threshold_count (each 4 green driver rows — r1/r2/r4/r6
 #       — trivial single-operator plans), d7/t22 alongside
 #       demotions of f2_epoch_millis (greens r1/r2/r4/r6) and
-#       t3_fingerprint (greens r1-r4, r6); all demoted oracles
+#       t3_fingerprint (greens r1-r4, r6), v6p alongside
+#       t4_length_quantiles (greens r1-r4, r6); all demoted oracles
 #       replay every pytest run. Net: registry stays 96 (92
-#       oracled), tail 46, pytest tier 19, every registered query
+#       oracled), tail 46, pytest tier 20, every registered query
 #       <= 1 round from its last green row.
 _HEAD = [
     # --- changed / new this round: v8's packed-BIGINT output, the
@@ -73,6 +76,7 @@ _HEAD = [
     "j9_interval_overlap",
     "d7_canonical_docs",
     "t22_lm_quality_zscore",
+    "v6p_semantic_dedup_product",
     # --- r7's tail rotates back in (green r6, code unchanged) ---
     "st2b_session_window",
     "j7_salted_skew_join",
@@ -85,7 +89,6 @@ _HEAD = [
     "p4_drop_constant_columns",
     "p6_clean_headers",
     "t1_token_quality",
-    "t4_length_quantiles",
     "t9_length_trim",
     "t11_document_chunking",
     "t12_pii_redaction",
@@ -189,6 +192,7 @@ _PYTEST_TIER = [
     "p13_threshold_count",
     "f2_epoch_millis",
     "t3_fingerprint",
+    "t4_length_quantiles",
     "a5_total_duration",
     "a6_null_counts",
     "a7_distinct_counts",

@@ -1807,6 +1807,95 @@ def v6_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_V6P_SIDE = 8  # 8 x 8 = 64 effective product cells
+
+
+def _v6p_oracle() -> str:
+    from garmin_data_pipeline_spark.operators.similarity import (
+        grid_centroids,
+    )
+
+    books_a = grid_centroids(_V6P_SIDE, 64, salt=1)
+    books_b = grid_centroids(_V6P_SIDE, 64, salt=2)
+    return f"""
+    WITH c AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), ca(cell, cv) AS (
+        VALUES {_cent_values_sql(books_a)}
+    ), cb(cell, cv) AS (
+        VALUES {_cent_values_sql(books_b)}
+    ), aa AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT vec_id, v, cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY COALESCE(list_dot_product(v, cv), -1e300)
+                                DESC, cell
+                   ) AS arank
+            FROM c CROSS JOIN ca
+        ) WHERE arank = 1
+    ), ab AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY COALESCE(list_dot_product(v, cv), -1e300)
+                                DESC, cell
+                   ) AS arank
+            FROM c CROSS JOIN cb
+        ) WHERE arank = 1
+    ), assigned AS (
+        SELECT aa.vec_id, aa.v,
+               aa.cell * {_V6P_SIDE} + ab.cell AS cell
+        FROM aa JOIN ab ON aa.vec_id = ab.vec_id
+    ), losers AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) /
+              NULLIF(sqrt(list_dot_product(a.v, a.v)) *
+                     sqrt(list_dot_product(b.v, b.v)), 0)
+              >= {_SEMDEDUP_TAU}
+    )
+    SELECT s.vec_id, CAST(s.cell AS INT) AS cell
+    FROM assigned s LEFT JOIN losers l ON s.vec_id = l.vec_id
+    WHERE l.vec_id IS NULL
+    """
+
+
+@register(
+    "v6p_semantic_dedup_product",
+    _v6p_oracle(),
+    doc="v6 through the PRODUCT cell assignment — the oracle-"
+    "certified twin of the operator v6s runs at scale: two "
+    "independent 8-centroid codebooks, a vector's cell is the PAIR "
+    "of per-codebook max-dot argmaxes (8 x 8 = 64 effective cells "
+    "for 16 dots/vector — the inverted-multi-index trick that took "
+    "the sf1.0 probe's v6s ratio from ~15x to 2.4x), then the "
+    "identical within-cell cosine pruning. Certifies "
+    "assign_cells_product end to end: both argmax picks, the "
+    "cell-id packing arithmetic, and the dedup downstream, "
+    "hash-matched against a dual-codebook DuckDB mirror.",
+)
+def v6p_semantic_dedup_product(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.similarity import (
+        _semantic_dedup_assigned,
+        assign_cells_product,
+        grid_centroids,
+    )
+
+    assigned = assign_cells_product(
+        table(spark, sf_dir, "embeddings"),
+        grid_centroids(_V6P_SIDE, 64, salt=1),
+        grid_centroids(_V6P_SIDE, 64, salt=2),
+    )
+    return _semantic_dedup_assigned(assigned, _SEMDEDUP_TAU)
+
+
 def v6s_semantic_dedup_scaled(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

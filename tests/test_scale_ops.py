@@ -257,6 +257,7 @@ def test_registered_plans_stay_jvm_side(spark, sf_dir):
         "v9p_ivfpq_codes_grid",       # corpus x broadcast codebook (same
                                       # assign_cells_fixed scoring as v4p)
         "v6_semantic_dedup",          # corpus x broadcast grid codebook
+        "v6p_semantic_dedup_product", # corpus x broadcast dual codebook
         "e2e_master_daily",           # master x broadcast 1-row mean
         "t17_tfidf_matrix",           # tf x broadcast 1-row corpus count
         "t21_unigram_logprob",        # tokens x broadcast 1-row total
