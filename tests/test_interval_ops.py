@@ -218,3 +218,56 @@ class TestSemanticDedupScaled:
         assert survivors == set(range(250))
         cells = {r["cell"] for r in out.collect()}
         assert max(cells) < 12 * 12  # ceil(sqrt(125))^2 product cells
+
+
+class TestIntervalOverlapRandomized:
+    def test_matches_bruteforce_on_random_intervals(self, spark):
+        """Differential check on a seeded random workload: every
+        (a, b) pair the O(n^2) reference finds — and none it doesn't
+        — with the exact same overlap length, across interval lengths
+        from sub-bin to many-bin and a bin size chosen so multi-bin
+        spans are common."""
+        import random
+
+        from garmin_data_pipeline_spark.operators.joins import (
+            join_interval_overlap,
+        )
+
+        rng = random.Random(20260814)
+        base = dt.datetime(2024, 3, 1)
+
+        def mk(n, idc):
+            rows = []
+            for i in range(n):
+                user = rng.randint(1, 4)
+                start = base + dt.timedelta(
+                    minutes=rng.randint(0, 7 * 24 * 60)
+                )
+                end = start + dt.timedelta(
+                    minutes=rng.randint(0, 3 * 24 * 60)
+                )
+                rows.append((idc * 10_000 + i, user, start, end))
+            return rows
+
+        rows_a, rows_b = mk(60, 1), mk(60, 2)
+        bf = {}
+        for aid, ua, sa, ea in rows_a:
+            for bid, ub, sb, eb in rows_b:
+                if ua == ub and sa <= eb and sb <= ea:
+                    ov = min(ea, eb) - max(sa, sb)
+                    bf[(aid, bid)] = int(ov.total_seconds() * 1e6)
+
+        a = spark.createDataFrame(
+            rows_a, "aid long, user_id long, sa timestamp, ea timestamp"
+        )
+        b = spark.createDataFrame(
+            rows_b, "bid long, user_id long, sb timestamp, eb timestamp"
+        )
+        got = {
+            (r["aid"], r["bid"]): r["overlap_us"]
+            for r in join_interval_overlap(
+                a, b, "sa", "ea", "sb", "eb",
+                by=["user_id"], bin_seconds=86400,
+            ).collect()
+        }
+        assert got == bf
