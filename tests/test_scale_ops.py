@@ -492,3 +492,72 @@ class TestMergeRollups:
             ).collect()
         }
         assert got == {"x": (1, 1), "y": (7, 3), "z": (7, 3)}
+
+
+class TestRuntimeFilters:
+    """Catalyst's two runtime scan-pruning mechanisms, pinned working
+    under this engine's session defaults. Both are free at 100 TB
+    precisely when they matter; at test scale each needs one size
+    threshold lowered (documented inline), so these tests prove the
+    PLAN WIRING — that our session/readers leave Catalyst able to
+    inject them — and check results against the unpruned join."""
+
+    def test_runtime_bloom_filter_prunes_probe_side(self, spark, sf_dir):
+        """A selective filter on orders should inject a bloom
+        `might_contain` pre-filter into the lineitem scan of a
+        shuffle join (Spark's runtime row-level filtering, on by
+        default since 3.4). At test scale only
+        `applicationSideScanSizeThreshold` (default 10GB — met
+        trivially by any 100 TB fact scan) blocks it; lower it and
+        the filter appears with NO other engine change."""
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        confs = {
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold": "0",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        prev = {k: spark.conf.get(k) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "might_contain" in plan, plan[:2000]
+            pruned = j.count()
+        finally:
+            for k, v in prev.items():
+                spark.conf.set(k, v)
+        want = li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        ).count()
+        assert pruned == want
+
+    def test_dynamic_partition_pruning_on_partitioned_fact(
+        self, spark, sf_dir, tmp_path
+    ):
+        """A day-partitioned fact table joined to a dim filtered on a
+        NON-partition column gets a `dynamicpruning` subquery in its
+        scan's PartitionFilters — the runtime analogue of static
+        partition pruning, and the reason `sinks.load_table` exposes
+        partitionBy: at 100 TB the fact scan reads only the days the
+        dim selects, decided at run time."""
+        fact_path = str(tmp_path / "events_by_day")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ev.withColumn("day", F.to_date("ts")).write.partitionBy(
+            "day"
+        ).mode("overwrite").parquet(fact_path)
+        fact = spark.read.parquet(fact_path)
+        dim = (
+            fact.select("day")
+            .distinct()
+            .filter(F.dayofmonth("day") <= 3)
+        )
+        j = fact.join(dim, "day")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        # correctness: equals the statically-filtered scan
+        want = fact.filter(F.dayofmonth("day") <= 3).count()
+        assert j.count() == want
