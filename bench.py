@@ -235,6 +235,14 @@ HEADLINE = [
     "j8_snapshot_diff",
     "w8_scd2_intervals",
     "o5_median_quantity",
+    # r8 registrations: interval x interval overlap (two exploded
+    # bin-bucketed sides), LEAD-state time-weighted mean, the dedup
+    # purge composition (pair graph -> CC -> per-cluster argmax), and
+    # the standardized LM quality score (t21 + corpus moments).
+    "j9_interval_overlap",
+    "w9_time_weighted_avg",
+    "d7_canonical_docs",
+    "t22_lm_quality_zscore",
 ]
 
 
