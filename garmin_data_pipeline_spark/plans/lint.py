@@ -1,0 +1,152 @@
+"""Plan-level float-discipline lint.
+
+The r8 ``w9_time_weighted_avg`` failure mode: a COMPUTED double
+expression cast to DECIMAL. double->DECIMAL conversion is a decimal
+ROUNDING of the double's decimal expansion, and the rounding mode is
+engine-dependent (Spark HALF_UP, DuckDB HALF_EVEN) — so a query can
+hash-match its oracle on one host and miss on another whenever a
+product/sum lands within half an ULP of the target scale's midpoint.
+``tools/check.py`` passing locally is NOT a sufficient gate for this
+class (w9 passed strict local equality for a full round while the
+driver disagreed), hence a static lint over the plan itself.
+
+Sanctioned forms the lint allows:
+- ``CAST(col AS DECIMAL(p,s))`` of a BARE double column: raw data on
+  a known decimal grid (events.value is 2-dp) — the stored double is
+  the nearest double to a grid point, whose decimal expansion is
+  never a round-half tie, so both engines round it identically.
+- ``CAST(ROUND(x, n) AS DECIMAL)``: round() snaps to the n-dp grid
+  first (same never-a-tie argument) — the t21/t22 idiom.
+- Casts of integral or decimal expressions (exact by construction;
+  decimal->decimal rescale narrowing is a separate concern the
+  DECIMAL-exact queries avoid by only widening).
+
+Flagged: any Cast to DecimalType whose operand is a computed
+expression through which an unconverted double reaches the cast.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterator
+
+
+# Queries carrying a computed-double->DECIMAL cast that is PROVABLY
+# tie-free by magnitude. The rounding modes only diverge on an exact
+# round-half tie, and a finite double can only sit exactly on a
+# half-ULP-of-scale-s point when its own ULP is >= 2**-(s+1), i.e.
+# |x| >= 2**(51 - s): 3.5e13 at s=6, 5.5e11 at s=12. Below that, a
+# double's decimal expansion always has nonzero digits past the tie
+# position, and HALF_UP == HALF_EVEN. w9's cents x micros products
+# sat at ~1e15 — ABOVE the s=6 threshold — which is exactly how it
+# produced a locally-green/driver-red hash; the casts below are
+# bounded orders of magnitude under their thresholds.
+DECIMAL_CAST_ALLOWLIST: dict[str, str] = {
+    # sum(extendedprice * (1 - discount) [* (1 + tax)]) at s=6:
+    # products < 1e7 << 3.5e13
+    "a1_pricing_summary": "revenue products < 1e7 << 2**45",
+    "q3_sql_revenue_topk": "revenue products < 1e7 << 2**45",
+    # mean token log-prob at s=6: |log p| < 25 << 3.5e13
+    "t21_unigram_logprob": "log-probs bounded ~25 << 2**45",
+    # squared mean log-prob at s=12: < 650 << 5.5e11 (plus t21's own
+    # cast, inherited through composition)
+    "t22_lm_quality_zscore": "squares bounded ~650 << 2**39",
+}
+
+
+def _simple(node: dict) -> str:
+    return node["class"].rsplit(".", 1)[-1]
+
+
+def _build(nodes: list[dict], i: int = 0) -> tuple[tuple, int]:
+    """Rebuild one tree from TreeNode.toJSON's flat pre-order list."""
+    node = nodes[i]
+    n = int(node.get("num-children", 0))
+    children = []
+    j = i + 1
+    for _ in range(n):
+        child, j = _build(nodes, j)
+        children.append(child)
+    return (node, children), j
+
+
+def _iter_expr_trees(obj: Any) -> Iterator[tuple]:
+    """Yield rebuilt expression trees from a parsed plan JSON: any
+    list of dicts whose head is a catalyst expression node is one
+    flattened expression (pre-order, possibly several roots)."""
+    if isinstance(obj, list):
+        if (
+            obj
+            and isinstance(obj[0], dict)
+            and "class" in obj[0]
+            and ".catalyst.expressions." in obj[0]["class"]
+        ):
+            i = 0
+            while i < len(obj):
+                tree, i = _build(obj, i)
+                yield tree
+        else:
+            for x in obj:
+                yield from _iter_expr_trees(x)
+    elif isinstance(obj, dict):
+        for k, v in obj.items():
+            if k != "class":
+                yield from _iter_expr_trees(v)
+
+
+def _double_reaches(node: dict, children: list) -> bool:
+    """True if a COMPUTED double flows from this subtree into the
+    enclosing decimal cast. Barriers: casts to decimal (they convert —
+    and are linted on their own) and round()/bround() (explicit grid
+    snap). Sources: double-typed leaves and casts to double — EXCEPT
+    a cast-to-double of a bare column/literal, which is the exact
+    widening of raw data (float32 embedding elements, integer counts)
+    and carries the same data-grid contract as a bare double column."""
+    cls = _simple(node)
+    dt = str(node.get("dataType", ""))
+    if cls == "Cast":
+        if dt.startswith("decimal"):
+            return False
+        if dt == "double":
+            child_cls = _simple(children[0][0]) if children else ""
+            return child_cls not in ("AttributeReference", "Literal")
+    if cls in ("Round", "BRound"):
+        return False
+    if cls in ("AttributeReference", "Literal") and dt == "double":
+        return True
+    return any(_double_reaches(*c) for c in children)
+
+
+def _scan_expr(node: dict, children: list, hits: list[str]) -> None:
+    cls = _simple(node)
+    if (
+        cls == "Cast"
+        and str(node.get("dataType", "")).startswith("decimal")
+        and children
+    ):
+        child_node, child_children = children[0]
+        ccls = _simple(child_node)
+        computed = ccls not in ("AttributeReference", "Literal")
+        if computed and _double_reaches(child_node, child_children):
+            hits.append(
+                f"cast({ccls}(...) as {node['dataType']})"
+            )
+    for c in children:
+        _scan_expr(c[0], c[1], hits)
+
+
+def unsafe_decimal_casts(df) -> list[str]:
+    """All computed-double->DECIMAL casts in ``df``'s analyzed plan.
+
+    Empty list == the plan obeys the float-oracle discipline (for
+    this failure class). Non-empty == every listed cast can hash
+    differently across engines/hosts; rework the query to cast raw
+    grid data / round() output only, or stay in exact integer or
+    DECIMAL arithmetic end to end (the w9 fix pattern)."""
+    plan_json = json.loads(
+        df._jdf.queryExecution().analyzed().toJSON()
+    )
+    hits: list[str] = []
+    for node, children in _iter_expr_trees(plan_json):
+        _scan_expr(node, children, hits)
+    return hits

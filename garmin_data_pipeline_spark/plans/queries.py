@@ -2523,13 +2523,21 @@ def o5_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mean a metrics warehouse actually wants (arithmetic mean over-weights
 # burst periods). Each observation's value is held until the user's
 # next observation (same step-function reading as w8's SCD2
-# intervals); weight = hold duration in integer epoch micros. Float
-# discipline: each value*duration product is ONE double multiply
-# (bit-identical cross-engine), accumulation is DECIMAL(38,6)-exact
-# (38, not the usual 18: micro-second weights push sums past
-# DECIMAL(18,6)'s 1e12 range), and the final division is one double
-# op. Users with a single observation have no held interval ->
-# NULL twa (both engines: SUM over empty is NULL).
+# intervals); weight = hold duration in integer epoch micros.
+# Float discipline (r8 lesson — the first cut of this query cast a
+# COMPUTED double (value * dur) to DECIMAL(38,6), and double->DECIMAL
+# conversion rounds HALF_UP on Spark vs HALF_EVEN on DuckDB: green
+# locally, red on the driver host): nothing here touches a
+# rounding-mode-sensitive conversion anymore. `value` is 2-dp grid
+# data, so CAST(value AS DECIMAL(12,2)) is exact on BOTH engines (the
+# stored double's decimal expansion is never a tie at the 2nd place);
+# cents = vd*100 is an exact integer; cents x integer micros
+# accumulates in DECIMAL(38,0)/HUGEINT with zero rounding anywhere;
+# and the output is twa_e6 = floor(num * 1e6 / den) as BIGINT — the
+# floor of an exact rational, engine-independent (operands positive,
+# so Spark's truncating `div` == DuckDB's flooring `//`). Users with
+# a single observation have no held interval -> NULL twa_e6/held_us
+# (both engines: SUM over empty is NULL).
 # Scale shape: one user-partitioned LEAD window + one hash aggregate
 # — the same single shuffle w8 pays; no global window anywhere.
 # ---------------------------------------------------------------------------
@@ -2537,28 +2545,36 @@ def o5_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w9_time_weighted_avg",
     """
     WITH pts AS (
-        SELECT user_id, value, epoch_us(ts) AS t,
+        SELECT user_id, CAST(value AS DECIMAL(12,2)) AS vd,
+               epoch_us(ts) AS t,
                LEAD(epoch_us(ts)) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                ) AS nxt
         FROM events
         WHERE ts IS NOT NULL AND user_id IS NOT NULL
           AND value IS NOT NULL
+    ), agg AS (
+        SELECT user_id,
+               SUM(CAST(vd * 100 AS HUGEINT) * (nxt - t)) AS num_c,
+               SUM(nxt - t) AS held_us,
+               COUNT(*) AS n_obs
+        FROM pts
+        GROUP BY user_id
     )
     SELECT user_id,
-           ROUND(CAST(CAST(SUM(CAST(value * CAST(nxt - t AS DOUBLE)
-                             AS DECIMAL(38,6))) AS DOUBLE)
-                / CAST(SUM(CAST(nxt - t AS DECIMAL(38,6))) AS DOUBLE)
-                AS DOUBLE), 6) AS twa,
-           SUM(nxt - t) AS held_us,
-           COUNT(*) AS n_obs
-    FROM pts
-    GROUP BY user_id
+           CAST(CASE WHEN held_us > 0
+                     THEN (num_c * 10000) // held_us END
+                AS BIGINT) AS twa_e6,
+           CAST(held_us AS BIGINT) AS held_us,
+           n_obs
+    FROM agg
     """,
     doc="Time-weighted average of the event value per user: value "
     "held until the next observation, weighted by integer hold "
-    "micros; DECIMAL(38,6)-exact accumulation, one LEAD window + "
-    "one aggregate (single user-keyed shuffle).",
+    "micros; exact cents x micros DECIMAL accumulation (no "
+    "double->DECIMAL cast of any computed expression), emitted as "
+    "the floor-scaled BIGINT twa_e6; one LEAD window + one "
+    "aggregate (single user-keyed shuffle).",
 )
 def w9_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -2576,27 +2592,33 @@ def w9_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pts = ev.select(
         "user_id",
-        "value",
+        # value is 2-dp data: the cast is exact (never a round-half
+        # tie), cents is then an exact DECIMAL integer.
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("decimal(20,0)")
+        .alias("cents"),
         t_us.alias("t"),
         (F.lead(t_us).over(w)).alias("nxt"),
     )
     dur = F.col("nxt") - F.col("t")
-    # Final ROUND(6): the value*dur -> DECIMAL(38,6) cast rounds
-    # HALF_UP on Spark but HALF_EVEN on DuckDB, so per-term 1e-6
-    # rounding can differ and the quotient drifts in its last ULPs
-    # (measured 1e-14 relative); the sums themselves are exact.
-    return pts.groupBy("user_id").agg(
-        F.round(
-            F.sum(
-                (F.col("value") * dur.cast("double")).cast(
-                    "decimal(38,6)"
-                )
-            ).cast("double")
-            / F.sum(dur.cast("decimal(38,6)")).cast("double"),
-            6,
-        ).alias("twa"),
+    agg = pts.groupBy("user_id").agg(
+        # DECIMAL(20,0) x micros -> DECIMAL(38,0): exact integer
+        # cents-micro-seconds, no rounding reachable anywhere.
+        F.sum(F.col("cents") * dur).alias("num_c"),
         F.sum(dur).alias("held_us"),
         F.count(F.lit(1)).alias("n_obs"),
+    )
+    # floor(num * 1e6 / den) over exact integers: `div` truncates,
+    # operands are non-negative, so it equals DuckDB's flooring `//`.
+    # The CASE guards ANSI division-by-zero (all-zero hold spans).
+    return agg.select(
+        "user_id",
+        F.expr(
+            "CASE WHEN held_us > 0"
+            " THEN (num_c * 10000) div held_us END"
+        ).alias("twa_e6"),
+        "held_us",
+        "n_obs",
     )
 
 

@@ -333,6 +333,42 @@ def test_serve_plans_never_move_the_index(spark, sf_dir):
         )
 
 
+def test_no_computed_double_to_decimal_cast(spark, sf_dir):
+    """Float-discipline lint (r8 verdict directive 1): no registered
+    plan may cast a COMPUTED double expression to DECIMAL. The
+    conversion is a decimal rounding whose mode is engine-dependent
+    (Spark HALF_UP, DuckDB HALF_EVEN), so a product/sum landing on an
+    exact round-half tie hashes differently across engines — AND
+    whether a tie is reachable depends on magnitude, so the failure
+    is host/data dependent: w9's cents x micros products passed
+    strict local equality for a full round while the driver
+    disagreed. Raw grid-data columns, exact widenings, and round(x,n)
+    roots are sanctioned; everything else must stay in exact
+    integer/DECIMAL arithmetic end to end (the w9_time_weighted_avg
+    fix pattern). DECIMAL_CAST_ALLOWLIST carries the queries whose
+    casts are PROVABLY tie-free by magnitude bound — each entry
+    documents the bound."""
+    from garmin_data_pipeline_spark import plans
+    from garmin_data_pipeline_spark.plans.lint import (
+        DECIMAL_CAST_ALLOWLIST,
+        unsafe_decimal_casts,
+    )
+
+    surface = dict(plans.queries())
+    surface.update({n: q.fn for n, q in plans.PYTEST_QUERIES.items()})
+    offenders = []
+    for name, fn in surface.items():
+        if name in DECIMAL_CAST_ALLOWLIST:
+            continue
+        hits = unsafe_decimal_casts(fn(spark, sf_dir))
+        if hits:
+            offenders.append(f"{name}: {hits}")
+    assert not offenders, (
+        "computed-double->DECIMAL casts (engine-dependent rounding "
+        "mode; see plans/lint.py): " + "; ".join(offenders)
+    )
+
+
 def test_registered_outputs_are_driver_hashable(spark, sf_dir):
     """No Array/Map/Struct column in ANY driver-registered query's
     output schema. The driver's canonicalizer (pandas sort_values

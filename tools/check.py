@@ -124,6 +124,11 @@ def main() -> int:
             sdf_spark = fn(spark, sf_dir)
             from pyspark.sql.types import ArrayType, MapType, StructType
 
+            from garmin_data_pipeline_spark.plans.lint import (
+                DECIMAL_CAST_ALLOWLIST,
+                unsafe_decimal_casts,
+            )
+
             complex_cols = [
                 f.name
                 for f in sdf_spark.schema.fields
@@ -136,6 +141,22 @@ def main() -> int:
                     f"columns {complex_cols} (pack/explode to scalars)"
                 )
                 continue
+            # Float-discipline lint: a computed-double->DECIMAL cast
+            # rounds HALF_UP on Spark / HALF_EVEN on DuckDB, and at
+            # magnitudes >= 2**(51-s) a tie is REACHABLE — a query
+            # can pass this local gate bit-for-bit and still hash-miss
+            # on the driver host (the r8 w9 err), so the static lint
+            # fails it here regardless of the value comparison.
+            if name not in DECIMAL_CAST_ALLOWLIST:
+                unsafe = unsafe_decimal_casts(sdf_spark)
+                if unsafe:
+                    failed.append(name)
+                    print(
+                        f"FAIL {name}: computed-double->DECIMAL "
+                        f"cast(s) {unsafe} (engine-dependent rounding "
+                        "mode; see plans/lint.py)"
+                    )
+                    continue
             sdf = sdf_spark.toPandas()
         except Exception as e:  # noqa: BLE001
             failed.append(name)
