@@ -39,102 +39,32 @@ from garmin_data_pipeline_spark.plans.queries import (
 #      that keeps that bound.
 #
 # Coverage ledger (round each query last had a green driver row):
-#   r7 (49/50 green; CORRECTNESS_r07.json): the whole r7 _HEAD. The
-#       one err, v8_pq_codes, was representational (list column vs
-#       the driver canonicalizer) — output now packed to BIGINT and
-#       back in the head for a hard row; the schema lint in
-#       tests/test_scale_ops.py bans the class of failure.
-#   r6: the 41 oracled queries of the r7 tail — rotating back in NOW
+#   r8 (49/50 green; CORRECTNESS_r08.json): the whole r8 _HEAD
+#       except w9_time_weighted_avg (hash miss — engine-dependent
+#       double->DECIMAL rounding; REWRITTEN r9 in exact integer
+#       arithmetic, see plans/lint.py, and back in the head).
+#   r7: the 42 oracled queries of the r8 tail — rotating back in NOW
 #       (policy 3).
-#   never: the five r8 registrations — v9p_ivfpq_codes_grid (r7
-#       verdict directive 4, the oracle-certified IVFADC twin),
-#       w9_time_weighted_avg and j9_interval_overlap (beyond-
-#       reference warehouse ops: interval-weighted mean, interval x
-#       interval overlap join), d7_canonical_docs (dedup-purge
-#       representative selection per near-dup cluster) and
-#       t22_lm_quality_zscore (corpus-standardized LM quality
-#       score), and v6p_semantic_dedup_product (the oracle-certified
-#       twin of the product cell assignment v6s runs at scale).
-#       Policy 4 accounting: v9p enters under the growth rule
-#       (registry stays <= 100, tail <= 50); w9/j9 enter alongside
-#       SAME-ROUND demotions of o3_topk_orders and
-#       p13_threshold_count (each 4 green driver rows — r1/r2/r4/r6
-#       — trivial single-operator plans), d7/t22 alongside
-#       demotions of f2_epoch_millis (greens r1/r2/r4/r6) and
-#       t3_fingerprint (greens r1-r4, r6), v6p alongside
-#       t4_length_quantiles (greens r1-r4, r6); all demoted oracles
-#       replay every pytest run. Net: registry stays 96 (92
-#       oracled), tail 46, pytest tier 20, every registered query
-#       <= 1 round from its last green row.
+#   never: v9rp_ivfpq_rerank_grid (r8 verdict directive 2 — the
+#       oracle-certified twin of the v9r rerank serve stage, the
+#       last uncertified serve-family stage). Enters under the
+#       growth rule: registry 96 -> 97 (93 oracled), head 50,
+#       tail 47 <= 50, so the two-round rotation bound holds.
+#   The six r8 FIRST-TIMERS (v8 regained, v9p, j9, d7, t22, v6p)
+#       keep head slots for a second consecutive row (policy 1
+#       priority, same treatment the r7 registrations got in r8).
 _HEAD = [
-    # --- changed / new this round: v8's packed-BIGINT output, the
-    #     IVFADC twin, the two warehouse ops, and the two LLM-corpus
-    #     ops (canonical-doc retention, standardized LM quality) ---
+    # --- changed / new this round ---
+    "w9_time_weighted_avg",      # rewritten (decimal-exact, twa_e6)
+    "v9rp_ivfpq_rerank_grid",    # new registration
+    # --- r8 first-timers taking a second consecutive row ---
     "v8_pq_codes",
     "v9p_ivfpq_codes_grid",
-    "w9_time_weighted_avg",
     "j9_interval_overlap",
     "d7_canonical_docs",
     "t22_lm_quality_zscore",
     "v6p_semantic_dedup_product",
-    # --- r7's tail rotates back in (green r6, code unchanged) ---
-    "st2b_session_window",
-    "j7_salted_skew_join",
-    "st5_segment_rollup",
-    "b1_bucketed_join_agg",
-    "t16_vocab_topk_per_lang",
-    "v7_label_centroids",
-    "t18_bpe_pairs",
-    "p3_drop_all_null_columns",
-    "p4_drop_constant_columns",
-    "p6_clean_headers",
-    "t1_token_quality",
-    "t9_length_trim",
-    "t11_document_chunking",
-    "t12_pii_redaction",
-    "d1_exact_dedup",
-    "m1_multimodal_metadata",
-    "m2_frame_sampling",
-    "m3_audio_windows",
-    "a1_pricing_summary",
-    "a3_latest_order_per_customer",
-    "a4_dedupe_latest_lineitem",
-    "w1_cumulative_spend",
-    "f23_binned_group_mean",
-    "s3_json_props_extract",
-    "t5_corpus_mix",
-    "a13_pivot_event_values",
-    "j5_asof_join",
-    "j6_range_join",
-    "a12_time_rollup",
-    "st1_tumbling_daily",
-    "t10_clean_corpus",
-    "d5s_duplicate_groups_star",
-    "v4p_cosine_topk_ivf_grid",
-    "v2_cosine_topk_lsh",
-    "v3_embedding_near_dups",
-    "d5_duplicate_groups",
-    # --- single-green-row queries taking a second row with the
-    #     leftover slots (policy 1 priority: first the six r7
-    #     registrations, then d6 — its edit-distance kernel gained
-    #     the banded/length-bound path late in r7) ---
-    "e3_cohort_retention",
-    "e4_funnel_stages",
-    "u3_unpivot_measures",
-    "j8_snapshot_diff",
-    "w8_scd2_intervals",
-    "o5_median_quantity",
-    "d6_edit_distance_pairs",
-]
-_TAIL = [
-    # rows-only variants — PERMANENT tail residents (see policy 2);
-    # their oracle-backed twins carry the correctness signal:
-    "d3_minhash_lsh_pairs",
-    "d4_simhash_candidates",
-    "v4_cosine_topk_ivf",
-    "t8_rolling_fingerprint",
-    # green r7 (CORRECTNESS_r07), code unchanged — rotating out per
-    # policy 2; back in the r9 head per policy 3:
+    # --- r8's tail rotates back in (green r7, code unchanged) ---
     "t19_quality_verdicts",
     "t20_stratified_take_k",
     "w6_rolling_7d",
@@ -177,6 +107,59 @@ _TAIL = [
     "p15_semi_anti_orders",
     "g1_pagerank_bipartite",
     "g2_dup_triangles",
+]
+_TAIL = [
+    # rows-only variants — PERMANENT tail residents (see policy 2);
+    # their oracle-backed twins carry the correctness signal:
+    "d3_minhash_lsh_pairs",
+    "d4_simhash_candidates",
+    "v4_cosine_topk_ivf",
+    "t8_rolling_fingerprint",
+    # green r8 (CORRECTNESS_r08), code unchanged — rotating out per
+    # policy 2; back in the r10 head per policy 3:
+    "st2b_session_window",
+    "j7_salted_skew_join",
+    "st5_segment_rollup",
+    "b1_bucketed_join_agg",
+    "t16_vocab_topk_per_lang",
+    "v7_label_centroids",
+    "t18_bpe_pairs",
+    "p3_drop_all_null_columns",
+    "p4_drop_constant_columns",
+    "p6_clean_headers",
+    "t1_token_quality",
+    "t9_length_trim",
+    "t11_document_chunking",
+    "t12_pii_redaction",
+    "d1_exact_dedup",
+    "m1_multimodal_metadata",
+    "m2_frame_sampling",
+    "m3_audio_windows",
+    "a1_pricing_summary",
+    "a3_latest_order_per_customer",
+    "a4_dedupe_latest_lineitem",
+    "w1_cumulative_spend",
+    "f23_binned_group_mean",
+    "s3_json_props_extract",
+    "t5_corpus_mix",
+    "a13_pivot_event_values",
+    "j5_asof_join",
+    "j6_range_join",
+    "a12_time_rollup",
+    "st1_tumbling_daily",
+    "t10_clean_corpus",
+    "d5s_duplicate_groups_star",
+    "v4p_cosine_topk_ivf_grid",
+    "v2_cosine_topk_lsh",
+    "v3_embedding_near_dups",
+    "d5_duplicate_groups",
+    "e3_cohort_retention",
+    "e4_funnel_stages",
+    "u3_unpivot_measures",
+    "j8_snapshot_diff",
+    "w8_scd2_intervals",
+    "o5_median_quantity",
+    "d6_edit_distance_pairs",
 ]
 
 # Policy 4: demoted to the pytest oracle tier (r6 verdict's named

@@ -2784,6 +2784,195 @@ def v9p_ivfpq_codes_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# V9RP — oracle-certified IVFADC + exact-rerank twin (r8 verdict
+# directive 2): the LAST uncertified serve stage. v9p certifies the
+# build (cells -> residual -> codes); this row certifies the SERVE —
+# per-query probe-cell ranking (exact L2 to the grid centroids), the
+# per-(query, cell) residual ADC LUT, the shortlist-by-ADC rank, and
+# the exact-cosine rerank of the shortlist — all bit-for-bit against
+# DuckDB. Every float comparison either reproduces the identical
+# IEEE left-fold on both engines (the v9p/v8 association discipline)
+# or is integer-tie-broken by vec_id/cell; the only rounding is the
+# certified F.round(cosine, 6) the whole v1/v2/v4p family uses.
+# v9r stays the production twin (trained books, Q=500, bench-priced).
+# ---------------------------------------------------------------------------
+def _pq_lut_sql_lists(
+    books: list[list[list[float]]],
+    subdim: int,
+    vec_sql: str = "rq",
+) -> list[str]:
+    """m DuckDB list expressions of k hand-unrolled subspace squared
+    distances over a double list — the oracle's ADC LUT, mirroring
+    ``_pq_subdists``'s ``((0.0 + t*t) + t*t)...`` association (the
+    input is already DOUBLE here — no element cast, exactly like the
+    Spark side where rq is a computed double array)."""
+    luts = []
+    for j, book in enumerate(books):
+        dists = []
+        for w in book:
+            acc = "0.0"
+            for i, c in enumerate(w):
+                t = f"({vec_sql}[{j * subdim + i + 1}] - {c!r})"
+                acc = f"({acc} + ({t} * {t}))"
+            dists.append(acc)
+        luts.append("[" + ", ".join(dists) + "]")
+    return luts
+
+
+_V9RP_PROBE = 4
+_V9RP_SHORTLIST = 50
+
+
+def _v9rp_oracle() -> str:
+    from garmin_data_pipeline_spark.operators.similarity import (
+        ivf_pq_grid_centroids,
+        pq_codebooks,
+    )
+
+    cents = ivf_pq_grid_centroids(_V9P_CELLS, 64)
+    books = pq_codebooks(_PQ_M, _PQ_K, _PQ_SUBDIM, scale=0.25)
+    codes = _pq_code_sql_exprs(books, _PQ_SUBDIM, vec_sql="rv")
+    code_cols = ", ".join(
+        f"{e} AS c{j}" for j, e in enumerate(codes)
+    )
+    luts = _pq_lut_sql_lists(books, _PQ_SUBDIM, vec_sql="rq")
+    lut_cols = ", ".join(f"{e} AS l{j}" for j, e in enumerate(luts))
+    # _adc_fold's left fold: ((0.0 + lut[0][c0+1]) + lut[1][c1+1])...
+    adc = "0.0"
+    for j in range(_PQ_M):
+        adc = f"({adc} + l{j}[c{j} + 1])"
+    return f"""
+    WITH c AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) >= 64
+    ), cent(cell, cv) AS (
+        VALUES {_cent_values_sql(cents)}
+    ), assigned AS (
+        SELECT vec_id, v, cell, cv FROM (
+            SELECT vec_id, v, cell, cv,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY COALESCE(list_dot_product(v, cv), -1e300)
+                                DESC, cell
+                   ) AS arank
+            FROM c CROSS JOIN cent
+        ) WHERE arank = 1
+    ), codes AS (
+        -- the indexed corpus: coarse cell + per-subspace argmin codes
+        -- over the residual (identical to the v9p-certified build)
+        SELECT vec_id, cell, {code_cols}
+        FROM (
+            SELECT vec_id, cell,
+                   list_transform(range(1, 65), i -> v[i] - cv[i]) AS rv
+            FROM assigned
+        )
+    ), q AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id < 5
+    ), qcd AS (
+        -- query residual vs EVERY cell; rq doubles as the L2 probe
+        -- metric input and the ADC LUT input (same as Spark's rq)
+        SELECT query_id, qv, cell,
+               list_transform(range(1, 65), i -> qv[i] - cv[i]) AS rq
+        FROM q CROSS JOIN cent
+    ), qc AS (
+        SELECT query_id, qv, cell, rq FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY list_dot_product(rq, rq) ASC, cell
+            ) AS crank FROM qcd
+        ) WHERE crank <= {_V9RP_PROBE}
+    ), luts AS (
+        SELECT query_id, cell, {lut_cols} FROM qc
+    ), short AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY {adc} ASC, vec_id
+            ) AS srank
+            FROM codes JOIN luts USING (cell)
+        ) WHERE srank <= {_V9RP_SHORTLIST}
+    ), scored AS (
+        SELECT query_id, s.vec_id, {_COS} AS cos_raw
+        FROM short s
+        JOIN c ON s.vec_id = c.vec_id
+        JOIN q USING (query_id)
+        WHERE {_COS} IS NOT NULL
+    )
+    SELECT query_id, vec_id, ROUND(cos_raw, 6) AS cosine,
+           CAST(rnk AS INT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos_raw DESC, vec_id
+        ) AS rnk FROM scored
+    ) WHERE rnk <= 10
+    """
+
+
+@register(
+    "v9rp_ivfpq_rerank_grid",
+    _v9rp_oracle(),
+    doc="IVFADC + exact-rerank serve, oracle-certified twin: probe "
+    "the 4 nearest grid cells per query (exact L2), score probed-cell "
+    "candidates via the residual ADC LUT (m table lookups each), "
+    "shortlist 50 by ADC rank, re-score the shortlist with exact "
+    "cosine and keep the top 10. Certifies the full serve pipeline "
+    "v9r runs with trained books; index never shuffles (broadcast "
+    "LUT bhj), rerank is one broadcast-shortlist scan of the raw "
+    "corpus.",
+)
+def v9rp_ivfpq_rerank_grid(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.similarity import (
+        _centroid_df,
+        build_ivf_pq_grid_index,
+        ivf_pq_grid_centroids,
+        pq_codebooks,
+        search_ivf_pq_rerank,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    index = build_ivf_pq_grid_index(
+        emb,
+        n_cells=_V9P_CELLS,
+        dim=64,
+        m=_PQ_M,
+        k=_PQ_K,
+        subdim=_PQ_SUBDIM,
+    )
+    cents = _centroid_df(
+        spark, ivf_pq_grid_centroids(_V9P_CELLS, 64)
+    )
+    books = pq_codebooks(_PQ_M, _PQ_K, _PQ_SUBDIM, scale=0.25)
+    out = search_ivf_pq_rerank(
+        index,
+        cents,
+        books,
+        queries,
+        emb,
+        k=10,
+        shortlist=_V9RP_SHORTLIST,
+        n_probe=_V9RP_PROBE,
+        pq_m=_PQ_M,
+        pq_k=_PQ_K,
+        subdim=_PQ_SUBDIM,
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 6).alias("cosine"),
+        "rank",
+    )
+
+
+# ---------------------------------------------------------------------------
 # D7 — canonical-document selection: the RETENTION half of a dedup
 # purge. d5 resolves the near-dup clusters; this picks ONE
 # representative per cluster (the longest text, ties to the lowest

@@ -256,6 +256,8 @@ def test_registered_plans_stay_jvm_side(spark, sf_dir):
         "v4p_cosine_topk_ivf_grid",   # corpus/queries x broadcast codebook
         "v9p_ivfpq_codes_grid",       # corpus x broadcast codebook (same
                                       # assign_cells_fixed scoring as v4p)
+        "v9rp_ivfpq_rerank_grid",     # corpus/queries x broadcast codebook
+                                      # (v9p's build + probe-cell scoring)
         "v6_semantic_dedup",          # corpus x broadcast grid codebook
         "v6p_semantic_dedup_product", # corpus x broadcast dual codebook
         "e2e_master_daily",           # master x broadcast 1-row mean
