@@ -445,7 +445,22 @@ def merge_upsert(
     # nondeterministically and replays could converge to different
     # table states (ADVICE r7, flagged on the creation path; the
     # hazard is identical here).
-    payload_cols = sorted(c for c in updates.columns if c != "__src")
+    # Map-typed columns are excluded: Spark's xxhash64 (like hash)
+    # raises AnalysisException on MapType input, and map cells carry
+    # no canonical entry order to hash anyway — the tiebreak stays
+    # deterministic over every hashable column (ADVICE r8: without
+    # the exclusion, merge_upsert hard-failed for any table with a
+    # map column instead of merging).
+    from pyspark.sql.types import MapType
+
+    unhashable = {
+        f.name
+        for f in updates.schema.fields
+        if isinstance(f.dataType, MapType)
+    }
+    payload_cols = sorted(
+        c for c in updates.columns if c != "__src" and c not in unhashable
+    )
     w = Window.partitionBy(*keys).orderBy(
         F.col(order_col).desc(),
         prefer_update,

@@ -101,6 +101,36 @@ class TestMergeUpsert:
         got = {r["k"]: r["v"] for r in spark.table(upsert_table).collect()}
         assert got[1] == 77.0
 
+    def test_map_typed_payload_column_merges(
+        self, spark, upsert_table, tmp_path
+    ):
+        """Map-typed columns must not break the payload-hash tiebreak
+        (ADVICE r8: xxhash64 raises AnalysisException on MapType, so
+        the tiebreak hashes only hashable columns and a map-carrying
+        table still merges)."""
+        base = spark.createDataFrame(
+            [(1, {"a": 1}, 1), (2, {"b": 2}, 1)],
+            "k int, props map<string,int>, ver int",
+        )
+        base.write.saveAsTable(upsert_table)
+        updates = spark.createDataFrame(
+            [(2, {"b": 9}, 2), (3, {"c": 3}, 1)],
+            "k int, props map<string,int>, ver int",
+        )
+        merge_upsert(
+            spark,
+            upsert_table,
+            updates,
+            keys=["k"],
+            order_col="ver",
+            staging_dir=str(tmp_path / "stage_map"),
+        )
+        got = {
+            r["k"]: dict(r["props"])
+            for r in spark.table(upsert_table).collect()
+        }
+        assert got == {1: {"a": 1}, 2: {"b": 9}, 3: {"c": 3}}
+
     def test_partitioned_rewrites_only_touched_partitions(
         self, spark, upsert_table, tmp_path
     ):

@@ -26,7 +26,8 @@ EXPECTED = {
 }
 
 # The OPERATIVE column (r7 verdict directive 5): recall at sf0.1's
-# 50k-vector corpus, measured offline with
+# 2,000-vector corpus (embeddings scale sub-linearly in SF — verify
+# with a count, don't extrapolate), measured offline with
 # `python tools/serving_recall.py /root/testdata/sf0.1` (~3 min — too
 # slow for per-pytest recomputation; sf0.001 above stays the fast
 # per-run check). Re-measure and update BOTH this dict and
