@@ -31,6 +31,33 @@ import json
 from typing import Any, Iterator
 
 
+# Single source of truth for the deliberate BroadcastNestedLoopJoin
+# plans (every one a tiny-broadcast-side cross join) — consumed by
+# BOTH tests/test_scale_ops.py::test_registered_plans_stay_jvm_side
+# (the operative gate) and tools/explain_audit.py's footer prose, so
+# the two can never drift (ADVICE r8: the footer named 5 of 10).
+NLJ_ALLOWLIST: dict[str, str] = {
+    "v1_cosine_topk_bruteforce": "corpus x broadcast query set",
+    "t9_length_trim": "corpus x broadcast 1-row bounds",
+    "v4_cosine_topk_ivf": "queries x broadcast centroid table",
+    "v4p_cosine_topk_ivf_grid": "corpus/queries x broadcast codebook",
+    "v9p_ivfpq_codes_grid": (
+        "corpus x broadcast codebook (same assign_cells_fixed "
+        "scoring as v4p)"
+    ),
+    "v9rp_ivfpq_rerank_grid": (
+        "corpus/queries x broadcast codebook (v9p's build + "
+        "probe-cell scoring)"
+    ),
+    "v6_semantic_dedup": "corpus x broadcast grid codebook",
+    "v6p_semantic_dedup_product": "corpus x broadcast dual codebook",
+    "e2e_master_daily": "master x broadcast 1-row mean",
+    "t17_tfidf_matrix": "tf x broadcast 1-row corpus count",
+    "t21_unigram_logprob": "tokens x broadcast 1-row total",
+    "t22_lm_quality_zscore": "t21's 1-row total + 1-row moments",
+}
+
+
 # Queries carrying a computed-double->DECIMAL cast that is PROVABLY
 # tie-free by magnitude. The rounding modes only diverge on an exact
 # round-half tie, and a finite double can only sit exactly on a

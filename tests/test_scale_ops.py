@@ -241,6 +241,7 @@ def test_registered_plans_stay_jvm_side(spark, sf_dir):
       bin-offset prefix sum is computed driver-side from a #shards-row
       aggregate instead of a global window)."""
     from garmin_data_pipeline_spark import plans
+    from garmin_data_pipeline_spark.plans.lint import NLJ_ALLOWLIST
 
     arrow_ok = {
         "m1_multimodal_metadata",
@@ -249,22 +250,10 @@ def test_registered_plans_stay_jvm_side(spark, sf_dir):
         # frame bytes cross into Python, never the full payload
         "m4_frame_checksums",
     }
-    nlj_ok = {
-        "v1_cosine_topk_bruteforce",  # corpus x broadcast query set
-        "t9_length_trim",             # corpus x broadcast 1-row bounds
-        "v4_cosine_topk_ivf",         # queries x broadcast centroid table
-        "v4p_cosine_topk_ivf_grid",   # corpus/queries x broadcast codebook
-        "v9p_ivfpq_codes_grid",       # corpus x broadcast codebook (same
-                                      # assign_cells_fixed scoring as v4p)
-        "v9rp_ivfpq_rerank_grid",     # corpus/queries x broadcast codebook
-                                      # (v9p's build + probe-cell scoring)
-        "v6_semantic_dedup",          # corpus x broadcast grid codebook
-        "v6p_semantic_dedup_product", # corpus x broadcast dual codebook
-        "e2e_master_daily",           # master x broadcast 1-row mean
-        "t17_tfidf_matrix",           # tf x broadcast 1-row corpus count
-        "t21_unigram_logprob",        # tokens x broadcast 1-row total
-        "t22_lm_quality_zscore",      # t21's 1-row total + 1-row moments
-    }
+    # per-plan justifications live with the allowlist in plans/lint.py
+    # (shared with tools/explain_audit.py's footer so prose and gate
+    # cannot drift)
+    nlj_ok = set(NLJ_ALLOWLIST)
     # demoted pytest-tier queries stay under the same invariants —
     # demotion changes driver visibility, not engine standards
     surface = dict(plans.queries())

@@ -21,6 +21,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from garmin_data_pipeline_spark.plans.lint import (  # noqa: E402
+    NLJ_ALLOWLIST,
+)
+
 MD = Path(__file__).resolve().parent.parent / "EXPLAIN.md"
 
 # Plan-node spellings that matter at scale.
@@ -48,7 +52,16 @@ def audit_one(plan: str) -> dict:
     out["pushed_filters"] = sum(1 for p in pushed if p.strip())
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     cols = max((len(s.split(",")) for s in schemas if s), default=0)
-    # 0 = ReadSchema not visible (plan string truncated or no file scan)
+    if not cols:
+        # A lazily-localCheckpointed relation replaces its whole
+        # subtree (file scan included) with `Scan ExistingRDD[...]`,
+        # so ReadSchema is genuinely absent — the checkpoint output
+        # width IS the pruning evidence at that boundary (what was
+        # materialized and re-scanned downstream).
+        rdd_outs = re.findall(r"Scan ExistingRDD[^\[]*\[([^\]]*)\]", plan)
+        cols = max(
+            (len(s.split(",")) for s in rdd_outs if s.strip()), default=0
+        )
     out["scan_cols"] = str(cols) if cols else "?"
     return out
 
@@ -159,15 +172,23 @@ def main() -> None:
         "Invariants enforced in CI (tests/test_scale_ops.py):",
         "no `BatchEvalPython` anywhere, `MapInPandas` only in the",
         "multimodal decode, no `CartesianProduct`, `BroadcastNestedLoopJoin`",
-        "only in the documented broadcast-small-side plans (v1's scored",
-        "cross product, t9's 1-row bounds attach, v4/v4p's tiny centroid",
-        "codebook, e2e's 1-row imputation mean), no unpartitioned",
-        "Window in any registered query, no Array/Map/Struct column in",
-        "any registered output (driver-hashable scalars only), and the",
-        "serve-plan invariant: every `*_serve_q500` plan has NO",
-        "SortMergeJoin and at most one Exchange (two for v4's documented",
-        "query-side probe-rank window) — the corpus-sized index never",
-        "moves at serve time (r7 verdict directive 3).",
+        "only in the allowlisted broadcast-small-side plans (the",
+        "operative list — shared with the test via",
+        "`plans.lint.NLJ_ALLOWLIST`, so this prose cannot drift):",
+        "",
+        *[
+            f"- `{name}` — {reason}"
+            for name, reason in sorted(NLJ_ALLOWLIST.items())
+        ],
+        "",
+        "plus: no unpartitioned Window in any registered query, no",
+        "Array/Map/Struct column in any registered output",
+        "(driver-hashable scalars only), no computed-double->DECIMAL",
+        "cast (plans/lint.py float discipline), and the serve-plan",
+        "invariant: every `*_serve_q500` plan has NO SortMergeJoin and",
+        "at most one Exchange (two for v4's documented query-side",
+        "probe-rank window) — the corpus-sized index never moves at",
+        "serve time (r7 verdict directive 3).",
         "",
     ]
     MD.write_text("\n".join(lines))
