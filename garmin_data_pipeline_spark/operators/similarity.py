@@ -1357,6 +1357,7 @@ def build_ivf_pq_index(
     subdim: int = 8,
     seed: int = 42,
     sample_fraction: float | None = None,
+    product_assignment: bool = False,
 ) -> tuple[DataFrame, DataFrame, list[list[list[float]]]]:
     """IVF-PQ index (Jégou et al.: IVFADC) — the industry-standard
     composed ANN index: KMeans-partition the corpus (IVF), then
@@ -1369,10 +1370,34 @@ def build_ivf_pq_index(
     noise. Returns (index rows (vec_id, cell, pq_code), centroid
     table, trained books).
 
-    Scale shape: the KMeans fit runs on a seeded sample; the corpus
-    is touched by one transform pass + one residual/encode pass
-    (broadcast centroid join, zero shuffle beyond the IVF build's
-    own); the serving index is m bytes + a cell id per vector."""
+    ``product_assignment`` (r8 verdict directive 6) swaps the flat
+    coarse quantizer for the inverted multi-index (Babenko &
+    Lempitsky, CVPR 2012): the coarse level becomes a 2-subspace PQ —
+    two KMeans codebooks of ceil(sqrt(n_centroids)) centers, each
+    fit on ONE HALF of the vector; a vector's cell is the pair of
+    per-half argmins. The flat transform scores n x C full-dim dots
+    — the same hidden quadratic the r8 sf1.0 probe caught in
+    SemDeDup's assignment once C scales with the corpus (C =
+    n/occupancy makes it O(n^2)); product assignment scores
+    n x 2*sqrt(C) HALF-dim distances = O(n^1.5) with a tiny
+    constant. The residual is computed per-half against the two
+    small codebooks (v - concat(bookA[a], bookB[b])) — NOTHING
+    C-sized is ever built or scored on the corpus side; only the
+    serve-time probe ranking still meets the C-row centroid table
+    (queries x C — query-side, and the returned table is exactly
+    the concatenated pair grid so :func:`search_ivf_pq` is
+    unchanged).
+
+    Scale shape: the KMeans fit(s) run on a seeded sample; the
+    corpus is touched by one transform pass + one residual/encode
+    pass (broadcast centroid join, zero shuffle beyond the IVF
+    build's own); the serving index is m bytes + a cell id per
+    vector."""
+    if product_assignment:
+        return _build_ivf_pq_index_product(
+            corpus, n_centroids, id_col, vec_col, m, k, subdim,
+            seed, sample_fraction,
+        )
     assigned, cents = build_ivf_index(
         corpus, n_centroids, id_col, vec_col, seed, sample_fraction
     )
@@ -1398,6 +1423,96 @@ def build_ivf_pq_index(
         _pq_code_expr(F.col("residual"), m, k, subdim, books).alias(
             "pq_code"
         ),
+    )
+    return index, cents, books
+
+
+def _build_ivf_pq_index_product(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    k: int,
+    subdim: int,
+    seed: int,
+    sample_fraction: float | None,
+) -> tuple[DataFrame, DataFrame, list[list[list[float]]]]:
+    """Inverted-multi-index build path of :func:`build_ivf_pq_index`
+    (see its docstring): coarse level = 2-subspace trained PQ over
+    vector halves, cell = a * kc + b, residual computed against the
+    two small half-codebooks without materializing anything C-sized
+    on the corpus side. Returns the same (index, centroid table,
+    books) contract — the centroid table is the kc x kc concatenated
+    pair grid, so the serve path needs no change."""
+    import math
+
+    dim = m * subdim
+    half = dim // 2
+    kc = max(2, math.isqrt(n_centroids - 1) + 1)  # ceil(sqrt(C))
+    coarse = fit_pq_codebooks(
+        corpus,
+        vec_col=vec_col,
+        m=2,
+        k=kc,
+        subdim=half,
+        seed=seed + 101,
+        sample_fraction=sample_fraction,
+    )
+    filtered = corpus.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) >= dim)
+    )
+    # per-half argmin codes: n x 2*kc half-dim distance chains — the
+    # O(n^1.5) replacement for the flat n x C full-dim transform
+    code = _pq_code_expr(F.col(vec_col), 2, kc, half, coarse)
+    assigned = filtered.select(
+        F.col(id_col).alias("vec_id"),
+        as_double_array(vec_col).alias("v"),
+        code.alias("__cc"),
+    )
+    book_a = F.array(
+        *[F.array(*[F.lit(x) for x in row]) for row in coarse[0]]
+    )
+    book_b = F.array(
+        *[F.array(*[F.lit(x) for x in row]) for row in coarse[1]]
+    )
+    r_a = F.zip_with(
+        F.slice("v", 1, half),
+        F.element_at(book_a, F.col("__cc")[0] + 1),
+        lambda a, b: a - b,
+    )
+    r_b = F.zip_with(
+        F.slice("v", half + 1, half),
+        F.element_at(book_b, F.col("__cc")[1] + 1),
+        lambda a, b: a - b,
+    )
+    resid = assigned.select(
+        "vec_id",
+        (F.col("__cc")[0] * kc + F.col("__cc")[1]).alias("cell"),
+        F.concat(r_a, r_b).alias("residual"),
+    )
+    books = fit_pq_codebooks(
+        resid,
+        vec_col="residual",
+        m=m,
+        k=k,
+        subdim=subdim,
+        seed=seed,
+        sample_fraction=sample_fraction,
+    )
+    index = resid.select(
+        "vec_id",
+        "cell",
+        _pq_code_expr(F.col("residual"), m, k, subdim, books).alias(
+            "pq_code"
+        ),
+    )
+    # kc^2 concatenated pair centroids — built driver-side from the
+    # two SMALL books; only serve-time probe ranking (queries x C)
+    # touches it, never the corpus.
+    cents = _centroid_df(
+        corpus.sparkSession,
+        [a + b for a in coarse[0] for b in coarse[1]],
     )
     return index, cents, books
 

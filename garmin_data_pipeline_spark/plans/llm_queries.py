@@ -962,6 +962,103 @@ def v5_int8_serve_q500(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Probe-only INDEX BUILD paths (r8 verdict directive 5): the serve
+# walls are priced per-round, but every serve tier amortizes an
+# offline build ("the build is the expensive part" —
+# similarity.build_ivf_index) — these functions time that claim.
+# Each is a FRESH build (no serve cache) returning the index
+# DataFrame, so tools/scale_probe.py can wall-clock it at sf0.1 and
+# the 10x replica: the v2 corpus hash pass, the v4 IVF KMeans
+# fit+transform, the v8t trained-codebook fit+encode, and the v9
+# IVFADC build in both flat and product-assignment forms (the probe
+# ratio between those two is directive 6's deliverable — the flat
+# transform is n x C full-dim dots, the product one n x 2*sqrt(C)
+# half-dim distances).
+# ---------------------------------------------------------------------------
+def v2_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One corpus pass: LSH sign-bucket + precomputed norm — the
+    standing index v2/v2mp serve from."""
+    from garmin_data_pipeline_spark.operators.similarity import (
+        _norm,
+        as_double_array,
+        hyperplanes,
+        lsh_bucket,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    v = as_double_array("embedding")
+    planes = hyperplanes(8, 64)
+    return emb.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") >= 64)
+    ).select(
+        "vec_id",
+        lsh_bucket(v, planes).alias("bucket"),
+        v.alias("v"),
+        _norm(v).alias("norm"),
+    )
+
+
+def v4_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF build: sample KMeans fit + one full-corpus transform —
+    the same parameters v4_ivf_serve_q500 amortizes."""
+    from garmin_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    assigned, _ = build_ivf_index(
+        emb, n_centroids=64, sample_fraction=0.5
+    )
+    return assigned
+
+
+def v8t_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-PQ build: m sample KMeans fits + one encode pass —
+    what v8t_pq_serve_q500 amortizes."""
+    from garmin_data_pipeline_spark.operators.similarity import (
+        build_pq_lsh_index,
+        fit_pq_codebooks,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    books = fit_pq_codebooks(
+        emb, m=_PQ_M, k=_PQ_K, subdim=_PQ_SUBDIM, sample_fraction=0.1
+    )
+    return build_pq_lsh_index(emb, n_planes=8, dim=64, books=books)
+
+
+def v9_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC build, flat coarse transform (n x C full-dim dots) —
+    what v9/v9r serve from."""
+    from garmin_data_pipeline_spark.operators.similarity import (
+        build_ivf_pq_index,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    index, _, _ = build_ivf_pq_index(
+        emb, n_centroids=64, sample_fraction=0.1,
+        m=_PQ_M, k=_PQ_K, subdim=_PQ_SUBDIM,
+    )
+    return index
+
+
+def v9pr_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC build with the inverted-multi-index coarse quantizer
+    (n x 2*sqrt(C) half-dim distances) — directive 6's scale path."""
+    from garmin_data_pipeline_spark.operators.similarity import (
+        build_ivf_pq_index,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    index, _, _ = build_ivf_pq_index(
+        emb, n_centroids=64, sample_fraction=0.1,
+        m=_PQ_M, k=_PQ_K, subdim=_PQ_SUBDIM,
+        product_assignment=True,
+    )
+    return index
+
+
 def v4_ivf_serve_q500(spark: SparkSession, sf_dir: str) -> DataFrame:
     from garmin_data_pipeline_spark.operators.similarity import (
         build_ivf_index,

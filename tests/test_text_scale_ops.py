@@ -607,3 +607,126 @@ class TestIvfPq:
         )
         assert cents.count() == 16
         assert len(books) == 8 and all(len(b) == 16 for b in books)
+
+
+class TestIvfPqProduct:
+    """build_ivf_pq_index(product_assignment=True) — the inverted-
+    multi-index coarse quantizer (r8 verdict directive 6): same
+    (index, cents, books) contract and serve path as the flat build,
+    but corpus assignment costs n x 2*sqrt(C) half-dim distances
+    instead of the flat n x C full-dim transform (the hidden
+    quadratic the sf1.0 probe caught in SemDeDup once C scales with
+    the corpus)."""
+
+    KC = 4  # ceil(sqrt(16))
+
+    def _index(self, spark, sf_dir):
+        from garmin_data_pipeline_spark.operators.similarity import (
+            build_ivf_pq_index,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        index, cents, books = build_ivf_pq_index(
+            emb, n_centroids=16, product_assignment=True
+        )
+        return emb, index, cents, books
+
+    def test_contract_matches_flat_build(self, spark, sf_dir):
+        emb, index, cents, books = self._index(spark, sf_dir)
+        rows = index.collect()
+        assert len(rows) == emb.count()
+        assert all(
+            r.pq_code is not None and len(r.pq_code) == 8 for r in rows
+        )
+        # cell = a * kc + b over the pair grid
+        assert all(0 <= r.cell < self.KC * self.KC for r in rows)
+        assert cents.count() == self.KC * self.KC
+        assert len(books) == 8 and all(len(b) == 16 for b in books)
+        # every pair-grid centroid is a full-dim vector (concat of
+        # the two half-codebook rows)
+        assert all(len(r.centroid) == 64 for r in cents.collect())
+
+    def test_adc_equals_numpy_residual_distance(self, spark, sf_dir):
+        """The serve path is UNCHANGED: ADC scores against the pair-
+        grid centroid table must equal the numpy residual-
+        quantization distance — proving the per-half residual
+        encode (v_half - book[c], concatenated) is exactly
+        v - concat_centroid."""
+        import numpy as np
+
+        from garmin_data_pipeline_spark.operators.similarity import (
+            search_ivf_pq,
+        )
+
+        spark.catalog.clearCache()
+        emb, index, cents, books = self._index(spark, sf_dir)
+        index = index.persist()
+        try:
+            queries = emb.filter(F.col("vec_id") < 3).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+            )
+            rows = search_ivf_pq(
+                index, cents, books, queries, k=5, n_probe=16
+            ).collect()
+            codes = {
+                r.vec_id: (r.cell, r.pq_code) for r in index.collect()
+            }
+            cent = {
+                r.cell: np.asarray(r.centroid) for r in cents.collect()
+            }
+            vecs = {
+                r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+                for r in emb.filter(F.col("vec_id") < 3).collect()
+            }
+            B = np.asarray(books)
+        finally:
+            index.unpersist()
+        assert rows
+        for r in rows:
+            cell, code = codes[r.vec_id]
+            rq = vecs[r.query_id] - cent[cell]
+            want = sum(
+                ((rq[j * 8 : (j + 1) * 8] - B[j, code[j]]) ** 2).sum()
+                for j in range(8)
+            )
+            assert abs(want - r.adc_dist) < 1e-6, (r, want)
+
+    def test_recall_comparable_to_flat(self, spark, sf_dir):
+        from garmin_data_pipeline_spark.operators.similarity import (
+            build_ivf_pq_index,
+            cosine_topk_bruteforce,
+            search_ivf_pq,
+        )
+
+        spark.catalog.clearCache()
+        emb, p_index, p_cents, p_books = self._index(spark, sf_dir)
+        f_index, f_cents, f_books = build_ivf_pq_index(
+            emb, n_centroids=16
+        )
+        queries = emb.filter(F.col("vec_id") < 50).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        bf = {
+            (r.query_id, r.vec_id)
+            for r in cosine_topk_bruteforce(emb, queries, k=10).collect()
+        }
+
+        def recall(index, cents, books):
+            got = {
+                (r.query_id, r.vec_id)
+                for r in search_ivf_pq(
+                    index, cents, books, queries, k=10, n_probe=4
+                ).collect()
+            }
+            return len(bf & got) / len(bf)
+
+        r_prod = recall(p_index, p_cents, p_books)
+        r_flat = recall(f_index, f_cents, f_books)
+        # product cells are a constrained partition of the flat one
+        # (independent half-space codebooks), so some recall loss is
+        # expected — the point is the O(n^1.5) assignment; generous
+        # k-means tolerance per the flake-watch policy.
+        assert r_prod >= r_flat - 0.15, (r_prod, r_flat)
+        assert r_prod >= 0.1, r_prod

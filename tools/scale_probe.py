@@ -85,6 +85,15 @@ PROBES = [
     "w9_time_weighted_avg",
     "d7_canonical_docs",
     "t22_lm_quality_zscore",
+    # r9: serve-tier BUILD walls (r8 verdict directive 5 — the serve
+    # entries above amortize these offline builds; now they are
+    # measured too), incl. the flat-vs-product IVFADC coarse
+    # transform pair (directive 6's probe ratio)
+    "v2_index_build",
+    "v4_index_build",
+    "v8t_index_build",
+    "v9_index_build",
+    "v9pr_index_build",
 ]
 
 WARMUPS = 1
@@ -177,9 +186,14 @@ def main() -> None:
     qs = entrymod.queries()
     from garmin_data_pipeline_spark.plans.llm_queries import (
         d5_groups_lsh,
+        v2_index_build,
         v2_lsh_serve_q500,
+        v4_index_build,
         v6s_semantic_dedup_scaled,
+        v8t_index_build,
+        v9_index_build,
         v9_ivfpq_serve_q500,
+        v9pr_index_build,
     )
     from garmin_data_pipeline_spark.plans.queries import (
         a1_pricing_summary_production,
@@ -191,6 +205,11 @@ def main() -> None:
         "v6s_semantic_dedup_scaled": v6s_semantic_dedup_scaled,
         "v9_ivfpq_serve_q500": v9_ivfpq_serve_q500,
         "d5_groups_lsh": d5_groups_lsh,
+        "v2_index_build": v2_index_build,
+        "v4_index_build": v4_index_build,
+        "v8t_index_build": v8t_index_build,
+        "v9_index_build": v9_index_build,
+        "v9pr_index_build": v9pr_index_build,
     }
 
     from garmin_data_pipeline_spark.operators.dedup_scale import (
@@ -250,7 +269,13 @@ def main() -> None:
             "(two-codebook) assignment — n x 2*sqrt(C) dots — "
             "probes 2.4x at 10x data and is the scale-path number. "
             "v6 stays in the probe set as the measured "
-            "counter-example"
+            "counter-example. The *_index_build entries (r9) price "
+            "the OFFLINE builds the serve tiers amortize — v2 hash "
+            "pass, v4 IVF fit+transform, v8t codebook fit+encode, "
+            "v9 IVFADC flat vs product coarse assignment (the "
+            "flat/product ratio is the directive-6 deliverable: "
+            "n x C full-dim dots vs n x 2*sqrt(C) half-dim "
+            "distances)"
         ),
         "queries_sf01": walls01,
         "queries_sf1": walls1,
