@@ -243,6 +243,13 @@ HEADLINE = [
     "w9_time_weighted_avg",
     "d7_canonical_docs",
     "t22_lm_quality_zscore",
+    # r9: the oracle-certified IVFADC+rerank twin (registered), and
+    # the dedup-purge retention at its SCALE shape (MinHash-LSH
+    # candidates feeding the canonical pick — registered d7 keeps the
+    # exact-Jaccard input for oracle-ability, mirroring d5 vs
+    # d5_groups_lsh).
+    "v9rp_ivfpq_rerank_grid",
+    "d7_canonical_docs_lsh",
 ]
 
 
@@ -268,6 +275,7 @@ def main() -> None:
     # keeps DECIMAL purely for cross-engine hash stability).
     from garmin_data_pipeline_spark.plans.llm_queries import (
         d5_groups_lsh,
+        d7_canonical_docs_lsh,
         v2_lsh_serve_q500,
         v2mp_lsh_serve_q500,
         v4_ivf_serve_q500,
@@ -294,6 +302,7 @@ def main() -> None:
         "v9_ivfpq_serve_q500": v9_ivfpq_serve_q500,
         "v9r_ivfpq_rerank_serve_q500": v9r_ivfpq_rerank_serve_q500,
         "d5_groups_lsh": d5_groups_lsh,
+        "d7_canonical_docs_lsh": d7_canonical_docs_lsh,
     }
 
     def run(df) -> None:

@@ -3133,6 +3133,18 @@ def d7_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", n=3, threshold=0.5, max_df=_D2_MAX_DF
     )
     groups = duplicate_groups(pairs, "doc_a", "doc_b")
+    return _canonical_pick(docs, groups)
+
+
+def _canonical_pick(docs: DataFrame, groups: DataFrame) -> DataFrame:
+    """The retention stage shared by d7 (exact-Jaccard pairs, the
+    oracle row) and d7_canonical_docs_lsh (MinHash candidates, the
+    scale path): AQE-broadcast left join of the (small) group table
+    back onto the corpus, singletons keep themselves, one
+    representative per group by (text_len DESC, doc_id) — a
+    PARTITIONED window, never a global sort."""
+    from pyspark.sql.window import Window
+
     m = docs.join(groups, "doc_id", "left").select(
         "doc_id",
         F.coalesce("group_id", "doc_id").alias("group_id"),
@@ -3154,6 +3166,27 @@ def d7_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text_len",
         )
     )
+
+
+def d7_canonical_docs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only (r8 verdict directive 4): the dedup-purge RETENTION
+    composition a 100 TB run actually executes — MinHash-LSH
+    candidate pairs (d3's banded scale path, never all-pairs) ->
+    connected components -> per-cluster canonical pick. Registered
+    d7 keeps the d2 exact-Jaccard pair input because that is what
+    the recursive-CTE oracle can mirror; this entry prices the scale
+    shape (mirroring how d5_groups_lsh composes over d5)."""
+    from garmin_data_pipeline_spark.operators.dedup_scale import (
+        minhash_lsh_pairs,
+    )
+    from garmin_data_pipeline_spark.operators.graph import (
+        duplicate_groups,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text")
+    groups = duplicate_groups(pairs, "doc_a", "doc_b")
+    return _canonical_pick(docs, groups)
 
 
 # ---------------------------------------------------------------------------

@@ -86,14 +86,20 @@ def main() -> None:
     # Bench-only variants are part of the perf story — audit them too.
     from garmin_data_pipeline_spark.plans.llm_queries import (
         d5_groups_lsh,
+        d7_canonical_docs_lsh,
+        v2_index_build,
         v2_lsh_serve_q500,
         v2mp_lsh_serve_q500,
+        v4_index_build,
         v4_ivf_serve_q500,
         v5_int8_serve_q500,
         v6s_semantic_dedup_scaled,
         v8_pq_serve_q500,
+        v8t_index_build,
         v8t_pq_serve_q500,
+        v9_index_build,
         v9_ivfpq_serve_q500,
+        v9pr_index_build,
         v9r_ivfpq_rerank_serve_q500,
     )
 
@@ -109,6 +115,12 @@ def main() -> None:
     )
     qs["v6s_semantic_dedup_scaled (bench-only)"] = v6s_semantic_dedup_scaled
     qs["d5_groups_lsh (bench-only)"] = d5_groups_lsh
+    qs["d7_canonical_docs_lsh (bench-only)"] = d7_canonical_docs_lsh
+    qs["v2_index_build (probe-only)"] = v2_index_build
+    qs["v4_index_build (probe-only)"] = v4_index_build
+    qs["v8t_index_build (probe-only)"] = v8t_index_build
+    qs["v9_index_build (probe-only)"] = v9_index_build
+    qs["v9pr_index_build (probe-only)"] = v9pr_index_build
 
     rows = []
     totals: Counter = Counter()

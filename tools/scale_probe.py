@@ -94,6 +94,9 @@ PROBES = [
     "v8t_index_build",
     "v9_index_build",
     "v9pr_index_build",
+    # r9: dedup-purge retention at its scale shape (LSH candidates
+    # -> CC -> canonical pick; directive 4)
+    "d7_canonical_docs_lsh",
 ]
 
 WARMUPS = 1
@@ -186,6 +189,7 @@ def main() -> None:
     qs = entrymod.queries()
     from garmin_data_pipeline_spark.plans.llm_queries import (
         d5_groups_lsh,
+        d7_canonical_docs_lsh,
         v2_index_build,
         v2_lsh_serve_q500,
         v4_index_build,
@@ -210,6 +214,7 @@ def main() -> None:
         "v8t_index_build": v8t_index_build,
         "v9_index_build": v9_index_build,
         "v9pr_index_build": v9pr_index_build,
+        "d7_canonical_docs_lsh": d7_canonical_docs_lsh,
     }
 
     from garmin_data_pipeline_spark.operators.dedup_scale import (
