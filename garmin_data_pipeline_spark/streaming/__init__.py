@@ -11,6 +11,7 @@ from .events import (  # noqa: F401
     daily_event_summary,
     dedupe_stream,
     enrich_events,
+    overlap_intervals,
     read_events_stream,
     sessionize,
     sessionize_stream,

@@ -215,6 +215,90 @@ def attribute_purchases(
     return joined.select(*out_cols)
 
 
+def overlap_intervals(
+    a: DataFrame,
+    b: DataFrame,
+    start_a: str,
+    end_a: str,
+    start_b: str,
+    end_b: str,
+    by: tuple[str, ...] = ("user_id",),
+    max_interval_minutes: int = 120,
+    watermark: str = "2 hours",
+    bin_seconds: int = 86400,
+) -> DataFrame:
+    """Stream-stream interval x interval OVERLAP join (st8) — the
+    streaming twin of
+    :func:`~garmin_data_pipeline_spark.operators.joins.join_interval_overlap`
+    (j9), completing the interval family one step past st4's
+    point-in-interval attribution. Closed-interval semantics:
+    touching intervals match with ``overlap_us = 0``.
+
+    BOTH frames first DROP intervals longer than
+    ``max_interval_minutes`` — that cap is the state-bound contract,
+    not a convenience: with durations <= D, any overlapping pair
+    satisfies ``|start_b - start_a| <= D`` (overlap means
+    start_b <= end_a <= start_a + D and symmetrically), so the
+    streaming join carries that bound as an explicit condition on
+    the two WATERMARKED start columns and Spark can age both state
+    stores out at watermark + D. An uncapped interval stream cannot
+    bound state: a still-open year-long interval forces a year of
+    the other side to stay buffered.
+
+    Batch frames apply the identical cap and delegate to the
+    bin-bucketed ``join_interval_overlap`` (hash join, dedup by
+    overlap-start bin) — like for like, which is what the
+    stream-vs-batch equivalence test compares. Output columns:
+    ``by + [start_a, end_a, start_b, end_b, overlap_us]``.
+
+    Watermarks reject TIMESTAMP_NTZ — cast interval bounds to
+    TIMESTAMP upstream (UTC session keeps wall-clock equality with
+    batch NTZ plans)."""
+    from ..functions.durations import epoch_micros
+    from ..operators.joins import join_interval_overlap
+
+    by = list(by)
+    cap_us = max_interval_minutes * 60 * 1_000_000
+
+    def us(df, col):
+        return epoch_micros(col, df.schema[col].dataType)
+
+    ac = a.filter(us(a, end_a) - us(a, start_a) <= cap_us)
+    bc = b.filter(us(b, end_b) - us(b, start_b) <= cap_us)
+    out_cols = by + [start_a, end_a, start_b, end_b, "overlap_us"]
+
+    if a.isStreaming or b.isStreaming:
+        aw = ac.withWatermark(start_a, watermark)
+        bw = bc.withWatermark(start_b, watermark)
+        bound = F.expr(f"INTERVAL {max_interval_minutes} MINUTES")
+        cond = (
+            (bw[start_b] >= aw[start_a] - bound)
+            & (bw[start_b] <= aw[start_a] + bound)
+            & (aw[start_a] <= bw[end_b])
+            & (bw[start_b] <= aw[end_a])
+        )
+        for k in by:
+            cond = cond & (aw[k] == bw[k])
+        ov_start = F.greatest(us(a, start_a), us(b, start_b))
+        ov_end = F.least(us(a, end_a), us(b, end_b))
+        joined = aw.join(bw, cond, "inner").withColumn(
+            "overlap_us", ov_end - ov_start
+        )
+        return joined.select(
+            *[aw[k] for k in by],
+            start_a,
+            end_a,
+            start_b,
+            end_b,
+            "overlap_us",
+        )
+
+    return join_interval_overlap(
+        ac, bc, start_a, end_a, start_b, end_b,
+        by=by, bin_seconds=bin_seconds,
+    ).select(*out_cols)
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator: per-user sessionization
 # ---------------------------------------------------------------------------

@@ -275,6 +275,120 @@ def test_attribution_stream_matches_batch(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_overlap_intervals_stream_matches_batch(spark, sf_dir, tmp_path):
+    """st8 — stream-stream interval OVERLAP join: the watermarked
+    streaming join over two interval file-streams must produce
+    exactly the batch twin's pair set with identical overlap_us
+    (j9's semantics; the batch path IS join_interval_overlap, whose
+    correctness the j9 driver row certifies). Interval construction
+    (per-user, per-event-type LEAD state intervals) happens in batch
+    upstream — the streams carry already-built intervals, as an
+    upstream SCD2/session stage would emit them. ts is cast to
+    TIMESTAMP (watermarks reject NTZ; UTC session keeps wall-clock
+    equality with the NTZ batch plan)."""
+    from pyspark.sql.window import Window
+
+    from garmin_data_pipeline_spark.plans.registry import table
+    from garmin_data_pipeline_spark.streaming import overlap_intervals
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def intervals(etype, s_name, e_name):
+        sub = ev.filter(F.col("event_type") == etype)
+        return (
+            sub.select(
+                "user_id",
+                F.col("ts").cast("timestamp").alias(s_name),
+                F.lead(F.col("ts").cast("timestamp"))
+                .over(w)
+                .alias(e_name),
+            )
+            .filter(F.col(e_name).isNotNull())
+        )
+
+    clicks = intervals("click", "click_start", "click_end")
+    views = intervals("view", "view_start", "view_end")
+    # 7-day cap: the sparse test log's state intervals are long
+    # (median click-hold ~29h at sf0.001) — 266 of 330 pairs survive
+    # the cap, a real population on both sides of it
+    kwargs = dict(
+        by=("user_id",),
+        max_interval_minutes=7 * 24 * 60,
+        watermark="2 hours",
+    )
+
+    want = {
+        tuple(r)
+        for r in overlap_intervals(
+            clicks, views,
+            "click_start", "click_end", "view_start", "view_end",
+            **kwargs,
+        ).collect()
+    }
+    assert want, "batch twin unexpectedly found no overlaps"
+
+    c_src, v_src = tmp_path / "iv_clicks", tmp_path / "iv_views"
+    clicks.write.parquet(str(c_src))
+    views.write.parquet(str(v_src))
+    c_stream = spark.readStream.schema(clicks.schema).parquet(str(c_src))
+    v_stream = spark.readStream.schema(views.schema).parquet(str(v_src))
+    joined = overlap_intervals(
+        c_stream, v_stream,
+        "click_start", "click_end", "view_start", "view_end",
+        **kwargs,
+    )
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("st8_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt_st8"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.table("st8_test").collect()}
+    assert got == want
+
+
+def test_overlap_intervals_cap_drops_unbounded_state(spark):
+    """The max_interval cap is the state-bound contract: an interval
+    longer than the cap is dropped in BOTH frames (batch checked
+    here), so no pair can require unbounded buffering of the other
+    side."""
+    from garmin_data_pipeline_spark.streaming import overlap_intervals
+
+    a = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", "2024-01-01 00:30:00"),
+            # 10-day interval: over any sane cap — must vanish
+            (1, "2024-01-01 00:00:00", "2024-01-11 00:00:00"),
+        ],
+        "user_id long, a_s string, a_e string",
+    ).select(
+        "user_id",
+        F.col("a_s").cast("timestamp").alias("a_s"),
+        F.col("a_e").cast("timestamp").alias("a_e"),
+    )
+    b = spark.createDataFrame(
+        [(1, "2024-01-01 00:15:00", "2024-01-01 00:45:00")],
+        "user_id long, b_s string, b_e string",
+    ).select(
+        "user_id",
+        F.col("b_s").cast("timestamp").alias("b_s"),
+        F.col("b_e").cast("timestamp").alias("b_e"),
+    )
+    out = overlap_intervals(
+        a, b, "a_s", "a_e", "b_s", "b_e",
+        by=("user_id",), max_interval_minutes=60,
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["overlap_us"] == 15 * 60 * 1_000_000
+
+
 def test_daily_summary_stream_to_table(spark, sf_dir, tmp_path):
     import shutil as _sh
 
