@@ -114,11 +114,12 @@ class TestTimeWeightedAverage:
             .fn(spark, str(tmp_path))
             .collect()
         }
-        assert out[1]["twa"] == 25.0
+        # twa_e6 = floor(twa * 1e6): 25.0 -> 25_000_000 exactly
+        assert out[1]["twa_e6"] == 25_000_000
         assert out[1]["held_us"] == 4 * 3_600_000_000
-        assert out[2]["twa"] is None and out[2]["held_us"] is None
+        assert out[2]["twa_e6"] is None and out[2]["held_us"] is None
         # user 3: event 5 holds 0us (dup ts), event 6 holds 1h at 2.0
-        assert out[3]["twa"] == 2.0
+        assert out[3]["twa_e6"] == 2_000_000
         # oracle agreement on the same edge frame
         con = duckdb.connect()
         con.execute(
@@ -129,7 +130,7 @@ class TestTimeWeightedAverage:
             plans.QUERIES["w9_time_weighted_avg"].oracle
         ).df()
         o = {int(r.user_id): r for _, r in odf.iterrows()}
-        assert o[1].twa == 25.0 and o[3].twa == 2.0
+        assert o[1].twa_e6 == 25_000_000 and o[3].twa_e6 == 2_000_000
 
 
 class TestSemanticDedupScaled:
