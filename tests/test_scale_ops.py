@@ -324,6 +324,45 @@ def test_serve_plans_never_move_the_index(spark, sf_dir):
         )
 
 
+def test_decimal_cast_lint_detects_the_w9_antipattern(spark):
+    """Positive-detection check for the float-discipline lint: the
+    exact shape that produced the r8 w9 driver hash miss (computed
+    double product cast to DECIMAL) must be flagged, and each
+    sanctioned form (bare column, round() root, exact-widening cast
+    of a raw non-double column, decimal-exact arithmetic) must not.
+    Guards the lint itself — a detector that silently stops firing
+    would let the failure class back in unnoticed."""
+    from garmin_data_pipeline_spark.plans.lint import (
+        unsafe_decimal_casts,
+    )
+
+    df = spark.createDataFrame(
+        [(1.5, 3, 2.25)], "v double, d long, f double"
+    )
+    bad = df.select(
+        F.sum(
+            (F.col("v") * F.col("d").cast("double")).cast(
+                "decimal(38,6)"
+            )
+        ).alias("s")
+    )
+    hits = unsafe_decimal_casts(bad)
+    assert hits and "decimal(38,6)" in hits[0], hits
+    # double + double arithmetic without any inner cast leaks too
+    bad2 = df.select((F.col("v") + F.col("f")).cast("decimal(18,6)").alias("x"))
+    assert unsafe_decimal_casts(bad2), "sum-of-doubles cast missed"
+    # sanctioned forms stay clean
+    ok = df.select(
+        F.col("v").cast("decimal(12,2)").alias("a"),
+        F.round(F.col("v") * 2, 6).cast("decimal(18,6)").alias("b"),
+        F.col("d").cast("double").cast("decimal(18,6)").alias("c"),
+        (F.col("v").cast("decimal(12,2)") * F.col("d"))
+        .cast("decimal(38,2)")
+        .alias("e"),
+    )
+    assert unsafe_decimal_casts(ok) == []
+
+
 def test_no_computed_double_to_decimal_cast(spark, sf_dir):
     """Float-discipline lint (r8 verdict directive 1): no registered
     plan may cast a COMPUTED double expression to DECIMAL. The
