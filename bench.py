@@ -218,6 +218,10 @@ HEADLINE = [
     # r7: IVFADC — IVF cells + trained residual PQ; the composed
     # index at the same 8-byte code budget (best quantized recall).
     "v9_ivfpq_serve_q500",
+    # r9: IVFADC over the product-assigned (inverted-multi-index)
+    # coarse level — per-half probe ranking, nothing C-sized at
+    # build OR serve; the plan shape for corpus-scaled cell counts.
+    "v9ps_ivfpq_product_serve_q500",
     # r8: IVFADC + exact rerank of a 50-candidate shortlist
     # (IVFADC+R) — same index, recall bounded by shortlist recall
     # instead of code resolution (0.711 vs 0.387 @10 on the fixture).
@@ -284,6 +288,7 @@ def main() -> None:
         v8_pq_serve_q500,
         v8t_pq_serve_q500,
         v9_ivfpq_serve_q500,
+        v9ps_ivfpq_product_serve_q500,
         v9r_ivfpq_rerank_serve_q500,
     )
     from garmin_data_pipeline_spark.plans.queries import (
@@ -300,6 +305,7 @@ def main() -> None:
         "v8_pq_serve_q500": v8_pq_serve_q500,
         "v8t_pq_serve_q500": v8t_pq_serve_q500,
         "v9_ivfpq_serve_q500": v9_ivfpq_serve_q500,
+        "v9ps_ivfpq_product_serve_q500": v9ps_ivfpq_product_serve_q500,
         "v9r_ivfpq_rerank_serve_q500": v9r_ivfpq_rerank_serve_q500,
         "d5_groups_lsh": d5_groups_lsh,
         "d7_canonical_docs_lsh": d7_canonical_docs_lsh,

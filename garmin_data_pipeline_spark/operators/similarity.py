@@ -1358,6 +1358,7 @@ def build_ivf_pq_index(
     seed: int = 42,
     sample_fraction: float | None = None,
     product_assignment: bool = False,
+    coarse_books: list[list[list[float]]] | None = None,
 ) -> tuple[DataFrame, DataFrame, list[list[list[float]]]]:
     """IVF-PQ index (Jégou et al.: IVFADC) — the industry-standard
     composed ANN index: KMeans-partition the corpus (IVF), then
@@ -1396,7 +1397,7 @@ def build_ivf_pq_index(
     if product_assignment:
         return _build_ivf_pq_index_product(
             corpus, n_centroids, id_col, vec_col, m, k, subdim,
-            seed, sample_fraction,
+            seed, sample_fraction, coarse_books,
         )
     assigned, cents = build_ivf_index(
         corpus, n_centroids, id_col, vec_col, seed, sample_fraction
@@ -1427,6 +1428,35 @@ def build_ivf_pq_index(
     return index, cents, books
 
 
+def fit_coarse_half_books(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> list[list[list[float]]]:
+    """The product coarse quantizer's two half-space codebooks —
+    exactly a 2-subspace trained PQ (ceil(sqrt(n_centroids)) centers
+    per half). Fit once, share between
+    ``build_ivf_pq_index(product_assignment=True, coarse_books=...)``
+    and :func:`search_ivf_pq_product` (the serve side ranks cells
+    per half against these same books, so they are part of the
+    index contract, like ``books`` is for the residual PQ)."""
+    import math
+
+    kc = max(2, math.isqrt(n_centroids - 1) + 1)
+    return fit_pq_codebooks(
+        corpus,
+        vec_col=vec_col,
+        m=2,
+        k=kc,
+        subdim=dim // 2,
+        seed=seed + 101,
+        sample_fraction=sample_fraction,
+    )
+
+
 def _build_ivf_pq_index_product(
     corpus: DataFrame,
     n_centroids: int,
@@ -1437,6 +1467,7 @@ def _build_ivf_pq_index_product(
     subdim: int,
     seed: int,
     sample_fraction: float | None,
+    coarse_books: list[list[list[float]]] | None = None,
 ) -> tuple[DataFrame, DataFrame, list[list[list[float]]]]:
     """Inverted-multi-index build path of :func:`build_ivf_pq_index`
     (see its docstring): coarse level = 2-subspace trained PQ over
@@ -1445,20 +1476,12 @@ def _build_ivf_pq_index_product(
     on the corpus side. Returns the same (index, centroid table,
     books) contract — the centroid table is the kc x kc concatenated
     pair grid, so the serve path needs no change."""
-    import math
-
     dim = m * subdim
     half = dim // 2
-    kc = max(2, math.isqrt(n_centroids - 1) + 1)  # ceil(sqrt(C))
-    coarse = fit_pq_codebooks(
-        corpus,
-        vec_col=vec_col,
-        m=2,
-        k=kc,
-        subdim=half,
-        seed=seed + 101,
-        sample_fraction=sample_fraction,
+    coarse = coarse_books or fit_coarse_half_books(
+        corpus, n_centroids, vec_col, dim, seed, sample_fraction
     )
+    kc = len(coarse[0])
     filtered = corpus.filter(
         F.col(vec_col).isNotNull() & (F.size(vec_col) >= dim)
     )
@@ -1584,6 +1607,147 @@ def search_ivf_pq(
     # shuffling + sorting the corpus-sized index per serve batch
     # (r7 verdict: 3 shuffles/1 smj on the most expensive bench
     # entry). Same shape search_pq_lsh gets: 1 shuffle, 1 bhj.
+    cand = index.join(F.broadcast(q_lut), "cell")
+    scored = cand.select(
+        "query_id", "vec_id", _adc_fold(pq_m).alias("adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_dist", "rank")
+    )
+
+
+def search_ivf_pq_product(
+    index: DataFrame,
+    coarse_books: list[list[list[float]]],
+    books: list[list[list[float]]],
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    per_half: int | None = None,
+    pq_m: int = 8,
+    pq_k: int = 16,
+    subdim: int = 8,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVFADC serve over a PRODUCT-assigned index (the serve half of
+    the inverted multi-index, Babenko & Lempitsky CVPR 2012 —
+    relational form): cells are ranked PER HALF, never flat. Each
+    query scores kc codewords per half (2*sqrt(C) half-dim distance
+    chains), keeps the ``per_half`` best of each, re-ranks the
+    per_half^2 candidate PAIRS by d0 + d1 — which IS the full L2 to
+    the concatenated pair centroid, since the halves are disjoint —
+    and probes the ``n_probe`` best. The flat :func:`search_ivf_pq`
+    probe scores queries x C full-dim distances against a C-row
+    centroid table; at corpus-scaled C (C = n/occupancy — the
+    regime product assignment exists for) that table stops being
+    broadcastable and the scan stops being cheap. Here NOTHING
+    C-sized exists at all — both serve and build touch only the two
+    sqrt(C)-row codebooks.
+
+    Approximation note: taking the top ``per_half`` per half before
+    pairing can miss a pair whose total ranks high but whose halves
+    both sit just past the cutoff (true IMI walks the pair frontier
+    incrementally); per_half defaults to n_probe, and with
+    per_half = kc the probe ranking is exhaustive and equivalent to
+    the flat ranking over the pair grid.
+
+    Residual LUTs are built from the pair's half-codewords directly
+    (concat of per-half subtractions — elementwise identical to
+    subtracting the concatenated centroid), lazily checkpointed
+    (queries x n_probe rows), and broadcast into ONE index scan:
+    same 1-Exchange / bhj serve shape as every other tier, index
+    immobile."""
+    kc = len(coarse_books[0])
+    per_half = min(per_half if per_half is not None else n_probe, kc)
+    half = len(coarse_books[0][0])
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        as_double_array(query_vec_col).alias("qv"),
+    )
+
+    def top_half(level: int, cell_name: str, d_name: str) -> DataFrame:
+        dists = _pq_subdists(
+            F.col("qv"), level, coarse_books[level], half
+        )
+        lvl = q.select(
+            "query_id",
+            "qv",
+            F.posexplode(dists).alias(cell_name, d_name),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.asc(d_name), F.col(cell_name)
+        )
+        out = lvl.withColumn("__hr", F.row_number().over(w)).filter(
+            F.col("__hr") <= per_half
+        )
+        # qv rides only level 0 (one copy per pair after the join)
+        keep = ["query_id", cell_name, d_name] + (
+            ["qv"] if level == 0 else []
+        )
+        return out.select(*keep)
+
+    pairs = top_half(0, "ha", "da").join(
+        top_half(1, "hb", "db"), "query_id"
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.asc(F.col("da") + F.col("db")),
+        F.col("ha"),
+        F.col("hb"),
+    )
+    probed = (
+        pairs.withColumn("__pr", F.row_number().over(wp))
+        .filter(F.col("__pr") <= n_probe)
+        .select(
+            "query_id",
+            "qv",
+            "ha",
+            "hb",
+            (F.col("ha") * kc + F.col("hb")).alias("cell"),
+        )
+    )
+    book_a = F.array(
+        *[F.array(*[F.lit(x) for x in row]) for row in coarse_books[0]]
+    )
+    book_b = F.array(
+        *[F.array(*[F.lit(x) for x in row]) for row in coarse_books[1]]
+    )
+    rq = F.concat(
+        F.zip_with(
+            F.slice("qv", 1, half),
+            F.element_at(book_a, F.col("ha") + 1),
+            lambda a, b: a - b,
+        ),
+        F.zip_with(
+            F.slice("qv", half + 1, half),
+            F.element_at(book_b, F.col("hb") + 1),
+            lambda a, b: a - b,
+        ),
+    )
+    # rq MUST be a materialized column before the LUT references it:
+    # _pq_subdists slices rq m*k times, and slicing the raw
+    # concat(zip_with...) expression makes Catalyst re-evaluate the
+    # whole residual construction once per codeword chain — the r6
+    # expression-blowup trap (measured 2x the whole serve wall here).
+    probed_rq = probed.select(
+        "query_id", "cell", rq.alias("rq")
+    ).localCheckpoint(eager=False)
+    lut = F.array(
+        *[
+            _pq_subdists(F.col("rq"), j, books[j], subdim)
+            for j in range(pq_m)
+        ]
+    )
+    # materialize BEFORE the index join (r6 lesson: projection
+    # collapse would re-inline the m*k lattice into every candidate)
+    q_lut = probed_rq.select(
+        "query_id", "cell", lut.alias("lut")
+    ).localCheckpoint(eager=False)
     cand = index.join(F.broadcast(q_lut), "cell")
     scored = cand.select(
         "query_id", "vec_id", _adc_fold(pq_m).alias("adc_dist")

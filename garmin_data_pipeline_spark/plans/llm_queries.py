@@ -2793,6 +2793,53 @@ def v9r_ivfpq_rerank_serve_q500(
         pq_m=_PQ_M, pq_k=_PQ_K, subdim=_PQ_SUBDIM,
     )
 
+_IVFPQ_PROD_SERVE_CACHE: dict[str, tuple] = {}
+
+
+def v9ps_ivfpq_product_serve_q500(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bench-only: IVFADC serving over the PRODUCT-assigned index
+    (inverted multi-index, both halves of it): the coarse level is
+    two ~sqrt(C) half-space codebooks — the build never runs the
+    flat n x C transform, and the SERVE ranks cells per half
+    (2*sqrt(C) half-dim chains per query + a per_half^2 pair
+    re-rank) instead of scanning a C-row centroid table. At this
+    bench's fixed C=64 that saves little (and the extra coarse fit
+    makes the BUILD slower here — see sf1_probe's v9pr vs v9 build
+    walls); the tier exists because at corpus-scaled C
+    (C = n/occupancy, the SemDeDup regime) neither a C-row broadcast
+    table nor a per-vector C-dot scan survives, and this plan shape
+    is the one that does. Same residual-PQ books, same
+    1-Exchange/bhj serve, index immobile."""
+    from garmin_data_pipeline_spark.operators.similarity import (
+        build_ivf_pq_index,
+        fit_coarse_half_books,
+        search_ivf_pq_product,
+    )
+
+    if sf_dir not in _IVFPQ_PROD_SERVE_CACHE:
+        emb = table(spark, sf_dir, "embeddings")
+        coarse = fit_coarse_half_books(
+            emb, n_centroids=64, sample_fraction=0.1
+        )
+        index, _, books = build_ivf_pq_index(
+            emb, n_centroids=64, sample_fraction=0.1,
+            m=_PQ_M, k=_PQ_K, subdim=_PQ_SUBDIM,
+            product_assignment=True, coarse_books=coarse,
+        )
+        _IVFPQ_PROD_SERVE_CACHE[sf_dir] = (
+            index.persist(), coarse, books,
+        )
+    index, coarse, books = _IVFPQ_PROD_SERVE_CACHE[sf_dir]
+    emb = table(spark, sf_dir, "embeddings")
+    return search_ivf_pq_product(
+        index, coarse, books, _serve_queries(emb), k=10,
+        n_probe=16, per_half=8,
+        pq_m=_PQ_M, pq_k=_PQ_K, subdim=_PQ_SUBDIM,
+    )
+
+
 # ---------------------------------------------------------------------------
 # V9P — oracle-certified IVFADC twin (r7 verdict directive 4): the
 # flagship serve tier's build machinery (coarse cell assignment ->

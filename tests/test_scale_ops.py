@@ -293,6 +293,7 @@ def test_serve_plans_never_move_the_index(spark, sf_dir):
         v8_pq_serve_q500,
         v8t_pq_serve_q500,
         v9_ivfpq_serve_q500,
+        v9ps_ivfpq_product_serve_q500,
         v9r_ivfpq_rerank_serve_q500,
     )
 
@@ -304,6 +305,9 @@ def test_serve_plans_never_move_the_index(spark, sf_dir):
         "v8_pq_serve_q500": (v8_pq_serve_q500, 1),
         "v8t_pq_serve_q500": (v8t_pq_serve_q500, 1),
         "v9_ivfpq_serve_q500": (v9_ivfpq_serve_q500, 1),
+        "v9ps_ivfpq_product_serve_q500": (
+            v9ps_ivfpq_product_serve_q500, 1,
+        ),
         "v9r_ivfpq_rerank_serve_q500": (v9r_ivfpq_rerank_serve_q500, 1),
     }
     shuffle_re = (

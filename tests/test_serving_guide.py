@@ -22,6 +22,7 @@ EXPECTED = {
     "v8_pq_grid": 0.239,
     "v8t_pq_trained": 0.267,
     "v9_ivfpq": 0.387,
+    "v9ps_ivfpq_product": 0.346,
     "v9r_ivfpq_rerank": 0.711,
 }
 
@@ -42,6 +43,7 @@ EXPECTED_SF01 = {
     "v8_pq_grid": 0.194,
     "v8t_pq_trained": 0.206,
     "v9_ivfpq": 0.252,
+    "v9ps_ivfpq_product": 0.231,
     "v9r_ivfpq_rerank": 0.487,
 }
 
@@ -57,6 +59,7 @@ def test_recall_figures_match_serving_md(spark, sf_dir):
         "v4_ivf",
         "v8t_pq_trained",
         "v9_ivfpq",
+        "v9ps_ivfpq_product",
         "v9r_ivfpq_rerank",
     }
     for name, want in EXPECTED.items():

@@ -692,6 +692,58 @@ class TestIvfPqProduct:
             )
             assert abs(want - r.adc_dist) < 1e-6, (r, want)
 
+    def test_product_serve_exhaustive_probe_equals_flat_probe(
+        self, spark, sf_dir
+    ):
+        """search_ivf_pq_product with per_half = kc (exhaustive pair
+        ranking) must return EXACTLY search_ivf_pq's results over the
+        pair-grid centroid table with every cell probed: the per-half
+        residual LUT is elementwise identical to the concatenated-
+        centroid one, and with all cells probed the probe-ranking
+        approximation disappears — so (query, vec, adc) triples are
+        bit-equal. This pins the per-half serve to the flat serve it
+        replaces at corpus-scaled C."""
+        from garmin_data_pipeline_spark.operators.similarity import (
+            build_ivf_pq_index,
+            fit_coarse_half_books,
+            search_ivf_pq,
+            search_ivf_pq_product,
+        )
+
+        spark.catalog.clearCache()
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        coarse = fit_coarse_half_books(emb, n_centroids=16)
+        kc = len(coarse[0])
+        index, cents, books = build_ivf_pq_index(
+            emb, n_centroids=16, product_assignment=True,
+            coarse_books=coarse,
+        )
+        index = index.persist()
+        try:
+            queries = emb.filter(F.col("vec_id") < 20).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+            )
+            prod = {
+                (r.query_id, r.vec_id): r.adc_dist
+                for r in search_ivf_pq_product(
+                    index, coarse, books, queries,
+                    k=10, n_probe=kc * kc, per_half=kc,
+                ).collect()
+            }
+            flat = {
+                (r.query_id, r.vec_id): r.adc_dist
+                for r in search_ivf_pq(
+                    index, cents, books, queries,
+                    k=10, n_probe=kc * kc,
+                ).collect()
+            }
+        finally:
+            index.unpersist()
+        assert prod.keys() == flat.keys()
+        for key, d in prod.items():
+            assert d == flat[key], (key, d, flat[key])
+
     def test_recall_comparable_to_flat(self, spark, sf_dir):
         from garmin_data_pipeline_spark.operators.similarity import (
             build_ivf_pq_index,

@@ -100,6 +100,7 @@ def main() -> None:
         v9_index_build,
         v9_ivfpq_serve_q500,
         v9pr_index_build,
+        v9ps_ivfpq_product_serve_q500,
         v9r_ivfpq_rerank_serve_q500,
     )
 
@@ -110,6 +111,9 @@ def main() -> None:
     qs["v8_pq_serve_q500 (bench-only)"] = v8_pq_serve_q500
     qs["v8t_pq_serve_q500 (bench-only)"] = v8t_pq_serve_q500
     qs["v9_ivfpq_serve_q500 (bench-only)"] = v9_ivfpq_serve_q500
+    qs["v9ps_ivfpq_product_serve_q500 (bench-only)"] = (
+        v9ps_ivfpq_product_serve_q500
+    )
     qs["v9r_ivfpq_rerank_serve_q500 (bench-only)"] = (
         v9r_ivfpq_rerank_serve_q500
     )

@@ -35,6 +35,7 @@ def tier_recalls(spark, sf_dir: str, k: int = 10) -> dict[str, float]:
         v8_pq_serve_q500,
         v8t_pq_serve_q500,
         v9_ivfpq_serve_q500,
+        v9ps_ivfpq_product_serve_q500,
         v9r_ivfpq_rerank_serve_q500,
     )
     from garmin_data_pipeline_spark.plans.registry import table
@@ -60,6 +61,7 @@ def tier_recalls(spark, sf_dir: str, k: int = 10) -> dict[str, float]:
         "v8_pq_grid": v8_pq_serve_q500,
         "v8t_pq_trained": v8t_pq_serve_q500,
         "v9_ivfpq": v9_ivfpq_serve_q500,
+        "v9ps_ivfpq_product": v9ps_ivfpq_product_serve_q500,
         "v9r_ivfpq_rerank": v9r_ivfpq_rerank_serve_q500,
     }
     out = {"v1_float": 1.0}
