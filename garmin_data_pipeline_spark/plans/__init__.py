@@ -160,6 +160,16 @@ _TAIL = [
     "w8_scd2_intervals",
     "o5_median_quantity",
     "d6_edit_distance_pairs",
+    # r9 LATE registrations (the r6 precedent: registered after the
+    # head was fixed, documented for FIRST driver rows in the r10
+    # head) — t23 n-gram novelty (integer-exact curation signal),
+    # w10 EWMA (all-DECIMAL power-of-two weights — the w9 float
+    # discipline applied by construction), j10 interval anti-join
+    # (j9's complement). Registry lands exactly at the policy-4 cap:
+    # 100 registered, head 50, tail 50.
+    "t23_ngram_novelty",
+    "w10_ewma_8",
+    "j10_interval_anti_join",
 ]
 
 # Policy 4: demoted to the pytest oracle tier (r6 verdict's named

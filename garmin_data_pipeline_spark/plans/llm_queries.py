@@ -3237,6 +3237,74 @@ def d7_canonical_docs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# T23 — n-gram novelty: per document, the fraction of its distinct
+# 3-gram shingles that NO earlier document (by doc_id — ingestion
+# order) contains. The dataset-curation freshness signal: a crawl
+# whose novelty curve collapses is re-crawling itself; dedup-adjacent
+# but measures marginal contribution, not pairwise similarity.
+# Integer-only arithmetic (counts + floor-scaled ratio), so the hash
+# is trivially cross-engine exact. Docs with zero shingles drop out
+# (no marginal contribution to measure) — both engines agree via the
+# inner join.
+# Scale shape: one shingle explode (shared via lazy checkpoint
+# between the first-seen aggregate and the per-doc count — the t22
+# lesson), one gram-keyed aggregate, one gram-keyed join back, one
+# doc-keyed aggregate. At 100 TB the gram->first_doc table is the
+# big side and stays partitioned by gram; nothing is collected.
+# ---------------------------------------------------------------------------
+@register(
+    "t23_ngram_novelty",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, UNNEST({T.sql_shingles(_TOKS, 3)}) AS s
+        FROM documents
+    ), firsts AS (
+        SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           CAST(SUM(CASE WHEN first_doc = sh.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams,
+           COUNT(*) AS total_grams,
+           CAST((SUM(CASE WHEN first_doc = sh.doc_id
+                          THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
+                AS BIGINT) AS novelty_e6
+    FROM sh JOIN firsts USING (s)
+    GROUP BY sh.doc_id
+    """,
+    doc="Per-document n-gram novelty: the fraction of a doc's "
+    "distinct 3-gram shingles first seen in THAT doc (ingestion "
+    "order by doc_id) — the marginal-contribution signal a "
+    "curation run tracks alongside dedup. Integer counts + "
+    "floor-scaled ratio (engine-exact); one explode, one gram "
+    "aggregate, one gram join, one doc aggregate.",
+)
+def t23_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(T.shingles(F.col("text"), 3)).alias("s")
+    ).localCheckpoint(eager=False)
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    agg = (
+        sh.join(firsts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("novel_grams"),
+            F.count(F.lit(1)).alias("total_grams"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "novel_grams",
+        "total_grams",
+        F.expr("(novel_grams * 1000000) div total_grams").alias(
+            "novelty_e6"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # T22 — LM-quality z-score: t21's mean unigram log-probability,
 # standardized against the corpus distribution (the form CCNet-style
 # pipelines threshold on: "keep docs above z = -1", robust to corpus

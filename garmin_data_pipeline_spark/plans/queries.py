@@ -2622,21 +2622,6 @@ def w9_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# J9 — interval x interval overlap join, beyond-reference: j6's
-# two-sided sibling (co-occurrence analysis, downtime x session
-# attribution, SCD2 x SCD2 reconciliation). Interval sources are
-# w8-style state intervals per event TYPE — each click holds until
-# the user's next click, each view until the next view — which
-# interleave and so genuinely overlap (30-min sessions from a sparse
-# event log almost never do: the first cut of this query returned
-# zero rows — a vacuous PASS — and was reshaped). Closed-interval
-# semantics: touching intervals match with overlap_us = 0. The
-# bin-bucket trick keeps it a hash join (fan-out = interval length /
-# bin, never |other side|) and the pair-kept-only-in-its-overlap-
-# start-bin rule dedupes WITHOUT a distinct
-# (see operators/joins.py:join_interval_overlap).
-# ---------------------------------------------------------------------------
 def _typed_intervals_cte(tag: str, etype: str) -> str:
     return f"""
     iv_{tag} AS (
@@ -2651,6 +2636,210 @@ def _typed_intervals_cte(tag: str, etype: str) -> str:
     )"""
 
 
+# ---------------------------------------------------------------------------
+# W10 — exponentially-decayed rolling average (EWMA over the last 8
+# observations per user), beyond-reference: the smoothing a metrics
+# warehouse applies to irregular gauges where w9's time-weighting is
+# too aggressive. Float discipline BY CONSTRUCTION (the w9 lesson
+# applied forward): decay 0.5 makes every weight 2^-k — an EXACT
+# decimal literal (0.0078125 at k=7) — so DECIMAL(12,2) values times
+# DECIMAL(9,7) weights accumulate exactly, and the result is emitted
+# as the floor-scaled BIGINT ewma_e6. No double appears anywhere in
+# the plan. The k=0 term always exists (the row itself), so the
+# denominator is never zero.
+# Scale shape: 8 LAG columns over ONE user-keyed window — a single
+# shuffle, no self-join; the window-frame alternative (weighted SUM
+# OVER ROWS) cannot weight by distance and a per-row explode of the
+# history would be an 8x blowup.
+# ---------------------------------------------------------------------------
+_EWMA_W = [0.5**k for k in range(8)]  # exact binary->decimal
+
+
+def _ewma_terms_sql() -> tuple[str, str]:
+    num, den = [], []
+    for k, w in enumerate(_EWMA_W):
+        lag = f"LAG(vd, {k}) OVER w" if k else "vd"
+        wk = f"CAST({w!r} AS DECIMAL(9,7))"
+        num.append(
+            f"COALESCE({lag} * {wk}, CAST(0 AS DECIMAL(21,9)))"
+        )
+        den.append(
+            f"CASE WHEN {lag} IS NOT NULL THEN {wk} "
+            f"ELSE CAST(0 AS DECIMAL(9,7)) END"
+        )
+    return " + ".join(num), " + ".join(den)
+
+
+@register(
+    "w10_ewma_8",
+    f"""
+    WITH pts AS (
+        SELECT user_id, event_id, ts,
+               CAST(value AS DECIMAL(12,2)) AS vd
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND value IS NOT NULL
+    ), terms AS (
+        SELECT user_id, event_id,
+               {_ewma_terms_sql()[0]} AS num,
+               {_ewma_terms_sql()[1]} AS den
+        FROM pts
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    -- clear the scales to INTEGERS before dividing (the w9 recipe):
+    -- decimal // decimal floors an already-ROUNDED decimal quotient
+    -- (observed one-ulp-of-scale differences vs Spark's div), while
+    -- integer // integer is the exact-rational floor on both engines.
+    -- floor(num*1e6/den) == (num*1e9 * 10000) // (den*1e7).
+    SELECT user_id, event_id,
+           CAST((CAST(num * 1000000000 AS HUGEINT) * 10000)
+                // CAST(den * 10000000 AS HUGEINT)
+                AS BIGINT) AS ewma_e6
+    FROM terms
+    """,
+    doc="Exponentially-decayed rolling mean (decay 0.5, last 8 "
+    "observations) per user: every weight is an exact power-of-two "
+    "decimal, values are exact DECIMAL(12,2), so the whole "
+    "computation is rational-exact and the floor-scaled BIGINT "
+    "output is engine-independent; 8 LAGs over one user-keyed "
+    "window = a single shuffle.",
+)
+def w10_ewma_8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from decimal import Decimal
+
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    vd = F.col("value").cast("decimal(12,2)")
+    pts = ev.select("user_id", "event_id", "ts", vd.alias("vd"))
+    num = None
+    den = None
+    zero_n = F.lit(Decimal(0)).cast("decimal(21,9)")
+    zero_d = F.lit(Decimal(0)).cast("decimal(9,7)")
+    for k, wt in enumerate(_EWMA_W):
+        lag = F.col("vd") if k == 0 else F.lag("vd", k).over(w)
+        wk = F.lit(Decimal(str(wt))).cast("decimal(9,7)")
+        term_n = F.coalesce(lag * wk, zero_n)
+        term_d = F.when(lag.isNotNull(), wk).otherwise(zero_d)
+        num = term_n if num is None else num + term_n
+        den = term_d if den is None else den + term_d
+    terms = pts.select(
+        "user_id",
+        "event_id",
+        num.alias("num"),
+        den.alias("den"),
+    )
+    # integers before the floor division — see the oracle comment
+    return terms.select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "(CAST(num * 1000000000 AS DECIMAL(38,0)) * 10000)"
+            " div CAST(den * 10000000 AS DECIMAL(20,0))"
+        ).alias("ewma_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J10 — interval anti-join, beyond-reference: j9's complement — the
+# click-state intervals during which the user had NO overlapping
+# view-state interval (coverage-gap / downtime detection; the
+# reconciliation question "what ran unmonitored"). Semantics: a
+# click interval survives iff it overlaps ZERO view intervals of the
+# same user (closed intervals, touching counts as overlap — exactly
+# j9's predicate, negated).
+# Scale shape: the overlap pairs come from the same bin-bucketed
+# hash join j9 runs (never a theta join), and the anti is one
+# LEFT ANTI hash join on the interval's own identity — Catalyst
+# builds the (small, already-deduped) overlap-key side as the hash
+# side under AQE.
+# ---------------------------------------------------------------------------
+@register(
+    "j10_interval_anti_join",
+    "WITH "
+    + _typed_intervals_cte("c", "click")
+    + ", "
+    + _typed_intervals_cte("v", "view")
+    + """
+    SELECT a.user_id, a.s AS click_start, a.e AS click_end
+    FROM iv_c a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM iv_v b
+        WHERE b.user_id = a.user_id
+          AND epoch_us(a.s) <= epoch_us(b.e)
+          AND epoch_us(b.s) <= epoch_us(a.e)
+    )
+    """,
+    doc="Interval anti-join: click-state intervals overlapping ZERO "
+    "view-state intervals of the same user (coverage gaps). The "
+    "overlap candidates come from j9's bin-bucketed hash join; the "
+    "negation is one LEFT ANTI join on the interval identity.",
+)
+def j10_interval_anti_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from garmin_data_pipeline_spark.operators.joins import (
+        join_interval_overlap,
+    )
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def intervals(etype: str, s_name: str, e_name: str) -> DataFrame:
+        sub = ev.filter(F.col("event_type") == etype)
+        return (
+            sub.select(
+                "user_id",
+                F.col("ts").alias(s_name),
+                F.lead("ts").over(w).alias(e_name),
+            )
+            .filter(F.col(e_name).isNotNull())
+        )
+
+    clicks = intervals("click", "click_start", "click_end")
+    views = intervals("view", "view_start", "view_end")
+    overlapped = join_interval_overlap(
+        clicks,
+        views,
+        "click_start",
+        "click_end",
+        "view_start",
+        "view_end",
+        by=["user_id"],
+        bin_seconds=86400,
+    ).select("user_id", "click_start", "click_end")
+    return clicks.join(
+        overlapped,
+        ["user_id", "click_start", "click_end"],
+        "left_anti",
+    )
+
+
+# ---------------------------------------------------------------------------
+# J9 — interval x interval overlap join, beyond-reference: j6's
+# two-sided sibling (co-occurrence analysis, downtime x session
+# attribution, SCD2 x SCD2 reconciliation). Interval sources are
+# w8-style state intervals per event TYPE — each click holds until
+# the user's next click, each view until the next view — which
+# interleave and so genuinely overlap (30-min sessions from a sparse
+# event log almost never do: the first cut of this query returned
+# zero rows — a vacuous PASS — and was reshaped). Closed-interval
+# semantics: touching intervals match with overlap_us = 0. The
+# bin-bucket trick keeps it a hash join (fan-out = interval length /
+# bin, never |other side|) and the pair-kept-only-in-its-overlap-
+# start-bin rule dedupes WITHOUT a distinct
+# (see operators/joins.py:join_interval_overlap). The shared
+# _typed_intervals_cte helper lives above w10 (j10 uses it too).
+# ---------------------------------------------------------------------------
 @register(
     "j9_interval_overlap",
     "WITH "

@@ -97,6 +97,9 @@ PROBES = [
     # r9: dedup-purge retention at its scale shape (LSH candidates
     # -> CC -> canonical pick; directive 4)
     "d7_canonical_docs_lsh",
+    # r9: the product/IMI serve (per-half probe ranking — the
+    # corpus-scaled-C serve shape, next to flat v9's entry above)
+    "v9ps_ivfpq_product_serve_q500",
 ]
 
 WARMUPS = 1
@@ -198,6 +201,7 @@ def main() -> None:
         v9_index_build,
         v9_ivfpq_serve_q500,
         v9pr_index_build,
+        v9ps_ivfpq_product_serve_q500,
     )
     from garmin_data_pipeline_spark.plans.queries import (
         a1_pricing_summary_production,
@@ -215,6 +219,7 @@ def main() -> None:
         "v9_index_build": v9_index_build,
         "v9pr_index_build": v9pr_index_build,
         "d7_canonical_docs_lsh": d7_canonical_docs_lsh,
+        "v9ps_ivfpq_product_serve_q500": v9ps_ivfpq_product_serve_q500,
     }
 
     from garmin_data_pipeline_spark.operators.dedup_scale import (
