@@ -254,6 +254,11 @@ HEADLINE = [
     # d5_groups_lsh).
     "v9rp_ivfpq_rerank_grid",
     "d7_canonical_docs_lsh",
+    # r9 late registrations: integer-exact novelty, all-DECIMAL EWMA,
+    # the interval anti-join
+    "t23_ngram_novelty",
+    "w10_ewma_8",
+    "j10_interval_anti_join",
 ]
 
 
