@@ -39,84 +39,35 @@ from garmin_data_pipeline_spark.plans.queries import (
 #      that keeps that bound.
 #
 # Coverage ledger (round each query last had a green driver row):
-#   r8 (49/50 green; CORRECTNESS_r08.json): the whole r8 _HEAD
-#       except w9_time_weighted_avg (hash miss — engine-dependent
-#       double->DECIMAL rounding; REWRITTEN r9 in exact integer
-#       arithmetic, see plans/lint.py, and back in the head).
-#   r7: the 42 oracled queries of the r8 tail — rotating back in NOW
+#   r9 (50/50 green; CORRECTNESS_r09.json): the whole r9 _HEAD —
+#       w9's decimal-exact rewrite and the v9rp first row included.
+#   r8: the 43 oracled queries of the r9 tail — rotating back in NOW
 #       (policy 3).
-#   never: v9rp_ivfpq_rerank_grid (r8 verdict directive 2 — the
-#       oracle-certified twin of the v9r rerank serve stage, the
-#       last uncertified serve-family stage). Enters under the
-#       growth rule: registry 96 -> 97 (93 oracled), head 50,
-#       tail 47 <= 50, so the two-round rotation bound holds.
-#   The six r8 FIRST-TIMERS (v8 regained, v9p, j9, d7, t22, v6p)
-#       keep head slots for a second consecutive row (policy 1
-#       priority, same treatment the r7 registrations got in r8).
+#   never: the three r9 LATE registrations (t23_ngram_novelty,
+#       w10_ewma_8, j10_interval_anti_join) take their FIRST driver
+#       rows this round, per the documented plan and the r6
+#       precedent; each now also carries hand-computed pytest
+#       coverage (tests/test_interval_ops.py TestEwma8 /
+#       TestIntervalAntiJoin, tests/test_text_scale_ops.py
+#       TestNgramNovelty — r9 verdict directive 1).
+#   Fill to 50 (policy 1 priority): w9 (the rewrite has exactly one
+#       green row — a second consecutive row derisks the one query
+#       that ever went locally-green/driver-red), v9rp (r9
+#       first-timer, second consecutive row — the r8-first-timer
+#       treatment), j9 + v9p (machinery under this round's edits:
+#       j10 composes join_interval_overlap, the IMI serve twin
+#       composes v9p's grid build).
 _HEAD = [
-    # --- changed / new this round ---
-    "w9_time_weighted_avg",      # rewritten (decimal-exact, twa_e6)
-    "v9rp_ivfpq_rerank_grid",    # new registration
-    # --- r8 first-timers taking a second consecutive row ---
-    "v8_pq_codes",
-    "v9p_ivfpq_codes_grid",
+    # --- first driver rows (registered late in r9) ---
+    "t23_ngram_novelty",
+    "w10_ewma_8",
+    "j10_interval_anti_join",
+    # --- fill: second consecutive row / this round's machinery ---
+    "w9_time_weighted_avg",
+    "v9rp_ivfpq_rerank_grid",
     "j9_interval_overlap",
-    "d7_canonical_docs",
-    "t22_lm_quality_zscore",
-    "v6p_semantic_dedup_product",
-    # --- r8's tail rotates back in (green r7, code unchanged) ---
-    "t19_quality_verdicts",
-    "t20_stratified_take_k",
-    "w6_rolling_7d",
-    "c2_decontaminated_corpus",
-    "q3_sql_revenue_topk",
-    "t21_unigram_logprob",
-    "o4_topk_orders_per_customer",
-    "a11_correlation",
-    "a8_impute_mean",
-    "a2_daily_min",
-    "t7_bpe_token_count",
-    "t2_language_id",
-    "p1_projection_revenue",
-    "d2_token_jaccard_pairs",
-    "d3p_minhash_lsh_pairs",
-    "d4p_simhash_candidates",
-    "t8p_rolling_fingerprint",
-    "v1_cosine_topk_bruteforce",
-    "t6_sequence_packing",
-    "st2_sessionize",
-    "st3_replay_dedup",
-    "t13_hash_split",
-    "v5_quantize_embeddings",
-    "t6b_sequence_packing_sharded",
-    "j1_master_daily_join",
-    "w5_densify_ffill",
-    "a14_salted_event_stats",
-    "j4_spatial_join",
-    "t14_repetition_metrics",
-    "t15_vocab_topk",
-    "st4_attribution",
-    "m4_frame_checksums",
-    "c1_contamination",
-    "v2mp_lsh_multiprobe",
-    "e2e_master_daily",
-    "v6_semantic_dedup",
-    "t17_tfidf_matrix",
-    "a15_cube_events",
-    "a16_decile_stats",
-    "p15_semi_anti_orders",
-    "g1_pagerank_bipartite",
-    "g2_dup_triangles",
-]
-_TAIL = [
-    # rows-only variants — PERMANENT tail residents (see policy 2);
-    # their oracle-backed twins carry the correctness signal:
-    "d3_minhash_lsh_pairs",
-    "d4_simhash_candidates",
-    "v4_cosine_topk_ivf",
-    "t8_rolling_fingerprint",
-    # green r8 (CORRECTNESS_r08), code unchanged — rotating out per
-    # policy 2; back in the r10 head per policy 3:
+    "v9p_ivfpq_codes_grid",
+    # --- r9's tail rotates back in (green r8, code unchanged) ---
     "st2b_session_window",
     "j7_salted_skew_join",
     "st5_segment_rollup",
@@ -160,18 +111,63 @@ _TAIL = [
     "w8_scd2_intervals",
     "o5_median_quantity",
     "d6_edit_distance_pairs",
-    # r9 LATE registrations (the r6 precedent: registered after the
-    # head was fixed, documented for FIRST driver rows in the r10
-    # head) — t23 n-gram novelty (integer-exact curation signal),
-    # w10 EWMA (all-DECIMAL power-of-two weights — the w9 float
-    # discipline applied by construction), j10 interval anti-join
-    # (j9's complement). Registry lands exactly at the policy-4 cap:
-    # 100 registered, head 50, tail 50.
-    "t23_ngram_novelty",
-    "w10_ewma_8",
-    "j10_interval_anti_join",
 ]
-
+_TAIL = [
+    # rows-only variants — PERMANENT tail residents (see policy 2);
+    # their oracle-backed twins carry the correctness signal:
+    "d3_minhash_lsh_pairs",
+    "d4_simhash_candidates",
+    "v4_cosine_topk_ivf",
+    "t8_rolling_fingerprint",
+    # green r9 (CORRECTNESS_r09), code unchanged — rotating out per
+    # policy 2; back in the r11 head per policy 3:
+    "v8_pq_codes",
+    "d7_canonical_docs",
+    "t22_lm_quality_zscore",
+    "v6p_semantic_dedup_product",
+    "t19_quality_verdicts",
+    "t20_stratified_take_k",
+    "w6_rolling_7d",
+    "c2_decontaminated_corpus",
+    "q3_sql_revenue_topk",
+    "t21_unigram_logprob",
+    "o4_topk_orders_per_customer",
+    "a11_correlation",
+    "a8_impute_mean",
+    "a2_daily_min",
+    "t7_bpe_token_count",
+    "t2_language_id",
+    "p1_projection_revenue",
+    "d2_token_jaccard_pairs",
+    "d3p_minhash_lsh_pairs",
+    "d4p_simhash_candidates",
+    "t8p_rolling_fingerprint",
+    "v1_cosine_topk_bruteforce",
+    "t6_sequence_packing",
+    "st2_sessionize",
+    "st3_replay_dedup",
+    "t13_hash_split",
+    "v5_quantize_embeddings",
+    "t6b_sequence_packing_sharded",
+    "j1_master_daily_join",
+    "w5_densify_ffill",
+    "a14_salted_event_stats",
+    "j4_spatial_join",
+    "t14_repetition_metrics",
+    "t15_vocab_topk",
+    "st4_attribution",
+    "m4_frame_checksums",
+    "c1_contamination",
+    "v2mp_lsh_multiprobe",
+    "e2e_master_daily",
+    "v6_semantic_dedup",
+    "t17_tfidf_matrix",
+    "a15_cube_events",
+    "a16_decile_stats",
+    "p15_semi_anti_orders",
+    "g1_pagerank_bipartite",
+    "g2_dup_triangles",
+]
 # Policy 4: demoted to the pytest oracle tier (r6 verdict's named
 # candidate list — all single-operator projections/filters/aggregates
 # certified by hash-matched driver rows in r3, r4 AND r5, code frozen

@@ -272,3 +272,113 @@ class TestIntervalOverlapRandomized:
             ).collect()
         }
         assert got == bf
+
+
+class TestEwma8:
+    """Hand-computed EWMA cases for w10_ewma_8 (r9 verdict directive
+    1): the registry's generic oracle gate is the exact signal w9
+    proved insufficient, so the weighting arithmetic gets a
+    paper-checkable pin here."""
+
+    SCHEMA = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+
+    def _run(self, spark, tmp_path, rows):
+        from garmin_data_pipeline_spark import plans
+
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+        return (
+            plans.QUERIES["w10_ewma_8"].fn(spark, str(tmp_path)),
+            plans.QUERIES["w10_ewma_8"].oracle,
+        )
+
+    def test_hand_computed_three_point_series(self, spark, tmp_path):
+        import duckdb
+
+        rows = [
+            (1, _ts(9), 1, "m", 10.0, "{}"),
+            (2, _ts(10), 1, "m", 20.0, "{}"),
+            (3, _ts(11), 1, "m", 40.0, "{}"),
+        ]
+        out_df, oracle = self._run(spark, tmp_path, rows)
+        out = {r["event_id"]: r["ewma_e6"] for r in out_df.collect()}
+        # row 1: 10/1                          = 10.0
+        # row 2: (20 + 10*0.5)/1.5             = 16.666...
+        # row 3: (40 + 20*0.5 + 10*0.25)/1.75  = 30.0
+        assert out == {
+            1: 10_000_000,
+            2: 16_666_666,  # floor, not round (16.666666...)
+            3: 30_000_000,
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"'{tmp_path}/events.parquet/*.parquet'"
+        )
+        odf = con.execute(oracle).df()
+        o = {int(r.event_id): int(r.ewma_e6) for _, r in odf.iterrows()}
+        assert o == out
+
+    def test_window_caps_at_eight_observations(self, spark, tmp_path):
+        # 9 observations; v1=256 so its presence/absence is visible:
+        #   row 8 covers k=0..7 -> includes v1 at weight 2^-7:
+        #     num = 127/64 + 256/128 = 3.984375, den = 255/128
+        #     -> exactly 2.0
+        #   row 9 covers v2..v9 (all 1.0) -> exactly 1.0 (v1 aged out)
+        rows = [
+            (k, _ts(9, k), 7, "m", 256.0 if k == 1 else 1.0, "{}")
+            for k in range(1, 10)
+        ]
+        out_df, _ = self._run(spark, tmp_path, rows)
+        out = {r["event_id"]: r["ewma_e6"] for r in out_df.collect()}
+        assert out[8] == 2_000_000
+        assert out[9] == 1_000_000
+
+
+class TestIntervalAntiJoin:
+    def test_j10_and_j9_partition_the_click_intervals(
+        self, spark, sf_dir
+    ):
+        """j10 is defined as j9's complement: every click-state
+        interval is either overlapped (appears among j9's distinct
+        click sides) or a coverage gap (appears in j10), never both
+        and never neither."""
+        from pyspark.sql.window import Window
+
+        from garmin_data_pipeline_spark import plans
+        from garmin_data_pipeline_spark.plans.registry import table
+
+        j9 = plans.QUERIES["j9_interval_overlap"].fn(spark, sf_dir)
+        j10 = plans.QUERIES["j10_interval_anti_join"].fn(spark, sf_dir)
+        overlapped = {
+            (r["user_id"], r["click_start"], r["click_end"])
+            for r in j9.select(
+                "user_id", "click_start", "click_end"
+            ).distinct().collect()
+        }
+        gaps = {
+            (r["user_id"], r["click_start"], r["click_end"])
+            for r in j10.collect()
+        }
+        # independent reconstruction of ALL click-state intervals
+        ev = table(spark, sf_dir, "events").filter(
+            F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+        )
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        clicks = {
+            (r["user_id"], r["s"], r["e"])
+            for r in ev.filter(F.col("event_type") == "click")
+            .select(
+                "user_id",
+                F.col("ts").alias("s"),
+                F.lead("ts").over(w).alias("e"),
+            )
+            .filter(F.col("e").isNotNull())
+            .collect()
+        }
+        assert overlapped and gaps, "vacuous at this SF — reshape"
+        assert overlapped.isdisjoint(gaps)
+        assert overlapped | gaps == clicks

@@ -782,3 +782,100 @@ class TestIvfPqProduct:
         # k-means tolerance per the flake-watch policy.
         assert r_prod >= r_flat - 0.15, (r_prod, r_flat)
         assert r_prod >= 0.1, r_prod
+
+
+class TestNgramNovelty:
+    """Brute-force pin for t23_ngram_novelty (r9 verdict directive
+    1): a tiny corpus whose novelty fractions are derivable by hand,
+    plus cross-engine agreement on the same frame."""
+
+    SCHEMA = (
+        "doc_id long, text string, lang string, "
+        "source string, n_chars long"
+    )
+
+    @staticmethod
+    def _py_shingles(text: str, n: int = 3) -> set[str]:
+        import re
+
+        toks = [
+            t
+            for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).split()
+            if t
+        ]
+        if not toks:
+            return set()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {
+            " ".join(toks[i : i + n])
+            for i in range(len(toks) - n + 1)
+        }
+
+    def test_brute_force_novelty(self, spark, tmp_path):
+        import duckdb
+
+        from garmin_data_pipeline_spark import plans
+
+        texts = {
+            1: "the quick brown fox jumps",
+            2: "the quick brown fox leaps",   # 1 of 3 grams novel
+            3: "fox",                         # short doc, one shingle
+            4: "",                            # zero shingles: drops
+            5: "Quick, brown?? FOX",          # normalizes to a seen gram
+            6: "a b a b a b a b",             # in-doc dup grams distinct
+        }
+        rows = [
+            (i, t, "en", "unit", len(t)) for i, t in texts.items()
+        ]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        df.write.mode("overwrite").parquet(
+            f"{tmp_path}/documents.parquet"
+        )
+        out = {
+            r["doc_id"]: r
+            for r in plans.QUERIES["t23_ngram_novelty"]
+            .fn(spark, str(tmp_path))
+            .collect()
+        }
+        # brute force over the python shingle mirror
+        seen: set[str] = set()
+        expect = {}
+        for i in sorted(texts):
+            sh = self._py_shingles(texts[i])
+            if not sh:
+                continue
+            novel = len(sh - seen)
+            seen |= sh
+            expect[i] = (novel, len(sh), novel * 1_000_000 // len(sh))
+        assert set(out) == set(expect)
+        for i, (novel, total, e6) in expect.items():
+            r = out[i]
+            assert (
+                r["novel_grams"],
+                r["total_grams"],
+                r["novelty_e6"],
+            ) == (novel, total, e6), (i, dict(r.asDict()))
+        # spot-check the hand numbers themselves
+        assert expect[1][2] == 1_000_000
+        assert expect[2] == (1, 3, 333_333)
+        assert expect[5] == (0, 1, 0)
+        assert expect[6][1] == 2  # distinct grams, not 6
+        # cross-engine agreement on the same frame
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet/*.parquet'"
+        )
+        odf = con.execute(
+            plans.QUERIES["t23_ngram_novelty"].oracle
+        ).df()
+        o = {
+            int(r.doc_id): (
+                int(r.novel_grams),
+                int(r.total_grams),
+                int(r.novelty_e6),
+            )
+            for _, r in odf.iterrows()
+        }
+        assert o == expect
