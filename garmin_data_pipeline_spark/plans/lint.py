@@ -121,30 +121,61 @@ def _iter_expr_trees(obj: Any) -> Iterator[tuple]:
                 yield from _iter_expr_trees(v)
 
 
-def _double_reaches(node: dict, children: list) -> bool:
+def _expr_id(node: dict) -> tuple | None:
+    eid = node.get("exprId")
+    if isinstance(eid, dict):
+        return (eid.get("id"), eid.get("jvmId"))
+    return None
+
+
+# Expression roots whose RESULT cannot be a double even when a double
+# appears somewhere beneath them (predicates, counts, hashes) — used
+# only to avoid tainting an alias of e.g. a boolean flag computed
+# FROM a double. The value that reaches a later cast is not the
+# double itself there.
+_NONDOUBLE_ROOTS = {
+    "GreaterThan", "GreaterThanOrEqual", "LessThan",
+    "LessThanOrEqual", "EqualTo", "EqualNullSafe", "In", "InSet",
+    "IsNull", "IsNotNull", "Not", "And", "Or", "StartsWith",
+    "EndsWith", "Contains", "RLike", "Like", "Count", "Size",
+    "Length", "Md5", "Sha2", "XxHash64", "Murmur3Hash", "Crc32",
+}
+
+_WRAPPERS = ("Alias", "AggregateExpression", "WindowExpression")
+
+
+def _double_reaches(node: dict, children: list, taint: set) -> bool:
     """True if a COMPUTED double flows from this subtree into the
     enclosing decimal cast. Barriers: casts to decimal (they convert —
     and are linted on their own) and round()/bround() (explicit grid
-    snap). Sources: double-typed leaves and casts to double — EXCEPT
-    a cast-to-double of a bare column/literal, which is the exact
-    widening of raw data (float32 embedding elements, integer counts)
-    and carries the same data-grid contract as a bare double column."""
+    snap). Sources: double-typed leaves, attributes TAINTED by an
+    upstream computed-double projection/aggregate (see
+    ``unsafe_decimal_casts``), and casts to double — EXCEPT a
+    cast-to-double of a bare untainted column/literal or of a
+    double-free (integer/decimal) expression, which is the exact
+    widening of raw or exact data (float32 embedding elements,
+    integer counts, DECIMAL accumulators) and carries the same
+    data-grid contract as a bare double column."""
     cls = _simple(node)
     dt = str(node.get("dataType", ""))
     if cls == "Cast":
         if dt.startswith("decimal"):
             return False
-        if dt == "double":
-            child_cls = _simple(children[0][0]) if children else ""
-            return child_cls not in ("AttributeReference", "Literal")
+        if dt == "double" and children:
+            cnode, cch = children[0]
+            if _simple(cnode) in ("AttributeReference", "Literal"):
+                return _expr_id(cnode) in taint
+            return _double_reaches(cnode, cch, taint)
     if cls in ("Round", "BRound"):
         return False
-    if cls in ("AttributeReference", "Literal") and dt == "double":
-        return True
-    return any(_double_reaches(*c) for c in children)
+    if cls in ("AttributeReference", "Literal"):
+        return dt == "double" or _expr_id(node) in taint
+    return any(_double_reaches(c[0], c[1], taint) for c in children)
 
 
-def _scan_expr(node: dict, children: list, hits: list[str]) -> None:
+def _scan_expr(
+    node: dict, children: list, hits: list[str], taint: set
+) -> None:
     cls = _simple(node)
     if (
         cls == "Cast"
@@ -153,17 +184,72 @@ def _scan_expr(node: dict, children: list, hits: list[str]) -> None:
     ):
         child_node, child_children = children[0]
         ccls = _simple(child_node)
-        computed = ccls not in ("AttributeReference", "Literal")
-        if computed and _double_reaches(child_node, child_children):
+        if ccls in ("AttributeReference", "Literal"):
+            if _expr_id(child_node) in taint:
+                hits.append(
+                    f"cast(tainted {child_node.get('name', '?')} "
+                    f"as {node['dataType']})"
+                )
+        elif _double_reaches(child_node, child_children, taint):
             hits.append(
                 f"cast({ccls}(...) as {node['dataType']})"
             )
     for c in children:
-        _scan_expr(c[0], c[1], hits)
+        _scan_expr(c[0], c[1], hits, taint)
+
+
+def _taint_aliases(tree: tuple, taint: set) -> None:
+    """If ``tree`` is a named expression whose value is a computed
+    double (or a pass-through of an already-tainted attribute), mark
+    its exprId tainted."""
+    node, children = tree
+    if _simple(node) != "Alias" or not children:
+        return
+    alias_id = _expr_id(node)
+    vnode, vchildren = children[0]
+    # unwrap aggregate/window wrappers to find the value root
+    eff, effc = vnode, vchildren
+    while _simple(eff) in _WRAPPERS and effc:
+        eff, effc = effc[0]
+    ecls = _simple(eff)
+    if ecls == "AttributeReference":
+        if _expr_id(eff) in taint:
+            taint.add(alias_id)
+        return
+    if ecls in ("Literal",) or ecls in _NONDOUBLE_ROOTS:
+        return
+    if _double_reaches(vnode, vchildren, taint):
+        taint.add(alias_id)
+
+
+def _walk_plan(node: dict, children: list, taint: set,
+               hits: list[str]) -> None:
+    """Post-order over the logical plan: child nodes' aliases taint
+    first, so a parent's casts see the provenance of every attribute
+    they reference."""
+    for c in children:
+        _walk_plan(c[0], c[1], taint, hits)
+    for tree in _iter_expr_trees(
+        {k: v for k, v in node.items() if k != "class"}
+    ):
+        _scan_expr(tree[0], tree[1], hits, taint)
+        _taint_aliases(tree, taint)
 
 
 def unsafe_decimal_casts(df) -> list[str]:
-    """All computed-double->DECIMAL casts in ``df``'s analyzed plan.
+    """All computed-double->DECIMAL casts in ``df``'s analyzed plan,
+    tracked ACROSS plan nodes: an attribute produced by a computed
+    double expression in any prior projection, aggregate, or window
+    is tainted by exprId, so ``select((v*f).alias('x'))`` followed by
+    ``col('x').cast('decimal')`` — or the same through an ``agg`` —
+    is flagged exactly like the single-expression form (ADVICE r9:
+    the analyzed-plan-only lint exempted any cast whose direct child
+    was an AttributeReference, letting the w9 antipattern re-enter in
+    the codebase's common multi-stage style). Known limits: taint
+    does not cross Union branch remapping or localCheckpoint
+    boundaries (a checkpointed relation re-enters as raw leaf
+    attributes — the same contract as raw data, which every
+    checkpointed producer in this repo satisfies by rounding first).
 
     Empty list == the plan obeys the float-oracle discipline (for
     this failure class). Non-empty == every listed cast can hash
@@ -174,6 +260,9 @@ def unsafe_decimal_casts(df) -> list[str]:
         df._jdf.queryExecution().analyzed().toJSON()
     )
     hits: list[str] = []
-    for node, children in _iter_expr_trees(plan_json):
-        _scan_expr(node, children, hits)
+    taint: set = set()
+    i = 0
+    while i < len(plan_json):
+        tree, i = _build(plan_json, i)
+        _walk_plan(tree[0], tree[1], taint, hits)
     return hits

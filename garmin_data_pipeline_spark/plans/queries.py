@@ -2610,6 +2610,13 @@ def w9_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # floor(num * 1e6 / den) over exact integers: `div` truncates,
     # operands are non-negative, so it equals DuckDB's flooring `//`.
+    # PRECONDITION (ADVICE r9): non-negativity comes from
+    # events.value >= 0 — a fixture/corpus with negative gauge values
+    # breaks truncate==floor and the engines drift by 1 ulp of scale.
+    # tools/check.py fails loudly on a negative-value fixture before
+    # running any query; a real deployment with signed gauges must
+    # split sign out first (abs + sign column) or switch both sides
+    # to an explicit floor.
     # The CASE guards ANSI division-by-zero (all-zero hold spans).
     return agg.select(
         "user_id",
@@ -2734,7 +2741,9 @@ def w10_ewma_8(spark: SparkSession, sf_dir: str) -> DataFrame:
         num.alias("num"),
         den.alias("den"),
     )
-    # integers before the floor division — see the oracle comment
+    # integers before the floor division — see the oracle comment.
+    # Same truncate==floor PRECONDITION as w9: operands non-negative
+    # because events.value >= 0 (gated in tools/check.py).
     return terms.select(
         "user_id",
         "event_id",

@@ -22,7 +22,7 @@ partition writes for downstream merge joins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -342,6 +342,55 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def _contains_map(dt) -> bool:
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
+def tiebreak_hash(schema, exclude: tuple = ()) -> Column:
+    """Stable full-payload xxhash64 for dedup/merge tiebreaks, over
+    sorted column names so it never depends on projection order.
+
+    Spark's xxhash64 (like hash) raises AnalysisException on MapType
+    input, including maps nested inside arrays or structs. Excluding
+    those columns (the r8 fix) reintroduced the nondeterminism the
+    tiebreak exists to prevent — two updates with equal (order_col,
+    keys) differing ONLY in a map column tied, so replays could
+    converge to different table states — and only covered TOP-LEVEL
+    maps (array<map>/struct-with-map still raised). Instead,
+    map-bearing columns are hashed over a canonicalized JSON form
+    (ADVICE r9): a top-level map becomes its entry list sorted by
+    key, so logically-equal maps built in different entry orders hash
+    alike; map-bearing nested types (and maps whose VALUES contain
+    further maps — entry structs with unorderable fields cannot be
+    sort_array'd) fall back to to_json of the whole cell, which is
+    deterministic for any fixed stored entry order (parquet
+    round-trips preserve it) and — the load-bearing property — always
+    DIFFERS between payloads that differ."""
+    from pyspark.sql.types import MapType
+
+    cols = []
+    for f in sorted(schema.fields, key=lambda f: f.name):
+        if f.name in exclude:
+            continue
+        c = F.col(f.name)
+        if isinstance(f.dataType, MapType) and not _contains_map(
+            f.dataType.valueType
+        ):
+            c = F.to_json(F.sort_array(F.map_entries(c)))
+        elif _contains_map(f.dataType):
+            c = F.to_json(c)
+        cols.append(c)
+    return F.xxhash64(*cols)
+
+
 def merge_upsert(
     spark: SparkSession,
     table: str,
@@ -444,27 +493,12 @@ def merge_upsert(
     # __src=1 — at-least-once redelivery within one batch) resolve
     # nondeterministically and replays could converge to different
     # table states (ADVICE r7, flagged on the creation path; the
-    # hazard is identical here).
-    # Map-typed columns are excluded: Spark's xxhash64 (like hash)
-    # raises AnalysisException on MapType input, and map cells carry
-    # no canonical entry order to hash anyway — the tiebreak stays
-    # deterministic over every hashable column (ADVICE r8: without
-    # the exclusion, merge_upsert hard-failed for any table with a
-    # map column instead of merging).
-    from pyspark.sql.types import MapType
-
-    unhashable = {
-        f.name
-        for f in updates.schema.fields
-        if isinstance(f.dataType, MapType)
-    }
-    payload_cols = sorted(
-        c for c in updates.columns if c != "__src" and c not in unhashable
-    )
+    # hazard is identical here). Map-bearing columns are hashed over
+    # a canonicalized JSON form — see tiebreak_hash.
     w = Window.partitionBy(*keys).orderBy(
         F.col(order_col).desc(),
         prefer_update,
-        F.xxhash64(*[F.col(c) for c in payload_cols]).asc(),
+        tiebreak_hash(updates.schema, exclude=("__src",)).asc(),
     )
     merged = (
         current.unionByName(updates)

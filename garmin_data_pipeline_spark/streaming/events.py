@@ -541,12 +541,13 @@ def start_upsert_stream(
             # must resolve the same way on every replay.
             from pyspark.sql.window import Window
 
-            payload_cols = sorted(batch.columns)
+            from garmin_data_pipeline_spark.sources.sinks import (
+                tiebreak_hash,
+            )
+
             w = Window.partitionBy("event_id").orderBy(
                 F.col("ts").desc(),
-                F.xxhash64(
-                    *[F.col(c) for c in payload_cols]
-                ).asc(),
+                tiebreak_hash(batch.schema).asc(),
             )
             deduped = (
                 batch.withColumn("__rn", F.row_number().over(w))

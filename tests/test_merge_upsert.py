@@ -105,9 +105,9 @@ class TestMergeUpsert:
         self, spark, upsert_table, tmp_path
     ):
         """Map-typed columns must not break the payload-hash tiebreak
-        (ADVICE r8: xxhash64 raises AnalysisException on MapType, so
-        the tiebreak hashes only hashable columns and a map-carrying
-        table still merges)."""
+        (ADVICE r8: xxhash64 raises AnalysisException on MapType;
+        ADVICE r9: maps are now hashed via a canonicalized JSON form
+        rather than excluded, so they participate in the tiebreak)."""
         base = spark.createDataFrame(
             [(1, {"a": 1}, 1), (2, {"b": 2}, 1)],
             "k int, props map<string,int>, ver int",
@@ -130,6 +130,84 @@ class TestMergeUpsert:
             for r in spark.table(upsert_table).collect()
         }
         assert got == {1: {"a": 1}, 2: {"b": 9}, 3: {"c": 3}}
+
+    def test_map_only_difference_breaks_ties_deterministically(
+        self, spark, upsert_table, tmp_path
+    ):
+        """ADVICE r9: two updates with equal (keys, order_col) that
+        differ ONLY in a map column must resolve the same way on
+        every replay — the canonicalized-JSON hash restores the
+        tiebreak the r8 map EXCLUSION silently dropped. Also pins
+        entry-order insensitivity: a map built in a different entry
+        order is the SAME payload and must not affect the winner."""
+        base = spark.createDataFrame(
+            [(1, {"z": 0}, 1)], "k int, props map<string,int>, ver int"
+        )
+        base.write.saveAsTable(upsert_table)
+        # same key, same ver, different map payloads — the winner
+        # must be a pure function of the payloads
+        dup = [(1, {"a": 1, "b": 2}, 2), (1, {"c": 3}, 2)]
+        winners = set()
+        for rep in range(3):
+            updates = spark.createDataFrame(
+                dup, "k int, props map<string,int>, ver int"
+            )
+            merge_upsert(
+                spark,
+                upsert_table,
+                updates,
+                keys=["k"],
+                order_col="ver",
+                staging_dir=str(tmp_path / f"stage_tie{rep}"),
+            )
+            row = spark.table(upsert_table).collect()[0]
+            winners.add(tuple(sorted(row["props"].items())))
+        assert len(winners) == 1, winners
+        # entry-order insensitivity of the canonical form
+        from garmin_data_pipeline_spark.sources.sinks import (
+            tiebreak_hash,
+        )
+
+        df = spark.createDataFrame(
+            [(1, {"a": 1, "b": 2}), (1, {"b": 2, "a": 1})],
+            "k int, props map<string,int>",
+        )
+        hashes = [
+            r["h"]
+            for r in df.select(
+                tiebreak_hash(df.schema).alias("h")
+            ).collect()
+        ]
+        assert hashes[0] == hashes[1]
+
+    def test_nested_map_payloads_merge(
+        self, spark, upsert_table, tmp_path
+    ):
+        """array<map<...>> and struct-with-map payloads previously
+        made xxhash64 raise straight through the r8 top-level-only
+        exclusion (ADVICE r9); the recursive walk routes them through
+        to_json."""
+        schema = (
+            "k int, tags array<map<string,int>>, "
+            "meta struct<m: map<string,int>, n: int>, ver int"
+        )
+        base = spark.createDataFrame(
+            [(1, [{"a": 1}], {"m": {"x": 1}, "n": 1}, 1)], schema
+        )
+        base.write.saveAsTable(upsert_table)
+        updates = spark.createDataFrame(
+            [(1, [{"a": 2}], {"m": {"x": 2}, "n": 2}, 2)], schema
+        )
+        merge_upsert(
+            spark,
+            upsert_table,
+            updates,
+            keys=["k"],
+            order_col="ver",
+            staging_dir=str(tmp_path / "stage_nested"),
+        )
+        row = spark.table(upsert_table).collect()[0]
+        assert row["meta"]["n"] == 2 and row["tags"][0]["a"] == 2
 
     def test_partitioned_rewrites_only_touched_partitions(
         self, spark, upsert_table, tmp_path

@@ -355,6 +355,34 @@ def test_decimal_cast_lint_detects_the_w9_antipattern(spark):
     # double + double arithmetic without any inner cast leaks too
     bad2 = df.select((F.col("v") + F.col("f")).cast("decimal(18,6)").alias("x"))
     assert unsafe_decimal_casts(bad2), "sum-of-doubles cast missed"
+    # ADVICE r9: the same antipattern split across plan nodes — the
+    # cast's direct child is an AttributeReference, but the attribute
+    # CARRIES a computed double from a prior projection / aggregate
+    # (the codebase's common multi-stage style). Both shapes verified
+    # to return [] under the analyzed-plan-only lint.
+    bad3 = df.select((F.col("v") * F.col("f")).alias("x")).select(
+        F.col("x").cast("decimal(18,6)").alias("y")
+    )
+    assert unsafe_decimal_casts(bad3), "staged projection cast missed"
+    bad4 = df.agg(F.sum("v").alias("s")).select(
+        F.col("s").cast("decimal(38,6)").alias("y")
+    )
+    assert unsafe_decimal_casts(bad4), "staged aggregate cast missed"
+    # ...and the staged SANCTIONED forms must stay clean: an attribute
+    # carrying round() output or a DECIMAL-exact accumulator is not
+    # tainted, nor is a pass-through alias of a raw double column.
+    ok2 = df.select(
+        F.round(F.col("v") * 2, 6).alias("r"),
+        F.col("v").alias("passthru"),
+    ).select(
+        F.col("r").cast("decimal(18,6)").alias("a"),
+        F.col("passthru").cast("decimal(12,2)").alias("b"),
+    )
+    assert unsafe_decimal_casts(ok2) == []
+    ok3 = df.agg(
+        F.sum(F.col("v").cast("decimal(18,6)")).alias("s")
+    ).select(F.col("s").cast("decimal(38,6)").alias("y"))
+    assert unsafe_decimal_casts(ok3) == []
     # sanctioned forms stay clean
     ok = df.select(
         F.col("v").cast("decimal(12,2)").alias("a"),

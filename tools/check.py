@@ -114,6 +114,26 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
+    # Fixture precondition (ADVICE r9): the integer floor-division
+    # queries (w9 twa_e6, w10 ewma_e6, t23 novelty_e6) rely on
+    # Spark's TRUNCATING `div` equaling DuckDB's FLOORING `//`, which
+    # holds only for non-negative operands. t23's operands are counts
+    # (non-negative by construction); w9/w10's come from events.value
+    # — fail loudly if a regenerated fixture ever breaks the
+    # contract instead of letting the engines disagree silently.
+    min_value = con.execute(
+        "SELECT min(value) FROM events"
+    ).fetchone()[0]
+    if min_value is not None and min_value < 0:
+        print(
+            f"FAIL <precondition>: events.value has negative values "
+            f"(min={min_value}) — Spark div (truncate) != DuckDB // "
+            "(floor) on negative operands; w9/w10 floor-scaled "
+            "outputs would hash-miss cross-engine (see plans/"
+            "queries.py w9/w10 docstrings)"
+        )
+        return 1
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failed = []
