@@ -1359,6 +1359,7 @@ def build_ivf_pq_index(
     sample_fraction: float | None = None,
     product_assignment: bool = False,
     coarse_books: list[list[list[float]]] | None = None,
+    books: list[list[list[float]]] | None = None,
 ) -> tuple[DataFrame, DataFrame, list[list[list[float]]]]:
     """IVF-PQ index (Jégou et al.: IVFADC) — the industry-standard
     composed ANN index: KMeans-partition the corpus (IVF), then
@@ -1397,7 +1398,7 @@ def build_ivf_pq_index(
     if product_assignment:
         return _build_ivf_pq_index_product(
             corpus, n_centroids, id_col, vec_col, m, k, subdim,
-            seed, sample_fraction, coarse_books,
+            seed, sample_fraction, coarse_books, books,
         )
     assigned, cents = build_ivf_index(
         corpus, n_centroids, id_col, vec_col, seed, sample_fraction
@@ -1468,6 +1469,7 @@ def _build_ivf_pq_index_product(
     seed: int,
     sample_fraction: float | None,
     coarse_books: list[list[list[float]]] | None = None,
+    books: list[list[list[float]]] | None = None,
 ) -> tuple[DataFrame, DataFrame, list[list[list[float]]]]:
     """Inverted-multi-index build path of :func:`build_ivf_pq_index`
     (see its docstring): coarse level = 2-subspace trained PQ over
@@ -1514,7 +1516,7 @@ def _build_ivf_pq_index_product(
         (F.col("__cc")[0] * kc + F.col("__cc")[1]).alias("cell"),
         F.concat(r_a, r_b).alias("residual"),
     )
-    books = fit_pq_codebooks(
+    books = books or fit_pq_codebooks(
         resid,
         vec_col="residual",
         m=m,
@@ -1903,3 +1905,43 @@ def build_ivf_pq_grid_index(
             "pq_code"
         ),
     )
+
+
+def build_ivf_pq_grid_index_product(
+    corpus: DataFrame,
+    kc: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    subdim: int = 8,
+    coarse_scale: float = 0.125,
+    book_scale: float = 0.25,
+) -> tuple[DataFrame, list, list]:
+    """Deterministic inverted-multi-index twin of
+    ``build_ivf_pq_index(product_assignment=True)`` — both KMeans
+    fits swapped for :func:`pq_codebooks` grids (coarse half-books at
+    DATA scale, residual books at residual scale — the same scale
+    split v9p certified), so a DuckDB oracle can reproduce the
+    per-half argmin assignment, pair-cell packing, per-half residual,
+    and residual PQ codes bit-for-bit. Returns
+    (index, coarse_books, books) ready for
+    :func:`search_ivf_pq_product` — together they give the IMI serve
+    path a DIRECT oracle certification (r9 verdict directive 8; the
+    pytest pin at per_half=sqrt(C) was transitive)."""
+    coarse = pq_codebooks(2, kc, dim // 2, scale=coarse_scale)
+    books = pq_codebooks(m, k, subdim, scale=book_scale)
+    index, _, _ = build_ivf_pq_index(
+        corpus,
+        n_centroids=kc * kc,
+        id_col=id_col,
+        vec_col=vec_col,
+        m=m,
+        k=k,
+        subdim=subdim,
+        product_assignment=True,
+        coarse_books=coarse,
+        books=books,
+    )
+    return index, coarse, books

@@ -92,8 +92,12 @@ _HEAD = [
     "w1_cumulative_spend",
     "f23_binned_group_mean",
     "s3_json_props_extract",
-    "t5_corpus_mix",
     "a13_pivot_event_values",
+    # --- new registration (r9 verdict directive 8: the IMI serve's
+    # direct oracle certification), balanced by demoting the
+    # 5x-certified t5_corpus_mix to the pytest tier (policy 4: the
+    # registry was at the cap) ---
+    "v9pss_imi_serve_grid",
     "j5_asof_join",
     "j6_range_join",
     "a12_time_rollup",
@@ -175,6 +179,9 @@ _TAIL = [
 # oracle on every pytest run; tests/test_scale_ops.py keeps them under
 # the plan-shape invariants.
 _PYTEST_TIER = [
+    # r10 demotion (balancing the v9pss_imi_serve_grid registration):
+    # green driver rows r5/r7/r8/r9 + the r3/r4 era, code frozen
+    "t5_corpus_mix",
     # r8 demotions (balancing the w9/j9 and d7/t22 registrations):
     # all 4-5x-certified trivial single-operator plans
     "o3_topk_orders",

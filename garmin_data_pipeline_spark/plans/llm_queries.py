@@ -1043,6 +1043,49 @@ def v9_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index
 
 
+def st8_overlap_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-only (r9 verdict directive 6): st8's BATCH twin at its
+    production shape — per-event-type LEAD state intervals capped at
+    the 7-day state bound, then the bin-bucketed interval overlap
+    join ``overlap_intervals`` runs for batch frames. The streaming
+    side's state is micro-batch-bounded by construction once the cap
+    holds (watermark + cap ages both stores), so pricing the batch
+    twin prices the per-batch work the stream re-executes; the cap
+    filter itself is one scan-side predicate. st8's semantics are
+    pytest-certified (stream-vs-batch equivalence,
+    tests/test_streaming_sinks.py); this entry supplies the missing
+    sf0.1 -> sf1.0 wall ratio in sf1_probe.json."""
+    from pyspark.sql.window import Window
+
+    from garmin_data_pipeline_spark.streaming.events import (
+        overlap_intervals,
+    )
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def intervals(etype: str, s: str, e: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select(
+                "user_id",
+                F.col("ts").alias(s),
+                F.lead("ts").over(w).alias(e),
+            )
+            .filter(F.col(e).isNotNull())
+        )
+
+    return overlap_intervals(
+        intervals("click", "click_start", "click_end"),
+        intervals("view", "view_start", "view_end"),
+        "click_start", "click_end", "view_start", "view_end",
+        by=("user_id",),
+        max_interval_minutes=7 * 24 * 60,
+    )
+
+
 def v9pr_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC build with the inverted-multi-index coarse quantizer
     (n x 2*sqrt(C) half-dim distances) — directive 6's scale path."""
@@ -3112,6 +3155,174 @@ def v9rp_ivfpq_rerank_grid(
         "query_id",
         "vec_id",
         F.round("cosine", 6).alias("cosine"),
+        "rank",
+    )
+
+
+# ---------------------------------------------------------------------------
+# V9PSS — oracle-certified inverted-multi-index SERVE twin (r9
+# verdict directive 8): v9ps's per-half probe ranking was certified
+# only TRANSITIVELY (pytest pin: per_half = sqrt(C) is bit-equal to
+# the flat ranking, which v9rp certifies). This row certifies the
+# IMI serve DIRECTLY, including the per-half approximation at
+# per_half < kc: grid coarse HALF-books (per-half argmin assignment
+# — the same _pq_code_sql_exprs association v9p certified for
+# residual codes), pair-cell packing, per-half probe ranking, pair
+# re-rank by d0+d1, per-pair residual vs the two half-codewords, ADC
+# LUT scoring, and the top-10-by-ADC pick — all bit-for-bit against
+# DuckDB. Nothing C-sized exists on either engine's plan: both sides
+# touch only the two kc-row half-books.
+# ---------------------------------------------------------------------------
+_V9PSS_KC = 8          # 8 x 8 = 64 pair cells
+_V9PSS_PROBE = 4
+_V9PSS_PER_HALF = 4    # < kc: the approximation is exercised
+
+
+def _v9pss_oracle() -> str:
+    from garmin_data_pipeline_spark.operators.similarity import (
+        pq_codebooks,
+    )
+
+    kc = _V9PSS_KC
+    coarse = pq_codebooks(2, kc, 32, scale=0.125)
+    books = pq_codebooks(_PQ_M, _PQ_K, _PQ_SUBDIM, scale=0.25)
+    a0, a1 = _pq_code_sql_exprs(coarse, 32, vec_sql="v")
+    codes = _pq_code_sql_exprs(books, _PQ_SUBDIM, vec_sql="rv")
+    code_cols = ", ".join(f"{e} AS c{j}" for j, e in enumerate(codes))
+    la, lb = _pq_lut_sql_lists(coarse, 32, vec_sql="qv")
+    luts = _pq_lut_sql_lists(books, _PQ_SUBDIM, vec_sql="rq")
+    lut_cols = ", ".join(f"{e} AS l{j}" for j, e in enumerate(luts))
+    adc = "0.0"
+    for j in range(_PQ_M):
+        adc = f"({adc} + l{j}[c{j} + 1])"
+    return f"""
+    WITH c AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) >= 64
+    ), ca(code, av) AS (
+        VALUES {_cent_values_sql(coarse[0])}
+    ), cb(code, bv) AS (
+        VALUES {_cent_values_sql(coarse[1])}
+    ), acode AS (
+        -- per-half argmin coarse codes (the IMI assignment)
+        SELECT vec_id, v, {a0} AS a0, {a1} AS a1 FROM c
+    ), codes AS (
+        SELECT vec_id, cell, {code_cols} FROM (
+            SELECT vec_id, a0 * {kc} + a1 AS cell,
+                   list_concat(
+                       list_transform(range(1, 33),
+                                      i -> v[i] - av[i]),
+                       list_transform(range(1, 33),
+                                      i -> v[i + 32] - bv[i])
+                   ) AS rv
+            FROM acode
+            JOIN ca ON acode.a0 = ca.code
+            JOIN cb ON acode.a1 = cb.code
+        )
+    ), q AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id < 5
+    ), qh AS (
+        SELECT query_id, qv, {la} AS la, {lb} AS lb FROM q
+    ), tha AS (
+        SELECT query_id, qv, ha, da FROM (
+            SELECT query_id, qv, g.code AS ha,
+                   la[g.code + 1] AS da,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY la[g.code + 1] ASC, g.code
+                   ) AS hrank
+            FROM qh CROSS JOIN
+                 (SELECT unnest(range(0, {kc})) AS code) g
+        ) WHERE hrank <= {_V9PSS_PER_HALF}
+    ), thb AS (
+        SELECT query_id, hb, db FROM (
+            SELECT query_id, g.code AS hb,
+                   lb[g.code + 1] AS db,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY lb[g.code + 1] ASC, g.code
+                   ) AS hrank
+            FROM qh CROSS JOIN
+                 (SELECT unnest(range(0, {kc})) AS code) g
+        ) WHERE hrank <= {_V9PSS_PER_HALF}
+    ), probed AS (
+        -- d0 + d1 IS the exact L2 to the concatenated pair centroid
+        SELECT query_id, qv, ha, hb FROM (
+            SELECT tha.query_id, qv, ha, hb,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY tha.query_id
+                       ORDER BY (da + db) ASC, ha, hb
+                   ) AS prank
+            FROM tha JOIN thb ON tha.query_id = thb.query_id
+        ) WHERE prank <= {_V9PSS_PROBE}
+    ), luts AS (
+        SELECT query_id, cell, {lut_cols} FROM (
+            SELECT query_id, ha * {kc} + hb AS cell,
+                   list_concat(
+                       list_transform(range(1, 33),
+                                      i -> qv[i] - av[i]),
+                       list_transform(range(1, 33),
+                                      i -> qv[i + 32] - bv[i])
+                   ) AS rq
+            FROM probed
+            JOIN ca ON probed.ha = ca.code
+            JOIN cb ON probed.hb = cb.code
+        )
+    ), scored AS (
+        SELECT query_id, vec_id, {adc} AS adc
+        FROM codes JOIN luts USING (cell)
+    )
+    SELECT query_id, vec_id, ROUND(adc, 6) AS adc_r6,
+           CAST(rnk AS INT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adc ASC, vec_id
+        ) AS rnk FROM scored
+    ) WHERE rnk <= 10
+    """
+
+
+@register(
+    "v9pss_imi_serve_grid",
+    _v9pss_oracle(),
+    doc="Inverted-multi-index serve, oracle-certified twin: per-half "
+    "argmin assignment into pair cells, per-half probe ranking (top "
+    "per_half of kc half-dim distance chains per half), pair re-rank "
+    "by d0+d1, residual ADC LUT scoring of the probed cells, top-10 "
+    "by ADC. Certifies search_ivf_pq_product directly at "
+    "per_half < kc; nothing C-sized at build or serve on either "
+    "engine.",
+)
+def v9pss_imi_serve_grid(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.similarity import (
+        build_ivf_pq_grid_index_product,
+        search_ivf_pq_product,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    index, coarse, books = build_ivf_pq_grid_index_product(
+        emb, kc=_V9PSS_KC, dim=64,
+        m=_PQ_M, k=_PQ_K, subdim=_PQ_SUBDIM,
+    )
+    out = search_ivf_pq_product(
+        index, coarse, books, queries,
+        k=10, n_probe=_V9PSS_PROBE, per_half=_V9PSS_PER_HALF,
+        pq_m=_PQ_M, pq_k=_PQ_K, subdim=_PQ_SUBDIM,
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("adc_dist", 6).alias("adc_r6"),
         "rank",
     )
 

@@ -52,6 +52,16 @@ def audit_one(plan: str) -> dict:
     out["pushed_filters"] = sum(1 for p in pushed if p.strip())
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     cols = max((len(s.split(",")) for s in schemas if s), default=0)
+    # A long FileScan line truncates its ReadSchema struct mid-type
+    # (no closing `>`, so the regex above misses it — the four `?`
+    # cells of r9). The scan's bracketed OUTPUT list on the same line
+    # is the identical pruned column set and never truncates at these
+    # widths — count that too and keep the widest.
+    scans = re.findall(r"FileScan \S+ \[([^\]]*)\]", plan)
+    cols = max(
+        cols,
+        max((len(s.split(",")) for s in scans if s.strip()), default=0),
+    )
     if not cols:
         # A lazily-localCheckpointed relation replaces its whole
         # subtree (file scan included) with `Scan ExistingRDD[...]`,
@@ -99,6 +109,7 @@ def main() -> None:
         v8t_pq_serve_q500,
         v9_index_build,
         v9_ivfpq_serve_q500,
+        st8_overlap_batch,
         v9pr_index_build,
         v9ps_ivfpq_product_serve_q500,
         v9r_ivfpq_rerank_serve_q500,
@@ -125,6 +136,7 @@ def main() -> None:
     qs["v8t_index_build (probe-only)"] = v8t_index_build
     qs["v9_index_build (probe-only)"] = v9_index_build
     qs["v9pr_index_build (probe-only)"] = v9pr_index_build
+    qs["st8_overlap_batch (probe-only)"] = st8_overlap_batch
 
     rows = []
     totals: Counter = Counter()
@@ -173,8 +185,8 @@ def main() -> None:
         "with non-empty `PushedFilters`; **cols** = widest scan's column",
         "count after pruning (documents/events tables are 4-6 cols wide,",
         "lineitem 7 — a narrow number here means pruning reached the",
-        "reader; `?` = ReadSchema not visible in the truncated plan",
-        "string).",
+        "reader; a truncated ReadSchema falls back to the FileScan's",
+        "bracketed output list — the same pruned column set).",
         "",
         "| query | shuffles | joins | codegen | python | win | pushed | cols |",
         "|---|---|---|---|---|---|---|---|",

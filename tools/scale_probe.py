@@ -100,6 +100,9 @@ PROBES = [
     # r9: the product/IMI serve (per-half probe ranking — the
     # corpus-scaled-C serve shape, next to flat v9's entry above)
     "v9ps_ivfpq_product_serve_q500",
+    # r10: the streaming family's first probe entry — st8's batch
+    # twin (the per-batch work the capped stream re-executes)
+    "st8_overlap_batch",
 ]
 
 WARMUPS = 1
@@ -201,6 +204,7 @@ def main() -> None:
         v9_index_build,
         v9_ivfpq_serve_q500,
         v9pr_index_build,
+        st8_overlap_batch,
         v9ps_ivfpq_product_serve_q500,
     )
     from garmin_data_pipeline_spark.plans.queries import (
@@ -220,6 +224,7 @@ def main() -> None:
         "v9pr_index_build": v9pr_index_build,
         "d7_canonical_docs_lsh": d7_canonical_docs_lsh,
         "v9ps_ivfpq_product_serve_q500": v9ps_ivfpq_product_serve_q500,
+        "st8_overlap_batch": st8_overlap_batch,
     }
 
     from garmin_data_pipeline_spark.operators.dedup_scale import (
