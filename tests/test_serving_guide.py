@@ -69,6 +69,42 @@ def test_recall_figures_match_serving_md(spark, sf_dir):
             assert got[name] == want, (name, got[name])
 
 
+# IMI approximation-knob curve (r9 verdict directive 5): recall@10 of
+# the v9ps serve vs per_half at fixed n_probe=16. per_half=8 is the
+# exhaustive setting (= kc = sqrt(C)) — identical to the flat probe
+# ranking, so it must agree with the v9ps tier figure above. The
+# sf0.1 literals are offline-measured
+# (`python tools/serving_recall.py /root/testdata/sf0.1`) and quoted
+# in SERVING.md's v9ps bullet.
+EXPECTED_IMI_CURVE = {2: 0.288, 4: 0.338, 8: 0.346}
+EXPECTED_IMI_CURVE_SF01 = {2: 0.202, 4: 0.229, 8: 0.231}
+
+
+def test_imi_per_half_curve_matches_serving_md(spark, sf_dir):
+    from serving_recall import imi_per_half_curve
+
+    got = imi_per_half_curve(spark, sf_dir)
+    # the index build includes k-means fits — same ulp-drift
+    # tolerance as the kmeans tiers in the recall test above
+    for ph, want in EXPECTED_IMI_CURVE.items():
+        assert abs(got[ph] - want) <= 0.02, (ph, got[ph])
+    # the quoted curve must appear verbatim in the doc (both scales);
+    # collapse the markdown line wrapping before matching
+    text = re.sub(r"\s+", " ", (ROOT / "SERVING.md").read_text())
+    assert (
+        f"{EXPECTED_IMI_CURVE[2]:.3f} sf0.001 / "
+        f"{EXPECTED_IMI_CURVE_SF01[2]:.3f} sf0.1" in text
+    )
+    assert (
+        f"{EXPECTED_IMI_CURVE[4]:.3f} / {EXPECTED_IMI_CURVE_SF01[4]:.3f}"
+        in text
+    )
+    assert (
+        f"{EXPECTED_IMI_CURVE[8]:.3f} / {EXPECTED_IMI_CURVE_SF01[8]:.3f}"
+        in text
+    )
+
+
 def test_serving_md_table_carries_these_numbers():
     """The committed table's two recall columns must literally contain
     the measured figures (guards against editing one side only). The

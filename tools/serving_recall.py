@@ -70,6 +70,53 @@ def tier_recalls(spark, sf_dir: str, k: int = 10) -> dict[str, float]:
     return out
 
 
+def imi_per_half_curve(
+    spark, sf_dir: str, per_halfs=(2, 4, 8), k: int = 10
+) -> dict[int, float]:
+    """recall@k of the IMI serve (v9ps) vs ``per_half`` at the bench
+    shape (fixed n_probe=16, kc=8 half-books) — THE tuning knob a
+    corpus-scaled-C deployment has (r9 verdict directive 5): the
+    per-half cutoff can miss a pair whose halves both rank just past
+    it, and per_half = kc (= sqrt(C) = 8 here) is the exhaustive
+    setting, pytest-pinned bit-equal to the flat ranking. Reuses the
+    cached v9ps index so the sweep prices only the serve."""
+    from garmin_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        search_ivf_pq_product,
+    )
+    from garmin_data_pipeline_spark.plans.llm_queries import (
+        _IVFPQ_PROD_SERVE_CACHE,
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUBDIM,
+        _serve_queries,
+        v9ps_ivfpq_product_serve_q500,
+    )
+    from garmin_data_pipeline_spark.plans.registry import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    v9ps_ivfpq_product_serve_q500(spark, sf_dir)  # populate cache
+    index, coarse, books = _IVFPQ_PROD_SERVE_CACHE[sf_dir]
+    exact_set = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk_bruteforce(
+            emb, _serve_queries(emb), k=k
+        ).collect()
+    }
+    out = {}
+    for ph in per_halfs:
+        got = {
+            (r.query_id, r.vec_id)
+            for r in search_ivf_pq_product(
+                index, coarse, books, _serve_queries(emb),
+                k=k, n_probe=16, per_half=ph,
+                pq_m=_PQ_M, pq_k=_PQ_K, subdim=_PQ_SUBDIM,
+            ).collect()
+        }
+        out[ph] = round(len(exact_set & got) / len(exact_set), 3)
+    return out
+
+
 def main() -> None:
     from garmin_data_pipeline_spark.session import get_spark
 
@@ -79,6 +126,8 @@ def main() -> None:
     spark = get_spark("serving_recall")
     for name, r in tier_recalls(spark, sf_dir).items():
         print(f"{name}: {r}")
+    for ph, r in imi_per_half_curve(spark, sf_dir).items():
+        print(f"v9ps per_half={ph}: {r}")
 
 
 if __name__ == "__main__":
