@@ -345,16 +345,35 @@ def main() -> None:
         gc.collect()
         spark._jvm.System.gc()
 
+    from garmin_data_pipeline_spark.session import (
+        release_new_persistent_rdds,
+        snapshot_persistent_rdds,
+    )
+
     for name in HEADLINE:
         fn = overrides[name] if name in overrides else qs[name]
-        for _ in range(WARMUPS):
+        # Checkpoint hygiene (r10): the serve tiers materialize
+        # per-call lazy localCheckpoints that only the (lagging)
+        # ContextCleaner frees — across a warm-up+reps cell they
+        # accumulate as storage pressure and GC noise (the r10
+        # serving bench measured v9ps reps growing 5.4 -> 12.9s in
+        # one session). Baseline after the first warm-up (which
+        # persists the long-lived index) and release the per-call
+        # garbage after every subsequent run, outside the timers.
+        ckpt_base: set[int] | None = None
+        for i in range(WARMUPS):
             run(fn(spark, sf_dir))
+            if i == 0:
+                ckpt_base = snapshot_persistent_rdds(spark)
+            else:
+                release_new_persistent_rdds(spark, ckpt_base)
         reps = []
         for _ in range(REPEATS):
             collect_garbage()
             t0 = time.perf_counter()
             run(fn(spark, sf_dir))
             reps.append(time.perf_counter() - t0)
+            release_new_persistent_rdds(spark, ckpt_base)
         timings[name] = round(statistics.median(reps), 3)
         spread[name] = round(max(reps) - min(reps), 3)
         # Cache hygiene BETWEEN cells: signature tables persisted by an
@@ -416,6 +435,30 @@ def main() -> None:
                     "2.544s vs its parent (238f722) 2.949s at sf0.1 — "
                     "the change is a real ~14% win; the r6 2.55->3.69s "
                     "series move was host drift. Change kept"
+                ),
+                "v8t_ab_note": (
+                    "r9 verdict directive 3 (v8t 4.19->6.35s "
+                    "normalized r8->r9 with no code change) settled "
+                    "by a same-session 7-rep A/B (2026-08-15, "
+                    "tools/serving_bench.py -> bench_serving_r10."
+                    "json): v8t median 3.144s vs v8 3.125s at sf0.1 "
+                    "(spreads 0.27/0.28s — the tightest of all "
+                    "tiers), identical plan, identical wall. The "
+                    "cross-round move was host drift; the same-code "
+                    "noise band is hereby documented as up to ~1.5x "
+                    "ACROSS rounds at these absolute walls (the "
+                    "host_factor calibration itself swings ~20%), "
+                    "while within-session spreads stay under 0.3s. "
+                    "No code change needed"
+                ),
+                "checkpoint_hygiene_note": (
+                    "r10: per-call serve localCheckpoints are "
+                    "released between reps (session."
+                    "release_new_persistent_rdds) — the lagging "
+                    "ContextCleaner otherwise accumulates them as "
+                    "storage pressure (v9ps reps grew 5.4->12.9s "
+                    "within one pre-fix session). Walls from r10 on "
+                    "are steady-state per call"
                 ),
                 "calibration_note": (
                     "calibration_s = median wall of a fixed pure-"

@@ -64,3 +64,39 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def snapshot_persistent_rdds(spark) -> set[int]:
+    """IDs of every currently-persisted RDD (long-lived serve indexes,
+    caches, and any already-materialized lazy checkpoints)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def release_new_persistent_rdds(spark, baseline: set[int]) -> int:
+    """Unpersist every RDD persisted since ``baseline``; returns the
+    count released.
+
+    The ANN serve paths materialize per-CALL lazy ``localCheckpoint``
+    relations (query LUTs, residuals, shortlists — the r6
+    expression-blowup fix). Spark frees those only when the
+    ContextCleaner notices the Python wrapper has been
+    garbage-collected, which lags under load, so a long serving
+    session — or a 7-rep bench cell — accumulates them as
+    storage-memory pressure and GC noise (measured in the r10
+    serving bench: v9ps reps grew monotonically 5.4 -> 12.9s in one
+    session; flat after releasing between reps). Per-call
+    checkpoints are never shared across calls — they are NOT
+    CacheManager entries, so no plan-fragment reuse can point at
+    them — which makes everything past the baseline strictly
+    garbage once the call's action completes. Long-lived indexes
+    persisted BEFORE the baseline are untouched. Serving loops
+    should snapshot once after the index warm-up and release after
+    every batch."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    n = 0
+    for k in list(jmap.keySet().toArray()):
+        if int(k) not in baseline:
+            jmap.get(k).unpersist(False)
+            n += 1
+    return n

@@ -644,3 +644,33 @@ class TestZipScan:
         names = extract_zip(str(tmp_path / "raw.zip"), str(tmp_path / "out"))
         assert names == ["f.txt"]
         assert (tmp_path / "out" / "f.txt").read_bytes() == b"data"
+
+
+def test_release_new_persistent_rdds_spares_the_baseline(spark):
+    """The serve-session checkpoint-hygiene helpers (r10): releasing
+    everything persisted since a baseline must free materialized lazy
+    localCheckpoints while leaving pre-baseline persisted data (the
+    long-lived serve index) cached."""
+    from garmin_data_pipeline_spark.session import (
+        release_new_persistent_rdds,
+        snapshot_persistent_rdds,
+    )
+
+    index = spark.range(100).withColumnRenamed("id", "k").persist()
+    assert index.count() == 100  # materialize the "index"
+    base = snapshot_persistent_rdds(spark)
+    ck = (
+        spark.range(50)
+        .selectExpr("id * 2 AS v")
+        .localCheckpoint(eager=False)
+    )
+    assert ck.count() == 50  # materialize the per-call checkpoint
+    grown = snapshot_persistent_rdds(spark)
+    assert grown - base, "checkpoint did not register as persistent"
+    released = release_new_persistent_rdds(spark, base)
+    assert released >= 1
+    assert snapshot_persistent_rdds(spark) <= base
+    # the pre-baseline "index" is still cached and usable
+    assert index.storageLevel.useMemory
+    assert index.count() == 100
+    index.unpersist()
