@@ -91,13 +91,15 @@ _HEAD = [
     "a4_dedupe_latest_lineitem",
     "w1_cumulative_spend",
     "f23_binned_group_mean",
-    "s3_json_props_extract",
     "a13_pivot_event_values",
-    # --- new registration (r9 verdict directive 8: the IMI serve's
-    # direct oracle certification), balanced by demoting the
-    # 5x-certified t5_corpus_mix to the pytest tier (policy 4: the
-    # registry was at the cap) ---
+    # --- new registrations (policy 4: each balanced by a same-round
+    # demotion of a >=4x-certified trivial query — t5_corpus_mix and
+    # s3_json_props_extract, both on the r9 verdict's candidate
+    # list): v9pss = the IMI serve's DIRECT oracle certification
+    # (r9 directive 8), q5 = the TPC-H Q5-shape six-relation star
+    # join (local-supplier correlation + broadcast dims) ---
     "v9pss_imi_serve_grid",
+    "q5_local_supplier_volume",
     "j5_asof_join",
     "j6_range_join",
     "a12_time_rollup",
@@ -179,9 +181,11 @@ _TAIL = [
 # oracle on every pytest run; tests/test_scale_ops.py keeps them under
 # the plan-shape invariants.
 _PYTEST_TIER = [
-    # r10 demotion (balancing the v9pss_imi_serve_grid registration):
-    # green driver rows r5/r7/r8/r9 + the r3/r4 era, code frozen
+    # r10 demotions (balancing the v9pss_imi_serve_grid and
+    # q5_local_supplier_volume registrations): both >=4 green driver
+    # rows with code frozen since
     "t5_corpus_mix",
+    "s3_json_props_extract",
     # r8 demotions (balancing the w9/j9 and d7/t22 registrations):
     # all 4-5x-certified trivial single-operator plans
     "o3_topk_orders",

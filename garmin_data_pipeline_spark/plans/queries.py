@@ -2171,6 +2171,90 @@ def q3_sql_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q5 — local-supplier volume (TPC-H Q5 shape): revenue per nation for
+# orders whose customer AND line-supplier sit in the same nation of
+# one region, over a two-year window. The classic warehouse star-join
+# planning exercise the q3 entry only half-covers: SIX relations, a
+# non-key equality (s_nationkey = c_nationkey) that correlates two
+# branches of the join tree, and selective dim filters that must
+# prune before the fact scan.
+# Scale shape: region/nation are constant-size (broadcast literals),
+# customer/supplier are key-joined dims AQE broadcasts at any
+# realistic dim:fact ratio, and the only required shuffle is the
+# final nation aggregate — Catalyst plans the whole chain as
+# broadcast-hash joins over ONE lineitem scan with the date filter
+# pushed into the orders scan.
+# Float discipline: extendedprice/discount are 2-dp grid data — the
+# DECIMAL(12,2) casts are exact (never a round-half tie), the
+# accumulation is exact DECIMAL, and only the finished sum widens to
+# DOUBLE (a value with a 4-dp exact decimal expansion well inside
+# 2^53 — identical on both engines).
+# ---------------------------------------------------------------------------
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2))))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+                 AND s_nationkey = c_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5-shaped local-supplier volume: six-relation "
+    "star join (lineitem x orders x customer x supplier x nation x "
+    "region) with the local-supplier correlation "
+    "s_nationkey = c_nationkey, revenue per nation in exact DECIMAL "
+    "accumulation widened to DOUBLE at the end. Dims broadcast, "
+    "date filter pushed to the orders scan, one shuffle for the "
+    "final aggregate.",
+)
+def q5_local_supplier_volume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = F.broadcast(table(spark, sf_dir, "nation"))
+    region = F.broadcast(
+        table(spark, sf_dir, "region").filter(
+            F.col("r_name") == "ASIA"
+        )
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # E3 — cohort retention matrix: users bucketed by first-activity day,
 # distinct-user counts per (cohort, day-offset). THE standard product-
 # analytics rollup over an event stream; the reference's notebooks
