@@ -259,6 +259,16 @@ HEADLINE = [
     "t23_ngram_novelty",
     "w10_ewma_8",
     "j10_interval_anti_join",
+    # r10 registrations: the oracle-certified IMI serve twin (grid
+    # books, per-half probe ranking at per_half < kc), and the
+    # TPC-H Q5-shape six-relation star join (five bhj over one
+    # lineitem scan, one aggregate shuffle).
+    "v9pss_imi_serve_grid",
+    "q5_local_supplier_volume",
+    # r10: the Z-order layout key (exact-min/max Morton arithmetic —
+    # the write-time data-skipping lever; prices the 32-term
+    # interleave projection + the 4-scalar broadcast aggregate).
+    "b2_zorder_key",
 ]
 
 

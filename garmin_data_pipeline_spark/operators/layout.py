@@ -109,3 +109,121 @@ def zorder_code(
         )
         code_inputs.append(bucketize(F.col(c), qs))
     return df.withColumn(out_col, interleave_bits(code_inputs, bits))
+
+
+# ---------------------------------------------------------------------------
+# Oracle-exact Z-order variant (r10). zorder_code above normalizes by
+# APPROXIMATE quantiles (the right production choice for skewed
+# data), but an approximate pass can never carry a hash-matched
+# DuckDB oracle row. The variant below rank-scales by exact min/max
+# with engine-exact integer arithmetic instead — the w9/w10
+# discipline: the (v - min) * (2^bits - 1) product widened to
+# DECIMAL(38,0)/HUGEINT (a 16-bit scale of a microsecond epoch span
+# overflows BIGINT), truncating `div` == flooring `//` on the
+# non-negative operands — so the registered `b2_zorder_key` query
+# certifies the complete interleave arithmetic bit-for-bit, and
+# write_zordered gives the layout a one-exchange parquet writer.
+# ---------------------------------------------------------------------------
+
+
+def _scale_spark_sql(c: str, lo: str, hi: str, bits: int) -> str:
+    """Spark-SQL text: rank-scale ``c`` into [0, 2^bits) with exact
+    integer arithmetic; a degenerate column (max == min) maps to 0."""
+    top = (1 << bits) - 1
+    return (
+        f"(CASE WHEN ({hi} - {lo}) > 0 THEN "
+        f"(CAST(({c} - {lo}) AS DECIMAL(38,0)) * {top})"
+        f" div ({hi} - {lo}) ELSE 0 END)"
+    )
+
+
+def zorder_oracle_scale_sql(
+    c: str, lo: str, hi: str, bits: int = 16
+) -> str:
+    """DuckDB mirror of :func:`_scale_spark_sql` (HUGEINT product,
+    flooring ``//`` — identical values for non-negative operands)."""
+    top = (1 << bits) - 1
+    return (
+        f"(CASE WHEN ({hi} - {lo}) > 0 THEN "
+        f"CAST((CAST(({c} - {lo}) AS HUGEINT) * {top})"
+        f" // ({hi} - {lo}) AS BIGINT) ELSE 0 END)"
+    )
+
+
+def zorder_oracle_interleave_sql(
+    sa: str, sb: str, bits: int = 16
+) -> str:
+    """DuckDB mirror of ``interleave_bits([sa, sb], bits)`` — the
+    same bit placement (column j's bit i at position i*2 + j)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({sa} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({sb} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def with_zorder_key(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    bits: int = 16,
+    out: str = "z",
+) -> DataFrame:
+    """Append the exact-min/max (col_a, col_b) Morton code as
+    column ``out``.
+
+    One aggregate computes the two min/max pairs (4 scalars,
+    broadcast back — the e2e/t17 1-row pattern, fully lazy unlike
+    zorder_code's eager quantile pass); the scaled keys are
+    materialized as intermediate columns so the interleave references
+    them instead of re-inlining the scale arithmetic 2*bits times
+    (the r6 expression-blowup trap); the interleave itself is
+    :func:`interleave_bits`. ``col_a``/``col_b`` must be integral
+    (cast timestamps to epoch micros first)."""
+    stats = df.agg(
+        F.min(col_a).alias("__amin"),
+        F.max(col_a).alias("__amax"),
+        F.min(col_b).alias("__bmin"),
+        F.max(col_b).alias("__bmax"),
+    )
+    staged = (
+        df.join(F.broadcast(stats))
+        .withColumn(
+            "__sa",
+            F.expr(_scale_spark_sql(col_a, "__amin", "__amax", bits)),
+        )
+        .withColumn(
+            "__sb",
+            F.expr(_scale_spark_sql(col_b, "__bmin", "__bmax", bits)),
+        )
+    )
+    return staged.withColumn(
+        out, interleave_bits([F.col("__sa"), F.col("__sb")], bits)
+    ).drop("__sa", "__sb", "__amin", "__amax", "__bmin", "__bmax")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    bits: int = 16,
+    n_files: int = 8,
+) -> None:
+    """Write ``df`` as parquet laid out along the (col_a, col_b)
+    Z-curve: ``repartitionByRange`` on the z-value splits the curve
+    into ``n_files`` contiguous segments and the in-partition sort
+    makes every row group's min/max tight on BOTH columns — one
+    range exchange, paid once at write time and amortized over every
+    pruned read. Readers need nothing special: plain parquet scans
+    prune files/row groups via the stats the layout made selective
+    (tests/test_layout_zorder.py measures the effect on both filter
+    axes)."""
+    (
+        with_zorder_key(df, col_a, col_b, bits=bits, out="__z")
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

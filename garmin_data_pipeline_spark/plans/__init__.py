@@ -91,15 +91,18 @@ _HEAD = [
     "a4_dedupe_latest_lineitem",
     "w1_cumulative_spend",
     "f23_binned_group_mean",
-    "a13_pivot_event_values",
     # --- new registrations (policy 4: each balanced by a same-round
-    # demotion of a >=4x-certified trivial query — t5_corpus_mix and
-    # s3_json_props_extract, both on the r9 verdict's candidate
-    # list): v9pss = the IMI serve's DIRECT oracle certification
-    # (r9 directive 8), q5 = the TPC-H Q5-shape six-relation star
-    # join (local-supplier correlation + broadcast dims) ---
+    # demotion of a >=4x-certified trivial query — t5_corpus_mix,
+    # s3_json_props_extract and a13_pivot_event_values, all on the
+    # r9 verdict's candidate list): v9pss = the IMI serve's DIRECT
+    # oracle certification (r9 directive 8), q5 = the TPC-H Q5-shape
+    # six-relation star join (local-supplier correlation + broadcast
+    # dims), b2 = the Z-order layout key (engine-exact Morton
+    # arithmetic; the layout write is measured in
+    # tests/test_layout_zorder.py) ---
     "v9pss_imi_serve_grid",
     "q5_local_supplier_volume",
+    "b2_zorder_key",
     "j5_asof_join",
     "j6_range_join",
     "a12_time_rollup",
@@ -186,6 +189,7 @@ _PYTEST_TIER = [
     # rows with code frozen since
     "t5_corpus_mix",
     "s3_json_props_extract",
+    "a13_pivot_event_values",
     # r8 demotions (balancing the w9/j9 and d7/t22 registrations):
     # all 4-5x-certified trivial single-operator plans
     "o3_topk_orders",

@@ -1831,6 +1831,79 @@ def st5_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# B2 — Z-order (Morton) layout key: the multi-column data-skipping
+# lever (Delta OPTIMIZE ZORDER / UB-tree, public literature) — see
+# operators/layout.py for the layout write itself and
+# tests/test_layout_zorder.py for the measured per-file min/max
+# tightening on BOTH filter axes. This row certifies the KEY
+# arithmetic end to end: rank-scale user_id and epoch-micros ts into
+# 16 bits each with exact integer arithmetic (DECIMAL(38,0)/HUGEINT
+# product, truncating div == flooring // on the non-negative
+# operands — the w9/w10 discipline), then the unrolled 32-term
+# shift/mask interleave. Pure JVM column arithmetic, one 4-scalar
+# aggregate broadcast back (the e2e/t17 1-row pattern), zero
+# shuffles beyond it.
+# ---------------------------------------------------------------------------
+def _b2_oracle() -> str:
+    from garmin_data_pipeline_spark.operators.layout import (
+        zorder_oracle_interleave_sql,
+        zorder_oracle_scale_sql,
+    )
+
+    sa = zorder_oracle_scale_sql("user_id", "amin", "amax", 16)
+    sb = zorder_oracle_scale_sql("t", "bmin", "bmax", 16)
+    inter = zorder_oracle_interleave_sql("sa", "sb", 16)
+    return f"""
+    WITH ev AS (
+        SELECT event_id, user_id, epoch_us(ts) AS t
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), st AS (
+        SELECT MIN(user_id) AS amin, MAX(user_id) AS amax,
+               MIN(t) AS bmin, MAX(t) AS bmax
+        FROM ev
+    ), scaled AS (
+        SELECT event_id, {sa} AS sa, {sb} AS sb
+        FROM ev CROSS JOIN st
+    )
+    SELECT event_id, CAST({inter} AS BIGINT) AS z
+    FROM scaled
+    """
+
+
+@register(
+    "b2_zorder_key",
+    _b2_oracle(),
+    doc="Z-order/Morton layout key over (user_id, epoch-micros ts): "
+    "exact integer rank-scale to 16 bits per key plus the unrolled "
+    "bit interleave — the value write_zordered range-partitions and "
+    "sorts by so parquet min/max stats prune on EITHER column. "
+    "Engine-exact integer arithmetic end to end (hash-matched "
+    "oracle); one 4-scalar aggregate broadcast back, no other "
+    "shuffle.",
+)
+def b2_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.functions.durations import (
+        epoch_micros,
+    )
+    from garmin_data_pipeline_spark.operators.layout import (
+        with_zorder_key,
+    )
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    ev = ev.select(
+        "event_id",
+        "user_id",
+        epoch_micros("ts", dtype=ev.schema["ts"].dataType).alias("t"),
+    )
+    return with_zorder_key(ev, "user_id", "t", bits=16, out="z").select(
+        "event_id", "z"
+    )
+
+
+# ---------------------------------------------------------------------------
 # B1 — bucketed co-located join: lineitem and orders written once as
 # 8-bucket bucket-sorted tables on the join key, then joined with NO
 # Exchange and NO Sort (the warehouse layout that amortizes one
