@@ -105,6 +105,39 @@ def test_imi_per_half_curve_matches_serving_md(spark, sf_dir):
     )
 
 
+# IVFADC n_probe curve (r10): recall@10 of the flat v9 serve vs
+# n_probe at 64 cells. n_probe=64 probes EVERY cell (candidate
+# coverage exactly 1.0), so its figure is the ADC-resolution ceiling
+# — the measurement behind SERVING.md's escalation-order correction
+# (rerank first; n_probe saturates at ~1/4 of cells). sf0.1 literals
+# offline-measured like the others.
+EXPECTED_NPROBE_CURVE = {4: 0.353, 16: 0.387, 32: 0.392, 64: 0.392}
+EXPECTED_NPROBE_CURVE_SF01 = {4: 0.240, 16: 0.252, 32: 0.258, 64: 0.258}
+
+
+def test_ivfadc_n_probe_curve_matches_serving_md(spark, sf_dir):
+    from serving_recall import ivfadc_n_probe_curve
+
+    got = ivfadc_n_probe_curve(spark, sf_dir)
+    for np_, want in EXPECTED_NPROBE_CURVE.items():
+        # k-means-fit tolerance, as for the tier figures
+        assert abs(got[np_] - want) <= 0.02, (np_, got[np_])
+    # NOTE: recall is not strictly monotone in n_probe (a mis-ranked
+    # impostor from a newly probed cell can displace a true top-10
+    # neighbor), so no ordering assertion — the pinned values are the
+    # contract.
+    text = re.sub(r"\s+", " ", (ROOT / "SERVING.md").read_text())
+    assert (
+        f"4 → {EXPECTED_NPROBE_CURVE[4]:.3f} sf0.001 / "
+        f"{EXPECTED_NPROBE_CURVE_SF01[4]:.3f} sf0.1" in text
+    )
+    for np_ in (16, 32):
+        assert (
+            f"{np_} → {EXPECTED_NPROBE_CURVE[np_]:.3f} / "
+            f"{EXPECTED_NPROBE_CURVE_SF01[np_]:.3f}" in text
+        )
+
+
 def test_serving_md_table_carries_these_numbers():
     """The committed table's two recall columns must literally contain
     the measured figures (guards against editing one side only). The

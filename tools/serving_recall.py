@@ -117,6 +117,53 @@ def imi_per_half_curve(
     return out
 
 
+def ivfadc_n_probe_curve(
+    spark, sf_dir: str, n_probes=(4, 16, 32, 64), k: int = 10
+) -> dict[int, float]:
+    """recall@k of the flat IVFADC serve (v9) vs ``n_probe`` — the
+    knob SERVING.md tells deployments to turn FIRST (the per_half
+    curve saturates, candidate-cell coverage doesn't): measured
+    rather than asserted. n_probe=64 probes every cell, so what's
+    left of the gap to 1.0 there is pure 8-byte code resolution —
+    the share of recall only the v9r rerank stage can buy back.
+    Reuses the cached v9 index so the sweep prices only the serve."""
+    from garmin_data_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        search_ivf_pq,
+    )
+    from garmin_data_pipeline_spark.plans.llm_queries import (
+        _IVFPQ_SERVE_CACHE,
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUBDIM,
+        _serve_queries,
+        v9_ivfpq_serve_q500,
+    )
+    from garmin_data_pipeline_spark.plans.registry import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    v9_ivfpq_serve_q500(spark, sf_dir)  # populate cache
+    index, cents, books = _IVFPQ_SERVE_CACHE[sf_dir]
+    exact_set = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk_bruteforce(
+            emb, _serve_queries(emb), k=k
+        ).collect()
+    }
+    out = {}
+    for np_ in n_probes:
+        got = {
+            (r.query_id, r.vec_id)
+            for r in search_ivf_pq(
+                index, cents, books, _serve_queries(emb),
+                k=k, n_probe=np_,
+                pq_m=_PQ_M, pq_k=_PQ_K, subdim=_PQ_SUBDIM,
+            ).collect()
+        }
+        out[np_] = round(len(exact_set & got) / len(exact_set), 3)
+    return out
+
+
 def main() -> None:
     from garmin_data_pipeline_spark.session import get_spark
 
@@ -128,6 +175,8 @@ def main() -> None:
         print(f"{name}: {r}")
     for ph, r in imi_per_half_curve(spark, sf_dir).items():
         print(f"v9ps per_half={ph}: {r}")
+    for np_, r in ivfadc_n_probe_curve(spark, sf_dir).items():
+        print(f"v9 n_probe={np_}: {r}")
 
 
 if __name__ == "__main__":
