@@ -191,6 +191,108 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT set-Jaccard pairs (id_a < id_b, jaccard >= threshold)
+    via prefix filtering (Chaudhuri et al. SSJoin ICDE 2006 / Xiao et
+    al. PPJoin WWW 2008) — the LOSSLESS upgrade of
+    ``ngram_jaccard_pairs``'s ``max_df`` cap.
+
+    The cap version drops stop-shingles before the self-join, which
+    bounds the fan-out but silently UNDER-reports: a pair whose
+    overlap lives in common shingles is lost. Prefix filtering bounds
+    the fan-out with zero loss: order every document's DISTINCT
+    shingles by global document frequency (rarest first, shingle text
+    as tiebreak — one total order for the whole corpus) and index
+    only each document's first ``|s| - ceil(t*|s|) + 1`` shingles. If
+    J(A, B) >= t, then |A intersect B| >= t*max(|A|,|B|), so each
+    set's intersection misses fewer shingles than its prefix is long
+    — the prefixes MUST collide. Stop-shingles sit at the END of the
+    frequency order and rarely enter any prefix, so the inverted
+    index self-join stays rare-token-bounded at any corpus size.
+    Candidates also pass the length filter (J >= t implies
+    t*|A| <= |B| <= |A|/t) before exact verification against the full
+    shingle sets.
+
+    Set (not multiset) semantics: shingles are deduped per document —
+    required by the prefix bound, and what MinHash estimates, so this
+    is also d3's exact ground truth.
+    """
+    from pyspark.sql import Window
+
+    # The distinct shingle table feeds FIVE plan branches (sizes,
+    # document frequencies, the ranked prefixes, and both sides of
+    # the verification join) — lazily materialize it once (the d2
+    # pattern; lazy keeps plan construction action-free).
+    # shingles() is per-document DISTINCT already, so exploding gives
+    # distinct (doc, shingle) rows — set semantics with no extra
+    # shuffle.
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    ).localCheckpoint(eager=False)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfq"))
+    # global frequency order, rarest first; prefix length
+    # p = sz - ceil(t*sz) + 1 (t*sz on a small int is exact in double)
+    rk = F.row_number().over(
+        Window.partitionBy("doc").orderBy("dfq", "shingle")
+    )
+    prefixes = (
+        sh.join(dfreq, "shingle")
+        .withColumn("rk", rk)
+        .join(sizes, "doc")
+        .filter(
+            F.col("rk")
+            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        )
+        .select("doc", "shingle", "sz")
+    )
+    a = prefixes.select(
+        F.col("doc").alias("doc_a"), "shingle", F.col("sz").alias("sz_a")
+    )
+    b = prefixes.select(
+        F.col("doc").alias("doc_b"), "shingle", F.col("sz").alias("sz_b")
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("sz_b") >= F.lit(threshold) * F.col("sz_a"))
+            & (F.col("sz_a") >= F.lit(threshold) * F.col("sz_b"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # exact verification: intersect the candidates' full shingle sets
+    ia = sh.select(F.col("doc").alias("doc_a"), "shingle")
+    ib = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(ia, "doc_a")
+        .join(ib, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.toDF("doc_a", "sz_a")
+    sb = sizes.toDF("doc_b", "sz_b")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+
+
 def _minhash_params(k: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the k universal-hash permutations
     (fixed small PRNG, no runtime randomness).

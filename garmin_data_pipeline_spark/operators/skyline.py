@@ -1,0 +1,104 @@
+"""Pareto frontier (skyline) over (minimize time, maximize value).
+
+A row survives iff no other row is at an earlier-or-equal time with a
+greater-or-equal value, strictly better on at least one axis — the
+textbook 2-D skyline (Borzsony/Kossmann/Stocker ICDE 2001). The
+reference has nothing in this family; it rounds out the ordering
+section (SURVEY §2.6) next to top-k.
+
+The naive definition is an all-pairs dominance anti-join — O(n^2) and
+un-shuffleable at 100 TB. This implementation is three aggregates and
+one broadcast join, never a global sort:
+
+1. collapse to one row per distinct timestamp: ``tmax(t) = max value
+   at t`` (hash aggregate, map-side partial — the only full-data
+   shuffle);
+2. within a coarse calendar bucket (day), the strictly-earlier
+   running max is a BUCKET-PARTITIONED window over those collapsed
+   rows (never unpartitioned — the engine-wide plan invariant);
+3. across buckets, the prefix max runs over the per-bucket max table,
+   which is CALENDAR-BOUNDED (one row per day ever observed, ~4e4
+   rows a century) — small enough that the strictly-earlier max is an
+   inequality self-join over a broadcast copy (a deliberate
+   broadcast-tiny NLJ, allowlisted in plans/lint.py) followed by a
+   max aggregate. No window ever sees more than one bucket.
+
+A timestamp survives iff its tmax beats BOTH the in-bucket and the
+cross-bucket strictly-earlier maxes; the surviving (t, tmax) marks ARE
+the frontier coordinates — a frontier-sized relation — broadcast back
+onto the fact table to recover every tied row. The fact table is
+touched exactly twice (the collapse aggregate + the final broadcast
+join) and never sorted or replicated.
+
+Value column must be non-null numeric; ties on BOTH axes are kept
+(neither row dominates — no strict axis).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_NEG_INF = float("-inf")
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """Rows on the (minimize ``time_col``, maximize ``value_col``)
+    Pareto frontier, original schema preserved."""
+    t, v = F.col(time_col), F.col(value_col)
+
+    # 1. one row per distinct timestamp (bucket is functionally
+    #    dependent on t — grouping by both just keeps it around).
+    marks = (
+        df.groupBy(
+            F.date_trunc(bucket, t).alias("_bkt"),
+            t.alias("_t"),
+        )
+        .agg(F.max(v).alias("_tmax"))
+    )
+
+    # 2. strictly-earlier running max WITHIN the bucket. One row per
+    #    timestamp, so a ROWS frame ending 1 before the current row
+    #    is exactly "all strictly earlier timestamps of this bucket".
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy("_t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marks = marks.withColumn("_in_prev", F.max("_tmax").over(w))
+
+    # 3. strictly-earlier max ACROSS buckets, on the calendar-bounded
+    #    per-bucket max table: inequality self-join over a broadcast
+    #    copy, then max. LEFT keeps the earliest bucket (null prefix).
+    bmax = marks.groupBy("_bkt").agg(F.max("_tmax").alias("_bmax"))
+    earlier = F.broadcast(
+        bmax.select(
+            F.col("_bkt").alias("_ebkt"), F.col("_bmax").alias("_ebmax")
+        )
+    )
+    prev = (
+        bmax.join(earlier, F.col("_ebkt") < F.col("_bkt"), "left")
+        .groupBy("_bkt")
+        .agg(F.max("_ebmax").alias("_bkt_prev"))
+    )
+    marks = marks.join(F.broadcast(prev), "_bkt", "left")
+
+    prev_best = F.greatest(
+        F.coalesce(F.col("_in_prev").cast("double"), F.lit(_NEG_INF)),
+        F.coalesce(F.col("_bkt_prev").cast("double"), F.lit(_NEG_INF)),
+    )
+    frontier = marks.filter(
+        F.col("_tmax").cast("double") > prev_best
+    ).select(F.col("_t").alias("_ft"), F.col("_tmax").alias("_fv"))
+
+    # frontier-sized marks broadcast onto the fact table; equality on
+    # stored values recovers every row tied at a frontier coordinate.
+    return df.join(
+        F.broadcast(frontier),
+        (t == F.col("_ft")) & (v == F.col("_fv")),
+    ).drop("_ft", "_fv")

@@ -75,8 +75,6 @@ _HEAD = [
     "t16_vocab_topk_per_lang",
     "v7_label_centroids",
     "t18_bpe_pairs",
-    "p3_drop_all_null_columns",
-    "p4_drop_constant_columns",
     "p6_clean_headers",
     "t1_token_quality",
     "t9_length_trim",
@@ -103,6 +101,14 @@ _HEAD = [
     "v9pss_imi_serve_grid",
     "q5_local_supplier_volume",
     "b2_zorder_key",
+    # --- second r10 wave (same policy; balanced by demoting
+    # p3_drop_all_null_columns and p4_drop_constant_columns, both
+    # 5x-certified single-projection plans): o6 = the Pareto
+    # frontier / skyline (quadratic dominance oracle vs
+    # aggregate-and-broadcast plan), d8 = lossless prefix-filtering
+    # Jaccard join (PPJoin bound — exact WITHOUT d2's max_df cap) ---
+    "o6_pareto_frontier",
+    "d8_prefix_jaccard_pairs",
     "j5_asof_join",
     "j6_range_join",
     "a12_time_rollup",
@@ -190,6 +196,10 @@ _PYTEST_TIER = [
     "t5_corpus_mix",
     "s3_json_props_extract",
     "a13_pivot_event_values",
+    # second r10 wave (balancing o6_pareto_frontier and
+    # d8_prefix_jaccard_pairs): 5x-certified single projections
+    "p3_drop_all_null_columns",
+    "p4_drop_constant_columns",
     # r8 demotions (balancing the w9/j9 and d7/t22 registrations):
     # all 4-5x-certified trivial single-operator plans
     "o3_topk_orders",

@@ -39,6 +39,10 @@ from typing import Any, Iterator
 NLJ_ALLOWLIST: dict[str, str] = {
     "v1_cosine_topk_bruteforce": "corpus x broadcast query set",
     "t9_length_trim": "corpus x broadcast 1-row bounds",
+    "b2_zorder_key": (
+        "events x broadcast 1-row global min/max bounds for the "
+        "Morton scaling (t9's pattern)"
+    ),
     "v4_cosine_topk_ivf": "queries x broadcast centroid table",
     "v4p_cosine_topk_ivf_grid": "corpus/queries x broadcast codebook",
     "v9p_ivfpq_codes_grid": (
@@ -51,6 +55,11 @@ NLJ_ALLOWLIST: dict[str, str] = {
     ),
     "v6_semantic_dedup": "corpus x broadcast grid codebook",
     "v6p_semantic_dedup_product": "corpus x broadcast dual codebook",
+    "o6_pareto_frontier": (
+        "per-day max table x broadcast copy of itself (calendar-"
+        "bounded: one row per day ever observed) for the cross-"
+        "bucket prefix max"
+    ),
     "e2e_master_daily": "master x broadcast 1-row mean",
     "t17_tfidf_matrix": "tf x broadcast 1-row corpus count",
     "t21_unigram_logprob": "tokens x broadcast 1-row total",

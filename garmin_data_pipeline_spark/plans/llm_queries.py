@@ -18,6 +18,7 @@ from garmin_data_pipeline_spark.operators.dedup_scale import (
     exact_duplicates,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    prefix_jaccard_pairs,
     simhash_candidate_pairs,
     sql_base_hash32,
 )
@@ -224,6 +225,53 @@ def d2_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3,
         threshold=0.5,
         max_df=_D2_MAX_DF,
+    )
+
+
+# d8: the LOSSLESS exact-Jaccard join — prefix filtering (SSJoin /
+# PPJoin) instead of d2's max_df cap. The oracle is the UNCAPPED
+# textbook inverted-index self-join (no `keep` CTE): every pair with
+# set-Jaccard >= 0.5, which d2's capped output only under-approximates.
+# The Spark plan indexes only each document's |s| - ceil(t|s|) + 1
+# RAREST shingles (global df order) plus a length filter, then
+# verifies candidates exactly — the df-ordered prefix keeps
+# stop-shingles out of the self-join at any corpus size without
+# losing pairs (operators/dedup_scale.py prefix_jaccard_pairs).
+@register(
+    "d8_prefix_jaccard_pairs",
+    f"""
+    WITH sh AS (
+        SELECT doc_id AS doc, UNNEST({_SH3}) AS shingle
+        FROM documents
+    ), sizes AS (
+        SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc
+    ), inter AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY a.doc, b.doc
+    )
+    SELECT doc_a, doc_b, inter,
+           inter / (sa.sz + sb.sz - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+    """,
+    doc="Exact (lossless) 3-gram set-Jaccard >= 0.5 pairs via prefix "
+    "filtering: only each doc's rarest |s|-ceil(t|s|)+1 shingles are "
+    "indexed (PPJoin bound — J >= t forces a prefix collision), "
+    "length-filtered candidates verified against full shingle sets. "
+    "Oracle is the uncapped quadratic inverted-index join.",
+)
+def d8_prefix_jaccard_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return prefix_jaccard_pairs(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.5,
     )
 
 

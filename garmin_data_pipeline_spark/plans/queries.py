@@ -2676,6 +2676,49 @@ def o5_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# O6 — Pareto frontier (skyline), beyond-reference: orders on the
+# (earliest o_orderdate, highest o_totalprice) frontier — no other
+# order is at an earlier-or-equal date with a greater-or-equal price
+# and strictly better on one axis. The oracle is the TEXTBOOK O(n^2)
+# dominance anti-join; the Spark plan is the scale re-expression
+# (operators/skyline.py): collapse to per-timestamp maxes (the only
+# full-data shuffle), day-partitioned running max within buckets, a
+# calendar-bounded broadcast inequality self-join across buckets
+# (allowlisted NLJ — both sides one-row-per-day-ever, ~4e4 rows a
+# century), then the frontier-sized coordinate set broadcast back
+# onto the fact. No global sort, no all-pairs, fact scanned twice.
+# Float discipline: prices are compared, never combined — stored
+# doubles flow through max/greater-than identically on both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "o6_pareto_frontier",
+    """
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders q
+      WHERE q.o_orderdate <= o.o_orderdate
+        AND q.o_totalprice >= o.o_totalprice
+        AND (q.o_orderdate < o.o_orderdate
+             OR q.o_totalprice > o.o_totalprice))
+    """,
+    doc="2-D skyline (minimize orderdate, maximize totalprice): "
+    "textbook quadratic dominance oracle vs aggregate-and-broadcast "
+    "Spark plan — one fact shuffle, bucket-partitioned windows only, "
+    "cross-bucket prefix max on a calendar-bounded broadcast table.",
+)
+def o6_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.skyline import (
+        pareto_frontier_2d,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    return pareto_frontier_2d(
+        orders, "o_orderdate", "o_totalprice"
+    ).select("o_orderkey", "o_orderdate", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
 # W9 — time-weighted average, beyond-reference: the irregular-series
 # mean a metrics warehouse actually wants (arithmetic mean over-weights
 # burst periods). Each observation's value is held until the user's

@@ -58,6 +58,66 @@ def test_ngram_jaccard_max_df_guard(docs):
     assert out.count() == 0
 
 
+def test_prefix_jaccard_lossless_vs_uncapped_bruteforce(spark):
+    # The PPJoin losslessness claim, differentially: on a randomized
+    # corpus with heavy vocabulary overlap, prefix filtering must
+    # reproduce the UNCAPPED inverted-index join exactly — same pair
+    # set, same intersection counts, same jaccard — at several
+    # thresholds (each exercising a different prefix length).
+    import random
+
+    rng = random.Random(4242)
+    vocab = [f"w{i}" for i in range(30)]
+    docs, did = [], 0
+    for _ in range(12):  # 12 base docs x 5 mutated variants
+        base = [rng.choice(vocab) for _ in range(rng.randrange(8, 16))]
+        for _ in range(5):
+            words = list(base)
+            for _ in range(rng.randrange(0, 3)):  # 0-2 substitutions
+                words[rng.randrange(len(words))] = rng.choice(vocab)
+            docs.append((did, " ".join(words)))
+            did += 1
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    for t in (0.3, 0.5, 0.8):
+        exact = {
+            (r["doc_a"], r["doc_b"]): (r["inter"], r["jaccard"])
+            for r in dd.ngram_jaccard_pairs(
+                df, "doc_id", "text", n=2, threshold=t, max_df=None
+            ).collect()
+        }
+        got = {
+            (r["doc_a"], r["doc_b"]): (r["inter"], r["jaccard"])
+            for r in dd.prefix_jaccard_pairs(
+                df, "doc_id", "text", n=2, threshold=t
+            ).collect()
+        }
+        assert got == exact, f"threshold {t}: prefix join lost pairs"
+        assert exact, f"threshold {t}: vacuous fixture (no pairs)"
+
+
+def test_prefix_jaccard_catches_pairs_the_max_df_cap_drops(spark):
+    # Two near-dups whose entire overlap lives in CORPUS-COMMON
+    # shingles: the max_df cap drops those shingles before the
+    # self-join and silently loses the pair; the prefix join keeps it
+    # (common shingles still enter a doc's prefix when the doc has
+    # nothing rarer).
+    rows = [(0, "x y z"), (1, "x y z")] + [
+        (i, f"x y z junk{i} junk{i}b junk{i}c") for i in range(2, 12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    capped = dd.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=1, threshold=0.9, max_df=3
+    )
+    assert capped.count() == 0
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.prefix_jaccard_pairs(
+            df, "doc_id", "text", n=1, threshold=0.9
+        ).collect()
+    }
+    assert got == {(0, 1): 1.0}
+
+
 def test_minhash_lsh_catches_exact_and_near(docs):
     out = dd.minhash_lsh_pairs(
         docs, "doc_id", "text", num_hashes=32, bands=16, shingle_n=1,
