@@ -269,6 +269,12 @@ HEADLINE = [
     # the write-time data-skipping lever; prices the 32-term
     # interleave projection + the 4-scalar broadcast aggregate).
     "b2_zorder_key",
+    # r10 second wave: the skyline (aggregate-and-broadcast frontier)
+    # and the lossless prefix-filtered Jaccard join (prices the
+    # df-ordered prefix index vs d2's capped index on the same
+    # corpus).
+    "o6_pareto_frontier",
+    "d8_prefix_jaccard_pairs",
 ]
 
 

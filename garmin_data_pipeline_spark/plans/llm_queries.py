@@ -231,12 +231,21 @@ def d2_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # d8: the LOSSLESS exact-Jaccard join — prefix filtering (SSJoin /
 # PPJoin) instead of d2's max_df cap. The oracle is the UNCAPPED
 # textbook inverted-index self-join (no `keep` CTE): every pair with
-# set-Jaccard >= 0.5, which d2's capped output only under-approximates.
-# The Spark plan indexes only each document's |s| - ceil(t|s|) + 1
-# RAREST shingles (global df order) plus a length filter, then
-# verifies candidates exactly — the df-ordered prefix keeps
-# stop-shingles out of the self-join at any corpus size without
-# losing pairs (operators/dedup_scale.py prefix_jaccard_pairs).
+# set-Jaccard >= 0.8, which d2's capped output only under-approximates
+# at its threshold. The Spark plan indexes only each document's
+# |s| - ceil(t|s|) + 1 RAREST shingles (global df order) plus a
+# length filter, then verifies candidates exactly — the df-ordered
+# prefix keeps stop-shingles out of the self-join at any corpus size
+# without losing pairs (operators/dedup_scale.py
+# prefix_jaccard_pairs).
+# Threshold 0.8 (the web-dedup standard), NOT d2's 0.5: the prefix
+# bound's power scales with t — at 0.8 the index holds ~20% of each
+# document and the candidate set stays within a small factor of the
+# answer, measured on the 10x probe. At 0.5 the same (correct) plan
+# indexes half of every document and the verification expansion
+# (candidates x doc size) dominated: 310k candidates for ~300 true
+# pairs at sf0.1, 4.3x wall at 10x data with every stage cardinality
+# exactly linear — the filter, not the join, was the bottleneck.
 @register(
     "d8_prefix_jaccard_pairs",
     f"""
@@ -255,9 +264,9 @@ def d2_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
     JOIN sizes sa ON sa.doc = doc_a
     JOIN sizes sb ON sb.doc = doc_b
-    WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+    WHERE inter / (sa.sz + sb.sz - inter) >= 0.8
     """,
-    doc="Exact (lossless) 3-gram set-Jaccard >= 0.5 pairs via prefix "
+    doc="Exact (lossless) 3-gram set-Jaccard >= 0.8 pairs via prefix "
     "filtering: only each doc's rarest |s|-ceil(t|s|)+1 shingles are "
     "indexed (PPJoin bound — J >= t forces a prefix collision), "
     "length-filtered candidates verified against full shingle sets. "
@@ -271,7 +280,7 @@ def d8_prefix_jaccard_pairs(
         "doc_id",
         "text",
         n=3,
-        threshold=0.5,
+        threshold=0.8,
     )
 
 

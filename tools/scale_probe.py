@@ -103,6 +103,15 @@ PROBES = [
     # r10: the streaming family's first probe entry — st8's batch
     # twin (the per-batch work the capped stream re-executes)
     "st8_overlap_batch",
+    # r10 second wave: the six-relation star join (do the broadcast
+    # dims hold at 10x fact?), the skyline's aggregate-and-broadcast
+    # shape, and the lossless prefix-filtered Jaccard join (the
+    # df-ordered prefix index vs d2's capped index at 10x corpus —
+    # the pair-growth stressor the letter-rotation replicas exist
+    # for)
+    "q5_local_supplier_volume",
+    "o6_pareto_frontier",
+    "d8_prefix_jaccard_pairs",
 ]
 
 WARMUPS = 1
