@@ -275,6 +275,9 @@ HEADLINE = [
     # corpus).
     "o6_pareto_frontier",
     "d8_prefix_jaccard_pairs",
+    # r10 third wave: containment (subset) pairs — one rarest-shingle
+    # probe per doc against the inverted index + exact verify.
+    "d9_containment_pairs",
 ]
 
 

@@ -293,6 +293,89 @@ def prefix_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """EXACT shingle-set containment pairs: every ordered (doc_sub,
+    doc_super) with shingles(doc_sub) a subset of shingles(doc_super)
+    — the truncation/quote/boilerplate-wrapper duplicates that
+    Jaccard at any threshold misses (a 10x-longer superset drives
+    Jaccard to ~0.1 while containment stays 1.0).
+
+    Candidate completeness is a one-line proof: if B is a subset of A
+    then EVERY shingle of B is in A — in particular B's globally
+    RAREST one (by document frequency, shingle text as tiebreak). So
+    probing ONE shingle per document (its rarest) against the full
+    inverted index finds every containment pair. The probe side is
+    #docs rows; per-doc fan-out is df(rarest shingle) — the MINIMUM
+    over the doc's shingles, i.e. the smallest posting list the doc
+    can offer (a doc composed entirely of corpus-common shingles
+    degrades toward its min-df posting list; such docs are what the
+    quality filters upstream exist to drop). Candidates are then
+    verified exactly against the full sets, so the output is
+    oracle-exact at any corpus size. Documents with zero shingles
+    (empty text) have no probe row and no subset semantics here —
+    the vacuous empty-set containment is deliberately not emitted.
+
+    Set semantics: equal shingle sets are mutual containments and
+    appear as BOTH ordered pairs (sz_sub == sz_super).
+    """
+    from pyspark.sql import Window
+
+    # shared by sizes, dfreq, the probe, and both verification sides
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    ).localCheckpoint(eager=False)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfq"))
+    rarest = (
+        sh.join(dfreq, "shingle")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc").orderBy("dfq", "shingle")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select(F.col("doc").alias("doc_sub"), "shingle")
+    )
+    cand = (
+        rarest.join(
+            sh.select(F.col("doc").alias("doc_super"), "shingle"),
+            "shingle",
+        )
+        .filter(F.col("doc_sub") != F.col("doc_super"))
+        .select("doc_sub", "doc_super")
+    )
+    # size filter before the exact verify: a subset can't be larger
+    ssub = sizes.toDF("doc_sub", "sz_sub")
+    ssup = sizes.toDF("doc_super", "sz_super")
+    cand = (
+        cand.join(ssub, "doc_sub")
+        .join(ssup, "doc_super")
+        .filter(F.col("sz_sub") <= F.col("sz_super"))
+    )
+    ia = sh.select(F.col("doc").alias("doc_sub"), "shingle")
+    ib = sh.select(F.col("doc").alias("doc_super"), "shingle")
+    inter = (
+        cand.select("doc_sub", "doc_super")
+        .join(ia, "doc_sub")
+        .join(ib, ["doc_super", "shingle"])
+        .groupBy("doc_sub", "doc_super")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(ssub, "doc_sub")
+        .join(ssup, "doc_super")
+        .filter(F.col("inter") == F.col("sz_sub"))
+        .select("doc_sub", "doc_super", "sz_sub", "sz_super")
+    )
+
+
 def _minhash_params(k: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the k universal-hash permutations
     (fixed small PRNG, no runtime randomness).

@@ -75,7 +75,6 @@ _HEAD = [
     "t16_vocab_topk_per_lang",
     "v7_label_centroids",
     "t18_bpe_pairs",
-    "p6_clean_headers",
     "t1_token_quality",
     "t9_length_trim",
     "t11_document_chunking",
@@ -109,6 +108,10 @@ _HEAD = [
     # Jaccard join (PPJoin bound — exact WITHOUT d2's max_df cap) ---
     "o6_pareto_frontier",
     "d8_prefix_jaccard_pairs",
+    # --- third r10 wave (balanced by demoting p6_clean_headers,
+    # 5x-certified header-rename projection): d9 = exact containment
+    # (subset) pairs — the truncation-dup class Jaccard misses ---
+    "d9_containment_pairs",
     "j5_asof_join",
     "j6_range_join",
     "a12_time_rollup",
@@ -196,10 +199,12 @@ _PYTEST_TIER = [
     "t5_corpus_mix",
     "s3_json_props_extract",
     "a13_pivot_event_values",
-    # second r10 wave (balancing o6_pareto_frontier and
-    # d8_prefix_jaccard_pairs): 5x-certified single projections
+    # second/third r10 waves (balancing o6_pareto_frontier,
+    # d8_prefix_jaccard_pairs and d9_containment_pairs):
+    # 5x-certified single projections
     "p3_drop_all_null_columns",
     "p4_drop_constant_columns",
+    "p6_clean_headers",
     # r8 demotions (balancing the w9/j9 and d7/t22 registrations):
     # all 4-5x-certified trivial single-operator plans
     "o3_topk_orders",

@@ -17,6 +17,7 @@ from garmin_data_pipeline_spark.operators.dedup_scale import (
     _minhash_params,
     exact_duplicates,
     minhash_lsh_pairs,
+    containment_pairs,
     ngram_jaccard_pairs,
     prefix_jaccard_pairs,
     simhash_candidate_pairs,
@@ -281,6 +282,46 @@ def d8_prefix_jaccard_pairs(
         "text",
         n=3,
         threshold=0.8,
+    )
+
+
+# d9: containment (subset) pairs — the duplicate class Jaccard-family
+# dedup structurally misses: a document quoted/truncated inside a
+# 10x-longer one has Jaccard ~0.1 at containment 1.0. Candidates come
+# from ONE probe shingle per document (its globally rarest — if
+# B subset-of A then B's rarest shingle is in A, so the single-probe
+# join is provably complete), verified exactly against the full sets.
+# The oracle is the uncapped ordered-pair inverted join filtered to
+# inter == |sub|.
+@register(
+    "d9_containment_pairs",
+    f"""
+    WITH sh AS (
+        SELECT doc_id AS doc, UNNEST({_SH3}) AS shingle
+        FROM documents
+    ), sizes AS (
+        SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc
+    ), inter AS (
+        SELECT a.doc AS doc_sub, b.doc AS doc_super, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc <> b.doc
+        GROUP BY a.doc, b.doc
+    )
+    SELECT doc_sub, doc_super,
+           sa.sz AS sz_sub, sb.sz AS sz_super
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_sub
+    JOIN sizes sb ON sb.doc = doc_super
+    WHERE inter = sa.sz AND sa.sz <= sb.sz
+    """,
+    doc="Exact shingle-set containment pairs (truncation/quote dups "
+    "invisible to Jaccard): one rarest-shingle probe per document "
+    "against the inverted index — provably complete for subsets — "
+    "then exact verification. Oracle is the uncapped ordered-pair "
+    "join filtered to inter == |sub|.",
+)
+def d9_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return containment_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", n=3
     )
 
 

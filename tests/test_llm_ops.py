@@ -118,6 +118,73 @@ def test_prefix_jaccard_catches_pairs_the_max_df_cap_drops(spark):
     assert got == {(0, 1): 1.0}
 
 
+def test_containment_pairs_vs_bruteforce(spark):
+    # Randomized differential: subsets planted by truncating and by
+    # embedding base docs inside longer wrappers, plus noise docs.
+    # Brute force = python set containment over the same 2-gram
+    # shingle sets.
+    import random
+
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = {}
+    did = 0
+    for _ in range(15):
+        base = [rng.choice(vocab) for _ in range(rng.randrange(10, 18))]
+        texts[did] = " ".join(base)
+        did += 1
+        if rng.random() < 0.7:  # truncation dup (prefix keeps shingles)
+            texts[did] = " ".join(base[: rng.randrange(6, len(base))])
+            did += 1
+        if rng.random() < 0.5:  # quoted inside a longer wrapper
+            pad = [rng.choice(vocab) for _ in range(6)]
+            texts[did] = " ".join(pad + base + pad)
+            did += 1
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id: long, text: string"
+    )
+
+    def sh2(words):
+        w = words.split()
+        if len(w) < 2:
+            return {" ".join(w)} if w else set()
+        return {" ".join(w[i : i + 2]) for i in range(len(w) - 1)}
+
+    sets = {d: sh2(t) for d, t in texts.items()}
+    expect = sorted(
+        (a, b, len(sets[a]), len(sets[b]))
+        for a in sets
+        for b in sets
+        if a != b and sets[a] and sets[a] <= sets[b]
+    )
+    got = sorted(
+        (r["doc_sub"], r["doc_super"], r["sz_sub"], r["sz_super"])
+        for r in dd.containment_pairs(df, "doc_id", "text", n=2).collect()
+    )
+    assert got == expect
+    assert expect, "vacuous fixture (no containment pairs planted)"
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    # A short doc quoted inside a 10x-longer one: Jaccard ~0.1, so
+    # both the capped and the prefix-filtered joins at 0.8 miss it;
+    # the containment join reports it.
+    core = "alpha beta gamma delta epsilon"
+    wrapper = " ".join(f"pad{i}" for i in range(25)) + " " + core + " " + \
+        " ".join(f"tail{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [(1, core), (2, wrapper)], "doc_id: long, text: string"
+    )
+    assert dd.prefix_jaccard_pairs(
+        df, "doc_id", "text", n=2, threshold=0.8
+    ).count() == 0
+    got = [
+        (r["doc_sub"], r["doc_super"])
+        for r in dd.containment_pairs(df, "doc_id", "text", n=2).collect()
+    ]
+    assert got == [(1, 2)]
+
+
 def test_minhash_lsh_catches_exact_and_near(docs):
     out = dd.minhash_lsh_pairs(
         docs, "doc_id", "text", num_hashes=32, bands=16, shingle_n=1,

@@ -112,6 +112,9 @@ PROBES = [
     "q5_local_supplier_volume",
     "o6_pareto_frontier",
     "d8_prefix_jaccard_pairs",
+    # r10 third wave: the containment join's single-probe fan-out
+    # (df of each doc's rarest shingle) at 10x corpus
+    "d9_containment_pairs",
 ]
 
 WARMUPS = 1
