@@ -470,6 +470,24 @@ def main() -> None:
                     "while within-session spreads stay under 0.3s. "
                     "No code change needed"
                 ),
+                "host_stall_note": (
+                    "r10: the first full r10 bench run carried two "
+                    "transient host stalls (median-of-3 cells at "
+                    "HEADLINE positions 50-54 and 63 read 1.8-4.1x "
+                    "their r9 normalized walls with spread ~= "
+                    "median; v9 serve read 47.8s/48.3 spread). "
+                    "Adjudicated the c1 way, same host, minutes "
+                    "apart: the immediate full re-run returned every "
+                    "affected cell to its r9 band (v9 6.28s spread "
+                    "0.94, g1 2.75, g2 4.09, st2b 0.81, t20 0.31), "
+                    "and the dedicated serving artifact plus a "
+                    "fresh 3-rep repro agreed (~6-9s). The committed "
+                    "artifact is the clean second run; a "
+                    "median-of-3 cell CAN absorb a multi-rep VM "
+                    "stall, so any cross-round cell move with "
+                    "spread ~= median gets a same-host re-run "
+                    "before being read as a regression"
+                ),
                 "checkpoint_hygiene_note": (
                     "r10: per-call serve localCheckpoints are "
                     "released between reps (session."
