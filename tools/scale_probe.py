@@ -115,6 +115,14 @@ PROBES = [
     # r10 third wave: the containment join's single-probe fan-out
     # (df of each doc's rarest shingle) at 10x corpus
     "d9_containment_pairs",
+    # r10: the r9 late registrations' first ratios (one shared
+    # shingle explode + gram-keyed agg; 8 LAGs over one window; j9's
+    # bucketed candidates + LEFT ANTI), and the Z-order key
+    # projection (32-term interleave + 4-scalar broadcast bounds)
+    "t23_ngram_novelty",
+    "w10_ewma_8",
+    "j10_interval_anti_join",
+    "b2_zorder_key",
 ]
 
 WARMUPS = 1
