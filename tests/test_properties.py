@@ -422,3 +422,50 @@ def test_merge_upsert_nullsafe_partitions_property(
     )
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     assert got == want
+
+
+# --- prefix-filtered Jaccard losslessness (d8's operator) -----------
+#
+# The PPJoin prefix bound is a THEOREM (J >= t forces the two
+# df-ordered prefixes to collide); this searches for a counterexample
+# across corpus shapes AND thresholds instead of pinning three fixed
+# ones. The uncapped inverted-index join is the ground truth.
+@SET
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    threshold=st.sampled_from([0.3, 0.45, 0.6, 0.75, 0.9]),
+    vocab_n=st.integers(min_value=8, max_value=25),
+)
+def test_prefix_jaccard_never_loses_a_pair(
+    spark, seed, threshold, vocab_n
+):
+    import random
+
+    from garmin_data_pipeline_spark.operators import dedup_scale as dd
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(vocab_n)]
+    docs, did = [], 0
+    for _ in range(8):  # base docs + near-dup variants
+        base = [rng.choice(vocab) for _ in range(rng.randrange(4, 12))]
+        for _ in range(rng.randrange(1, 4)):
+            words = list(base)
+            for _ in range(rng.randrange(0, 3)):
+                words[rng.randrange(len(words))] = rng.choice(vocab)
+            docs.append((did, " ".join(words)))
+            did += 1
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    key = lambda r: (r["doc_a"], r["doc_b"])  # noqa: E731
+    exact = {
+        key(r): (r["inter"], r["jaccard"])
+        for r in dd.ngram_jaccard_pairs(
+            df, "doc_id", "text", n=2, threshold=threshold, max_df=None
+        ).collect()
+    }
+    got = {
+        key(r): (r["inter"], r["jaccard"])
+        for r in dd.prefix_jaccard_pairs(
+            df, "doc_id", "text", n=2, threshold=threshold
+        ).collect()
+    }
+    assert got == exact
