@@ -222,8 +222,28 @@ def prefix_jaccard_pairs(
     Set (not multiset) semantics: shingles are deduped per document —
     required by the prefix bound, and what MinHash estimates, so this
     is also d3's exact ground truth.
+
+    Exactness of the bounds (ADVICE r10): the prefix length and the
+    length filter are computed in INTEGER arithmetic against a
+    rational ``P/Q <= threshold`` (Q = 10^9, P = floor of the
+    double's exact value scaled) — never ``fl(t*sz)``, whose rounding
+    can land one double ABOVE an exactly-integer product and shorten
+    the prefix by one, silently breaking the lossless contract.
+    Rounding the threshold DOWN can only lengthen prefixes and widen
+    the length filter, so the bound stays lossless by construction
+    for every representable threshold; the final ``jaccard >=
+    threshold`` verification still uses the caller's exact value.
     """
+    from fractions import Fraction
+
     from pyspark.sql import Window
+
+    # P/Q <= threshold EXACTLY (floor against the double's own
+    # rational value), so every integer-math bound below is >= the
+    # true bound — candidates can only be added, never lost.
+    _q = 10**9
+    _fr = Fraction(*float(threshold).as_integer_ratio())
+    _p = (_fr.numerator * _q) // _fr.denominator
 
     # The distinct shingle table feeds FIVE plan branches (sizes,
     # document frequencies, the ranked prefixes, and both sides of
@@ -239,18 +259,18 @@ def prefix_jaccard_pairs(
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfq"))
     # global frequency order, rarest first; prefix length
-    # p = sz - ceil(t*sz) + 1 (t*sz on a small int is exact in double)
+    # p = sz - ceil(t*sz) + 1, with ceil(t*sz) >= ceil(P*sz/Q)
+    # computed as exact integer division (DIV): sz*P <= 1e5 * 1e9
+    # fits a BIGINT with 4 decades to spare.
     rk = F.row_number().over(
         Window.partitionBy("doc").orderBy("dfq", "shingle")
     )
+    ceil_t_sz = F.expr(f"(sz * {_p}L + {_q - 1}L) DIV {_q}L")
     prefixes = (
         sh.join(dfreq, "shingle")
         .withColumn("rk", rk)
         .join(sizes, "doc")
-        .filter(
-            F.col("rk")
-            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-        )
+        .filter(F.col("rk") <= F.col("sz") - ceil_t_sz + 1)
         .select("doc", "shingle", "sz")
     )
     a = prefixes.select(
@@ -259,12 +279,15 @@ def prefix_jaccard_pairs(
     b = prefixes.select(
         F.col("doc").alias("doc_b"), "shingle", F.col("sz").alias("sz_b")
     )
+    # length filter in the same exact integer arithmetic: J >= t
+    # implies sz_b >= t*sz_a >= (P/Q)*sz_a, i.e. sz_b*Q >= sz_a*P —
+    # rounding t down only widens the filter (lossless direction).
     cand = (
         a.join(b, "shingle")
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
-            & (F.col("sz_b") >= F.lit(threshold) * F.col("sz_a"))
-            & (F.col("sz_a") >= F.lit(threshold) * F.col("sz_b"))
+            & (F.col("sz_b") * F.lit(_q) >= F.col("sz_a") * F.lit(_p))
+            & (F.col("sz_a") * F.lit(_q) >= F.col("sz_b") * F.lit(_p))
         )
         .select("doc_a", "doc_b")
         .distinct()

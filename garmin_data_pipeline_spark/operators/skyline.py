@@ -49,7 +49,22 @@ def pareto_frontier_2d(
     bucket: str = "day",
 ) -> DataFrame:
     """Rows on the (minimize ``time_col``, maximize ``value_col``)
-    Pareto frontier, original schema preserved."""
+    Pareto frontier, original schema preserved.
+
+    Input constraints (ADVICE r10 — violations are silent, not
+    errors, so assert them upstream if the caller can't guarantee
+    them):
+
+    - ``value_col`` must be non-null numeric (documented since r10).
+    - ``time_col`` must be NON-NULL: a null timestamp never matches
+      the final ``t == _ft`` equality join, so null-time rows are
+      silently dropped from the output.
+    - frontier comparisons cast values to DOUBLE, so value columns
+      must be exactly representable in double — decimals with >15
+      significant digits or integers beyond 2^53 can compare as ties
+      when they differ. The registered o6 query (non-null event
+      timestamps, stored doubles) satisfies all three.
+    """
     t, v = F.col(time_col), F.col(value_col)
 
     # 1. one row per distinct timestamp (bucket is functionally

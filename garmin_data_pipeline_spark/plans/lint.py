@@ -152,6 +152,37 @@ _NONDOUBLE_ROOTS = {
 
 _WRAPPERS = ("Alias", "AggregateExpression", "WindowExpression")
 
+# ADVICE r10: aggregate/function nodes do NOT serialize a dataType in
+# TreeNode.toJSON (it's a derived def, not a constructor param), so a
+# type-based source rule never sees them. These classes return double
+# for EVERY input type — their result is a computed double even over
+# exact int/decimal children.
+_ALWAYS_DOUBLE_CLASSES = {
+    "StddevPop", "StddevSamp", "VariancePop", "VarianceSamp",
+    "Skewness", "Kurtosis", "Corr", "CovPopulation", "CovSample",
+    "Sqrt", "Cbrt", "Exp", "Expm1", "Log", "Logarithm", "Log2",
+    "Log10", "Log1p", "Pow", "Rand", "Randn", "Atan2", "Hypot",
+    "Sin", "Cos", "Tan", "Asin", "Acos", "Atan", "Sinh", "Cosh",
+    "Tanh", "ToRadians", "ToDegrees",
+}
+# ...and these return double UNLESS their input is decimal (where the
+# result stays decimal-exact): avg(long) is double, avg(decimal) is
+# decimal(p+4, s+4); l / r over non-decimals is double division.
+_DOUBLE_UNLESS_DECIMAL = {"Average", "Divide"}
+
+
+def _any_child_decimal(children: list) -> bool:
+    """True if any direct child's serialized result type is decimal,
+    looking through wrapper nodes that don't serialize a dataType."""
+    for cnode, cch in children:
+        dt = cnode.get("dataType")
+        if dt is not None:
+            if str(dt).startswith("decimal"):
+                return True
+        elif cch and _any_child_decimal(cch):
+            return True
+    return False
+
 
 def _double_reaches(node: dict, children: list, taint: set) -> bool:
     """True if a COMPUTED double flows from this subtree into the
@@ -167,6 +198,10 @@ def _double_reaches(node: dict, children: list, taint: set) -> bool:
     data-grid contract as a bare double column."""
     cls = _simple(node)
     dt = str(node.get("dataType", ""))
+    if cls in _WRAPPERS and children:
+        # wrappers report the wrapped value's dataType — judge the
+        # value root itself so Alias(Round(x, 6)) stays a barrier
+        return _double_reaches(children[0][0], children[0][1], taint)
     if cls == "Cast":
         if dt.startswith("decimal"):
             return False
@@ -179,6 +214,19 @@ def _double_reaches(node: dict, children: list, taint: set) -> bool:
         return False
     if cls in ("AttributeReference", "Literal"):
         return dt == "double" or _expr_id(node) in taint
+    if dt == "double" and cls not in _NONDOUBLE_ROOTS:
+        # double-PRODUCING node whose result type IS serialized
+        # (rare outside Cast/Attribute — kept for completeness)
+        return True
+    if cls in _ALWAYS_DOUBLE_CLASSES:
+        # ADVICE r10: avg(int_col)/stddev/ln/... have no serialized
+        # dataType, so cast(avg(int) as decimal) passed the lint it
+        # was meant to catch. Class-based source rule instead.
+        return True
+    if cls in _DOUBLE_UNLESS_DECIMAL and not _any_child_decimal(
+        children
+    ):
+        return True
     return any(_double_reaches(c[0], c[1], taint) for c in children)
 
 

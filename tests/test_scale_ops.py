@@ -368,6 +368,21 @@ def test_decimal_cast_lint_detects_the_w9_antipattern(spark):
         F.col("s").cast("decimal(38,6)").alias("y")
     )
     assert unsafe_decimal_casts(bad4), "staged aggregate cast missed"
+    # ADVICE r10: double-PRODUCING aggregates over EXACT inputs —
+    # avg(int) has dataType double while its child is a long, so a
+    # leaves-only source rule never fired. Both the direct and the
+    # staged shape must be flagged.
+    bad5 = df.select(F.avg("d").cast("decimal(18,6)").alias("y"))
+    assert unsafe_decimal_casts(bad5), "avg(int) direct cast missed"
+    bad6 = df.agg(F.avg("d").alias("m")).select(
+        F.col("m").cast("decimal(18,6)").alias("y")
+    )
+    assert unsafe_decimal_casts(bad6), "avg(int) staged cast missed"
+    # int/int division is double-typed too
+    bad7 = df.select(
+        (F.col("d") / (F.col("d") + 1)).cast("decimal(18,6)").alias("y")
+    )
+    assert unsafe_decimal_casts(bad7), "int/int divide cast missed"
     # ...and the staged SANCTIONED forms must stay clean: an attribute
     # carrying round() output or a DECIMAL-exact accumulator is not
     # tainted, nor is a pass-through alias of a raw double column.

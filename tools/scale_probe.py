@@ -297,6 +297,12 @@ def main() -> None:
         if missing:
             raise SystemExit(f"--only: not in PROBES: {sorted(missing)}")
 
+    import datetime
+
+    session_tag = datetime.datetime.now(datetime.timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%SZ"
+    )
+
     walls01: dict[str, float] = {}
     walls1: dict[str, float] = {}
     for name in probes:
@@ -345,6 +351,16 @@ def main() -> None:
         "ratio": {
             n: round(walls1[n] / walls01[n], 2) for n in probes
         },
+        # ADVICE r10: a --only merge keeps prior entries' walls but
+        # previously stamped the whole artifact with the subset
+        # session's metadata, so queries_sf01/queries_sf1 walls could
+        # span sessions the artifact didn't describe. Each entry now
+        # carries the session it was measured in; only SAME-session
+        # walls are comparable in absolute terms — the per-entry
+        # ratio is within-one-session by construction either way.
+        "session": session_tag,
+        "entry_session": {n: session_tag for n in probes},
+        "merged_sessions": [session_tag],
     }
     if probes != PROBES and OUT.exists():
         prior = json.loads(OUT.read_text())
@@ -352,6 +368,17 @@ def main() -> None:
             merged = dict(prior.get(key, {}))
             merged.update(payload[key])
             payload[key] = merged
+        prior_tag = prior.get("session", "pre-r11-untagged")
+        es = {
+            n: prior.get("entry_session", {}).get(n, prior_tag)
+            for n in prior.get("ratio", {})
+        }
+        es.update(payload["entry_session"])
+        payload["entry_session"] = es
+        payload["merged_sessions"] = sorted(
+            set(prior.get("merged_sessions", [prior_tag]))
+            | {session_tag}
+        )
     OUT.write_text(json.dumps(payload, indent=2) + "\n")
     print(json.dumps({"sf1_probe": payload["ratio"]}))
 
