@@ -399,6 +399,132 @@ def containment_pairs(
     )
 
 
+def positional_windows(
+    text: "F.Column | str", k: int
+) -> "F.Column":
+    """POSITIONAL k-token windows of ``text``: an array whose i-th
+    element (1-based) is the space-joined token window starting at
+    token i. Unlike ``shingles`` this keeps duplicates and order —
+    position is the whole point for substring-level dedup. Built by
+    zip-concatenating k shifted slices of the token array (the
+    shingles() construction, minus the distinct), so the tokenizer
+    runs once per row, never per element. Docs with < k tokens get
+    ZERO windows (a span shorter than the window can't be detected
+    at this k — both engines agree)."""
+    from functools import reduce
+
+    t = F.coalesce(tokens(text), F.array().cast("array<string>"))
+    length = F.greatest(F.size(t) - k + 1, F.lit(0))
+    parts = [F.slice(t, i + 1, length) for i in range(k)]
+    joined = reduce(
+        lambda acc, p: F.zip_with(
+            acc, p, lambda a, b: F.concat(a, F.lit(" "), b)
+        ),
+        parts[1:],
+        parts[0],
+    )
+    return F.when(F.size(t) >= k, joined).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Substring-level EXACT dedup (the ExactSubstr class of Lee et
+    al., "Deduplicating Training Data Makes Language Models Better",
+    ACL 2022): per document, the maximal token spans that appear
+    VERBATIM in at least one OTHER document. This is the duplication
+    mode the whole document-level family provably misses — a 50-token
+    license block / boilerplate header / quoted passage repeated
+    inside otherwise-distinct documents is invisible to exact-hash
+    dedup (d1: whole doc differs), Jaccard (d2/d8: shared shingles
+    diluted below any dedup-grade threshold by the distinct bodies)
+    and containment (d9: whole-set subset test). It is the dominant
+    duplication mode in crawled corpora.
+
+    Relational shape (Lee et al. use a suffix array — a shared-memory
+    structure with no distributed analogue; the k-token-window
+    rolling-hash formulation is the standard scalable approximation
+    and detects every shared span of >= k tokens EXACTLY):
+
+    1. tokenize once, build POSITIONAL k-token windows as pure column
+       expressions, posexplode -> (doc, pos, md5(window)). One scan,
+       one explode — the same cardinality as the shingle explode the
+       Jaccard family already pays (#tokens per doc).
+    2. duplicated window = hash present in >= 2 DISTINCT docs: one
+       map-side-partial aggregate keyed by hash. No pair enumeration
+       ANYWHERE — a boilerplate window shared by a million documents
+       is one aggregate row (count), never 10^12 pairs, which is what
+       makes this linear at 100 TB where every pairwise formulation
+       dies on exactly those heavy hitters.
+    3. left-semi join the hits back on hash (AQE handles the skewed
+       build side; the dup-hash relation is distinct hashes only).
+    4. merge adjacent hit positions into MAXIMAL spans with the
+       pos - row_number() island trick over a doc-PARTITIONED window
+       (the w8 SCD2 pattern): consecutive window starts p, p+1, ...
+       collapse to one span [min(p), max(p) + k - 1].
+
+    Span semantics: a shared run of L >= k tokens produces L - k + 1
+    consecutive duplicated windows which merge back to exactly that
+    run — start/end are token coordinates (1-based, inclusive).
+    Cross-doc contract: a window repeated only WITHIN one document is
+    NOT flagged (count(distinct doc) >= 2), matching the
+    training-data question "does this span exist elsewhere in the
+    corpus". md5 keys keep the hash engine-portable (the d1 parity
+    choice); collisions are 2^-128 — the oracle gate would catch one.
+    """
+    from pyspark.sql import Window
+
+    wins = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            positional_windows(F.col(text_col), k)
+        ).alias("pos0", "win"),
+    ).select(
+        "doc",
+        (F.col("pos0") + 1).alias("pos"),
+        F.md5(F.col("win")).alias("h"),
+    )
+    # the window table feeds both the dup-hash aggregate and the
+    # semi-join probe side — materialize once (the d2/d8 pattern)
+    wins = wins.localCheckpoint(eager=False)
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("doc").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("h")
+    )
+    hits = wins.join(dup, "h", "left_semi")
+    grp = (
+        F.col("pos")
+        - F.row_number().over(
+            Window.partitionBy("doc").orderBy("pos")
+        )
+    ).alias("grp")
+    return (
+        hits.select("doc", "pos", grp)
+        .groupBy("doc", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k - 1).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            F.col("doc").alias("doc_id"),
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("span_len"),
+            "n_windows",
+        )
+    )
+
+
 def _minhash_params(k: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the k universal-hash permutations
     (fixed small PRNG, no runtime randomness).

@@ -379,6 +379,21 @@ def sql_stopword_hits(tokens_expr: str, lang: str) -> str:
     )
 
 
+def sql_positional_windows(tokens_expr: str, k: int) -> str:
+    """DuckDB mirror of ``dedup_scale.positional_windows`` (md5'd):
+    list whose i-th element is md5 of the space-joined k-token window
+    starting at token i; < k tokens -> empty list. Pairs with a
+    parallel ``generate_series`` UNNEST for the positions (DuckDB
+    zips parallel UNNESTs element-wise)."""
+    e = f"COALESCE({tokens_expr}, [])"
+    return (
+        f"CASE WHEN len({e}) >= {k} THEN "
+        f"list_transform(generate_series(1, len({e}) - {k} + 1), "
+        f"i -> md5(array_to_string(list_slice({e}, i, i + {k} - 1), "
+        f"' '))) ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
 def sql_shingles(tokens_expr: str, n: int = 3) -> str:
     e = f"COALESCE({tokens_expr}, [])"  # NULL text == zero shingles
     if n == 1:

@@ -39,106 +39,39 @@ from garmin_data_pipeline_spark.plans.queries import (
 #      that keeps that bound.
 #
 # Coverage ledger (round each query last had a green driver row):
-#   r9 (50/50 green; CORRECTNESS_r09.json): the whole r9 _HEAD —
-#       w9's decimal-exact rewrite and the v9rp first row included.
-#   r8: the 43 oracled queries of the r9 tail — rotating back in NOW
-#       (policy 3).
-#   never: the three r9 LATE registrations (t23_ngram_novelty,
-#       w10_ewma_8, j10_interval_anti_join) take their FIRST driver
-#       rows this round, per the documented plan and the r6
-#       precedent; each now also carries hand-computed pytest
-#       coverage (tests/test_interval_ops.py TestEwma8 /
-#       TestIntervalAntiJoin, tests/test_text_scale_ops.py
-#       TestNgramNovelty — r9 verdict directive 1).
-#   Fill to 50 (policy 1 priority): w9 (the rewrite has exactly one
-#       green row — a second consecutive row derisks the one query
-#       that ever went locally-green/driver-red), v9rp (r9
-#       first-timer, second consecutive row — the r8-first-timer
-#       treatment), j9 + v9p (machinery under this round's edits:
-#       j10 composes join_interval_overlap, the IMI serve twin
-#       composes v9p's grid build).
+#   r10 (50/50 green; CORRECTNESS_r10.json): the whole r10 _HEAD —
+#       rotating out to the tail now (policy 2), EXCEPT the six r10
+#       first-timers (v9pss, q5, b2, o6, d8, d9) which keep head
+#       slots for their second consecutive rows (the standing
+#       first-timer treatment; d8's plan also CHANGED this round —
+#       exact integer prefix bounds, ADVICE r10 — so policy 1 pins
+#       it in the head regardless).
+#   r9: the 46 oracled queries of the r10 tail — rotating back in
+#       NOW (policy 3), minus four demoted to the pytest tier (see
+#       _PYTEST_TIER: a2/p1/t7/a8, each with SIX green driver rows
+#       r1/r2/r3/r5/r7/r9 and trivial single-operator plans — the
+#       r10 verdict named head-resident candidates t9/a12/st1, but
+#       demoting TAIL returners is what frees head slots, and these
+#       four are more-certified than any head candidate).
+#   never: the two r11 registrations take their FIRST driver rows
+#       this round — d10 = substring-level exact dedup (the r10
+#       verdict's top directive), d7p = the LSH-composed purge
+#       pipeline under the md5 parity hash (directive 6). Each is
+#       balanced by one of the four demotions (policy 4); the other
+#       two demotions fund the six first-timer second rows.
 _HEAD = [
-    # --- first driver rows (registered late in r9) ---
-    "t23_ngram_novelty",
-    "w10_ewma_8",
-    "j10_interval_anti_join",
-    # --- fill: second consecutive row / this round's machinery ---
-    "w9_time_weighted_avg",
-    "v9rp_ivfpq_rerank_grid",
-    "j9_interval_overlap",
-    "v9p_ivfpq_codes_grid",
-    # --- r9's tail rotates back in (green r8, code unchanged) ---
-    "st2b_session_window",
-    "j7_salted_skew_join",
-    "st5_segment_rollup",
-    "b1_bucketed_join_agg",
-    "t16_vocab_topk_per_lang",
-    "v7_label_centroids",
-    "t18_bpe_pairs",
-    "t1_token_quality",
-    "t9_length_trim",
-    "t11_document_chunking",
-    "t12_pii_redaction",
-    "d1_exact_dedup",
-    "m1_multimodal_metadata",
-    "m2_frame_sampling",
-    "m3_audio_windows",
-    "a1_pricing_summary",
-    "a3_latest_order_per_customer",
-    "a4_dedupe_latest_lineitem",
-    "w1_cumulative_spend",
-    "f23_binned_group_mean",
-    # --- new registrations (policy 4: each balanced by a same-round
-    # demotion of a >=4x-certified trivial query — t5_corpus_mix,
-    # s3_json_props_extract and a13_pivot_event_values, all on the
-    # r9 verdict's candidate list): v9pss = the IMI serve's DIRECT
-    # oracle certification (r9 directive 8), q5 = the TPC-H Q5-shape
-    # six-relation star join (local-supplier correlation + broadcast
-    # dims), b2 = the Z-order layout key (engine-exact Morton
-    # arithmetic; the layout write is measured in
-    # tests/test_layout_zorder.py) ---
+    # --- first driver rows (r11 registrations) ---
+    "d10_exact_substring_spans",
+    "d7p_canonical_docs_lsh",
+    # --- r10 first-timers: second consecutive rows (d8 also
+    # carries this round's exact-arithmetic prefix-bound change) ---
     "v9pss_imi_serve_grid",
     "q5_local_supplier_volume",
     "b2_zorder_key",
-    # --- second r10 wave (same policy; balanced by demoting
-    # p3_drop_all_null_columns and p4_drop_constant_columns, both
-    # 5x-certified single-projection plans): o6 = the Pareto
-    # frontier / skyline (quadratic dominance oracle vs
-    # aggregate-and-broadcast plan), d8 = lossless prefix-filtering
-    # Jaccard join (PPJoin bound — exact WITHOUT d2's max_df cap) ---
     "o6_pareto_frontier",
     "d8_prefix_jaccard_pairs",
-    # --- third r10 wave (balanced by demoting p6_clean_headers,
-    # 5x-certified header-rename projection): d9 = exact containment
-    # (subset) pairs — the truncation-dup class Jaccard misses ---
     "d9_containment_pairs",
-    "j5_asof_join",
-    "j6_range_join",
-    "a12_time_rollup",
-    "st1_tumbling_daily",
-    "t10_clean_corpus",
-    "d5s_duplicate_groups_star",
-    "v4p_cosine_topk_ivf_grid",
-    "v2_cosine_topk_lsh",
-    "v3_embedding_near_dups",
-    "d5_duplicate_groups",
-    "e3_cohort_retention",
-    "e4_funnel_stages",
-    "u3_unpivot_measures",
-    "j8_snapshot_diff",
-    "w8_scd2_intervals",
-    "o5_median_quantity",
-    "d6_edit_distance_pairs",
-]
-_TAIL = [
-    # rows-only variants — PERMANENT tail residents (see policy 2);
-    # their oracle-backed twins carry the correctness signal:
-    "d3_minhash_lsh_pairs",
-    "d4_simhash_candidates",
-    "v4_cosine_topk_ivf",
-    "t8_rolling_fingerprint",
-    # green r9 (CORRECTNESS_r09), code unchanged — rotating out per
-    # policy 2; back in the r11 head per policy 3:
+    # --- r10's tail rotates back in (green r9, code unchanged) ---
     "v8_pq_codes",
     "d7_canonical_docs",
     "t22_lm_quality_zscore",
@@ -151,11 +84,7 @@ _TAIL = [
     "t21_unigram_logprob",
     "o4_topk_orders_per_customer",
     "a11_correlation",
-    "a8_impute_mean",
-    "a2_daily_min",
-    "t7_bpe_token_count",
     "t2_language_id",
-    "p1_projection_revenue",
     "d2_token_jaccard_pairs",
     "d3p_minhash_lsh_pairs",
     "d4p_simhash_candidates",
@@ -186,6 +115,60 @@ _TAIL = [
     "g1_pagerank_bipartite",
     "g2_dup_triangles",
 ]
+_TAIL = [
+    # rows-only variants — PERMANENT tail residents (see policy 2);
+    # their oracle-backed twins carry the correctness signal:
+    "d3_minhash_lsh_pairs",
+    "d4_simhash_candidates",
+    "v4_cosine_topk_ivf",
+    "t8_rolling_fingerprint",
+    # green r10 (CORRECTNESS_r10), code unchanged — rotating out per
+    # policy 2; back in the r12 head per policy 3:
+    "t23_ngram_novelty",
+    "w10_ewma_8",
+    "j10_interval_anti_join",
+    "w9_time_weighted_avg",
+    "v9rp_ivfpq_rerank_grid",
+    "j9_interval_overlap",
+    "v9p_ivfpq_codes_grid",
+    "st2b_session_window",
+    "j7_salted_skew_join",
+    "st5_segment_rollup",
+    "b1_bucketed_join_agg",
+    "t16_vocab_topk_per_lang",
+    "v7_label_centroids",
+    "t18_bpe_pairs",
+    "t1_token_quality",
+    "t9_length_trim",
+    "t11_document_chunking",
+    "t12_pii_redaction",
+    "d1_exact_dedup",
+    "m1_multimodal_metadata",
+    "m2_frame_sampling",
+    "m3_audio_windows",
+    "a1_pricing_summary",
+    "a3_latest_order_per_customer",
+    "a4_dedupe_latest_lineitem",
+    "w1_cumulative_spend",
+    "f23_binned_group_mean",
+    "j5_asof_join",
+    "j6_range_join",
+    "a12_time_rollup",
+    "st1_tumbling_daily",
+    "t10_clean_corpus",
+    "d5s_duplicate_groups_star",
+    "v4p_cosine_topk_ivf_grid",
+    "v2_cosine_topk_lsh",
+    "v3_embedding_near_dups",
+    "d5_duplicate_groups",
+    "e3_cohort_retention",
+    "e4_funnel_stages",
+    "u3_unpivot_measures",
+    "j8_snapshot_diff",
+    "w8_scd2_intervals",
+    "o5_median_quantity",
+    "d6_edit_distance_pairs",
+]
 # Policy 4: demoted to the pytest oracle tier (r6 verdict's named
 # candidate list — all single-operator projections/filters/aggregates
 # certified by hash-matched driver rows in r3, r4 AND r5, code frozen
@@ -193,6 +176,15 @@ _TAIL = [
 # oracle on every pytest run; tests/test_scale_ops.py keeps them under
 # the plan-shape invariants.
 _PYTEST_TIER = [
+    # r11 demotions (balancing the d10_exact_substring_spans and
+    # d7p_canonical_docs_lsh registrations, and funding second
+    # consecutive rows for all six r10 first-timers): each has SIX
+    # green driver rows (r1/r2/r3/r5/r7/r9) and a trivial
+    # single-operator plan
+    "a2_daily_min",
+    "p1_projection_revenue",
+    "t7_bpe_token_count",
+    "a8_impute_mean",
     # r10 demotions (balancing the v9pss_imi_serve_grid and
     # q5_local_supplier_volume registrations): both >=4 green driver
     # rows with code frozen since

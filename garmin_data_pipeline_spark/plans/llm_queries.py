@@ -16,6 +16,7 @@ from garmin_data_pipeline_spark.operators import text as T
 from garmin_data_pipeline_spark.operators.dedup_scale import (
     _minhash_params,
     exact_duplicates,
+    exact_substring_spans,
     minhash_lsh_pairs,
     containment_pairs,
     ngram_jaccard_pairs,
@@ -325,6 +326,62 @@ def d9_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# d10: substring-level exact dedup — the ExactSubstr class (Lee et
+# al. ACL 2022), the one duplication mode the whole document-level
+# family (d1/d2/d8/d9/d3/d4) provably misses: a >= k-token span
+# repeated verbatim inside otherwise-distinct documents. Linear by
+# construction: windows aggregate by hash (a million-document
+# boilerplate window is ONE count row, never pairs), hits semi-join
+# back, adjacent positions merge to maximal spans with the w8 island
+# pattern. tests/test_text_scale_ops.py plants a shared span inside
+# two otherwise-distinct documents and proves d1/d8/d9 all miss it.
+_D10_K = 8
+
+
+@register(
+    "d10_exact_substring_spans",
+    f"""
+    WITH t AS (SELECT doc_id AS doc, {_TOKS} AS toks FROM documents),
+    w0 AS (
+        SELECT doc,
+               UNNEST(CASE WHEN len(toks) >= {_D10_K} THEN
+                   generate_series(1, len(toks) - {_D10_K} + 1)
+                   ELSE CAST([] AS BIGINT[]) END) AS pos,
+               UNNEST({T.sql_positional_windows("toks", _D10_K)}) AS h
+        FROM t
+    ),
+    dup AS (
+        SELECT h FROM w0 GROUP BY h HAVING COUNT(DISTINCT doc) >= 2
+    ),
+    hits AS (SELECT doc, pos FROM w0 WHERE h IN (SELECT h FROM dup)),
+    isl AS (
+        SELECT doc, pos,
+               pos - ROW_NUMBER() OVER (
+                   PARTITION BY doc ORDER BY pos) AS grp
+        FROM hits
+    )
+    SELECT doc AS doc_id,
+           MIN(pos) AS span_start,
+           MAX(pos) + {_D10_K} - 1 AS span_end,
+           MAX(pos) + {_D10_K} - MIN(pos) AS span_len,
+           COUNT(*) AS n_windows
+    FROM isl GROUP BY doc, grp
+    """,
+    doc="Substring-level exact dedup (ExactSubstr, Lee et al. ACL "
+    "2022): maximal token spans repeated verbatim across distinct "
+    "documents, via md5'd positional 8-token windows -> "
+    "count(distinct doc) per hash (never pair enumeration) -> "
+    "semi-join back -> pos - row_number island merge. The span "
+    "class invisible to every document-level dedup operator.",
+)
+def d10_exact_substring_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return exact_substring_spans(
+        table(spark, sf_dir, "documents"), "doc_id", "text", k=_D10_K
+    )
+
+
 @register(
     "d5_duplicate_groups",
     f"""
@@ -418,21 +475,20 @@ def d5s_duplicate_groups_star(
     return duplicate_groups(pairs, "doc_a", "doc_b", algorithm="star")
 
 
-def _sql_minhash_lsh(
-    num_hashes: int, bands: int, threshold: float
-) -> str:
-    """DuckDB mirror of minhash_lsh_pairs(hash_impl='md5'): same
-    universal-hash params, same banding, same estimated-Jaccard score —
-    generated from the SAME _minhash_params constants as the Spark
-    plan, so d3p is hash-matched end to end."""
+def _sql_minhash_lsh_ctes(num_hashes: int, bands: int) -> str:
+    """The CTE chain of the minhash_lsh_pairs(hash_impl='md5') DuckDB
+    mirror, ending at ``scored`` (doc_a, doc_b, est_jaccard) — shared
+    by the d3p pair query and the d7p composed-pipeline oracle so the
+    two can never drift. Same universal-hash params, same banding,
+    same estimated-Jaccard score, generated from the SAME
+    _minhash_params constants as the Spark plan."""
     rows = num_hashes // bands
     p = (1 << 61) - 1
     mins = ", ".join(
         f"MIN(({a} * h + {b}) % {p})"
         for a, b in _minhash_params(num_hashes)
     )
-    return f"""
-    WITH sh AS (
+    return f"""sh AS (
         SELECT doc_id AS doc, UNNEST({_SH3}) AS shingle FROM documents
     ), h AS (
         SELECT doc, {sql_base_hash32("shingle")} AS h FROM sh
@@ -458,7 +514,17 @@ def _sql_minhash_lsh(
         FROM pairs
         JOIN sig sa ON sa.doc = doc_a
         JOIN sig sb ON sb.doc = doc_b
-    )
+    )"""
+
+
+def _sql_minhash_lsh(
+    num_hashes: int, bands: int, threshold: float
+) -> str:
+    """DuckDB mirror of minhash_lsh_pairs(hash_impl='md5'): the
+    shared CTE chain plus the threshold filter — d3p is hash-matched
+    end to end."""
+    return f"""
+    WITH {_sql_minhash_lsh_ctes(num_hashes, bands)}
     SELECT doc_a, doc_b, est_jaccard
     FROM scored WHERE est_jaccard >= {threshold}
     """
@@ -3541,6 +3607,80 @@ def d7_canonical_docs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, "doc_id", "text")
+    groups = duplicate_groups(pairs, "doc_a", "doc_b")
+    return _canonical_pick(docs, groups)
+
+
+# d7p: the LSH-composed purge pipeline under the md5 parity hash —
+# the r10 verdict's directive 6. d7_canonical_docs_lsh above prices
+# the scale shape but its correctness was only TRANSITIVE (d3p + d5 +
+# d7 certified separately); this twin runs the IDENTICAL composition
+# (LSH candidates -> connected components -> canonical pick) with the
+# md5-derived MinHash the DuckDB oracle can replay, certifying the
+# composed pipeline end to end (the v9pss recipe applied to dedup).
+@register(
+    "d7p_canonical_docs_lsh",
+    f"""
+    WITH RECURSIVE {_sql_minhash_lsh_ctes(num_hashes=32, bands=8)},
+    jpairs AS (
+        SELECT doc_a, doc_b FROM scored WHERE est_jaccard >= 0.5
+    ),
+    e AS (
+        SELECT doc_a AS a, doc_b AS b FROM jpairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM jpairs
+    ),
+    reach(n, r) AS (
+        SELECT a, a FROM e
+        UNION
+        SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.n
+    ),
+    comp AS (
+        SELECT n AS doc_id, MIN(r) AS group_id FROM reach GROUP BY n
+    ),
+    sized AS (
+        SELECT doc_id, group_id,
+               COUNT(*) OVER (PARTITION BY group_id) AS group_size
+        FROM comp
+    ),
+    m AS (
+        SELECT d.doc_id,
+               COALESCE(s.group_id, d.doc_id) AS group_id,
+               COALESCE(s.group_size, 1) AS group_size,
+               length(d.text) AS text_len
+        FROM documents d LEFT JOIN sized s USING (doc_id)
+    )
+    SELECT group_id, doc_id AS kept_doc, group_size, text_len
+    FROM m
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY group_id ORDER BY text_len DESC, doc_id) = 1
+    """,
+    doc="The dedup-purge RETENTION composition end to end under the "
+    "md5 parity hash: MinHash-LSH candidate pairs (banded, never "
+    "all-pairs) -> connected components -> one canonical doc per "
+    "cluster by (text_len DESC, doc_id), singletons kept. Oracle "
+    "replays the full chain (signatures, banding, estimated "
+    "Jaccard, recursive-CTE reachability, QUALIFY pick) so the "
+    "COMPOSED pipeline is hash-certified, not just its stages.",
+)
+def d7p_canonical_docs_lsh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.graph import (
+        duplicate_groups,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=32,
+        bands=8,
+        shingle_n=3,
+        threshold=0.5,
+        hash_impl="md5",
+    )
     groups = duplicate_groups(pairs, "doc_a", "doc_b")
     return _canonical_pick(docs, groups)
 

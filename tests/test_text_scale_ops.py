@@ -879,3 +879,151 @@ class TestNgramNovelty:
             for _, r in odf.iterrows()
         }
         assert o == expect
+
+
+class TestExactSubstringSpans:
+    """d10 exact-substring dedup (r10 verdict directive 1): a planted
+    shared span inside otherwise-distinct documents must be found
+    with EXACT token boundaries by d10 — and provably missed by the
+    whole document-level family (d1 exact, d8 lossless Jaccard, d9
+    containment), which is the operator's reason to exist."""
+
+    K = 8
+
+    @staticmethod
+    def _doc(*parts: list[str]) -> str:
+        return " ".join(t for p in parts for t in p)
+
+    def _spans(self, spark, texts: dict[int, str], k: int = 8):
+        from garmin_data_pipeline_spark.operators.dedup_scale import (
+            exact_substring_spans,
+        )
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in texts.items()],
+            "doc_id long, text string",
+        )
+        return sorted(
+            tuple(r)
+            for r in exact_substring_spans(
+                df, "doc_id", "text", k=k
+            ).collect()
+        )
+
+    def test_planted_span_exact_boundaries_and_family_blindness(
+        self, spark
+    ):
+        from garmin_data_pipeline_spark.operators.dedup_scale import (
+            containment_pairs,
+            exact_duplicates,
+            prefix_jaccard_pairs,
+        )
+
+        shared = [f"s{i}" for i in range(1, 21)]  # 20-token span
+        a_fill = [f"alpha{i}" for i in range(1, 21)]
+        b_fill = [f"beta{i}" for i in range(1, 21)]
+        texts = {
+            # span at A positions 11..30, B positions 16..35
+            1: self._doc(a_fill[:10], shared, a_fill[10:]),
+            2: self._doc(b_fill[:15], shared, b_fill[15:]),
+        }
+        got = self._spans(spark, texts, k=self.K)
+        # L=20-token shared run, k=8 -> L-k+1=13 consecutive windows
+        # merging back to EXACTLY the planted boundaries
+        assert got == [
+            (1, 11, 30, 20, 13),
+            (2, 16, 35, 20, 13),
+        ], got
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in texts.items()],
+            "doc_id long, text string",
+        )
+        # d1: whole documents differ -> no exact-dup groups
+        assert (
+            exact_duplicates(df, "doc_id", "text")
+            .filter(F.col("n_dups") >= 2)
+            .count()
+            == 0
+        )
+        # d8 at the dedup-grade threshold: shared 3-grams are diluted
+        # by the distinct bodies (J = 18/58 ~ 0.31 << 0.8)
+        assert (
+            prefix_jaccard_pairs(
+                df, "doc_id", "text", n=3, threshold=0.8
+            ).count()
+            == 0
+        )
+        # d9: neither doc's shingle set is a subset of the other's
+        assert (
+            containment_pairs(df, "doc_id", "text", n=3).count() == 0
+        )
+
+    def test_island_merge_and_contracts(self, spark):
+        shared1 = [f"p{i}" for i in range(1, 11)]  # 10 tokens
+        shared2 = [f"q{i}" for i in range(1, 13)]  # 12 tokens
+        rep = [f"r{i}" for i in range(1, 11)]
+        seven = [f"v{i}" for i in range(1, 8)]  # k-1 tokens
+        f_fill = [f"f{i}" for i in range(1, 21)]
+        texts = {
+            # F carries BOTH spans, separated by >= k unique tokens
+            # -> two maximal islands, never merged across the gap
+            1: self._doc(
+                f_fill[:2], shared1, f_fill[2:12], shared2, f_fill[12:]
+            ),
+            2: self._doc([f"g{i}" for i in range(1, 6)], shared1),
+            3: self._doc(shared2, [f"h{i}" for i in range(1, 6)]),
+            # within-doc repeat ONLY -> cross-doc contract says no
+            4: self._doc(
+                [f"c{i}" for i in range(1, 6)],
+                rep,
+                [f"c{i}" for i in range(6, 11)],
+                rep,
+            ),
+            # a k-1-token shared run is invisible at window size k
+            5: self._doc([f"d{i}" for i in range(1, 6)], seven),
+            6: self._doc(seven, [f"e{i}" for i in range(1, 6)]),
+        }
+        got = self._spans(spark, texts, k=self.K)
+        assert got == [
+            (1, 3, 12, 10, 3),    # shared1 in F: pos 3..12
+            (1, 23, 34, 12, 5),   # shared2 in F: pos 23..34
+            (2, 6, 15, 10, 3),    # shared1 in doc 2
+            (3, 1, 12, 12, 5),    # shared2 in doc 3
+        ], got
+
+    def test_registered_query_matches_oracle_on_fixture(
+        self, spark, tmp_path
+    ):
+        import duckdb
+
+        from garmin_data_pipeline_spark import plans
+
+        shared = [f"s{i}" for i in range(1, 21)]
+        texts = {
+            1: self._doc([f"a{i}" for i in range(1, 11)], shared),
+            2: self._doc(shared, [f"b{i}" for i in range(1, 11)]),
+            3: self._doc([f"z{i}" for i in range(1, 31)]),
+        }
+        rows = [(i, t, "en", "unit", len(t)) for i, t in texts.items()]
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, "
+            "source string, n_chars long",
+        ).write.mode("overwrite").parquet(
+            f"{tmp_path}/documents.parquet"
+        )
+        q = plans.QUERIES["d10_exact_substring_spans"]
+        got = sorted(
+            tuple(r) for r in q.fn(spark, str(tmp_path)).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet/*.parquet'"
+        )
+        want = sorted(
+            tuple(int(x) for x in row)
+            for row in con.execute(q.oracle).fetchall()
+        )
+        assert got == want and len(got) == 2, (got, want)
