@@ -55,35 +55,60 @@ CAL_GROUPS = 2_000_003
 CAL_REPS = 5
 
 
-def calibrate(spark) -> float:
-    """Median wall time of the fixed calibration job (2 warm-ups)."""
-    import gc
-
+def _calibration_job(spark) -> None:
     from pyspark.sql import functions as F
 
-    def job() -> None:
-        df = (
-            spark.range(0, CAL_ROWS, 1, 32)
-            .withColumn("h", F.xxhash64("id"))
-            .withColumn("k", F.pmod("h", F.lit(CAL_GROUPS)))
-            .groupBy("k")
-            .agg(
-                # pmod keeps the ANSI sum far from LONG overflow
-                F.sum(F.pmod("h", F.lit(1_000_003))).alias("s"),
-                F.count("*").alias("c"),
-            )
-            .orderBy("s", "k")
+    df = (
+        spark.range(0, CAL_ROWS, 1, 32)
+        .withColumn("h", F.xxhash64("id"))
+        .withColumn("k", F.pmod("h", F.lit(CAL_GROUPS)))
+        .groupBy("k")
+        .agg(
+            # pmod keeps the ANSI sum far from LONG overflow
+            F.sum(F.pmod("h", F.lit(1_000_003))).alias("s"),
+            F.count("*").alias("c"),
         )
-        df.write.mode("overwrite").format("noop").save()
+        .orderBy("s", "k")
+    )
+    df.write.mode("overwrite").format("noop").save()
+
+
+def calibrate(spark) -> float:
+    """Median wall time of the fixed calibration job (2 warm-ups).
+    The canonical-position sample: runs where r7-r10 ran it (after
+    the bench warm-up, before the query loop), which is the position
+    CALIBRATION_REF_S was measured in."""
+    import gc
 
     for _ in range(WARMUPS):
-        job()
+        _calibration_job(spark)
     reps = []
     for _ in range(CAL_REPS):
         gc.collect()
         spark._jvm.System.gc()
         t0 = time.perf_counter()
-        job()
+        _calibration_job(spark)
+        reps.append(time.perf_counter() - t0)
+    return round(statistics.median(reps), 3)
+
+
+def calibrate_sample(spark) -> float:
+    """One mid-run calibration sample (median of 3 reps, no warm-ups
+    — the JVM is hot mid-bench). r10 verdict directive 4: two
+    same-round single-sample calibrations on near-identical hosts
+    read 3.578 vs 2.617s (~1.4x), which is the size of the effects
+    host_factor is used to detect — so a single sample cannot bear
+    the weight the normalization puts on it. The bench now takes 5
+    samples interleaved through the query loop and normalizes by
+    their median; every sample wall ships in the artifact."""
+    import gc
+
+    reps = []
+    for _ in range(3):
+        gc.collect()
+        spark._jvm.System.gc()
+        t0 = time.perf_counter()
+        _calibration_job(spark)
         reps.append(time.perf_counter() - t0)
     return round(statistics.median(reps), 3)
 
@@ -278,6 +303,12 @@ HEADLINE = [
     # r10 third wave: containment (subset) pairs — one rarest-shingle
     # probe per doc against the inverted index + exact verify.
     "d9_containment_pairs",
+    # r11: substring-level exact dedup (positional window hashes,
+    # count-distinct-per-hash — never pairs — then island merge) and
+    # the md5-parity LSH purge pipeline (prices the certified
+    # composition next to the xxhash64 production one above).
+    "d10_exact_substring_spans",
+    "d7p_canonical_docs_lsh",
 ]
 
 
@@ -341,10 +372,13 @@ def main() -> None:
     # Warm-up: spin the JVM/codegen once on a small plan.
     run(qs["a2_daily_min"](spark, sf_dir).limit(10))
 
-    # Host-speed calibration BEFORE the query loop (same session, same
-    # JVM) — see calibrate() above.
-    calibration_s = calibrate(spark)
-    host_factor = round(calibration_s / CALIBRATION_REF_S, 3)
+    # Host-speed calibration: the canonical-position sample BEFORE
+    # the query loop (the position CALIBRATION_REF_S is pinned to),
+    # then 4 more samples interleaved through the loop (directive 4,
+    # r10 verdict: a single 3-second sample has ~1.4x run-to-run
+    # variance — as large as the effects it normalizes). host_factor
+    # uses the MEDIAN of all 5; each sample wall ships in the payload.
+    calibration_samples = [calibrate(spark)]
 
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
@@ -369,7 +403,13 @@ def main() -> None:
         snapshot_persistent_rdds,
     )
 
-    for name in HEADLINE:
+    # interleave the remaining 4 calibration samples at the quartile
+    # boundaries of the query loop
+    cal_points = {
+        (len(HEADLINE) * i) // 4 for i in range(1, 4)
+    } | {len(HEADLINE) - 1}
+
+    for qi, name in enumerate(HEADLINE):
         fn = overrides[name] if name in overrides else qs[name]
         # Checkpoint hygiene (r10): the serve tiers materialize
         # per-call lazy localCheckpoints that only the (lagging)
@@ -402,6 +442,11 @@ def main() -> None:
         # blow-up the r5 tuning pass chased. Inside a cell the cache is
         # live and measured; releasing it here is outside any timer.
         unpersist_signatures()
+        if qi in cal_points:
+            calibration_samples.append(calibrate_sample(spark))
+
+    calibration_s = round(statistics.median(calibration_samples), 3)
+    host_factor = round(calibration_s / CALIBRATION_REF_S, 3)
 
     anchor_total = round(sum(timings[n] for n in ANCHOR), 3)
     full_total = round(sum(timings.values()), 3)
@@ -441,6 +486,7 @@ def main() -> None:
                 "value_full": full_total,
                 "value_scale_paths": round(full_total - anchor_total, 3),
                 "calibration_s": calibration_s,
+                "calibration_samples": calibration_samples,
                 "calibration_ref_s": CALIBRATION_REF_S,
                 "host_factor": host_factor,
                 "value_anchor18_normalized": round(
@@ -498,14 +544,24 @@ def main() -> None:
                     "are steady-state per call"
                 ),
                 "calibration_note": (
-                    "calibration_s = median wall of a fixed pure-"
-                    "compute job (range->xxhash64->2M-group agg->sort,"
-                    " no IO) timed in this session; host_factor = "
-                    "calibration_s / calibration_ref_s where the ref "
-                    "is the r7 VM. Divide any series by host_factor "
-                    "before cross-round comparison (the r6 verdict's "
-                    "~1.6x VM-drift fix); queries_normalized is that "
-                    "division applied to queries"
+                    "calibration_s = MEDIAN OF 5 SAMPLES of a fixed "
+                    "pure-compute job (range->xxhash64->2M-group agg->"
+                    "sort, no IO): one in the canonical r7-r10 "
+                    "position (post-warm-up, pre-loop, itself a "
+                    "median of 5 reps) plus 4 interleaved at the "
+                    "query-loop quartiles (median of 3 reps each) — "
+                    "r10 verdict directive 4: two same-round single "
+                    "samples read 3.578 vs 2.617s on near-identical "
+                    "hosts, a ~1.4x method error as large as any "
+                    "effect since r7, so host_factor now rests on "
+                    "the median and every sample wall ships in "
+                    "calibration_samples. host_factor = calibration_s"
+                    " / calibration_ref_s where the ref is the r7 VM."
+                    " Divide any series by host_factor before cross-"
+                    "round comparison; cross-round claims should "
+                    "still be stated raw + the documented ~1.5x "
+                    "same-code band when the factor's samples spread "
+                    "past ~20%"
                 ),
                 "anchor_note": (
                     "value == value_anchor18 sums the 18-query round-1 "

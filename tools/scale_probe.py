@@ -123,6 +123,13 @@ PROBES = [
     "w10_ewma_8",
     "j10_interval_anti_join",
     "b2_zorder_key",
+    # r11: substring-level exact dedup — the window-hash aggregate's
+    # failure mode is common windows (stop-spans), the d8 lesson's
+    # sibling: diagnose the per-stage cardinalities if the ratio
+    # exceeds ~2.5x — and the md5-parity LSH purge composition next
+    # to the xxhash64 one
+    "d10_exact_substring_spans",
+    "d7p_canonical_docs_lsh",
 ]
 
 WARMUPS = 1
