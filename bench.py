@@ -534,6 +534,21 @@ def main() -> None:
                     "spread ~= median gets a same-host re-run "
                     "before being read as a regression"
                 ),
+                "v4_ab_note": (
+                    "r10 verdict directive 3: v4_cosine_topk_ivf's "
+                    "committed r10 cell (6.00s, spread 2.95 ~= "
+                    "median — the documented stall signature) and "
+                    "w9_time_weighted_avg (1.11s) adjudicated by a "
+                    "same-session 2-warmup+7-rep A/B on the r11 VM "
+                    "(2026-08-15): v4 median 3.721s spread 0.141 — "
+                    "the r10 cell was a transient stall, the true "
+                    "band is ~3.7s on this host (r9's 2.96s is the "
+                    "same code inside the ~1.5x cross-round host "
+                    "band); w9 median 0.806s spread 0.283 — "
+                    "between its r9 (0.55) and r10 (1.11) walls, "
+                    "sub-noise-floor absolute. No code change "
+                    "indicated for either"
+                ),
                 "checkpoint_hygiene_note": (
                     "r10: per-call serve localCheckpoints are "
                     "released between reps (session."
