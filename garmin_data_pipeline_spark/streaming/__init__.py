@@ -3,7 +3,10 @@
 from .dedup import (  # noqa: F401
     build_minhash_band_index,
     neardup_candidates,
+    read_band_index,
+    start_index_ingest_stream,
     start_neardup_stream,
+    write_band_index,
 )
 from .events import (  # noqa: F401
     EVENTS_SCHEMA,

@@ -187,3 +187,79 @@ def read_band_index(spark: SparkSession, path: str) -> DataFrame:
     (the ``pt`` layout column is dropped — join keys are
     (band, bucket) exactly as for an in-memory index)."""
     return spark.read.parquet(path).drop("pt")
+
+
+def start_index_ingest_stream(
+    spark: SparkSession,
+    source_path: str,
+    index_path: str,
+    checkpoint: str,
+    pairs_path: str | None = None,
+    threshold: float = 0.5,
+    n_partitions: int = 64,
+    **kwargs,
+):
+    """Incremental MinHash-index INGESTION (r10 verdict stretch): at
+    100 TB the corpus arrives as a crawl, not a snapshot, yet every
+    batch index build re-pays the full corpus scan. MinHash
+    signatures are strictly per-document, so the index is
+    embarrassingly incremental: each micro-batch of landing shards is
+    signatured + banded with the SAME expressions as the batch build
+    and appended to the ``write_band_index`` layout at ``index_path``
+    — the index a standing :func:`start_neardup_stream` (or any
+    backfill) probes is always the corpus-so-far, and the expensive
+    full-corpus build never happens at all.
+
+    With ``pairs_path`` set, each batch is first probed against the
+    index-so-far BEFORE its own rows append — near-dup detection at
+    ingest ("is this new document a near-dup of anything ALREADY
+    held"). In-batch pairs are deliberately out of scope (that is
+    within-shard dedup — run ``minhash_lsh_pairs`` on the shard);
+    probing before appending keeps a document from matching itself.
+
+    Cold start: seed ``index_path`` with :func:`write_band_index`
+    over the initial corpus, or just point at an empty/absent
+    directory — a not-yet-readable index means "nothing held", so
+    the first batch probes nothing and appends itself. Delivery is
+    at-least-once, same as st6/start_neardup_stream: a replayed
+    shard re-appends its index rows, which is harmless downstream
+    because :func:`neardup_candidates` dedups pair ids and corpus
+    signatures before scoring — pytest replays a shard and asserts
+    the emitted pairs are unchanged."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.persist()  # feeds the probe AND the append
+        try:
+            if pairs_path is not None:
+                try:
+                    index = read_band_index(spark, index_path)
+                except AnalysisException:
+                    index = None  # cold start: nothing held yet
+                if index is not None:
+                    neardup_candidates(
+                        batch,
+                        index,
+                        threshold=threshold,
+                        **kwargs,
+                    ).write.mode("append").parquet(pairs_path)
+            build_minhash_band_index(batch, **kwargs).withColumn(
+                "pt",
+                F.pmod(F.col("bucket"), F.lit(n_partitions)).cast(
+                    "int"
+                ),
+            ).write.mode("append").partitionBy("pt").parquet(
+                index_path
+            )
+        finally:
+            batch.unpersist()
+
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_path)
+        .writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

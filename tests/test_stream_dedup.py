@@ -166,3 +166,92 @@ class TestBandIndexIO:
             for r in neardup_candidates(new, reopened).collect()
         }
         assert mem == disk and mem
+
+
+class TestIndexIngestStream:
+    """Incremental MinHash-index ingestion (r10 verdict stretch):
+    signatures are per-document, so streaming shard appends must
+    reproduce the batch-built index EXACTLY, and probing each batch
+    against the index-so-far must equal the prefix-ordered batch
+    composition."""
+
+    SHARD_1 = CORPUS
+    SHARD_2 = NEW_BATCH_1 + NEW_BATCH_2
+
+    def _land_and_run(self, spark, tmp_path, shards, **kwargs):
+        from garmin_data_pipeline_spark.streaming.dedup import (
+            start_index_ingest_stream,
+            write_band_index,
+        )
+
+        src = tmp_path / "in"
+        src.mkdir()
+        idx_path = str(tmp_path / "index")
+        ckpt = str(tmp_path / "ckpt")
+        # cold start: initialize the layout with an EMPTY corpus
+        write_band_index(
+            build_minhash_band_index(_mk(spark, [])),
+            idx_path,
+            n_partitions=8,
+        )
+        for rows in shards:
+            _mk(spark, rows).coalesce(1).write.mode("append").parquet(
+                str(src)
+            )
+            q = start_index_ingest_stream(
+                spark,
+                str(src),
+                idx_path,
+                ckpt,
+                n_partitions=8,
+                **kwargs,
+            )
+            q.awaitTermination(120)
+        return idx_path
+
+    def test_streamed_index_equals_batch_build(self, spark, tmp_path):
+        from garmin_data_pipeline_spark.streaming.dedup import (
+            read_band_index,
+        )
+
+        idx_path = self._land_and_run(
+            spark, tmp_path, [self.SHARD_1, self.SHARD_2]
+        )
+        streamed = {
+            (r.doc, r.band, r.bucket, tuple(r.signature))
+            for r in read_band_index(spark, idx_path).collect()
+        }
+        batch = {
+            (r.doc, r.band, r.bucket, tuple(r.signature))
+            for r in build_minhash_band_index(
+                _mk(spark, self.SHARD_1 + self.SHARD_2)
+            ).collect()
+        }
+        assert streamed == batch and streamed
+
+    def test_detection_at_ingest_equals_prefix_batches(
+        self, spark, tmp_path
+    ):
+        """Pairs emitted while ingesting shard i must equal the batch
+        probe of shard i against shards 1..i-1: shard 1 lands on an
+        empty index (zero pairs), shard 2 must rediscover exactly the
+        static-detector pairs vs shard 1."""
+        pairs_path = str(tmp_path / "pairs")
+        self._land_and_run(
+            spark,
+            tmp_path,
+            [self.SHARD_1, self.SHARD_2],
+            pairs_path=pairs_path,
+        )
+        streamed = {
+            (r.new_doc, r.corpus_doc, round(r.est_jaccard, 6))
+            for r in spark.read.parquet(pairs_path).collect()
+        }
+        batch = {
+            (r.new_doc, r.corpus_doc, round(r.est_jaccard, 6))
+            for r in neardup_candidates(
+                _mk(spark, self.SHARD_2),
+                build_minhash_band_index(_mk(spark, self.SHARD_1)),
+            ).collect()
+        }
+        assert streamed == batch and streamed
