@@ -308,6 +308,7 @@ HEADLINE = [
     # the md5-parity LSH purge pipeline (prices the certified
     # composition next to the xxhash64 production one above).
     "d10_exact_substring_spans",
+    "d10x_substring_excision",
     "d7p_canonical_docs_lsh",
 ]
 

@@ -525,6 +525,97 @@ def exact_substring_spans(
     )
 
 
+def substring_excision_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """The ACTION half of substring-level dedup (Lee et al. remove
+    all-but-one occurrence of every duplicated span; d10 only
+    REPORTS them): per document, the maximal token spans to EXCISE
+    so that each cross-doc-duplicated k-token window keeps exactly
+    ONE canonical occurrence corpus-wide — the lexicographically
+    smallest (doc, pos), i.e. the earliest position in the earliest
+    document.
+
+    Same linear shape as ``exact_substring_spans`` with one change:
+    the per-hash aggregate ALSO computes the canonical occurrence as
+    ``min(struct(doc, pos))`` — still a single map-side-partial
+    aggregate, never pair enumeration — and the join back flags
+    every occurrence EXCEPT the canonical one (including later
+    occurrences inside the canonical document itself: the dedup
+    action is one-occurrence-globally, unlike d10's cross-doc
+    reporting contract). Flagged positions merge to maximal spans
+    with the same island trick.
+
+    Excising the reported spans removes every flagged window; the
+    canonical copy survives in place, so the corpus keeps exactly
+    one verbatim occurrence of each duplicated >= k-token run (the
+    standard rolling-window approximation of the suffix-array
+    procedure)."""
+    from pyspark.sql import Window
+
+    wins = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            positional_windows(F.col(text_col), k)
+        ).alias("pos0", "win"),
+    ).select(
+        "doc",
+        (F.col("pos0") + 1).alias("pos"),
+        F.md5(F.col("win")).alias("h"),
+    )
+    wins = wins.localCheckpoint(eager=False)
+    dup = (
+        wins.groupBy("h")
+        .agg(
+            F.count_distinct("doc").alias("ndocs"),
+            F.min(F.struct("doc", "pos")).alias("canon"),
+        )
+        .filter(F.col("ndocs") >= 2)
+        .select(
+            "h",
+            F.col("canon.doc").alias("cdoc"),
+            F.col("canon.pos").alias("cpos"),
+        )
+    )
+    hits = (
+        wins.join(dup, "h")
+        .filter(
+            ~(
+                (F.col("doc") == F.col("cdoc"))
+                & (F.col("pos") == F.col("cpos"))
+            )
+        )
+        .select("doc", "pos")
+    )
+    grp = (
+        F.col("pos")
+        - F.row_number().over(
+            Window.partitionBy("doc").orderBy("pos")
+        )
+    ).alias("grp")
+    return (
+        hits.select("doc", "pos", grp)
+        .groupBy("doc", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k - 1).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            F.col("doc").alias("doc_id"),
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("span_len"),
+            "n_windows",
+        )
+    )
+
+
 def _minhash_params(k: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the k universal-hash permutations
     (fixed small PRNG, no runtime randomness).

@@ -60,13 +60,19 @@ from garmin_data_pipeline_spark.plans.queries import (
 #       balanced by one of the four demotions (policy 4); the other
 #       two demotions fund the six first-timer second rows.
 _HEAD = [
-    # --- first driver rows (r11 registrations) ---
+    # --- first driver rows (r11 registrations). d10x registered
+    # second-wave within the cap (registry 99 <= 100): its head slot
+    # comes from q5_local_supplier_volume, the lowest-risk r10
+    # first-timer (hand-computed six-relation pytest pin + the
+    # certified a1/q3 DECIMAL-revenue family), which rotates to the
+    # tail with its green r10 row (<= 1 round stale; r12 head) —
+    # a NEW operator's first row outranks a second consecutive row.
     "d10_exact_substring_spans",
+    "d10x_substring_excision",
     "d7p_canonical_docs_lsh",
     # --- r10 first-timers: second consecutive rows (d8 also
     # carries this round's exact-arithmetic prefix-bound change) ---
     "v9pss_imi_serve_grid",
-    "q5_local_supplier_volume",
     "b2_zorder_key",
     "o6_pareto_frontier",
     "d8_prefix_jaccard_pairs",
@@ -123,7 +129,9 @@ _TAIL = [
     "v4_cosine_topk_ivf",
     "t8_rolling_fingerprint",
     # green r10 (CORRECTNESS_r10), code unchanged — rotating out per
-    # policy 2; back in the r12 head per policy 3:
+    # policy 2; back in the r12 head per policy 3 (q5 funds the d10x
+    # head slot, see the _HEAD comment):
+    "q5_local_supplier_volume",
     "t23_ngram_novelty",
     "w10_ewma_8",
     "j10_interval_anti_join",

@@ -23,6 +23,7 @@ from garmin_data_pipeline_spark.operators.dedup_scale import (
     prefix_jaccard_pairs,
     simhash_candidate_pairs,
     sql_base_hash32,
+    substring_excision_spans,
 )
 from garmin_data_pipeline_spark.operators.multimodal import (
     attach_binary_payload,
@@ -378,6 +379,64 @@ def d10_exact_substring_spans(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return exact_substring_spans(
+        table(spark, sf_dir, "documents"), "doc_id", "text", k=_D10_K
+    )
+
+
+# d10x: the dedup ACTION for the spans d10 reports — Lee et al.
+# remove all-but-one occurrence of every duplicated span; this emits
+# the per-doc spans to excise so each duplicated window keeps exactly
+# one canonical occurrence (lexicographic min (doc, pos)) corpus-wide.
+# Same linear aggregate shape; the canonical pick is a min(struct)
+# inside the per-hash aggregate, never a pair join. The oracle ranks
+# occurrences with a window (same result, oracle-side convenience).
+@register(
+    "d10x_substring_excision",
+    f"""
+    WITH t AS (SELECT doc_id AS doc, {_TOKS} AS toks FROM documents),
+    w0 AS (
+        SELECT doc,
+               UNNEST(CASE WHEN len(toks) >= {_D10_K} THEN
+                   generate_series(1, len(toks) - {_D10_K} + 1)
+                   ELSE CAST([] AS BIGINT[]) END) AS pos,
+               UNNEST({T.sql_positional_windows("toks", _D10_K)}) AS h
+        FROM t
+    ),
+    dup AS (
+        SELECT h FROM w0 GROUP BY h HAVING COUNT(DISTINCT doc) >= 2
+    ),
+    occ AS (
+        SELECT doc, pos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY h ORDER BY doc, pos) AS rk
+        FROM w0 WHERE h IN (SELECT h FROM dup)
+    ),
+    hits AS (SELECT doc, pos FROM occ WHERE rk > 1),
+    isl AS (
+        SELECT doc, pos,
+               pos - ROW_NUMBER() OVER (
+                   PARTITION BY doc ORDER BY pos) AS grp
+        FROM hits
+    )
+    SELECT doc AS doc_id,
+           MIN(pos) AS span_start,
+           MAX(pos) + {_D10_K} - 1 AS span_end,
+           MAX(pos) + {_D10_K} - MIN(pos) AS span_len,
+           COUNT(*) AS n_windows
+    FROM isl GROUP BY doc, grp
+    """,
+    doc="Substring-dedup excision spans (the Lee et al. ACTION): "
+    "every occurrence of a cross-doc-duplicated 8-token window "
+    "except its canonical one (earliest position in the earliest "
+    "document), merged to maximal per-doc spans. Canonical pick = "
+    "min(struct(doc, pos)) inside the same single per-hash "
+    "aggregate; excising the spans leaves exactly one verbatim "
+    "copy of each duplicated run in the corpus.",
+)
+def d10x_substring_excision(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return substring_excision_spans(
         table(spark, sf_dir, "documents"), "doc_id", "text", k=_D10_K
     )
 

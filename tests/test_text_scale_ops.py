@@ -1027,3 +1027,98 @@ class TestExactSubstringSpans:
             for row in con.execute(q.oracle).fetchall()
         )
         assert got == want and len(got) == 2, (got, want)
+
+
+class TestSubstringExcision:
+    """d10x canonical-pick semantics: all-but-one occurrence of each
+    duplicated window is flagged — including later occurrences inside
+    the canonical document itself (the Lee et al. one-copy-globally
+    action, vs d10's cross-doc reporting contract)."""
+
+    K = 8
+
+    def _spans(self, spark, texts: dict[int, str], k: int = 8):
+        from garmin_data_pipeline_spark.operators.dedup_scale import (
+            substring_excision_spans,
+        )
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in texts.items()],
+            "doc_id long, text string",
+        )
+        return sorted(
+            tuple(r)
+            for r in substring_excision_spans(
+                df, "doc_id", "text", k=k
+            ).collect()
+        )
+
+    def test_canonical_survives_all_other_copies_flagged(self, spark):
+        shared = [f"s{i}" for i in range(1, 13)]  # 12-token span
+        mk = TestExactSubstringSpans._doc
+        texts = {
+            # doc 1 = canonical (lowest doc_id): span at 6..17, AND a
+            # second within-doc copy at 23..34 that must ALSO be
+            # flagged (one occurrence globally, not one per doc)
+            1: mk(
+                [f"a{i}" for i in range(1, 6)],
+                shared,
+                [f"b{i}" for i in range(1, 6)],
+                shared,
+                [f"c{i}" for i in range(1, 6)],
+            ),
+            2: mk([f"d{i}" for i in range(1, 4)], shared),
+            3: mk(shared, [f"e{i}" for i in range(1, 4)]),
+        }
+        got = self._spans(spark, texts, k=self.K)
+        # 12-token span, k=8 -> 5 windows per occurrence
+        assert got == [
+            (1, 23, 34, 12, 5),  # doc 1's SECOND copy excised
+            (2, 4, 15, 12, 5),
+            (3, 1, 12, 12, 5),
+        ], got
+        # ...and d10 (reporting) flags the canonical occurrence too,
+        # but NOT doc 1's within-doc second copy boundary semantics:
+        # every occurrence of a cross-doc-shared window is reported
+        rep = TestExactSubstringSpans()._spans(spark, texts, k=self.K)
+        assert (1, 6, 17, 12, 5) in rep  # canonical occurrence
+        assert (1, 23, 34, 12, 5) in rep
+
+    def test_registered_query_matches_oracle_on_fixture(
+        self, spark, tmp_path
+    ):
+        import duckdb
+
+        from garmin_data_pipeline_spark import plans
+
+        shared = [f"s{i}" for i in range(1, 21)]
+        mk = TestExactSubstringSpans._doc
+        texts = {
+            5: mk([f"a{i}" for i in range(1, 11)], shared),
+            2: mk(shared, [f"b{i}" for i in range(1, 11)]),  # canonical
+            3: mk([f"z{i}" for i in range(1, 31)]),
+        }
+        rows = [(i, t, "en", "unit", len(t)) for i, t in texts.items()]
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, "
+            "source string, n_chars long",
+        ).write.mode("overwrite").parquet(
+            f"{tmp_path}/documents.parquet"
+        )
+        q = plans.QUERIES["d10x_substring_excision"]
+        got = sorted(
+            tuple(r) for r in q.fn(spark, str(tmp_path)).collect()
+        )
+        # doc 2 (lowest id) is canonical; only doc 5's copy excised
+        assert got == [(5, 11, 30, 20, 13)], got
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet/*.parquet'"
+        )
+        want = sorted(
+            tuple(int(x) for x in row)
+            for row in con.execute(q.oracle).fetchall()
+        )
+        assert got == want

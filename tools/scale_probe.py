@@ -129,6 +129,7 @@ PROBES = [
     # exceeds ~2.5x — and the md5-parity LSH purge composition next
     # to the xxhash64 one
     "d10_exact_substring_spans",
+    "d10x_substring_excision",
     "d7p_canonical_docs_lsh",
 ]
 
