@@ -469,3 +469,117 @@ def test_prefix_jaccard_never_loses_a_pair(
         ).collect()
     }
     assert got == exact
+
+
+def _py_tokens(text: str) -> list[str]:
+    import re
+
+    return [
+        t
+        for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).split()
+        if t
+    ]
+
+
+def _py_substring_spans(
+    texts: dict[int, str], k: int
+) -> tuple[set[tuple], set[tuple]]:
+    """Brute-force mirror of d10 (cross-doc duplicated windows,
+    merged to maximal spans) AND d10x (all-but-canonical occurrence)
+    over python token lists."""
+    wins: dict[tuple[int, int], str] = {}
+    by_text: dict[str, list[tuple[int, int]]] = {}
+    for d, t in texts.items():
+        toks = _py_tokens(t)
+        for i in range(len(toks) - k + 1):
+            w = " ".join(toks[i : i + k])
+            wins[(d, i + 1)] = w
+            by_text.setdefault(w, []).append((d, i + 1))
+
+    def islands(hits: set[tuple[int, int]]) -> set[tuple]:
+        out = set()
+        for d in {x for x, _ in hits}:
+            ps = sorted(p for x, p in hits if x == d)
+            start = prev = ps[0]
+            n = 1
+            for p in ps[1:]:
+                if p == prev + 1:
+                    prev = p
+                    n += 1
+                else:
+                    out.add((d, start, prev + k - 1,
+                             prev + k - start, n))
+                    start = prev = p
+                    n = 1
+            out.add((d, start, prev + k - 1, prev + k - start, n))
+        return out
+
+    dup_w = {
+        w
+        for w, occ in by_text.items()
+        if len({d for d, _ in occ}) >= 2
+    }
+    d10_hits = {dp for dp, w in wins.items() if w in dup_w}
+    d10x_hits = {
+        dp
+        for dp, w in wins.items()
+        if w in dup_w and dp != min(by_text[w])
+    }
+    return islands(d10_hits), islands(d10x_hits)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_substring_spans_match_brute_force(spark, data):
+    """d10/d10x vs a python brute force over random corpora built
+    from a small vocabulary (so cross-doc window collisions actually
+    occur) with an explicitly planted shared run."""
+    from garmin_data_pipeline_spark.operators.dedup_scale import (
+        exact_substring_spans,
+        substring_excision_spans,
+    )
+
+    k = data.draw(st.integers(min_value=2, max_value=5))
+    vocab = [f"w{i}" for i in range(6)]
+    n_docs = data.draw(st.integers(min_value=2, max_value=5))
+    planted = data.draw(
+        st.lists(
+            st.sampled_from(vocab),
+            min_size=k,
+            max_size=2 * k,
+        )
+    )
+    texts = {}
+    for d in range(1, n_docs + 1):
+        body = data.draw(
+            st.lists(st.sampled_from(vocab), min_size=0, max_size=25)
+        )
+        if data.draw(st.booleans()):
+            pos = data.draw(
+                st.integers(min_value=0, max_value=len(body))
+            )
+            body = body[:pos] + planted + body[pos:]
+        texts[d] = " ".join(body)
+
+    want_d10, want_d10x = _py_substring_spans(texts, k)
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got_d10 = {
+        tuple(r)
+        for r in exact_substring_spans(
+            df, "doc_id", "text", k=k
+        ).collect()
+    }
+    got_d10x = {
+        tuple(r)
+        for r in substring_excision_spans(
+            df, "doc_id", "text", k=k
+        ).collect()
+    }
+    assert got_d10 == want_d10, (texts, k)
+    assert got_d10x == want_d10x, (texts, k)
