@@ -127,7 +127,11 @@ PROBES = [
     # failure mode is common windows (stop-spans), the d8 lesson's
     # sibling: diagnose the per-stage cardinalities if the ratio
     # exceeds ~2.5x — and the md5-parity LSH purge composition next
-    # to the xxhash64 one
+    # to the xxhash64 one. d10x probed 2.54x and WAS diagnosed
+    # (2026-08-15): windows 235,704 -> 2,357,040, dup hashes 10,533
+    # -> 105,330, dup occurrences 21,543 -> 215,430 — every stage
+    # EXACTLY 10x, so the wall ratio is fixed-core scheduling (same
+    # band as d10's 2.28 and t23's 2.68), not superlinear work.
     "d10_exact_substring_spans",
     "d10x_substring_excision",
     "d7p_canonical_docs_lsh",
