@@ -310,6 +310,9 @@ HEADLINE = [
     "d10_exact_substring_spans",
     "d10x_substring_excision",
     "d7p_canonical_docs_lsh",
+    # r11 third wave: span-level decontamination (one train pass,
+    # broadcast eval window set, island merge)
+    "c3_span_decontamination",
 ]
 
 

@@ -94,3 +94,85 @@ def ngram_contamination(
             ).alias("overlap_frac"),
         )
     )
+
+
+def span_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """SPAN-level decontamination: per TRAIN document, the maximal
+    token spans that verbatim-match any k-token window of the
+    evaluation corpus — the exact-substring upgrade of
+    :func:`ngram_contamination` (which reports per-doc overlap
+    counts but not WHERE the leak sits), and the benchmark-
+    decontamination procedure of the GPT-3/PaLM appendices (drop or
+    excise training text containing an eval n-gram) made relational.
+
+    Shape: the eval side collapses to its DISTINCT window-hash SET
+    (positions don't matter on the reference side) — eval corpora
+    are a few thousand documents against a 100 TB train side, so
+    this relation broadcasts and the train scan is ONE pass: build
+    positional windows (pure column expressions, the d10 kit),
+    semi-join on hash against the broadcast eval set, merge adjacent
+    hit positions into maximal spans with the pos - row_number
+    island trick. No aggregate over the train side's hashes at all —
+    unlike d10, the duplicated-window predicate here is membership
+    in the (small) eval set, so the only wide operation is the final
+    per-doc island aggregate.
+
+    Output: (doc_id, span_start, span_end, span_len, n_windows) in
+    1-based token coordinates — feed to an excision/drop policy.
+    """
+    from pyspark.sql import Window
+
+    from garmin_data_pipeline_spark.operators.dedup_scale import (
+        positional_windows,
+    )
+
+    eval_set = (
+        test.select(
+            F.explode(
+                positional_windows(F.col(text_col), k)
+            ).alias("win")
+        )
+        .select(F.md5("win").alias("h"))
+        .distinct()
+    )
+    wins = train.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            positional_windows(F.col(text_col), k)
+        ).alias("pos0", "win"),
+    ).select(
+        "doc",
+        (F.col("pos0") + 1).alias("pos"),
+        F.md5("win").alias("h"),
+    )
+    hits = wins.join(F.broadcast(eval_set), "h", "left_semi")
+    grp = (
+        F.col("pos")
+        - F.row_number().over(
+            Window.partitionBy("doc").orderBy("pos")
+        )
+    ).alias("grp")
+    return (
+        hits.select("doc", "pos", grp)
+        .groupBy("doc", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k - 1).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            F.col("doc").alias("doc_id"),
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("span_len"),
+            "n_windows",
+        )
+    )

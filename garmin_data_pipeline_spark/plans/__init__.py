@@ -70,10 +70,15 @@ _HEAD = [
     "d10_exact_substring_spans",
     "d10x_substring_excision",
     "d7p_canonical_docs_lsh",
+    # c3 registered third-wave (registry at the 100 cap): its head
+    # slot comes from b2_zorder_key, the next-lowest-risk r10
+    # first-timer (bit-exact Morton arithmetic with a hand-computed
+    # pytest pin), which rotates to the tail with its green r10 row
+    # — same trade as q5 above.
+    "c3_span_decontamination",
     # --- r10 first-timers: second consecutive rows (d8 also
     # carries this round's exact-arithmetic prefix-bound change) ---
     "v9pss_imi_serve_grid",
-    "b2_zorder_key",
     "o6_pareto_frontier",
     "d8_prefix_jaccard_pairs",
     "d9_containment_pairs",
@@ -129,9 +134,10 @@ _TAIL = [
     "v4_cosine_topk_ivf",
     "t8_rolling_fingerprint",
     # green r10 (CORRECTNESS_r10), code unchanged — rotating out per
-    # policy 2; back in the r12 head per policy 3 (q5 funds the d10x
-    # head slot, see the _HEAD comment):
+    # policy 2; back in the r12 head per policy 3 (q5 and b2 fund
+    # the d10x and c3 head slots, see the _HEAD comments):
     "q5_local_supplier_volume",
+    "b2_zorder_key",
     "t23_ngram_novelty",
     "w10_ewma_8",
     "j10_interval_anti_join",

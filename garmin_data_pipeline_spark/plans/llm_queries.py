@@ -441,6 +441,71 @@ def d10x_substring_excision(
     )
 
 
+# c3: span-level decontamination — d10's window machinery applied
+# train-vs-eval, completing the contamination family: c1 counts
+# shingle overlap per doc, c2 purges whole docs, c3 reports the
+# exact token spans where eval text leaks into training documents
+# (the GPT-3/PaLM-appendix n-gram decontamination procedure). Same
+# c1 split convention: eval = doc_id % 10 == 0.
+@register(
+    "c3_span_decontamination",
+    f"""
+    WITH tr AS (
+        SELECT doc_id AS doc, {_TOKS} AS toks
+        FROM documents WHERE doc_id % 10 != 0
+    ),
+    te AS (
+        SELECT DISTINCT UNNEST(
+            {T.sql_positional_windows(T.sql_tokens("text"), _D10_K)}
+        ) AS h
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    w0 AS (
+        SELECT doc,
+               UNNEST(CASE WHEN len(toks) >= {_D10_K} THEN
+                   generate_series(1, len(toks) - {_D10_K} + 1)
+                   ELSE CAST([] AS BIGINT[]) END) AS pos,
+               UNNEST({T.sql_positional_windows("toks", _D10_K)}) AS h
+        FROM tr
+    ),
+    hits AS (SELECT doc, pos FROM w0 WHERE h IN (SELECT h FROM te)),
+    isl AS (
+        SELECT doc, pos,
+               pos - ROW_NUMBER() OVER (
+                   PARTITION BY doc ORDER BY pos) AS grp
+        FROM hits
+    )
+    SELECT doc AS doc_id,
+           MIN(pos) AS span_start,
+           MAX(pos) + {_D10_K} - 1 AS span_end,
+           MAX(pos) + {_D10_K} - MIN(pos) AS span_len,
+           COUNT(*) AS n_windows
+    FROM isl GROUP BY doc, grp
+    """,
+    doc="Span-level decontamination: maximal train-doc token spans "
+    "verbatim-matching any eval-corpus 8-token window. Eval side "
+    "collapses to its distinct window-hash set (broadcastable at "
+    "any train scale), train side is ONE pass: positional windows "
+    "-> broadcast semi-join -> island merge. Reports WHERE the "
+    "leak sits, not just that it exists (c1).",
+)
+def c3_span_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.contamination import (
+        span_contamination,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return span_contamination(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        "doc_id",
+        "text",
+        k=_D10_K,
+    )
+
+
 @register(
     "d5_duplicate_groups",
     f"""

@@ -1122,3 +1122,49 @@ class TestSubstringExcision:
             for row in con.execute(q.oracle).fetchall()
         )
         assert got == want
+
+
+class TestSpanDecontamination:
+    """c3: a planted eval sentence quoted inside a training document
+    must surface with exact token boundaries; train-train duplication
+    must NOT (only eval membership counts), and c1 sees the overlap
+    count where c3 sees the position."""
+
+    K = 8
+
+    def test_planted_eval_leak_exact_boundaries(self, spark):
+        from garmin_data_pipeline_spark.operators.contamination import (
+            span_contamination,
+        )
+
+        mk = TestExactSubstringSpans._doc
+        eval_span = [f"e{i}" for i in range(1, 13)]  # 12 tokens
+        texts_train = {
+            # leak at positions 6..17
+            1: mk(
+                [f"a{i}" for i in range(1, 6)],
+                eval_span,
+                [f"b{i}" for i in range(1, 6)],
+            ),
+            # no eval text, but shares a 10-token run with doc 1's
+            # filler? no — unique tokens; shares NOTHING with eval
+            2: mk([f"c{i}" for i in range(1, 25)]),
+            # train-train duplication with doc 2 (same text) — must
+            # not be reported: the reference side is the EVAL set
+            3: mk([f"c{i}" for i in range(1, 25)]),
+        }
+        test_df = spark.createDataFrame(
+            [(100, mk([f"x{i}" for i in range(1, 4)], eval_span))],
+            "doc_id long, text string",
+        )
+        train_df = spark.createDataFrame(
+            [(i, t) for i, t in texts_train.items()],
+            "doc_id long, text string",
+        )
+        got = sorted(
+            tuple(r)
+            for r in span_contamination(
+                train_df, test_df, "doc_id", "text", k=self.K
+            ).collect()
+        )
+        assert got == [(1, 6, 17, 12, 5)], got

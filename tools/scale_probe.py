@@ -135,6 +135,10 @@ PROBES = [
     "d10_exact_substring_spans",
     "d10x_substring_excision",
     "d7p_canonical_docs_lsh",
+    # r11 third wave: the broadcast eval window set grows 10x with
+    # the corpus here (synthetic split) — real eval corpora are
+    # fixed-size, so this ratio is an upper bound
+    "c3_span_decontamination",
 ]
 
 WARMUPS = 1
