@@ -1,0 +1,554 @@
+"""Real media codecs in pure stdlib + numpy — no PIL, no ffmpeg.
+
+The multimodal operators (``operators/multimodal.py``) were shipped
+with their *decode kernels* stubbed because the container has no
+image/audio libraries. That was too pessimistic for a useful subset:
+four production formats are fully decodable with nothing but the
+standard library and numpy, so this module implements them for real —
+
+* **WAV / RIFF PCM** (``audio/wav``) — manual RIFF chunk walk +
+  PCM 8/16/32-bit sample decode (``decode_wav``). The encoder
+  (``encode_wav``) deliberately goes through the *stdlib* ``wave``
+  module so encode and decode are independent implementations: a
+  round-trip test cross-checks our parser against CPython's writer.
+* **netpbm P5/P6** (``image/x-portable-graymap|pixmap``) — the
+  classic whitespace-and-comments header grammar + raw 8-bit pixels.
+* **BMP** (``image/bmp``) — BITMAPINFOHEADER, uncompressed 24/32-bit,
+  bottom-up or top-down rows, 4-byte row padding.
+* **PNG** (``image/png``) — the full spec path for 8-bit
+  grayscale / gray+alpha / RGB / RGBA, non-interlaced: chunk walk
+  with CRC verification, multi-IDAT zlib inflate, and all five
+  scanline filters (None/Sub/Up/Average/Paeth) unfiltered exactly
+  per the spec (https://www.w3.org/TR/png-3/#9Filters). Sub/None/Up
+  are vectorized across the row (cumsum mod 256 for Sub); Average
+  and Paeth recur on the left pixel so they run a per-pixel loop
+  over numpy channel vectors — fine for metadata/thumbnail work,
+  and the encoder's filter choice controls the cost.
+
+Video stays stubbed: inter-frame codecs (H.264 etc.) genuinely need
+ffmpeg. That makes video the ONLY environmental stub left in the
+multimodal family.
+
+Scale notes: these kernels run inside Arrow-batched ``mapInPandas``
+(see ``operators/multimodal.py``) — per-executor, one batch of
+payloads in memory at a time, nothing driver-side. Decoders raise
+``ValueError`` on malformed payloads; callers in the hot path map
+that to a null row instead of failing the job (a 100 TB crawl always
+contains corrupt files).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Format sniffing
+# ---------------------------------------------------------------------------
+
+_MAGIC = (
+    (b"\x89PNG\r\n\x1a\n", "png"),
+    (b"BM", "bmp"),
+    (b"P5", "pgm"),
+    (b"P6", "ppm"),
+)
+
+
+def sniff_format(payload: bytes) -> str | None:
+    """Magic-byte format sniff: 'png' | 'bmp' | 'pgm' | 'ppm' | 'wav',
+    or None for anything this module cannot decode."""
+    if payload is None:
+        return None
+    for magic, name in _MAGIC:
+        if payload.startswith(magic):
+            return name
+    if (
+        len(payload) >= 12
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+    ):
+        return "wav"
+    return None
+
+
+MEDIA_TYPES = {
+    "png": "image/png",
+    "bmp": "image/bmp",
+    "pgm": "image/x-portable-graymap",
+    "ppm": "image/x-portable-pixmap",
+    "wav": "audio/wav",
+}
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM)
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 8000, n_channels: int = 1
+) -> bytes:
+    """PCM16 WAV encode via the *stdlib* ``wave`` writer (independent
+    of our manual parser below, so round-trips cross-check both).
+
+    ``samples``: int16 array, shape (n_frames,) or (n_frames,
+    n_channels).
+    """
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    if arr.shape[1] != n_channels:
+        raise ValueError(
+            f"samples have {arr.shape[1]} channels, expected {n_channels}"
+        )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(arr.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[dict, np.ndarray]:
+    """Manual RIFF/WAVE parse: returns (meta, samples).
+
+    meta: ``{'sample_rate', 'n_channels', 'sample_width', 'n_frames'}``.
+    samples: int array of shape (n_frames, n_channels) — dtype int16
+    for 16-bit, int32 for 32-bit, uint8 for 8-bit (8-bit PCM is
+    unsigned per the spec).
+
+    Walks chunks explicitly (chunks are word-aligned: odd sizes carry
+    a pad byte), requires ``fmt`` audio_format == 1 (integer PCM).
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk too short")
+            (audio_format, n_channels, sample_rate, _byte_rate,
+             _block_align, bits) = struct.unpack_from("<HHIIHH", body, 0)
+            if audio_format != 1:
+                raise ValueError(
+                    f"unsupported WAV audio_format {audio_format} "
+                    "(only integer PCM)"
+                )
+            fmt = (n_channels, sample_rate, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV payload missing fmt or data chunk")
+    n_channels, sample_rate, bits = fmt
+    if bits not in (8, 16, 32):
+        raise ValueError(f"unsupported PCM bit depth {bits}")
+    dtype = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}[bits]
+    width = bits // 8
+    n_frames = len(data) // (width * n_channels)
+    arr = np.frombuffer(
+        data[: n_frames * width * n_channels], dtype=dtype
+    ).reshape(n_frames, n_channels)
+    meta = {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "sample_width": width,
+        "n_frames": n_frames,
+    }
+    return meta, arr
+
+
+def wav_data_range(payload: bytes) -> dict:
+    """Header-only RIFF walk: locate the PCM data chunk WITHOUT
+    decoding samples. Returns ``{'data_offset', 'data_size',
+    'block_align', 'sample_rate', 'n_channels', 'sample_width',
+    'n_frames'}``.
+
+    This is the real-codec enabler for JVM-side audio windowing: a
+    tiny per-payload Python header parse yields (offset, stride), and
+    the heavy slicing stays in Spark ``substring`` over the binary
+    column — the payload bytes never cross into Python.
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data_off = data_size = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"fmt ":
+            (audio_format, n_channels, sample_rate, _br, block_align,
+             bits) = struct.unpack_from("<HHIIHH", payload, pos + 8)
+            if audio_format != 1:
+                raise ValueError(
+                    f"unsupported WAV audio_format {audio_format}"
+                )
+            fmt = (n_channels, sample_rate, block_align, bits)
+        elif cid == b"data":
+            data_off, data_size = pos + 8, size
+        pos += 8 + size + (size & 1)
+    if fmt is None or data_off is None:
+        raise ValueError("WAV payload missing fmt or data chunk")
+    n_channels, sample_rate, block_align, bits = fmt
+    return {
+        "data_offset": data_off,
+        "data_size": data_size,
+        "block_align": block_align,
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "sample_width": bits // 8,
+        "n_frames": data_size // block_align,
+    }
+
+
+# ---------------------------------------------------------------------------
+# netpbm (P5 = gray, P6 = RGB; binary, maxval <= 255)
+# ---------------------------------------------------------------------------
+
+
+def encode_netpbm(arr: np.ndarray) -> bytes:
+    """Encode a uint8 array as binary netpbm: (H, W) -> P5 grayscale,
+    (H, W, 3) -> P6 RGB."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        magic = b"P5"
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        magic = b"P6"
+    else:
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    h, w = arr.shape[:2]
+    return magic + f"\n{w} {h}\n255\n".encode("ascii") + arr.tobytes()
+
+
+def decode_netpbm(payload: bytes) -> tuple[np.ndarray, str]:
+    """Decode binary netpbm (P5/P6) with the real header grammar:
+    tokens separated by arbitrary whitespace, ``#`` comments running
+    to end-of-line, exactly ONE whitespace byte after maxval before
+    the raster. Returns (array, 'pgm'|'ppm')."""
+    if payload[:2] == b"P5":
+        channels, name = 1, "pgm"
+    elif payload[:2] == b"P6":
+        channels, name = 3, "ppm"
+    else:
+        raise ValueError("not a binary netpbm payload")
+
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated netpbm header")
+        b = payload[pos : pos + 1]
+        if b == b"#":  # comment to EOL
+            nl = payload.find(b"\n", pos)
+            pos = len(payload) if nl == -1 else nl + 1
+        elif b.isspace():
+            pos += 1
+        elif b.isdigit():
+            end = pos
+            while end < len(payload) and payload[end : end + 1].isdigit():
+                end += 1
+            tokens.append(int(payload[pos:end]))
+            pos = end
+        else:
+            raise ValueError(f"bad netpbm header byte {b!r}")
+    w, h, maxval = tokens
+    if not 0 < maxval <= 255:
+        raise ValueError(f"unsupported netpbm maxval {maxval}")
+    pos += 1  # the single whitespace byte after maxval
+    need = w * h * channels
+    raster = payload[pos : pos + need]
+    if len(raster) < need:
+        raise ValueError("truncated netpbm raster")
+    arr = np.frombuffer(raster, dtype=np.uint8)
+    arr = arr.reshape(h, w) if channels == 1 else arr.reshape(h, w, 3)
+    return arr, name
+
+
+# ---------------------------------------------------------------------------
+# BMP (BITMAPINFOHEADER, uncompressed 24/32-bit)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a 24-bit uncompressed
+    bottom-up BMP (rows padded to 4 bytes, pixels stored BGR)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    h, w = arr.shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    bgr = arr[::-1, :, ::-1]  # bottom-up rows, BGR channel order
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    pixel_data = rows.tobytes()
+    data_offset = 14 + 40
+    file_size = data_offset + len(pixel_data)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+    )
+    return header + info + pixel_data
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed 24/32-bit BMP to an (H, W, 3) uint8 RGB
+    array. Handles bottom-up (positive height) and top-down (negative
+    height) rows and the 4-byte row padding."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    (data_offset,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    _planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(
+            f"unsupported BMP (bpp={bpp}, compression={compression})"
+        )
+    h = abs(h_signed)
+    channels = bpp // 8
+    row_bytes = (w * channels + 3) & ~3
+    need = row_bytes * h
+    raster = payload[data_offset : data_offset + need]
+    if len(raster) < need:
+        raise ValueError("truncated BMP raster")
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, row_bytes)
+    px = rows[:, : w * channels].reshape(h, w, channels)
+    if h_signed > 0:  # bottom-up storage
+        px = px[::-1]
+    return px[:, :, 2::-1].copy()  # BGR(A) -> RGB, drop alpha
+
+
+# ---------------------------------------------------------------------------
+# PNG (8-bit gray / gray+alpha / RGB / RGBA, non-interlaced)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> channels
+_PNG_COLOR_TYPE = {1: 0, 3: 2, 2: 4, 4: 6}  # channels -> color type
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+    return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+
+def encode_png(arr: np.ndarray, filter_type: int | str = 0) -> bytes:
+    """Encode a uint8 array as PNG. Shape (H, W) -> grayscale,
+    (H, W, 2) -> gray+alpha, (H, W, 3) -> RGB, (H, W, 4) -> RGBA.
+
+    ``filter_type``: 0-4 applies that scanline filter to every row;
+    ``'cycle'`` applies filter ``row % 5`` (exercises every filter in
+    one image — the round-trip tests use this to cover the decoder's
+    full unfilter matrix).
+    """
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, channels = arr.shape
+    if channels not in _PNG_COLOR_TYPE:
+        raise ValueError(f"unsupported channel count {channels}")
+    bpp = channels
+    prev = np.zeros(w * channels, dtype=np.uint8)
+    out = bytearray()
+    for y in range(h):
+        row = arr[y].reshape(-1)
+        ft = (y % 5) if filter_type == "cycle" else int(filter_type)
+        out.append(ft)
+        out.extend(_png_filter_row(row, prev, ft, bpp).tobytes())
+        prev = row
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, _PNG_COLOR_TYPE[channels], 0, 0, 0
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_filter_row(
+    row: np.ndarray, prev: np.ndarray, ft: int, bpp: int
+) -> np.ndarray:
+    """Apply PNG filter ``ft`` to one raw scanline (encode side)."""
+    r = row.astype(np.int16)
+    left = np.zeros_like(r)
+    left[bpp:] = r[:-bpp]
+    up = prev.astype(np.int16)
+    upleft = np.zeros_like(up)
+    upleft[bpp:] = up[:-bpp]
+    if ft == 0:
+        out = r
+    elif ft == 1:
+        out = r - left
+    elif ft == 2:
+        out = r - up
+    elif ft == 3:
+        out = r - (left + up) // 2
+    elif ft == 4:
+        out = r - _paeth(left, up, upleft)
+    else:
+        raise ValueError(f"bad PNG filter type {ft}")
+    return (out % 256).astype(np.uint8)
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized (PNG spec §9.4)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG (gray / gray+alpha / RGB /
+    RGBA) to a uint8 array of shape (H, W) or (H, W, C).
+
+    Real spec path: chunk walk with CRC verification, multi-IDAT
+    concatenation, zlib inflate, and per-row unfiltering of all five
+    filter types. Palette (color type 3), 16-bit, and interlaced
+    images raise ``ValueError`` — state what we don't do rather than
+    guess.
+    """
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, bit_depth, color_type, _comp, _filt, interlace = ihdr
+    if bit_depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {bit_depth}")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    if interlace != 0:
+        raise ValueError("interlaced PNG not supported")
+    channels = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        base = y * (stride + 1)
+        ft = raw[base]
+        line = np.frombuffer(
+            raw[base + 1 : base + 1 + stride], dtype=np.uint8
+        ).astype(np.int32)
+        recon = _png_unfilter_row(line, prev, ft, channels)
+        out[y] = recon.astype(np.uint8)
+        prev = recon
+    return out.reshape(h, w) if channels == 1 else out.reshape(h, w, channels)
+
+
+def _png_unfilter_row(
+    line: np.ndarray, prev: np.ndarray, ft: int, bpp: int
+) -> np.ndarray:
+    """Reconstruct one scanline (decode side). None/Up are pure
+    vector adds; Sub is a grouped cumsum (recon[i] = cumsum within
+    its channel lane, mod 256); Average/Paeth recur on the
+    left-reconstructed pixel, so they loop per pixel over bpp-wide
+    numpy slices."""
+    if ft == 0:
+        return line % 256
+    if ft == 2:
+        return (line + prev) % 256
+    if ft == 1:
+        # recon[i] = line[i] + recon[i-bpp]: cumsum along each channel lane
+        lanes = line.reshape(-1, bpp)
+        return (np.cumsum(lanes, axis=0) % 256).reshape(-1)
+    recon = np.zeros_like(line)
+    n = line.shape[0]
+    if ft == 3:
+        for x in range(0, n, bpp):
+            left = recon[x - bpp : x] if x else np.zeros(bpp, dtype=np.int32)
+            up = prev[x : x + bpp]
+            recon[x : x + bpp] = (line[x : x + bpp] + (left + up) // 2) % 256
+        return recon
+    if ft == 4:
+        for x in range(0, n, bpp):
+            left = recon[x - bpp : x] if x else np.zeros(bpp, dtype=np.int32)
+            up = prev[x : x + bpp]
+            upleft = (
+                prev[x - bpp : x] if x else np.zeros(bpp, dtype=np.int32)
+            )
+            recon[x : x + bpp] = (
+                line[x : x + bpp] + _paeth(left, up, upleft)
+            ) % 256
+        return recon
+    raise ValueError(f"bad PNG filter type {ft}")
+
+
+# ---------------------------------------------------------------------------
+# Dispatchers + nearest-neighbor resize
+# ---------------------------------------------------------------------------
+
+
+def decode_image(payload: bytes) -> tuple[np.ndarray, str]:
+    """Decode any supported image payload -> (uint8 array, format)."""
+    fmt = sniff_format(payload)
+    if fmt == "png":
+        return decode_png(payload), fmt
+    if fmt in ("pgm", "ppm"):
+        arr, fmt = decode_netpbm(payload)
+        return arr, fmt
+    if fmt == "bmp":
+        return decode_bmp(payload), fmt
+    raise ValueError(f"undecodable image payload (sniffed {fmt!r})")
+
+
+def encode_image(arr: np.ndarray, fmt: str) -> bytes:
+    """Re-encode an array in the named format (the resize write path)."""
+    if fmt == "png":
+        return encode_png(arr)
+    if fmt in ("pgm", "ppm"):
+        return encode_netpbm(arr)
+    if fmt == "bmp":
+        return encode_bmp(arr)
+    raise ValueError(f"unsupported encode format {fmt!r}")
+
+
+def image_meta(payload: bytes) -> tuple[int, int, int, str]:
+    """(width, height, n_bytes, format) via a REAL decode."""
+    arr, fmt = decode_image(payload)
+    h, w = arr.shape[:2]
+    return w, h, len(payload), fmt
+
+
+def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize via pure index arithmetic (the standard
+    sample-grid mapping: src = floor((dst + 0.5) * src_size / dst_size),
+    computed in exact integer math)."""
+    h, w = arr.shape[:2]
+    ys = ((2 * np.arange(height) + 1) * h) // (2 * height)
+    xs = ((2 * np.arange(width) + 1) * w) // (2 * width)
+    return arr[np.ix_(ys, xs)] if arr.ndim == 2 else arr[np.ix_(ys, xs)]

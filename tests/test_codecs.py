@@ -1,0 +1,364 @@
+"""Real pure-stdlib/numpy media codecs (functions/codecs.py) and the
+multimodal operators' real decode paths.
+
+Strategy: (1) hand-constructed golden payloads — bytes written out
+field by field in the test, independent of our encoders — pin the
+decoders to the specs; (2) encode->decode round-trips cross-check the
+pair (for WAV the encoder is the stdlib ``wave`` module, a genuinely
+independent implementation); (3) hypothesis property tests sweep
+random images through every PNG filter; (4) Spark-side tests certify
+the ``real=True`` operator paths end-to-end, including corrupt-payload
+null behavior and the JVM-side sample windowing.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from garmin_data_pipeline_spark.functions import codecs as C
+
+# ---------------------------------------------------------------------------
+# Goldens: hand-built payloads, expected pixels/samples computed by hand
+# ---------------------------------------------------------------------------
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+    return (
+        struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+    )
+
+
+def test_png_golden_sub_filter_by_hand():
+    # 2x1 RGB image, pixels (10,20,30), (250,1,2); filter 1 (Sub):
+    # first pixel raw, second pixel minus left mod 256.
+    filtered = bytes([1, 10, 20, 30, 240, 237, 228])
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(filtered))
+        + _chunk(b"IEND", b"")
+    )
+    arr = C.decode_png(payload)
+    assert arr.shape == (1, 2, 3)
+    assert arr.tolist() == [[[10, 20, 30], [250, 1, 2]]]
+
+
+def test_png_golden_paeth_by_hand():
+    # 1x2 grayscale (two rows, one pixel each): row0 value 100 with
+    # filter 0; row1 filter 4 (Paeth). For the first pixel of a row,
+    # left=0, upleft=0, up=100 -> p=100, pb=0 wins -> predictor=100.
+    # Stored byte 25 reconstructs to 125.
+    filtered = bytes([0, 100, 4, 25])
+    ihdr = struct.pack(">IIBBBBB", 1, 2, 8, 0, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(filtered))
+        + _chunk(b"IEND", b"")
+    )
+    arr = C.decode_png(payload)
+    assert arr.shape == (2, 1)
+    assert arr.tolist() == [[100], [125]]
+
+
+def test_png_crc_mismatch_raises():
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    good = _chunk(b"IHDR", ihdr)
+    bad = good[:-1] + bytes([good[-1] ^ 0xFF])
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + bad
+        + _chunk(b"IDAT", zlib.compress(bytes([0, 7])))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="CRC"):
+        C.decode_png(payload)
+
+
+def test_png_16bit_and_interlace_rejected():
+    for depth, interlace in ((16, 0), (8, 1)):
+        ihdr = struct.pack(">IIBBBBB", 1, 1, depth, 0, 0, 0, interlace)
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes([0, 7, 7])))
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError):
+            C.decode_png(payload)
+
+
+def test_wav_golden_header_by_hand():
+    # Minimal RIFF: PCM16 mono 8 kHz, 3 samples 1000, -2, 7, written
+    # field by field (independent of both wave and encode_wav).
+    data = struct.pack("<3h", 1000, -2, 7)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (
+        b"WAVEfmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    meta, samples = C.decode_wav(payload)
+    assert meta == {
+        "sample_rate": 8000,
+        "n_channels": 1,
+        "sample_width": 2,
+        "n_frames": 3,
+    }
+    assert samples[:, 0].tolist() == [1000, -2, 7]
+    rng = C.wav_data_range(payload)
+    assert rng["n_frames"] == 3 and rng["block_align"] == 2
+    assert payload[rng["data_offset"] : rng["data_offset"] + 6] == data
+
+
+def test_wav_odd_chunk_padding_and_extra_chunk():
+    # A LIST chunk with odd size before fmt/data exercises the
+    # word-alignment rule of the RIFF walk.
+    data = struct.pack("<2h", 5, -5)
+    fmt = struct.pack("<HHIIHH", 1, 1, 4000, 8000, 2, 16)
+    body = (
+        b"WAVE"
+        + b"LIST"
+        + struct.pack("<I", 3)
+        + b"abc\x00"  # 3 bytes + pad
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    meta, samples = C.decode_wav(payload)
+    assert meta["n_frames"] == 2
+    assert samples[:, 0].tolist() == [5, -5]
+
+
+def test_bmp_golden_topdown_by_hand():
+    # 1x2 top-down (negative height) 24bpp BMP: row is pixel BGR
+    # (30,20,10) then (2,1,250), padded to 8 bytes.
+    row = bytes([30, 20, 10, 2, 1, 250, 0, 0])
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, 2, -1, 1, 24, 0, len(row), 0, 0, 0, 0
+    )
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(row), 0, 0, 54)
+    arr = C.decode_bmp(hdr + info + row)
+    assert arr.tolist() == [[[10, 20, 30], [250, 1, 2]]]
+
+
+def test_netpbm_comment_grammar_and_errors():
+    payload = b"P5 # wide\n#another comment\n 3\t2 # dims\n255\n" + bytes(
+        range(6)
+    )
+    arr, fmt = C.decode_netpbm(payload)
+    assert fmt == "pgm" and arr.shape == (2, 3) and arr[1, 2] == 5
+    with pytest.raises(ValueError, match="truncated netpbm raster"):
+        C.decode_netpbm(b"P6\n2 2\n255\n" + bytes(5))
+    with pytest.raises(ValueError, match="maxval"):
+        C.decode_netpbm(b"P5\n1 1\n65535\n\x00\x00")
+
+
+# ---------------------------------------------------------------------------
+# Round-trips (encoder and decoder are independent for WAV; for the
+# image formats the goldens above pin the decoder, so a round-trip
+# failure localizes to the encoder)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4, "cycle"])
+def test_png_roundtrip_all_filters(channels, ft):
+    rng = np.random.default_rng(channels * 10 + (5 if ft == "cycle" else ft))
+    shape = (11, 7) if channels == 1 else (11, 7, channels)
+    arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    out = C.decode_png(C.encode_png(arr, ft))
+    assert out.shape == arr.shape and (out == arr).all()
+
+
+def test_netpbm_bmp_wav_roundtrips():
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, size=(6, 4), dtype=np.uint8)
+    rgb = rng.integers(0, 256, size=(6, 4, 3), dtype=np.uint8)
+    a, f = C.decode_netpbm(C.encode_netpbm(gray))
+    assert f == "pgm" and (a == gray).all()
+    a, f = C.decode_netpbm(C.encode_netpbm(rgb))
+    assert f == "ppm" and (a == rgb).all()
+    assert (C.decode_bmp(C.encode_bmp(rgb)) == rgb).all()
+    s = rng.integers(-(2**15), 2**15, size=(50, 2)).astype(np.int16)
+    meta, out = C.decode_wav(C.encode_wav(s, 44100, 2))
+    assert meta["n_frames"] == 50 and (out == s).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 9),
+    w=st.integers(1, 9),
+    channels=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31),
+)
+def test_png_roundtrip_property(h, w, channels, seed):
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if channels == 1 else (h, w, channels)
+    arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    out = C.decode_png(C.encode_png(arr, "cycle"))
+    assert (out == arr).all()
+
+
+def test_sniff_and_dispatch():
+    rgb = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    for enc, fmt in (
+        (C.encode_png(rgb), "png"),
+        (C.encode_netpbm(rgb), "ppm"),
+        (C.encode_bmp(rgb), "bmp"),
+    ):
+        assert C.sniff_format(enc) == fmt
+        assert C.image_meta(enc) == (4, 2, len(enc), fmt)
+    assert C.sniff_format(b"\x00junk") is None
+    assert (
+        C.sniff_format(C.encode_wav(np.zeros(4, dtype=np.int16))) == "wav"
+    )
+    with pytest.raises(ValueError, match="undecodable"):
+        C.decode_image(b"GIF89a not supported")
+
+
+def test_resize_nearest_grid_mapping():
+    # 2x2 -> 4x4 nearest neighbor: each source pixel becomes a 2x2
+    # block (standard center-sample grid).
+    src = np.array([[1, 2], [3, 4]], dtype=np.uint8)
+    out = C.resize_nearest(src, 4, 4)
+    assert out.tolist() == [
+        [1, 1, 2, 2],
+        [1, 1, 2, 2],
+        [3, 3, 4, 4],
+        [3, 3, 4, 4],
+    ]
+    # downscale picks center samples
+    big = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    out = C.resize_nearest(big, 2, 2)
+    assert out.tolist() == [[5, 7], [13, 15]]
+
+
+# ---------------------------------------------------------------------------
+# Spark-side: the real=True operator paths
+# ---------------------------------------------------------------------------
+
+
+def _asset_df(spark):
+    rng = np.random.default_rng(11)
+    rows = []
+    for i, fmt in enumerate(["png", "ppm", "pgm", "bmp"]):
+        w, h = 3 + i, 2 + i
+        shape = (h, w) if fmt == "pgm" else (h, w, 3)
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        payload = (
+            C.encode_png(arr, "cycle")
+            if fmt == "png"
+            else C.encode_netpbm(arr)
+            if fmt in ("ppm", "pgm")
+            else C.encode_bmp(arr)
+        )
+        rows.append((i, fmt, w, h, bytearray(payload)))
+    rows.append((99, "corrupt", None, None, bytearray(b"not an image")))
+    return spark.createDataFrame(
+        rows, "asset_id int, fmt string, exp_w int, exp_h int, payload binary"
+    )
+
+
+def test_decode_image_metadata_real(spark):
+    from garmin_data_pipeline_spark.operators.multimodal import (
+        decode_image_metadata,
+    )
+
+    out = decode_image_metadata(_asset_df(spark), "payload", real=True)
+    got = {
+        r["asset_id"]: (r["width"], r["height"], r["format"])
+        for r in out.collect()
+    }
+    assert got[0] == (3, 2, "png")
+    assert got[1] == (4, 3, "ppm")
+    assert got[2] == (5, 4, "pgm")
+    assert got[3] == (6, 5, "bmp")
+    assert got[99] == (None, None, "unknown")
+
+
+def test_resize_images_real_roundtrip(spark):
+    from garmin_data_pipeline_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    out = resize_images(_asset_df(spark), 8, 6, real=True)
+    rows = {r["asset_id"]: r for r in out.collect()}
+    for i in range(4):
+        r = rows[i]
+        assert (r["width"], r["height"]) == (8, 6)
+        arr, fmt = C.decode_image(bytes(r["payload"]))
+        assert fmt == r["fmt"] and arr.shape[:2] == (6, 8)
+    # corrupt payload passes through untouched with NULL dims
+    assert rows[99]["width"] is None
+    assert bytes(rows[99]["payload"]) == b"not an image"
+
+
+def test_decode_audio_features_real(spark):
+    from garmin_data_pipeline_spark.operators.multimodal import (
+        decode_audio_features,
+    )
+
+    rng = np.random.default_rng(5)
+    clips = {
+        i: rng.integers(-1024, 1024, size=20 + i).astype(np.int16)
+        for i in range(3)
+    }
+    rows = [
+        (i, bytearray(C.encode_wav(s, 8000, 1))) for i, s in clips.items()
+    ] + [(9, bytearray(b"RIFFxxxxJUNK"))]
+    df = spark.createDataFrame(rows, "clip_id int, payload binary")
+    got = {
+        r["clip_id"]: r
+        for r in decode_audio_features(df, "payload").collect()
+    }
+    for i, s in clips.items():
+        s64 = s.astype(np.int64)
+        assert got[i]["n_frames"] == len(s)
+        assert got[i]["sample_rate"] == 8000
+        assert got[i]["amp_sum"] == int(s64.sum())
+        assert got[i]["amp_sq_sum"] == int((s64 * s64).sum())
+    assert got[9]["n_frames"] is None
+
+
+def test_window_audio_frames_real_jvm_slicing(spark):
+    from garmin_data_pipeline_spark.operators.multimodal import (
+        window_audio_frames,
+    )
+
+    rng = np.random.default_rng(6)
+    samples = rng.integers(-(2**15), 2**15, size=(23, 2)).astype(np.int16)
+    payload = C.encode_wav(samples, 16000, 2)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "clip_id int, payload binary"
+    )
+    out = window_audio_frames(df, window_frames=8, hop_frames=4)
+    rows = sorted(out.collect(), key=lambda r: r["window_idx"])
+    # starts at 0,4,8,12,16 (start < n_frames - overlap = 19)
+    assert [r["window_idx"] for r in rows] == [0, 1, 2, 3, 4]
+    for r in rows:
+        start = r["window_idx"] * 4
+        end = min(start + 8, 23)
+        assert r["window_len_frames"] == end - start
+        expect = samples[start:end].tobytes()
+        assert bytes(r["window"]) == expect
+    # the exploded slicing plan stays JVM-side: exactly ONE Arrow
+    # batch stage (the header parse), no further Python past it
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1

@@ -684,11 +684,16 @@ def test_multimodal_plumbing(spark):
     assert by_id[2]["width"] == 16 + (sum(b"x" * 64) % 64)
 
 
-def test_multimodal_real_decode_is_stubbed(spark):
+def test_multimodal_real_decode_handles_undecodable(spark):
+    # real=True is a REAL decode path now (tests/test_codecs.py);
+    # payloads in none of the supported formats yield NULL dims and
+    # format 'unknown' instead of failing the job.
     df = spark.createDataFrame([(1, "x")], "id: long, text: string")
     assets = attach_binary_payload(df, "text")
-    with pytest.raises(NotImplementedError):
-        decode_image_metadata(assets, real=True)
+    row = decode_image_metadata(assets, real=True).collect()[0]
+    assert row["format"] == "unknown"
+    assert row["width"] is None and row["height"] is None
+    assert row["n_bytes"] == 1
 
 
 class TestMultimodalKernels:
@@ -728,18 +733,18 @@ class TestMultimodalKernels:
             (2, b"ij", 2),
         ]
 
-    def test_real_codecs_are_marked_stubs(self, spark):
+    def test_video_decode_is_the_only_remaining_stub(self, spark):
+        # image (PNG/netpbm/BMP) and audio (WAV) real=True paths are
+        # REAL now (tests/test_codecs.py); inter-frame video decode
+        # genuinely needs ffmpeg and stays a documented guard.
         import pytest as _pytest
 
         from garmin_data_pipeline_spark.operators.multimodal import (
-            resize_images,
             sample_video_frames,
         )
 
         df = spark.range(1)
-        with _pytest.raises(NotImplementedError):
-            resize_images(df, 1, 1, real=True)
-        with _pytest.raises(NotImplementedError):
+        with _pytest.raises(NotImplementedError, match="ffmpeg"):
             sample_video_frames(df, real=True)
 
 
