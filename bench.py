@@ -313,6 +313,12 @@ HEADLINE = [
     # r11 third wave: span-level decontamination (one train pass,
     # broadcast eval window set, island merge)
     "c3_span_decontamination",
+    # r11 fourth wave: the REAL pure-stdlib codec paths — netpbm
+    # pixel decode and WAV PCM16 encode->decode round-trip, both
+    # shuffle-free single-scan Arrow-kernel plans (prices the Python
+    # decode boundary itself)
+    "m5_image_stats",
+    "m6_audio_features",
 ]
 
 

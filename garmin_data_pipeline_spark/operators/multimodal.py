@@ -381,6 +381,49 @@ def checksum_frames(
     return decode_frames(df, kernel, out_schema, frame_col)
 
 
+def decode_image_stats(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL image decode over mapInPandas with exact integer pixel
+    statistics: ``width int, height int, format string, px_sum
+    bigint`` (sum of all channel values — int64-exact, hash-stable;
+    the m5 oracle predicts it analytically from the payload
+    construction). Undecodable payloads yield NULL dims/px_sum and
+    format ``'unknown'``."""
+    in_cols = [c for c in df.columns if c != payload_col]
+    keep_types = {
+        f.name: f.dataType.simpleString() for f in df.schema.fields
+    }
+    out_schema = ", ".join(
+        [f"{c} {keep_types[c]}" for c in in_cols]
+        + ["width int", "height int", "format string", "px_sum bigint"]
+    )
+
+    def decode_one(p) -> tuple:
+        from garmin_data_pipeline_spark.functions.codecs import decode_image
+
+        try:
+            arr, fmt = decode_image(bytes(p) if p is not None else b"")
+        except ValueError:
+            return None, None, "unknown", None
+        h, w = arr.shape[:2]
+        return w, h, fmt, int(arr.astype("int64").sum())
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [decode_one(p) for p in pdf[payload_col]]
+            stat_df = pd.DataFrame(
+                stats,
+                columns=["width", "height", "format", "px_sum"],
+                index=pdf.index,
+            ).astype(
+                {"width": "Int32", "height": "Int32", "px_sum": "Int64"}
+            )
+            yield pd.concat([pdf[in_cols], stat_df], axis=1)
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
 def decode_audio_features(
     df: DataFrame, payload_col: str = "payload"
 ) -> DataFrame:

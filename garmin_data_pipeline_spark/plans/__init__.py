@@ -76,12 +76,22 @@ _HEAD = [
     # pytest pin), which rotates to the tail with its green r10 row
     # — same trade as q5 above.
     "c3_span_decontamination",
+    # m5/m6 registered fourth-wave (real-codec certification: the
+    # pure-stdlib netpbm and WAV decoders hash-matched against
+    # ANALYTIC oracles that never parse bytes). Cap funded by
+    # demoting t9_length_trim (7 green rows) and a12_time_rollup
+    # (5 green rows) from the tail to the pytest tier; head slots
+    # come from o6_pareto_frontier and d9_containment_pairs — the
+    # next-lowest-risk r10 first-timers (o6 has the O(n^2) dominance
+    # oracle + skyline pytest suite, d9 the completeness-proof +
+    # containment suite) — which rotate to the tail with their green
+    # r10 rows (<= 1 round stale; back in the r12 head).
+    "m5_image_stats",
+    "m6_audio_features",
     # --- r10 first-timers: second consecutive rows (d8 also
     # carries this round's exact-arithmetic prefix-bound change) ---
     "v9pss_imi_serve_grid",
-    "o6_pareto_frontier",
     "d8_prefix_jaccard_pairs",
-    "d9_containment_pairs",
     # --- r10's tail rotates back in (green r9, code unchanged) ---
     "v8_pq_codes",
     "d7_canonical_docs",
@@ -138,6 +148,9 @@ _TAIL = [
     # the d10x and c3 head slots, see the _HEAD comments):
     "q5_local_supplier_volume",
     "b2_zorder_key",
+    # green r10 + funding the m5/m6 head slots (see _HEAD comment):
+    "o6_pareto_frontier",
+    "d9_containment_pairs",
     "t23_ngram_novelty",
     "w10_ewma_8",
     "j10_interval_anti_join",
@@ -153,7 +166,6 @@ _TAIL = [
     "v7_label_centroids",
     "t18_bpe_pairs",
     "t1_token_quality",
-    "t9_length_trim",
     "t11_document_chunking",
     "t12_pii_redaction",
     "d1_exact_dedup",
@@ -167,7 +179,6 @@ _TAIL = [
     "f23_binned_group_mean",
     "j5_asof_join",
     "j6_range_join",
-    "a12_time_rollup",
     "st1_tumbling_daily",
     "t10_clean_corpus",
     "d5s_duplicate_groups_star",
@@ -190,6 +201,12 @@ _TAIL = [
 # oracle on every pytest run; tests/test_scale_ops.py keeps them under
 # the plan-shape invariants.
 _PYTEST_TIER = [
+    # r11 fourth-wave demotions (balancing the m5/m6 real-codec
+    # registrations): t9 has SEVEN green driver rows
+    # (r1/r2/r3/r4/r6/r8/r10), a12 has five (r3/r4/r6/r8/r10);
+    # both trivial single-aggregate/filter plans, code frozen
+    "t9_length_trim",
+    "a12_time_rollup",
     # r11 demotions (balancing the d10_exact_substring_spans and
     # d7p_canonical_docs_lsh registrations, and funding second
     # consecutive rows for all six r10 first-timers): each has SIX

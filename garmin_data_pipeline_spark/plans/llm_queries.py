@@ -1562,6 +1562,149 @@ def m4_frame_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# M5 — REAL image decode certified by an analytic oracle. Each doc is
+# rendered as a genuine binary netpbm P6 payload (header + raw pixels,
+# built as pure column expressions — pixels are the doc's text rpad'ed
+# to exactly width*height*3 bytes), then the real decoder
+# (functions/codecs.decode_netpbm via decode_image_stats) parses the
+# header grammar and raster and reports integer pixel stats. The
+# oracle never sees the payload: it predicts width/height from the
+# doc_id formula and px_sum as the ascii-code sum of the same rpad'ed
+# text — so a hash match proves the DECODER (header parse, raster
+# shape, channel sum) is exact, the m-family's step past m1-m4's
+# fake-kernel arithmetic. ASCII corpus precondition (byte == char) is
+# the same one m4 pins via test_m4_oracle_ascii_precondition.
+# ---------------------------------------------------------------------------
+@register(
+    "m5_image_stats",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               CAST(8 + doc_id % 8 AS INT) AS width,
+               CAST(8 + doc_id % 5 AS INT) AS height,
+               rpad(COALESCE(text, ''),
+                    CAST((8 + doc_id % 8) * (8 + doc_id % 5) * 3 AS INT),
+                    'x') AS px
+        FROM documents
+    )
+    SELECT doc_id, width, height,
+           'ppm' AS format,
+           CAST(list_sum(list_transform(
+               generate_series(1, width * height * 3),
+               i -> ascii(substr(px, i, 1))
+           )) AS BIGINT) AS px_sum
+    FROM t
+    """,
+    doc="REAL image decode (pure-stdlib netpbm codec) hash-certified "
+    "against an analytic oracle: P6 payloads are built as column "
+    "expressions, decoded for real in an Arrow-batched kernel, and "
+    "the oracle predicts the decoded width/height/px_sum without "
+    "ever parsing bytes. Scale shape: one scan, one mapInPandas — "
+    "no shuffle at all.",
+)
+def m5_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.multimodal import (
+        decode_image_stats,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    header = F.format_string(
+        "P6\n%d %d\n255\n",
+        F.expr("CAST(8 + doc_id % 8 AS INT)"),
+        F.expr("CAST(8 + doc_id % 5 AS INT)"),
+    )
+    px = F.expr(
+        "rpad(coalesce(text, ''), "
+        "(8 + doc_id % 8) * (8 + doc_id % 5) * 3, 'x')"
+    )
+    assets = docs.select(
+        "doc_id",
+        F.concat(
+            F.encode(header, "UTF-8"), F.encode(px, "UTF-8")
+        ).alias("payload"),
+    )
+    return decode_image_stats(assets, "payload").select(
+        "doc_id", "width", "height", "format", "px_sum"
+    )
+
+
+# ---------------------------------------------------------------------------
+# M6 — REAL WAV round-trip certified by an analytic oracle. Each doc
+# becomes a genuine RIFF/WAVE PCM16 payload (stdlib wave writer) whose
+# samples follow a closed-form formula of (doc_id, i); the independent
+# manual RIFF parser (functions/codecs.decode_wav) decodes it and
+# reports exact int64 amplitude stats. The oracle predicts
+# n_frames/amp_sum/amp_sq_sum from the formula alone — a hash match
+# certifies the whole container round-trip: header fields, chunk
+# walk, PCM16 little-endian sample decode, and the stats arithmetic.
+# ---------------------------------------------------------------------------
+@register(
+    "m6_audio_features",
+    """
+    WITH t AS (
+        SELECT doc_id, 64 + doc_id % 64 AS n FROM documents
+    )
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(list_sum(list_transform(
+               generate_series(0, n - 1),
+               i -> (doc_id * 7 + i * 13) % 2048 - 1024
+           )) AS BIGINT) AS amp_sum,
+           CAST(list_sum(list_transform(
+               generate_series(0, n - 1),
+               i -> ((doc_id * 7 + i * 13) % 2048 - 1024)
+                    * ((doc_id * 7 + i * 13) % 2048 - 1024)
+           )) AS BIGINT) AS amp_sq_sum
+    FROM t
+    """,
+    doc="REAL WAV round-trip (stdlib wave writer -> independent "
+    "manual RIFF/PCM16 parser) hash-certified against an analytic "
+    "oracle that predicts frame counts and exact int64 amplitude "
+    "sums from the sample formula. Scale shape: one scan, two "
+    "Arrow-batched kernels (encode, decode) — no shuffle at all.",
+)
+def m6_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from garmin_data_pipeline_spark.operators.multimodal import (
+        decode_audio_features,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode_kernel(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        from garmin_data_pipeline_spark.functions.codecs import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                n = 64 + int(doc_id) % 64
+                i = np.arange(n, dtype=np.int64)
+                s = (int(doc_id) * 7 + i * 13) % 2048 - 1024
+                payloads.append(
+                    encode_wav(s.astype(np.int16), 8000, 1)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(
+        encode_kernel, schema="doc_id bigint, payload binary"
+    )
+    return decode_audio_features(assets, "payload").select(
+        "doc_id", "sample_rate", "n_channels", "n_frames",
+        "amp_sum", "amp_sq_sum",
+    )
+
+
+# ---------------------------------------------------------------------------
 # T14 — Gopher-style repetition metrics: fraction of duplicate word
 # n-grams per document (Rae et al. 2021 §A1.1 quality rules). A doc
 # that repeats itself has distinct-ngrams << total-ngrams; the

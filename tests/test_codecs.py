@@ -337,6 +337,42 @@ def test_decode_audio_features_real(spark):
     assert got[9]["n_frames"] is None
 
 
+def test_m5_m6_analytic_pins(spark, sf_dir):
+    """The registered real-codec queries, pinned against a direct
+    numpy recomputation of their analytic formulas (independent of
+    both the Spark plan and the DuckDB oracle)."""
+    import duckdb
+
+    from garmin_data_pipeline_spark.plans import QUERIES
+
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, COALESCE(text,'') FROM "
+        f"'{sf_dir}/documents.parquet' ORDER BY doc_id LIMIT 5"
+    ).fetchall()
+
+    m5 = {
+        r["doc_id"]: r
+        for r in QUERIES["m5_image_stats"].fn(spark, sf_dir).collect()
+    }
+    m6 = {
+        r["doc_id"]: r
+        for r in QUERIES["m6_audio_features"].fn(spark, sf_dir).collect()
+    }
+    for doc_id, text in docs:
+        w, h = 8 + doc_id % 8, 8 + doc_id % 5
+        px = text[: w * h * 3].ljust(w * h * 3, "x")
+        assert (m5[doc_id]["width"], m5[doc_id]["height"]) == (w, h)
+        assert m5[doc_id]["format"] == "ppm"
+        assert m5[doc_id]["px_sum"] == sum(ord(c) for c in px)
+
+        n = 64 + doc_id % 64
+        i = np.arange(n, dtype=np.int64)
+        s = (doc_id * 7 + i * 13) % 2048 - 1024
+        assert m6[doc_id]["n_frames"] == n
+        assert m6[doc_id]["amp_sum"] == int(s.sum())
+        assert m6[doc_id]["amp_sq_sum"] == int((s * s).sum())
+
+
 def test_window_audio_frames_real_jvm_slicing(spark):
     from garmin_data_pipeline_spark.operators.multimodal import (
         window_audio_frames,

@@ -249,6 +249,12 @@ def test_registered_plans_stay_jvm_side(spark, sf_dir):
         # boundary with a driver row (r4 verdict item 8); only sliced
         # frame bytes cross into Python, never the full payload
         "m4_frame_checksums",
+        # m5/m6 are the REAL codec certifications (r11): pixel/PCM
+        # decode is inherently a Python kernel — one Arrow-batched
+        # mapInPandas for m5's netpbm decode, two for m6's WAV
+        # encode->decode round-trip; no shuffle in either plan
+        "m5_image_stats",
+        "m6_audio_features",
     }
     # per-plan justifications live with the allowlist in plans/lint.py
     # (shared with tools/explain_audit.py's footer so prose and gate

@@ -139,6 +139,12 @@ PROBES = [
     # the corpus here (synthetic split) — real eval corpora are
     # fixed-size, so this ratio is an upper bound
     "c3_span_decontamination",
+    # r11 fourth wave: the real-codec Arrow kernels — shuffle-free
+    # single-scan plans, so the expected ratio is the pure
+    # per-row-kernel band (work is linear in docs; the only scale
+    # question is Arrow batch overhead amortization)
+    "m5_image_stats",
+    "m6_audio_features",
 ]
 
 WARMUPS = 1
