@@ -319,6 +319,8 @@ HEADLINE = [
     # decode boundary itself)
     "m5_image_stats",
     "m6_audio_features",
+    # r11 fifth wave: real uncompressed-AVI video frame decode
+    "m7_video_frame_stats",
 ]
 
 

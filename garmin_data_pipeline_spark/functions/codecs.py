@@ -25,9 +25,14 @@ standard library and numpy, so this module implements them for real —
   over numpy channel vectors — fine for metadata/thumbnail work,
   and the encoder's filter choice controls the cost.
 
-Video stays stubbed: inter-frame codecs (H.264 etc.) genuinely need
-ffmpeg. That makes video the ONLY environmental stub left in the
-multimodal family.
+* **AVI, uncompressed** (``video/x-msvideo``) — the RIFF('AVI ')
+  container with BI_RGB 24-bit '00db' DIB frame chunks (the VfW
+  "full frames (uncompressed)" format): hdrl/strl header walk, movi
+  frame extraction, per-frame DIB decode sharing BMP's row logic.
+
+Only *inter-frame* video codecs (H.264 etc.) remain out of reach —
+they genuinely need ffmpeg; ``decode_avi`` raises on compressed
+('..dc') streams rather than guessing.
 
 Scale notes: these kernels run inside Arrow-batched ``mapInPandas``
 (see ``operators/multimodal.py``) — per-executor, one batch of
@@ -66,12 +71,11 @@ def sniff_format(payload: bytes) -> str | None:
     for magic, name in _MAGIC:
         if payload.startswith(magic):
             return name
-    if (
-        len(payload) >= 12
-        and payload[:4] == b"RIFF"
-        and payload[8:12] == b"WAVE"
-    ):
-        return "wav"
+    if len(payload) >= 12 and payload[:4] == b"RIFF":
+        if payload[8:12] == b"WAVE":
+            return "wav"
+        if payload[8:12] == b"AVI ":
+            return "avi"
     return None
 
 
@@ -81,6 +85,7 @@ MEDIA_TYPES = {
     "pgm": "image/x-portable-graymap",
     "ppm": "image/x-portable-pixmap",
     "wav": "audio/wav",
+    "avi": "video/x-msvideo",
 }
 
 
@@ -506,6 +511,153 @@ def _png_unfilter_row(
             ) % 256
         return recon
     raise ValueError(f"bad PNG filter type {ft}")
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF container, uncompressed 24-bit DIB frames)
+# ---------------------------------------------------------------------------
+#
+# Spec: the classic RIFF('AVI ') layout — LIST hdrl (avih main header,
+# LIST strl with strh/strf stream headers) + LIST movi ('00db'
+# uncompressed-DIB frame chunks) + idx1. Frames are stored exactly
+# like BMP rasters: bottom-up BGR rows padded to 4 bytes. This is a
+# REAL video container path (VfW "full frames (uncompressed)");
+# inter-frame codecs (H.264 etc.) genuinely need ffmpeg and stay out
+# of scope — decode_avi raises on any compressed stream rather than
+# guessing.
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Encode (n_frames, H, W, 3) uint8 RGB as an uncompressed AVI
+    (BI_RGB 24-bit DIB frames, '00db' chunks, idx1 index)."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError(f"unsupported frames shape {frames.shape}")
+    n, h, w = frames.shape[:3]
+    row_bytes = (w * 3 + 3) & ~3
+    frame_size = row_bytes * h
+
+    def dib(frame: np.ndarray) -> bytes:
+        bgr = frame[::-1, :, ::-1]
+        rows = np.zeros((h, row_bytes), dtype=np.uint8)
+        rows[:, : w * 3] = bgr.reshape(h, w * 3)
+        return rows.tobytes()
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return (
+            b"LIST" + struct.pack("<I", 4 + len(body)) + kind + body
+        )
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (
+            cid
+            + struct.pack("<I", len(body))
+            + body
+            + (b"\x00" if len(body) & 1 else b"")
+        )
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,          # microseconds per frame
+        frame_size * fps,          # max bytes per second
+        0,                         # padding granularity
+        0x10,                      # flags: AVIF_HASINDEX
+        n, 0, 1, frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n,
+        frame_size, 0, 0xFFFFFFFF, 0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_chunks = [chunk(b"00db", dib(f)) for f in frames]
+    movi = lst(b"movi", b"".join(movi_chunks))
+    # idx1: one entry per frame chunk, offsets relative to movi+4
+    idx_entries = []
+    off = 4
+    for c in movi_chunks:
+        idx_entries.append(
+            struct.pack("<4sIII", b"00db", 0x10, off, len(c) - 8)
+        )
+        off += len(c)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes) -> tuple[dict, np.ndarray]:
+    """Decode an uncompressed 24-bit AVI: returns
+    (``{'width','height','n_frames','fps'}``, frames array of shape
+    (n_frames, H, W, 3) RGB uint8).
+
+    Walks the RIFF tree for LIST hdrl (avih for dims/rate sanity,
+    strf BITMAPINFOHEADER for bpp/compression/row orientation) and
+    LIST movi ('00db'/'01db' DIB chunks; '00dc' compressed chunks
+    raise — that is ffmpeg territory)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    avih = None
+    strf = None
+    frames_raw: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal avih, strf
+        pos = start
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body_start = pos + 8
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + size)
+            elif cid == b"avih":
+                avih = struct.unpack_from("<14I", payload, body_start)
+            elif cid == b"strf":
+                strf = struct.unpack_from("<IiiHHI", payload, body_start)
+            elif cid[2:4] == b"db":  # 00db/01db uncompressed DIB
+                frames_raw.append(payload[body_start : body_start + size])
+            elif cid[2:4] == b"dc":
+                raise ValueError(
+                    "compressed AVI stream ('..dc' chunk) — needs ffmpeg"
+                )
+            pos = body_start + size + (size & 1)
+
+    walk(12, len(payload))
+    if avih is None or strf is None:
+        raise ValueError("AVI missing avih or strf header")
+    _hdr_size, w, h_signed, _planes, bpp, compression = strf
+    if compression != 0 or bpp != 24:
+        raise ValueError(
+            f"unsupported AVI DIB (bpp={bpp}, compression={compression})"
+        )
+    h = abs(h_signed)
+    row_bytes = (w * 3 + 3) & ~3
+    out = np.zeros((len(frames_raw), h, w, 3), dtype=np.uint8)
+    for i, raw in enumerate(frames_raw):
+        if len(raw) < row_bytes * h:
+            raise ValueError(f"truncated AVI frame {i}")
+        rows = np.frombuffer(
+            raw[: row_bytes * h], dtype=np.uint8
+        ).reshape(h, row_bytes)
+        px = rows[:, : w * 3].reshape(h, w, 3)
+        if h_signed > 0:
+            px = px[::-1]
+        out[i] = px[:, :, ::-1]
+    usec_per_frame = avih[0]
+    meta = {
+        "width": w,
+        "height": h,
+        "n_frames": len(frames_raw),
+        "fps": round(1_000_000 / usec_per_frame) if usec_per_frame else 0,
+    }
+    return meta, out
 
 
 # ---------------------------------------------------------------------------

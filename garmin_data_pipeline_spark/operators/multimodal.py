@@ -2,16 +2,17 @@
 columns with typed metadata, processed by Arrow-batched pandas
 transforms (BASELINE.json north-star additions).
 
-The ``real=True`` decode paths are REAL for four production formats —
-PNG (all five scanline filters), netpbm P5/P6, uncompressed BMP, and
-RIFF/WAV PCM — implemented in pure stdlib + numpy in
-``functions/codecs.py`` (no PIL, no ffmpeg needed). Only *video*
-decode remains an environmental stub: inter-frame codecs genuinely
-require ffmpeg, so ``sample_video_frames(real=True)`` raises and the
+The ``real=True`` decode paths are REAL for five production formats —
+PNG (all five scanline filters), netpbm P5/P6, uncompressed BMP,
+RIFF/WAV PCM, and uncompressed AVI video — implemented in pure
+stdlib + numpy in ``functions/codecs.py`` (no PIL, no ffmpeg
+needed). Only *inter-frame* video codecs (H.264 etc.) remain
+environmental: ``sample_video_frames(real=True)`` raises with a
+pointer to :func:`decode_video_frames` (the real AVI path) and the
 fake byte-slicing twin exercises the identical plan shape. The fake
 kernels are kept alongside the real ones because the registered
-oracle queries m1-m4 pin THEIR deterministic arithmetic; m5/m6 pin
-the real decoders against analytic oracles.
+oracle queries m1-m4 pin THEIR deterministic arithmetic; m5/m6/m7
+pin the real decoders against analytic oracles.
 
 Schema convention for a multimodal asset column::
 
@@ -57,6 +58,40 @@ def read_binary_assets(spark, path: str, glob: str = "*") -> DataFrame:
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
         .load(path)
+    )
+
+
+def sniff_media_type_col(payload_col: str = "payload"):
+    """Magic-byte media-type sniff as PURE column expressions — the
+    JVM-side twin of ``functions/codecs.sniff_format`` (same magics,
+    same precedence), for routing payloads to per-format decode
+    kernels without any Python in the plan. At 100 TB the router runs
+    in whole-stage codegen over the scan; only the rows of each
+    format reach their (Arrow-batched) decoder.
+
+    Returns a Column yielding the IANA media type or
+    'application/octet-stream'.
+    """
+    p = F.col(payload_col)
+
+    def starts(prefix: bytes):
+        return F.substring(p, 1, len(prefix)) == F.lit(prefix)
+
+    riff_kind = F.substring(p, 9, 4)
+    return (
+        F.when(starts(b"\x89PNG\r\n\x1a\n"), F.lit("image/png"))
+        .when(starts(b"BM"), F.lit("image/bmp"))
+        .when(starts(b"P5"), F.lit("image/x-portable-graymap"))
+        .when(starts(b"P6"), F.lit("image/x-portable-pixmap"))
+        .when(
+            starts(b"RIFF") & (riff_kind == F.lit(b"WAVE")),
+            F.lit("audio/wav"),
+        )
+        .when(
+            starts(b"RIFF") & (riff_kind == F.lit(b"AVI ")),
+            F.lit("video/x-msvideo"),
+        )
+        .otherwise(F.lit("application/octet-stream"))
     )
 
 
@@ -211,11 +246,11 @@ def sample_video_frames(
     """
     if real:
         raise NotImplementedError(
-            "video codecs genuinely need ffmpeg (inter-frame decode) — "
-            "the ONE remaining environmental stub in this family now "
-            "that image (PNG/netpbm/BMP) and audio (WAV) decode are "
-            "real; plug a per-frame kernel in via decode_frames() over "
-            "the sliced output"
+            "sample_video_frames is the byte-domain slicer; REAL frame "
+            "decode exists for uncompressed AVI via decode_video_frames "
+            "(pure stdlib/numpy RIFF+DIB, certified by m7) — only "
+            "INTER-FRAME codecs (H.264 etc.) genuinely need ffmpeg; "
+            "plug such a kernel in via decode_frames() over the slices"
         )
     in_cols = [c for c in df.columns if c != payload_col]
 
@@ -379,6 +414,83 @@ def checksum_frames(
         return out
 
     return decode_frames(df, kernel, out_schema, frame_col)
+
+
+def decode_video_frames(
+    df: DataFrame, payload_col: str = "payload", every_n: int = 1
+) -> DataFrame:
+    """REAL video frame decode for uncompressed AVI payloads
+    (``functions/codecs.decode_avi`` — pure stdlib/numpy RIFF walk +
+    DIB frame decode; inter-frame codecs raise and need ffmpeg).
+
+    One input row -> one row per sampled frame (every ``every_n``-th),
+    with exact integer pixel statistics per frame:
+
+    ``frame_idx bigint, width int, height int, n_frames bigint,
+    px_sum bigint``
+
+    Undecodable payloads emit a single row with NULL stats (corrupt
+    files must not fail the job; filter ``n_frames IS NULL`` to
+    audit). The kernel is Arrow-batched mapInPandas: peak memory is
+    one batch of payloads plus one decoded clip, never the corpus.
+    """
+    in_cols = [c for c in df.columns if c != payload_col]
+    keep_types = {
+        f.name: f.dataType.simpleString() for f in df.schema.fields
+    }
+    out_schema = ", ".join(
+        [f"{c} {keep_types[c]}" for c in in_cols]
+        + [
+            "frame_idx bigint",
+            "width int",
+            "height int",
+            "n_frames bigint",
+            "px_sum bigint",
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from garmin_data_pipeline_spark.functions.codecs import decode_avi
+
+        for pdf in batches:
+            out_rows = []
+            for _, row in pdf.iterrows():
+                keep = [row[c] for c in in_cols]
+                p = row[payload_col]
+                try:
+                    meta, frames = decode_avi(
+                        bytes(p) if p is not None else b""
+                    )
+                except ValueError:
+                    out_rows.append(keep + [None, None, None, None, None])
+                    continue
+                for idx in range(0, meta["n_frames"], every_n):
+                    out_rows.append(
+                        keep
+                        + [
+                            idx,
+                            meta["width"],
+                            meta["height"],
+                            meta["n_frames"],
+                            int(frames[idx].astype("int64").sum()),
+                        ]
+                    )
+            out = pd.DataFrame(
+                out_rows,
+                columns=in_cols
+                + ["frame_idx", "width", "height", "n_frames", "px_sum"],
+            ).astype(
+                {
+                    "frame_idx": "Int64",
+                    "width": "Int32",
+                    "height": "Int32",
+                    "n_frames": "Int64",
+                    "px_sum": "Int64",
+                }
+            )
+            yield out
+
+    return df.mapInPandas(kernel, schema=out_schema)
 
 
 def decode_image_stats(

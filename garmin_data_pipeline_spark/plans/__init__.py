@@ -88,9 +88,17 @@ _HEAD = [
     # r10 rows (<= 1 round stale; back in the r12 head).
     "m5_image_stats",
     "m6_audio_features",
-    # --- r10 first-timers: second consecutive rows (d8 also
+    # m7 registered fifth-wave (real uncompressed-AVI video decode —
+    # the last codec family — closed-form oracle). Cap funded by
+    # demoting st1_tumbling_daily (5 green rows r3/r4/r6/r8/r10, the
+    # r10 verdict's own named candidate) to the pytest tier; the
+    # head slot comes from v9pss_imi_serve_grid, the last movable
+    # r10 first-timer (its r10 row is the FULL grid certification;
+    # a new operator's first row outranks a second consecutive row),
+    # which rotates to the tail with its green r10 row.
+    "m7_video_frame_stats",
+    # --- r10 first-timer: second consecutive row (d8 also
     # carries this round's exact-arithmetic prefix-bound change) ---
-    "v9pss_imi_serve_grid",
     "d8_prefix_jaccard_pairs",
     # --- r10's tail rotates back in (green r9, code unchanged) ---
     "v8_pq_codes",
@@ -148,9 +156,10 @@ _TAIL = [
     # the d10x and c3 head slots, see the _HEAD comments):
     "q5_local_supplier_volume",
     "b2_zorder_key",
-    # green r10 + funding the m5/m6 head slots (see _HEAD comment):
+    # green r10 + funding the m5/m6/m7 head slots (see _HEAD comment):
     "o6_pareto_frontier",
     "d9_containment_pairs",
+    "v9pss_imi_serve_grid",
     "t23_ngram_novelty",
     "w10_ewma_8",
     "j10_interval_anti_join",
@@ -179,7 +188,6 @@ _TAIL = [
     "f23_binned_group_mean",
     "j5_asof_join",
     "j6_range_join",
-    "st1_tumbling_daily",
     "t10_clean_corpus",
     "d5s_duplicate_groups_star",
     "v4p_cosine_topk_ivf_grid",
@@ -207,6 +215,11 @@ _PYTEST_TIER = [
     # both trivial single-aggregate/filter plans, code frozen
     "t9_length_trim",
     "a12_time_rollup",
+    # r11 fifth-wave demotion (balancing m7_video_frame_stats): five
+    # green rows (r3/r4/r6/r8/r10), the r10 verdict's named
+    # candidate; its streaming-source siblings st2-st5 stay
+    # registered
+    "st1_tumbling_daily",
     # r11 demotions (balancing the d10_exact_substring_spans and
     # d7p_canonical_docs_lsh registrations, and funding second
     # consecutive rows for all six r10 first-timers): each has SIX

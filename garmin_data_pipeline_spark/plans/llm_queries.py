@@ -1705,6 +1705,91 @@ def m6_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# M7 — REAL video frame decode certified by an analytic oracle. Each
+# doc becomes a genuine uncompressed AVI (RIFF container, 24-bit DIB
+# '00db' frame chunks) whose pixel (f, y, x, c) equals
+# d + f + x + y + c with d = doc_id % 50 — all values < 256, so the
+# per-frame pixel sum has the closed form
+#   3*w*h*(d + f) + 3*h*w*(w-1)/2 + 3*w*h*(h-1)/2 + 3*w*h
+# and the oracle is pure arithmetic (never parses a byte). The real
+# decoder (codecs.decode_avi via decode_video_frames) walks the RIFF
+# tree, checks strf (BI_RGB 24bpp), decodes every DIB frame
+# (bottom-up BGR padded rows), samples every 2nd frame, and reports
+# exact int64 pixel sums — a hash match certifies container walk,
+# frame raster decode, and sampling arithmetic at once. Inter-frame
+# codecs stay out of scope (decode_avi raises on '..dc' chunks).
+# ---------------------------------------------------------------------------
+@register(
+    "m7_video_frame_stats",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               doc_id % 50 AS d,
+               CAST(8 + doc_id % 4 AS INT) AS w,
+               CAST(6 + doc_id % 3 AS INT) AS h,
+               3 + doc_id % 4 AS nf
+        FROM documents
+    )
+    SELECT doc_id,
+           f AS frame_idx,
+           w AS width,
+           h AS height,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(3 * w * h * (d + f)
+                + 3 * h * (w * (w - 1) // 2)
+                + 3 * w * (h * (h - 1) // 2)
+                + 3 * w * h AS BIGINT) AS px_sum
+    FROM t,
+         LATERAL (SELECT unnest(range(0, nf, 2)) AS f)
+    """,
+    doc="REAL video frame decode (pure-stdlib uncompressed-AVI codec: "
+    "RIFF walk + per-frame DIB raster) hash-certified against a "
+    "closed-form oracle predicting each sampled frame's exact pixel "
+    "sum. Scale shape: one scan, two Arrow-batched kernels (encode, "
+    "decode+explode) — no shuffle at all.",
+)
+def m7_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from garmin_data_pipeline_spark.operators.multimodal import (
+        decode_video_frames,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode_kernel(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        from garmin_data_pipeline_spark.functions.codecs import encode_avi
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                d, w = did % 50, 8 + did % 4
+                h, nf = 6 + did % 3, 3 + did % 4
+                f = np.arange(nf)[:, None, None, None]
+                y = np.arange(h)[None, :, None, None]
+                x = np.arange(w)[None, None, :, None]
+                c = np.arange(3)[None, None, None, :]
+                frames = (d + f + y + x + c).astype(np.uint8)
+                payloads.append(encode_avi(frames, fps=10))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(
+        encode_kernel, schema="doc_id bigint, payload binary"
+    )
+    return decode_video_frames(assets, "payload", every_n=2).select(
+        "doc_id", "frame_idx", "width", "height", "n_frames", "px_sum"
+    )
+
+
+# ---------------------------------------------------------------------------
 # T14 — Gopher-style repetition metrics: fraction of duplicate word
 # n-grams per document (Rae et al. 2021 §A1.1 quality rules). A doc
 # that repeats itself has distinct-ngrams << total-ngrams; the

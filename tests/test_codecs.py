@@ -216,6 +216,42 @@ def test_png_roundtrip_property(h, w, channels, seed):
     assert (out == arr).all()
 
 
+def test_avi_roundtrip_and_meta():
+    rng = np.random.default_rng(13)
+    frames = rng.integers(0, 256, size=(4, 5, 7, 3), dtype=np.uint8)
+    payload = C.encode_avi(frames, fps=25)
+    assert C.sniff_format(payload) == "avi"
+    meta, out = C.decode_avi(payload)
+    assert meta == {"width": 7, "height": 5, "n_frames": 4, "fps": 25}
+    assert (out == frames).all()
+
+
+def test_avi_compressed_stream_raises():
+    # Swap a frame chunk id from '00db' (uncompressed DIB) to '00dc'
+    # (compressed): the decoder must refuse, not guess.
+    payload = C.encode_avi(np.zeros((1, 2, 2, 3), dtype=np.uint8))
+    broken = payload.replace(b"00db", b"00dc", 1)
+    with pytest.raises(ValueError, match="ffmpeg"):
+        C.decode_avi(broken)
+
+
+def test_avi_golden_frame_layout():
+    # One 2x2 frame; bottom-up BGR with 4-byte row padding means the
+    # FIRST stored row is the BOTTOM image row. Verify against the
+    # raw movi bytes by hand.
+    frame = np.array(
+        [[[1, 2, 3], [4, 5, 6]], [[7, 8, 9], [10, 11, 12]]],
+        dtype=np.uint8,
+    )
+    payload = C.encode_avi(frame[None])
+    i = payload.find(b"00db")
+    raw = payload[i + 8 : i + 8 + 16]
+    # bottom row first, BGR order, row padded 6 -> 8 bytes
+    assert raw == bytes([9, 8, 7, 12, 11, 10, 0, 0, 3, 2, 1, 6, 5, 4, 0, 0])
+    meta, out = C.decode_avi(payload)
+    assert (out[0] == frame).all()
+
+
 def test_sniff_and_dispatch():
     rgb = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
     for enc, fmt in (
@@ -335,6 +371,93 @@ def test_decode_audio_features_real(spark):
         assert got[i]["amp_sum"] == int(s64.sum())
         assert got[i]["amp_sq_sum"] == int((s64 * s64).sum())
     assert got[9]["n_frames"] is None
+
+
+def test_decode_video_frames_real(spark):
+    from garmin_data_pipeline_spark.operators.multimodal import (
+        decode_video_frames,
+    )
+
+    rng = np.random.default_rng(21)
+    frames = rng.integers(0, 256, size=(5, 4, 6, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(C.encode_avi(frames))),
+            (9, bytearray(b"RIFFxxxxAVI junk")),
+        ],
+        "clip_id int, payload binary",
+    )
+    rows = decode_video_frames(df, "payload", every_n=2).collect()
+    good = sorted(
+        (r for r in rows if r["clip_id"] == 1),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_idx"] for r in good] == [0, 2, 4]
+    for r in good:
+        expect = int(frames[r["frame_idx"]].astype("int64").sum())
+        assert (r["width"], r["height"], r["n_frames"]) == (6, 4, 5)
+        assert r["px_sum"] == expect
+    bad = [r for r in rows if r["clip_id"] == 9]
+    assert len(bad) == 1 and bad[0]["n_frames"] is None
+
+
+def test_sniff_media_type_col_jvm_side(spark):
+    from garmin_data_pipeline_spark.operators.multimodal import (
+        sniff_media_type_col,
+    )
+
+    rgb = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    rows = [
+        (1, bytearray(C.encode_png(rgb)), "image/png"),
+        (2, bytearray(C.encode_netpbm(rgb)), "image/x-portable-pixmap"),
+        (3, bytearray(C.encode_netpbm(rgb[:, :, 0])),
+         "image/x-portable-graymap"),
+        (4, bytearray(C.encode_bmp(rgb)), "image/bmp"),
+        (5, bytearray(C.encode_wav(np.zeros(4, dtype=np.int16))),
+         "audio/wav"),
+        (6, bytearray(C.encode_avi(rgb[None])), "video/x-msvideo"),
+        (7, bytearray(b"plain text"), "application/octet-stream"),
+        # a RIFF that is neither WAVE nor AVI
+        (8, bytearray(b"RIFF\x04\x00\x00\x00JUNK"),
+         "application/octet-stream"),
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id int, payload binary, expect string"
+    )
+    out = df.withColumn("media_type", sniff_media_type_col("payload"))
+    for r in out.collect():
+        assert r["media_type"] == r["expect"], r["asset_id"]
+    # the router is pure column expressions — zero Python in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    # and it agrees with the Python sniffer on every format
+    for _, payload, expect in rows:
+        fmt = C.sniff_format(bytes(payload))
+        expect_py = C.MEDIA_TYPES.get(fmt, "application/octet-stream")
+        assert expect_py == expect
+
+
+def test_m7_analytic_pin(spark, sf_dir):
+    from garmin_data_pipeline_spark.plans import QUERIES
+
+    out = QUERIES["m7_video_frame_stats"].fn(spark, sf_dir)
+    rows = [
+        r
+        for r in out.collect()
+        if r["doc_id"] in (0, 1, 2, 3, 7)
+    ]
+    assert rows
+    for r in rows:
+        did = r["doc_id"]
+        d, w, h, nf = did % 50, 8 + did % 4, 6 + did % 3, 3 + did % 4
+        f = r["frame_idx"]
+        assert (r["width"], r["height"], r["n_frames"]) == (w, h, nf)
+        assert f % 2 == 0 and f < nf
+        # direct numpy recomputation, independent of the closed form
+        ys = np.arange(h)[:, None, None]
+        xs = np.arange(w)[None, :, None]
+        cs = np.arange(3)[None, None, :]
+        assert r["px_sum"] == int((d + f + ys + xs + cs).sum())
 
 
 def test_m5_m6_analytic_pins(spark, sf_dir):

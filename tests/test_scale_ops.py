@@ -255,6 +255,9 @@ def test_registered_plans_stay_jvm_side(spark, sf_dir):
         # encode->decode round-trip; no shuffle in either plan
         "m5_image_stats",
         "m6_audio_features",
+        # m7: real uncompressed-AVI frame decode (encode kernel +
+        # decode/explode kernel; no shuffle)
+        "m7_video_frame_stats",
     }
     # per-plan justifications live with the allowlist in plans/lint.py
     # (shared with tools/explain_audit.py's footer so prose and gate

@@ -145,6 +145,7 @@ PROBES = [
     # question is Arrow batch overhead amortization)
     "m5_image_stats",
     "m6_audio_features",
+    "m7_video_frame_stats",
 ]
 
 WARMUPS = 1
