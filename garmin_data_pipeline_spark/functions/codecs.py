@@ -29,6 +29,11 @@ standard library and numpy, so this module implements them for real —
   container with BI_RGB 24-bit '00db' DIB frame chunks (the VfW
   "full frames (uncompressed)" format): hdrl/strl header walk, movi
   frame extraction, per-frame DIB decode sharing BMP's row logic.
+* **GIF 87a/89a** (``image/gif``) — real LZW in both directions
+  (variable 3-12 bit codes, LSB-first packing, dictionary resets),
+  global/local color tables, four-pass interlace, per-frame rect
+  compositing — both as a static image (first frame) and as the
+  multi-frame animation format.
 
 Only *inter-frame* video codecs (H.264 etc.) remain out of reach —
 they genuinely need ffmpeg; ``decode_avi`` raises on compressed
@@ -57,6 +62,8 @@ import numpy as np
 
 _MAGIC = (
     (b"\x89PNG\r\n\x1a\n", "png"),
+    (b"GIF87a", "gif"),
+    (b"GIF89a", "gif"),
     (b"BM", "bmp"),
     (b"P5", "pgm"),
     (b"P6", "ppm"),
@@ -86,6 +93,7 @@ MEDIA_TYPES = {
     "ppm": "image/x-portable-pixmap",
     "wav": "audio/wav",
     "avi": "video/x-msvideo",
+    "gif": "image/gif",
 }
 
 
@@ -661,12 +669,258 @@ def decode_avi(payload: bytes) -> tuple[dict, np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
+# GIF (87a/89a: global/local palettes, real LZW, optional interlace)
+# ---------------------------------------------------------------------------
+#
+# GIF is indexed color: each pixel is a palette index, compressed with
+# the GIF variant of LZW (variable code width 3..12 bits, LSB-first
+# bit packing, CLEAR/END control codes, dictionary reset at 4096).
+# Both directions are implemented for real — the encoder is a genuine
+# LZW compressor, not the emit-literals trick — and round-trip tests
+# sweep random frames while a hand-packed golden pins the decoder's
+# bit order. Frames are full-canvas here (encoder emits only those;
+# the decoder honors each frame's left/top/width/height rect and
+# composites onto the prior canvas, which covers the common
+# rect-update animation case); interlaced frames are deinterlaced per
+# the spec's four-pass row order.
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    code_size = min_code_size + 1
+    next_code = end + 1
+    prev: bytes | None = None
+    acc = nbits = 0
+    pos = 0
+    while len(out) < n_pixels:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code_size + 1
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and (code < clear or table[code]):
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"bad GIF LZW code {code}")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table.append(prev + entry[:1])
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return bytes(out[:n_pixels])
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+    codes: list[tuple[int, int]] = []  # (code, width_at_emit)
+    table: dict[tuple[int, int], int] = {}
+    code_size = min_code_size + 1
+    next_code = end + 1
+    codes.append((clear, code_size))
+    cur = -1
+    for k in indices:
+        if cur < 0:
+            cur = k
+            continue
+        if (cur, k) in table:
+            cur = table[(cur, k)]
+        else:
+            codes.append((cur, code_size))
+            if next_code < 4096:
+                table[(cur, k)] = next_code
+                next_code += 1
+                if (
+                    next_code == (1 << code_size) + 1
+                    and code_size < 12
+                ):
+                    code_size += 1
+            else:
+                codes.append((clear, code_size))
+                table = {}
+                code_size = min_code_size + 1
+                next_code = end + 1
+            cur = k
+    if cur >= 0:
+        codes.append((cur, code_size))
+    codes.append((end, code_size))
+    acc = nbits = 0
+    out = bytearray()
+    for code, width in codes:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+# Encoder/decoder width-growth symmetry: the decoder adds its table
+# entry one code BEHIND the encoder (it must see a code before it can
+# infer the pair that produced it), so the encoder grows the width at
+# next_code == (1<<size)+1 while the decoder grows at (1<<size) —
+# both sides then read/write the same widths for every code. The
+# round-trip property test sweeps this across dictionary resets.
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def encode_gif(
+    frames_idx: np.ndarray, palette: np.ndarray, delay_cs: int = 10
+) -> bytes:
+    """Encode indexed frames as an animated GIF89a.
+
+    ``frames_idx``: (n_frames, H, W) uint8 palette indices.
+    ``palette``: (P, 3) uint8 RGB, P a power of two in [2, 256].
+    Real LZW compression, global palette, full-canvas frames.
+    """
+    frames_idx = np.asarray(frames_idx, dtype=np.uint8)
+    palette = np.asarray(palette, dtype=np.uint8)
+    if frames_idx.ndim != 3:
+        raise ValueError(f"unsupported frames shape {frames_idx.shape}")
+    p = palette.shape[0]
+    if palette.ndim != 2 or palette.shape[1] != 3 or p & (p - 1) or p < 2:
+        raise ValueError("palette must be (P, 3) with P a power of two")
+    if int(frames_idx.max(initial=0)) >= p:
+        raise ValueError("frame index outside palette")
+    n, h, w = frames_idx.shape
+    pal_bits = max(1, (p - 1).bit_length())
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | (pal_bits - 1))  # global color table, size
+    out += bytes([0, 0])  # background index, aspect
+    out += palette.tobytes()
+    # netscape loop extension (standard for animations)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    min_code = max(2, pal_bits)
+    for frame in frames_idx:
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out.append(min_code)
+        lzw = _lzw_encode(frame.tobytes(), min_code)
+        for i in range(0, len(lzw), 255):
+            block = lzw[i : i + 255]
+            out.append(len(block))
+            out += block
+        out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> tuple[dict, np.ndarray]:
+    """Decode GIF87a/89a: returns (``{'width','height','n_frames'}``,
+    frames RGB uint8 of shape (n_frames, H, W, 3)).
+
+    Real spec path: global + local color tables, LZW with dictionary
+    resets, four-pass interlace, per-frame rects composited onto the
+    running canvas (each emitted frame is the full canvas after the
+    rect update — the common disposal-0/1 case; disposal modes 2/3
+    raise rather than guess)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    flags = payload[10]
+    pos = 13
+    global_pal = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        global_pal = np.frombuffer(
+            payload[pos : pos + 3 * n], dtype=np.uint8
+        ).reshape(n, 3)
+        pos += 3 * n
+    # Composite in RGB: a frame with a LOCAL palette must not recolor
+    # pixels painted by earlier frames under a different palette.
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    frames: list[np.ndarray] = []
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: walk its sub-blocks
+            if payload[pos + 1] == 0xF9:  # graphic control
+                disposal = (payload[pos + 3] >> 2) & 0x07
+                if disposal in (2, 3):
+                    raise ValueError(
+                        f"GIF disposal mode {disposal} not supported"
+                    )
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"bad GIF block 0x{b:02x}")
+        left, top, fw, fh = struct.unpack_from("<HHHH", payload, pos + 1)
+        iflags = payload[pos + 9]
+        pos += 10
+        pal = global_pal
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = np.frombuffer(
+                payload[pos : pos + 3 * n], dtype=np.uint8
+            ).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame without a color table")
+        min_code = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while payload[pos]:
+            size = payload[pos]
+            lzw += payload[pos + 1 : pos + 1 + size]
+            pos += 1 + size
+        pos += 1
+        idx = np.frombuffer(
+            _lzw_decode(bytes(lzw), min_code, fw * fh), dtype=np.uint8
+        ).reshape(fh, fw)
+        if iflags & 0x40:  # interlaced: spec four-pass row order
+            deinter = np.zeros_like(idx)
+            src = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                rows = range(start, fh, step)
+                deinter[list(rows)] = idx[src : src + len(rows)]
+                src += len(rows)
+            idx = deinter
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("GIF index outside color table")
+        canvas[top : top + fh, left : left + fw] = pal[idx]
+        frames.append(canvas.copy())
+    if not frames:
+        raise ValueError("GIF with no image frames")
+    meta = {"width": w, "height": h, "n_frames": len(frames)}
+    return meta, np.stack(frames)
+
+
+# ---------------------------------------------------------------------------
 # Dispatchers + nearest-neighbor resize
 # ---------------------------------------------------------------------------
 
 
 def decode_image(payload: bytes) -> tuple[np.ndarray, str]:
-    """Decode any supported image payload -> (uint8 array, format)."""
+    """Decode any supported image payload -> (uint8 array, format).
+    GIF decodes to its FIRST frame (static-image semantics)."""
     fmt = sniff_format(payload)
     if fmt == "png":
         return decode_png(payload), fmt
@@ -675,17 +929,54 @@ def decode_image(payload: bytes) -> tuple[np.ndarray, str]:
         return arr, fmt
     if fmt == "bmp":
         return decode_bmp(payload), fmt
+    if fmt == "gif":
+        _meta, frames = decode_gif(payload)
+        return frames[0], fmt
     raise ValueError(f"undecodable image payload (sniffed {fmt!r})")
 
 
+def decode_video(payload: bytes) -> tuple[dict, np.ndarray]:
+    """Decode any supported multi-frame payload -> (meta, frames
+    (n, H, W, 3) RGB uint8): uncompressed AVI or animated GIF,
+    routed by magic bytes."""
+    fmt = sniff_format(payload)
+    if fmt == "avi":
+        return decode_avi(payload)
+    if fmt == "gif":
+        return decode_gif(payload)
+    raise ValueError(f"undecodable video payload (sniffed {fmt!r})")
+
+
 def encode_image(arr: np.ndarray, fmt: str) -> bytes:
-    """Re-encode an array in the named format (the resize write path)."""
+    """Re-encode an array in the named format (the resize write path).
+
+    GIF re-encode palettizes exactly: nearest-neighbor resize never
+    invents colors, so an image decoded from a GIF always fits its
+    original <=256-color palette; images with more unique colors
+    raise (quantization would be lossy guessing)."""
     if fmt == "png":
         return encode_png(arr)
     if fmt in ("pgm", "ppm"):
         return encode_netpbm(arr)
     if fmt == "bmp":
         return encode_bmp(arr)
+    if fmt == "gif":
+        arr = np.asarray(arr, dtype=np.uint8)
+        if arr.ndim != 3 or arr.shape[2] != 3:
+            raise ValueError(f"unsupported array shape {arr.shape}")
+        colors, idx = np.unique(
+            arr.reshape(-1, 3), axis=0, return_inverse=True
+        )
+        if colors.shape[0] > 256:
+            raise ValueError(
+                f"{colors.shape[0]} unique colors — GIF re-encode "
+                "needs <= 256 (lossy quantization is out of scope)"
+            )
+        p = 1 << max(1, (colors.shape[0] - 1).bit_length())
+        pal = np.zeros((p, 3), dtype=np.uint8)
+        pal[: colors.shape[0]] = colors
+        frame = idx.astype(np.uint8).reshape(arr.shape[:2])
+        return encode_gif(frame[None], pal)
     raise ValueError(f"unsupported encode format {fmt!r}")
 
 

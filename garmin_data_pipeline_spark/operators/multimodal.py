@@ -2,11 +2,11 @@
 columns with typed metadata, processed by Arrow-batched pandas
 transforms (BASELINE.json north-star additions).
 
-The ``real=True`` decode paths are REAL for five production formats —
-PNG (all five scanline filters), netpbm P5/P6, uncompressed BMP,
-RIFF/WAV PCM, and uncompressed AVI video — implemented in pure
-stdlib + numpy in ``functions/codecs.py`` (no PIL, no ffmpeg
-needed). Only *inter-frame* video codecs (H.264 etc.) remain
+The ``real=True`` decode paths are REAL for six production formats —
+PNG (all five scanline filters), GIF (real LZW, palettes,
+interlace), netpbm P5/P6, uncompressed BMP, RIFF/WAV PCM, and
+uncompressed AVI video — implemented in pure stdlib + numpy in
+``functions/codecs.py`` (no PIL, no ffmpeg needed). Only *inter-frame* video codecs (H.264 etc.) remain
 environmental: ``sample_video_frames(real=True)`` raises with a
 pointer to :func:`decode_video_frames` (the real AVI path) and the
 fake byte-slicing twin exercises the identical plan shape. The fake
@@ -80,6 +80,9 @@ def sniff_media_type_col(payload_col: str = "payload"):
     riff_kind = F.substring(p, 9, 4)
     return (
         F.when(starts(b"\x89PNG\r\n\x1a\n"), F.lit("image/png"))
+        .when(
+            starts(b"GIF87a") | starts(b"GIF89a"), F.lit("image/gif")
+        )
         .when(starts(b"BM"), F.lit("image/bmp"))
         .when(starts(b"P5"), F.lit("image/x-portable-graymap"))
         .when(starts(b"P6"), F.lit("image/x-portable-pixmap"))
@@ -419,9 +422,11 @@ def checksum_frames(
 def decode_video_frames(
     df: DataFrame, payload_col: str = "payload", every_n: int = 1
 ) -> DataFrame:
-    """REAL video frame decode for uncompressed AVI payloads
-    (``functions/codecs.decode_avi`` — pure stdlib/numpy RIFF walk +
-    DIB frame decode; inter-frame codecs raise and need ffmpeg).
+    """REAL video frame decode for uncompressed AVI and animated GIF
+    payloads (``functions/codecs.decode_video`` — pure stdlib/numpy:
+    RIFF walk + DIB frames for AVI, LZW + palette compositing for
+    GIF, routed by magic bytes; inter-frame codecs raise and need
+    ffmpeg).
 
     One input row -> one row per sampled frame (every ``every_n``-th),
     with exact integer pixel statistics per frame:
@@ -450,7 +455,7 @@ def decode_video_frames(
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from garmin_data_pipeline_spark.functions.codecs import decode_avi
+        from garmin_data_pipeline_spark.functions.codecs import decode_video
 
         for pdf in batches:
             out_rows = []
@@ -458,7 +463,7 @@ def decode_video_frames(
                 keep = [row[c] for c in in_cols]
                 p = row[payload_col]
                 try:
-                    meta, frames = decode_avi(
+                    meta, frames = decode_video(
                         bytes(p) if p is not None else b""
                     )
                 except ValueError:

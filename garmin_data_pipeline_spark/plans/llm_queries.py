@@ -1705,19 +1705,24 @@ def m6_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# M7 — REAL video frame decode certified by an analytic oracle. Each
-# doc becomes a genuine uncompressed AVI (RIFF container, 24-bit DIB
-# '00db' frame chunks) whose pixel (f, y, x, c) equals
-# d + f + x + y + c with d = doc_id % 50 — all values < 256, so the
-# per-frame pixel sum has the closed form
-#   3*w*h*(d + f) + 3*h*w*(w-1)/2 + 3*w*h*(h-1)/2 + 3*w*h
+# M7 — REAL video frame decode certified by an analytic oracle, over
+# a MIXED corpus the decoder routes by magic bytes: even doc_ids
+# become genuine uncompressed AVIs (RIFF container, 24-bit DIB '00db'
+# frame chunks) with pixel (f, y, x, c) = d + f + y + x + c; odd
+# doc_ids become genuine animated GIF89a (real LZW compression,
+# 128-entry grayscale palette) with palette index (f, y, x) =
+# d + f + y + x, where d = doc_id % 50 — every value < 128, so
+# nothing wraps and the per-frame pixel sum has the closed form
+#   3*w*h*(d + f) + 3*h*w*(w-1)/2 + 3*w*h*(h-1)/2  (+ 3*w*h for AVI,
+#   whose per-channel +c term GIF's single index lacks)
 # and the oracle is pure arithmetic (never parses a byte). The real
-# decoder (codecs.decode_avi via decode_video_frames) walks the RIFF
-# tree, checks strf (BI_RGB 24bpp), decodes every DIB frame
-# (bottom-up BGR padded rows), samples every 2nd frame, and reports
-# exact int64 pixel sums — a hash match certifies container walk,
-# frame raster decode, and sampling arithmetic at once. Inter-frame
-# codecs stay out of scope (decode_avi raises on '..dc' chunks).
+# decoder (codecs.decode_video via decode_video_frames) sniffs the
+# container, walks RIFF/strf + DIB rasters for AVI and LZW streams +
+# palette compositing for GIF, samples every 2nd frame, and reports
+# exact int64 pixel sums — one hash match certifies BOTH container
+# walks, both raster decoders, the LZW implementation, the format
+# router, and the sampling arithmetic. Inter-frame codecs stay out
+# of scope (decode_avi raises on '..dc' chunks).
 # ---------------------------------------------------------------------------
 @register(
     "m7_video_frame_stats",
@@ -1738,12 +1743,14 @@ def m6_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(3 * w * h * (d + f)
                 + 3 * h * (w * (w - 1) // 2)
                 + 3 * w * (h * (h - 1) // 2)
-                + 3 * w * h AS BIGINT) AS px_sum
+                + CASE WHEN doc_id % 2 = 0 THEN 3 * w * h ELSE 0 END
+                AS BIGINT) AS px_sum
     FROM t,
          LATERAL (SELECT unnest(range(0, nf, 2)) AS f)
     """,
-    doc="REAL video frame decode (pure-stdlib uncompressed-AVI codec: "
-    "RIFF walk + per-frame DIB raster) hash-certified against a "
+    doc="REAL video frame decode over a mixed AVI/GIF corpus "
+    "(pure-stdlib codecs: RIFF walk + DIB rasters, LZW + palette "
+    "compositing, magic-byte routing) hash-certified against a "
     "closed-form oracle predicting each sampled frame's exact pixel "
     "sum. Scale shape: one scan, two Arrow-batched kernels (encode, "
     "decode+explode) — no shuffle at all.",
@@ -1763,20 +1770,31 @@ def m7_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     def encode_kernel(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
-        from garmin_data_pipeline_spark.functions.codecs import encode_avi
+        from garmin_data_pipeline_spark.functions.codecs import (
+            encode_avi,
+            encode_gif,
+        )
 
+        gray = np.arange(128, dtype=np.uint8)
+        palette = np.stack([gray, gray, gray], axis=1)
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
                 did = int(doc_id)
                 d, w = did % 50, 8 + did % 4
                 h, nf = 6 + did % 3, 3 + did % 4
-                f = np.arange(nf)[:, None, None, None]
-                y = np.arange(h)[None, :, None, None]
-                x = np.arange(w)[None, None, :, None]
-                c = np.arange(3)[None, None, None, :]
-                frames = (d + f + y + x + c).astype(np.uint8)
-                payloads.append(encode_avi(frames, fps=10))
+                f = np.arange(nf)[:, None, None]
+                y = np.arange(h)[None, :, None]
+                x = np.arange(w)[None, None, :]
+                if did % 2 == 0:
+                    c = np.arange(3)[None, None, None, :]
+                    frames = (
+                        (d + f + y + x)[..., None] + c
+                    ).astype(np.uint8)
+                    payloads.append(encode_avi(frames, fps=10))
+                else:
+                    idx = (d + f + y + x).astype(np.uint8)
+                    payloads.append(encode_gif(idx, palette))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "payload": payloads}
             )

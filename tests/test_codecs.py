@@ -252,12 +252,127 @@ def test_avi_golden_frame_layout():
     assert (out[0] == frame).all()
 
 
+def test_gif_golden_lzw_bitpacking_by_hand():
+    # 2x1 image, 4-color palette, pixels [1, 2]. LZW (min code 2):
+    # codes clear(4), 1, 2, end(5), all 3 bits wide, packed LSB-first:
+    # 4 | 1<<3 | 2<<6 | 5<<9 = 2700 = bytes 8C 0A. Assembled by hand —
+    # independent of our encoder.
+    pal = bytes(
+        [10, 11, 12, 20, 21, 22, 30, 31, 32, 40, 41, 42]
+    )
+    payload = (
+        b"GIF89a"
+        + struct.pack("<HH", 2, 1)
+        + bytes([0x81, 0, 0])  # global palette, 4 entries
+        + pal
+        + b"\x2c"
+        + struct.pack("<HHHH", 0, 0, 2, 1)
+        + b"\x00"
+        + bytes([2])  # LZW min code size
+        + bytes([2])  # sub-block length
+        + b"\x8c\x0a"
+        + b"\x00"  # block terminator
+        + b"\x3b"
+    )
+    meta, frames = C.decode_gif(payload)
+    assert meta == {"width": 2, "height": 1, "n_frames": 1}
+    assert frames[0].tolist() == [[[20, 21, 22], [30, 31, 32]]]
+
+
+def test_gif_interlace_four_pass():
+    rng = np.random.default_rng(23)
+    h, w = 8, 3
+    idx = rng.integers(0, 4, size=(h, w), dtype=np.uint8)
+    # spec pass order for h=8: rows 0; 4; 2,6; 1,3,5,7
+    stored = idx[[0, 4, 2, 6, 1, 3, 5, 7]]
+    lzw = C._lzw_encode(stored.tobytes(), 2)
+    pal = np.arange(12, dtype=np.uint8).reshape(4, 3)
+    payload = (
+        b"GIF89a"
+        + struct.pack("<HH", w, h)
+        + bytes([0x81, 0, 0])
+        + pal.tobytes()
+        + b"\x2c"
+        + struct.pack("<HHHH", 0, 0, w, h)
+        + bytes([0x40])  # interlaced
+        + bytes([2, len(lzw)])
+        + lzw
+        + b"\x00\x3b"
+    )
+    _meta, frames = C.decode_gif(payload)
+    assert (frames[0] == pal[idx]).all()
+
+
+def test_gif_roundtrip_palettes_and_resets():
+    rng = np.random.default_rng(29)
+    for p in (2, 16, 256):
+        pal = rng.integers(0, 256, size=(p, 3), dtype=np.uint8)
+        idx = rng.integers(0, p, size=(3, 9, 11), dtype=np.uint8)
+        meta, frames = C.decode_gif(C.encode_gif(idx, pal))
+        assert meta["n_frames"] == 3 and (frames == pal[idx]).all()
+    # constant frame long enough to force a 4096 dictionary reset
+    idx = np.zeros((1, 200, 300), dtype=np.uint8)
+    pal = np.zeros((2, 3), dtype=np.uint8)
+    pal[0] = (7, 8, 9)
+    _m, frames = C.decode_gif(C.encode_gif(idx, pal))
+    assert (frames == pal[idx]).all()
+
+
+def test_gif_rect_composite_and_local_palette():
+    # frame 1: full 2x1 canvas from the global palette; frame 2: a
+    # 1x1 rect at (left=1) with a LOCAL palette — composition must
+    # keep pixel 0's ORIGINAL color (RGB canvas, not index canvas).
+    g_pal = np.array([[1, 1, 1], [2, 2, 2]], dtype=np.uint8)
+    l_pal = np.array([[9, 9, 9], [8, 8, 8]], dtype=np.uint8)
+    f1 = C._lzw_encode(bytes([0, 1]), 2)
+    f2 = C._lzw_encode(bytes([0]), 2)
+    payload = (
+        b"GIF89a"
+        + struct.pack("<HH", 2, 1)
+        + bytes([0x80, 0, 0])  # global palette, 2 entries
+        + g_pal.tobytes()
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 1) + b"\x00"
+        + bytes([2, len(f1)]) + f1 + b"\x00"
+        + b"\x2c" + struct.pack("<HHHH", 1, 0, 1, 1)
+        + bytes([0x80])  # local palette, 2 entries
+        + l_pal.tobytes()
+        + bytes([2, len(f2)]) + f2 + b"\x00"
+        + b"\x3b"
+    )
+    _m, frames = C.decode_gif(payload)
+    assert frames[0].tolist() == [[[1, 1, 1], [2, 2, 2]]]
+    assert frames[1].tolist() == [[[1, 1, 1], [9, 9, 9]]]
+
+
+def test_gif_unsupported_disposal_raises():
+    pal = np.zeros((2, 3), dtype=np.uint8)
+    payload = bytearray(C.encode_gif(np.zeros((1, 1, 1), np.uint8), pal))
+    i = bytes(payload).find(b"\x21\xf9")
+    payload[i + 3] |= 2 << 2  # disposal mode 2 (restore background)
+    with pytest.raises(ValueError, match="disposal"):
+        C.decode_gif(bytes(payload))
+
+
+def test_gif_encode_image_dispatch_exact():
+    # encode_image('gif') palettizes exactly (<=256 unique colors)
+    rng = np.random.default_rng(31)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    rgb = pal[rng.integers(0, 16, size=(6, 5), dtype=np.uint8)]
+    out, fmt = C.decode_image(C.encode_image(rgb, "gif"))
+    assert fmt == "gif" and (out == rgb).all()
+
+
 def test_sniff_and_dispatch():
     rgb = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    pal = np.arange(24, dtype=np.uint8).reshape(8, 3)
+    gif = C.encode_gif(
+        np.arange(8, dtype=np.uint8).reshape(1, 2, 4), pal
+    )
     for enc, fmt in (
         (C.encode_png(rgb), "png"),
         (C.encode_netpbm(rgb), "ppm"),
         (C.encode_bmp(rgb), "bmp"),
+        (gif, "gif"),
     ):
         assert C.sniff_format(enc) == fmt
         assert C.image_meta(enc) == (4, 2, len(enc), fmt)
@@ -266,7 +381,7 @@ def test_sniff_and_dispatch():
         C.sniff_format(C.encode_wav(np.zeros(4, dtype=np.int16))) == "wav"
     )
     with pytest.raises(ValueError, match="undecodable"):
-        C.decode_image(b"GIF89a not supported")
+        C.decode_image(b"\xff\xd8\xff JPEG not supported")
 
 
 def test_resize_nearest_grid_mapping():
@@ -294,17 +409,22 @@ def test_resize_nearest_grid_mapping():
 def _asset_df(spark):
     rng = np.random.default_rng(11)
     rows = []
-    for i, fmt in enumerate(["png", "ppm", "pgm", "bmp"]):
+    for i, fmt in enumerate(["png", "ppm", "pgm", "bmp", "gif"]):
         w, h = 3 + i, 2 + i
-        shape = (h, w) if fmt == "pgm" else (h, w, 3)
-        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
-        payload = (
-            C.encode_png(arr, "cycle")
-            if fmt == "png"
-            else C.encode_netpbm(arr)
-            if fmt in ("ppm", "pgm")
-            else C.encode_bmp(arr)
-        )
+        if fmt == "gif":
+            pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+            idx = rng.integers(0, 8, size=(1, h, w), dtype=np.uint8)
+            payload = C.encode_gif(idx, pal)
+        else:
+            shape = (h, w) if fmt == "pgm" else (h, w, 3)
+            arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            payload = (
+                C.encode_png(arr, "cycle")
+                if fmt == "png"
+                else C.encode_netpbm(arr)
+                if fmt in ("ppm", "pgm")
+                else C.encode_bmp(arr)
+            )
         rows.append((i, fmt, w, h, bytearray(payload)))
     rows.append((99, "corrupt", None, None, bytearray(b"not an image")))
     return spark.createDataFrame(
@@ -326,6 +446,7 @@ def test_decode_image_metadata_real(spark):
     assert got[1] == (4, 3, "ppm")
     assert got[2] == (5, 4, "pgm")
     assert got[3] == (6, 5, "bmp")
+    assert got[4] == (7, 6, "gif")
     assert got[99] == (None, None, "unknown")
 
 
@@ -336,7 +457,7 @@ def test_resize_images_real_roundtrip(spark):
 
     out = resize_images(_asset_df(spark), 8, 6, real=True)
     rows = {r["asset_id"]: r for r in out.collect()}
-    for i in range(4):
+    for i in range(5):
         r = rows[i]
         assert (r["width"], r["height"]) == (8, 6)
         arr, fmt = C.decode_image(bytes(r["payload"]))
@@ -380,9 +501,12 @@ def test_decode_video_frames_real(spark):
 
     rng = np.random.default_rng(21)
     frames = rng.integers(0, 256, size=(5, 4, 6, 3), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    gidx = rng.integers(0, 16, size=(3, 4, 6), dtype=np.uint8)
     df = spark.createDataFrame(
         [
             (1, bytearray(C.encode_avi(frames))),
+            (2, bytearray(C.encode_gif(gidx, pal))),
             (9, bytearray(b"RIFFxxxxAVI junk")),
         ],
         "clip_id int, payload binary",
@@ -396,6 +520,15 @@ def test_decode_video_frames_real(spark):
     for r in good:
         expect = int(frames[r["frame_idx"]].astype("int64").sum())
         assert (r["width"], r["height"], r["n_frames"]) == (6, 4, 5)
+        assert r["px_sum"] == expect
+    gif_rows = sorted(
+        (r for r in rows if r["clip_id"] == 2),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_idx"] for r in gif_rows] == [0, 2]
+    for r in gif_rows:
+        expect = int(pal[gidx[r["frame_idx"]]].astype("int64").sum())
+        assert (r["width"], r["height"], r["n_frames"]) == (6, 4, 3)
         assert r["px_sum"] == expect
     bad = [r for r in rows if r["clip_id"] == 9]
     assert len(bad) == 1 and bad[0]["n_frames"] is None
@@ -417,6 +550,12 @@ def test_sniff_media_type_col_jvm_side(spark):
          "audio/wav"),
         (6, bytearray(C.encode_avi(rgb[None])), "video/x-msvideo"),
         (7, bytearray(b"plain text"), "application/octet-stream"),
+        (10, bytearray(
+            C.encode_gif(
+                np.zeros((1, 2, 2), np.uint8),
+                np.zeros((2, 3), np.uint8),
+            )
+        ), "image/gif"),
         # a RIFF that is neither WAVE nor AVI
         (8, bytearray(b"RIFF\x04\x00\x00\x00JUNK"),
          "application/octet-stream"),
@@ -453,11 +592,17 @@ def test_m7_analytic_pin(spark, sf_dir):
         f = r["frame_idx"]
         assert (r["width"], r["height"], r["n_frames"]) == (w, h, nf)
         assert f % 2 == 0 and f < nf
-        # direct numpy recomputation, independent of the closed form
-        ys = np.arange(h)[:, None, None]
-        xs = np.arange(w)[None, :, None]
-        cs = np.arange(3)[None, None, :]
-        assert r["px_sum"] == int((d + f + ys + xs + cs).sum())
+        # direct numpy recomputation, independent of the closed form:
+        # even doc_ids are AVI (per-channel +c term), odd are GIF
+        # (one palette index per pixel, replicated to 3 channels)
+        ys = np.arange(h)[:, None]
+        xs = np.arange(w)[None, :]
+        if did % 2 == 0:
+            cs = np.arange(3)[None, None, :]
+            expect = int(((d + f + ys + xs)[..., None] + cs).sum())
+        else:
+            expect = 3 * int((d + f + ys + xs).sum())
+        assert r["px_sum"] == expect
 
 
 def test_m5_m6_analytic_pins(spark, sf_dir):
