@@ -49,12 +49,45 @@ contains corrupt files).
 
 from __future__ import annotations
 
+import functools
 import io
 import struct
 import wave
 import zlib
 
 import numpy as np
+
+
+def _decode_guard(fn):
+    """Normalize every corruption-shaped failure to ``ValueError``.
+
+    The operator kernels' corrupt-payload contract is ``except
+    ValueError`` → NULL row, but truncated/garbage payloads naturally
+    surface as ``struct.error`` (short unpack), ``IndexError`` (short
+    buffer), ``zlib.error`` (bad deflate stream) or
+    ``ZeroDivisionError`` (zeroed header fields). A decoder that
+    leaks those kills the Spark task — exactly what the contract
+    exists to prevent — so every public decoder converts them here.
+    """
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except (
+            struct.error,
+            IndexError,
+            zlib.error,
+            ZeroDivisionError,
+            EOFError,
+            wave.Error,
+        ) as e:
+            raise ValueError(
+                f"corrupt payload in {fn.__name__}: {type(e).__name__}: {e}"
+            ) from e
+
+    return wrapper
+
 
 # ---------------------------------------------------------------------------
 # Format sniffing
@@ -71,8 +104,12 @@ _MAGIC = (
 
 
 def sniff_format(payload: bytes) -> str | None:
-    """Magic-byte format sniff: 'png' | 'bmp' | 'pgm' | 'ppm' | 'wav',
-    or None for anything this module cannot decode."""
+    """Magic-byte format sniff — one name per supported decoder:
+    'png' | 'gif' | 'bmp' | 'pgm' | 'ppm' | 'wav' | 'avi', or None
+    for anything this module cannot decode. ``MEDIA_TYPES`` maps each
+    name to its IANA media type; ``sniff_media_type_col`` in
+    ``operators/multimodal.py`` is the JVM column-expression twin and
+    is pinned against this function in tests."""
     if payload is None:
         return None
     for magic, name in _MAGIC:
@@ -127,6 +164,7 @@ def encode_wav(
     return buf.getvalue()
 
 
+@_decode_guard
 def decode_wav(payload: bytes) -> tuple[dict, np.ndarray]:
     """Manual RIFF/WAVE parse: returns (meta, samples).
 
@@ -181,6 +219,7 @@ def decode_wav(payload: bytes) -> tuple[dict, np.ndarray]:
     return meta, arr
 
 
+@_decode_guard
 def wav_data_range(payload: bytes) -> dict:
     """Header-only RIFF walk: locate the PCM data chunk WITHOUT
     decoding samples. Returns ``{'data_offset', 'data_size',
@@ -214,6 +253,15 @@ def wav_data_range(payload: bytes) -> dict:
     if fmt is None or data_off is None:
         raise ValueError("WAV payload missing fmt or data chunk")
     n_channels, sample_rate, block_align, bits = fmt
+    if block_align <= 0 or bits not in (8, 16, 32):
+        raise ValueError(
+            f"bad WAV fmt fields (block_align={block_align}, bits={bits})"
+        )
+    # A crash-truncated file can DECLARE more data than the payload
+    # holds — count frames from the bytes actually present, exactly
+    # like decode_wav, so downstream windowing never reads past the
+    # real PCM.
+    data_size = min(data_size, len(payload) - data_off)
     return {
         "data_offset": data_off,
         "data_size": data_size,
@@ -244,6 +292,7 @@ def encode_netpbm(arr: np.ndarray) -> bytes:
     return magic + f"\n{w} {h}\n255\n".encode("ascii") + arr.tobytes()
 
 
+@_decode_guard
 def decode_netpbm(payload: bytes) -> tuple[np.ndarray, str]:
     """Decode binary netpbm (P5/P6) with the real header grammar:
     tokens separated by arbitrary whitespace, ``#`` comments running
@@ -314,6 +363,7 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     return header + info + pixel_data
 
 
+@_decode_guard
 def decode_bmp(payload: bytes) -> np.ndarray:
     """Decode an uncompressed 24/32-bit BMP to an (H, W, 3) uint8 RGB
     array. Handles bottom-up (positive height) and top-down (negative
@@ -426,6 +476,7 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
+@_decode_guard
 def decode_png(payload: bytes) -> np.ndarray:
     """Decode an 8-bit non-interlaced PNG (gray / gray+alpha / RGB /
     RGBA) to a uint8 array of shape (H, W) or (H, W, C).
@@ -600,21 +651,30 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+@_decode_guard
 def decode_avi(payload: bytes) -> tuple[dict, np.ndarray]:
     """Decode an uncompressed 24-bit AVI: returns
     (``{'width','height','n_frames','fps'}``, frames array of shape
     (n_frames, H, W, 3) RGB uint8).
 
     Walks the RIFF tree for LIST hdrl (avih for dims/rate sanity,
-    strf BITMAPINFOHEADER for bpp/compression/row orientation) and
-    LIST movi ('00db'/'01db' DIB chunks; '00dc' compressed chunks
-    raise — that is ffmpeg territory)."""
+    strf BITMAPINFOHEADER for bpp/compression/row orientation — taken
+    from the 'vids' strl ONLY, so an accompanying audio stream's
+    WAVEFORMATEX cannot shadow it) and LIST movi (DIB '..db' chunks of
+    the video stream's index; a compressed '..dc' chunk on that
+    stream raises — that is ffmpeg territory)."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
 
     avih = None
     strf = None
+    stream_types: list[bytes] = []  # strh fccTypes in declaration order
     frames_raw: list[bytes] = []
+
+    def vid_prefix() -> bytes | None:
+        if b"vids" not in stream_types:
+            return None
+        return b"%02d" % stream_types.index(b"vids")
 
     def walk(start: int, end: int) -> None:
         nonlocal avih, strf
@@ -623,23 +683,29 @@ def decode_avi(payload: bytes) -> tuple[dict, np.ndarray]:
             cid = payload[pos : pos + 4]
             (size,) = struct.unpack_from("<I", payload, pos + 4)
             body_start = pos + 8
+            body = payload[body_start : body_start + size]
             if cid == b"LIST":
                 walk(body_start + 4, body_start + size)
             elif cid == b"avih":
-                avih = struct.unpack_from("<14I", payload, body_start)
+                avih = struct.unpack_from("<14I", body, 0)
+            elif cid == b"strh":
+                stream_types.append(body[:4])
             elif cid == b"strf":
-                strf = struct.unpack_from("<IiiHHI", payload, body_start)
-            elif cid[2:4] == b"db":  # 00db/01db uncompressed DIB
-                frames_raw.append(payload[body_start : body_start + size])
-            elif cid[2:4] == b"dc":
+                # the strf belongs to the immediately preceding strh
+                if stream_types and stream_types[-1] == b"vids":
+                    strf = struct.unpack_from("<IiiHHI", body, 0)
+            elif cid[:2] == vid_prefix() and cid[2:4] == b"db":
+                frames_raw.append(body)
+            elif cid[:2] == vid_prefix() and cid[2:4] == b"dc":
                 raise ValueError(
-                    "compressed AVI stream ('..dc' chunk) — needs ffmpeg"
+                    "compressed AVI video stream ('..dc' chunk) — "
+                    "needs ffmpeg"
                 )
             pos = body_start + size + (size & 1)
 
     walk(12, len(payload))
     if avih is None or strf is None:
-        raise ValueError("AVI missing avih or strf header")
+        raise ValueError("AVI missing avih or video strf header")
     _hdr_size, w, h_signed, _planes, bpp, compression = strf
     if compression != 0 or bpp != 24:
         raise ValueError(
@@ -829,6 +895,7 @@ def encode_gif(
     return bytes(out)
 
 
+@_decode_guard
 def decode_gif(payload: bytes) -> tuple[dict, np.ndarray]:
     """Decode GIF87a/89a: returns (``{'width','height','n_frames'}``,
     frames RGB uint8 of shape (n_frames, H, W, 3)).
@@ -854,17 +921,22 @@ def decode_gif(payload: bytes) -> tuple[dict, np.ndarray]:
     # pixels painted by earlier frames under a different palette.
     canvas = np.zeros((h, w, 3), dtype=np.uint8)
     frames: list[np.ndarray] = []
+    transparent: int | None = None  # from the frame's graphic control
     while pos < len(payload):
         b = payload[pos]
         if b == 0x3B:  # trailer
             break
         if b == 0x21:  # extension: walk its sub-blocks
             if payload[pos + 1] == 0xF9:  # graphic control
-                disposal = (payload[pos + 3] >> 2) & 0x07
+                packed = payload[pos + 3]
+                disposal = (packed >> 2) & 0x07
                 if disposal in (2, 3):
                     raise ValueError(
                         f"GIF disposal mode {disposal} not supported"
                     )
+                # transparency: flagged pixels keep the prior canvas
+                # color (the rect-update animation optimization)
+                transparent = payload[pos + 6] if packed & 0x01 else None
             pos += 2
             while payload[pos]:
                 pos += 1 + payload[pos]
@@ -905,7 +977,13 @@ def decode_gif(payload: bytes) -> tuple[dict, np.ndarray]:
             idx = deinter
         if int(idx.max(initial=0)) >= pal.shape[0]:
             raise ValueError("GIF index outside color table")
-        canvas[top : top + fh, left : left + fw] = pal[idx]
+        rect = canvas[top : top + fh, left : left + fw]
+        if transparent is None:
+            rect[:] = pal[idx]
+        else:
+            opaque = idx != transparent
+            rect[opaque] = pal[idx][opaque]
+        transparent = None  # graphic control applies to ONE frame
         frames.append(canvas.copy())
     if not frames:
         raise ValueError("GIF with no image frames")
@@ -994,4 +1072,5 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     h, w = arr.shape[:2]
     ys = ((2 * np.arange(height) + 1) * h) // (2 * height)
     xs = ((2 * np.arange(width) + 1) * w) // (2 * width)
-    return arr[np.ix_(ys, xs)] if arr.ndim == 2 else arr[np.ix_(ys, xs)]
+    # np.ix_ broadcasts over any trailing channel axis
+    return arr[np.ix_(ys, xs)]

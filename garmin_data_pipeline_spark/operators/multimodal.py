@@ -63,39 +63,42 @@ def read_binary_assets(spark, path: str, glob: str = "*") -> DataFrame:
 
 def sniff_media_type_col(payload_col: str = "payload"):
     """Magic-byte media-type sniff as PURE column expressions — the
-    JVM-side twin of ``functions/codecs.sniff_format`` (same magics,
-    same precedence), for routing payloads to per-format decode
-    kernels without any Python in the plan. At 100 TB the router runs
-    in whole-stage codegen over the scan; only the rows of each
-    format reach their (Arrow-batched) decoder.
+    JVM-side twin of ``functions/codecs.sniff_format``, for routing
+    payloads to per-format decode kernels without any Python in the
+    plan. At 100 TB the router runs in whole-stage codegen over the
+    scan; only the rows of each format reach their (Arrow-batched)
+    decoder.
+
+    The WHEN chain is BUILT FROM the codec module's ``_MAGIC`` table
+    and ``MEDIA_TYPES`` map (plus the two RIFF subtypes, which need a
+    second probe at offset 9), so adding a format to the Python
+    sniffer automatically extends this router — the two cannot
+    drift, and a pin test cross-checks them on every format.
 
     Returns a Column yielding the IANA media type or
     'application/octet-stream'.
     """
+    from garmin_data_pipeline_spark.functions.codecs import (
+        _MAGIC,
+        MEDIA_TYPES,
+    )
+
     p = F.col(payload_col)
 
     def starts(prefix: bytes):
         return F.substring(p, 1, len(prefix)) == F.lit(prefix)
 
+    expr = None
+    for magic, name in _MAGIC:
+        clause = (starts(magic), F.lit(MEDIA_TYPES[name]))
+        expr = F.when(*clause) if expr is None else expr.when(*clause)
     riff_kind = F.substring(p, 9, 4)
-    return (
-        F.when(starts(b"\x89PNG\r\n\x1a\n"), F.lit("image/png"))
-        .when(
-            starts(b"GIF87a") | starts(b"GIF89a"), F.lit("image/gif")
+    for kind, name in ((b"WAVE", "wav"), (b"AVI ", "avi")):
+        expr = expr.when(
+            starts(b"RIFF") & (riff_kind == F.lit(kind)),
+            F.lit(MEDIA_TYPES[name]),
         )
-        .when(starts(b"BM"), F.lit("image/bmp"))
-        .when(starts(b"P5"), F.lit("image/x-portable-graymap"))
-        .when(starts(b"P6"), F.lit("image/x-portable-pixmap"))
-        .when(
-            starts(b"RIFF") & (riff_kind == F.lit(b"WAVE")),
-            F.lit("audio/wav"),
-        )
-        .when(
-            starts(b"RIFF") & (riff_kind == F.lit(b"AVI ")),
-            F.lit("video/x-msvideo"),
-        )
-        .otherwise(F.lit("application/octet-stream"))
-    )
+    return expr.otherwise(F.lit("application/octet-stream"))
 
 
 def fake_decode_image_meta(payload: bytes) -> tuple[int, int, int, str]:
@@ -186,16 +189,38 @@ def resize_images(
     ) + ", width int, height int"
 
     def resize_one(p: bytes) -> tuple:
-        try:
-            from garmin_data_pipeline_spark.functions.codecs import (
-                decode_image,
-                encode_image,
-                resize_nearest,
-            )
+        import numpy as np
 
-            arr, fmt = decode_image(p)
-            return encode_image(
-                resize_nearest(arr, width, height), fmt
+        from garmin_data_pipeline_spark.functions import codecs
+
+        try:
+            fmt = codecs.sniff_format(p)
+            if fmt == "gif":
+                # resize EVERY frame — re-encoding only frame 0 would
+                # silently destroy the rest of an animation. Exact
+                # palettization over the union of resized frames
+                # (nearest-neighbor invents no colors); >256 colors
+                # (multiple local palettes) passes through untouched.
+                _meta, frames = codecs.decode_gif(p)
+                resized = np.stack(
+                    [
+                        codecs.resize_nearest(f, width, height)
+                        for f in frames
+                    ]
+                )
+                colors, inv = np.unique(
+                    resized.reshape(-1, 3), axis=0, return_inverse=True
+                )
+                if colors.shape[0] > 256:
+                    return p, None, None
+                pal_size = 1 << max(1, (colors.shape[0] - 1).bit_length())
+                pal = np.zeros((pal_size, 3), dtype=np.uint8)
+                pal[: colors.shape[0]] = colors
+                idx = inv.astype(np.uint8).reshape(resized.shape[:3])
+                return codecs.encode_gif(idx, pal), width, height
+            arr, fmt = codecs.decode_image(p)
+            return codecs.encode_image(
+                codecs.resize_nearest(arr, width, height), fmt
             ), width, height
         except ValueError:
             return p, None, None
@@ -439,6 +464,8 @@ def decode_video_frames(
     audit). The kernel is Arrow-batched mapInPandas: peak memory is
     one batch of payloads plus one decoded clip, never the corpus.
     """
+    if every_n < 1:
+        raise ValueError("need every_n >= 1")
     in_cols = [c for c in df.columns if c != payload_col]
     keep_types = {
         f.name: f.dataType.simpleString() for f in df.schema.fields
@@ -697,10 +724,15 @@ def window_audio_frames(
             (F.col("window_start") / hop_frames)
             .cast("bigint")
             .alias("window_idx"),
+            # the tail window takes ONLY the frames that exist — a
+            # fixed window_frames*block_align length would run past
+            # the data chunk into trailing RIFF chunks (LIST INFO,
+            # fact) and splice metadata bytes onto the PCM
             F.expr(
                 f"substring({payload_col}, "
                 f"data_offset + window_start * block_align + 1, "
-                f"{window_frames} * block_align)"
+                f"least(CAST({window_frames} AS BIGINT), "
+                f"n_frames - window_start) * block_align)"
             ).alias("window"),
             F.least(
                 F.lit(window_frames).cast("bigint"),

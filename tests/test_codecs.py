@@ -402,6 +402,206 @@ def test_resize_nearest_grid_mapping():
 
 
 # ---------------------------------------------------------------------------
+# Corruption contract: EVERY decoder failure is a ValueError (the
+# operator kernels' NULL-row guard catches exactly that), no matter
+# how the payload is malformed — truncation naturally raises
+# struct.error/IndexError/zlib.error/ZeroDivisionError inside, and a
+# leak of any of those would kill the Spark task.
+# ---------------------------------------------------------------------------
+
+
+def _nasty_payloads():
+    rgb = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    png = C.encode_png(rgb)
+    # a PNG whose IDAT body is not valid zlib but whose CRC is fixed up
+    i = png.find(b"IDAT")
+    bad_idat = bytearray(png)
+    bad_idat[i + 4 : i + 8] = b"\x00\x01\x02\x03"
+    (length,) = struct.unpack_from(">I", png, i - 4)
+    body = bytes(bad_idat[i : i + 4 + length])
+    crc = zlib.crc32(body) & 0xFFFFFFFF
+    struct.pack_into(">I", bad_idat, i + 4 + length, crc)
+    # a WAV declaring block_align = 0
+    wav = bytearray(C.encode_wav(np.zeros(4, dtype=np.int16)))
+    j = wav.find(b"fmt ")
+    struct.pack_into("<H", wav, j + 8 + 12, 0)
+    return [
+        b"GIF89a",                      # 6-byte header only
+        C.encode_gif(
+            np.zeros((1, 4, 4), np.uint8), np.zeros((2, 3), np.uint8)
+        )[:-10],                        # GIF truncated mid-stream
+        png[: i + 6],                   # PNG truncated mid-chunk
+        bytes(bad_idat),                # PNG with garbage deflate
+        b"RIFF\x10\x00\x00\x00WAVEfmt \x02\x00\x00\x00\x01\x00",
+        bytes(wav),                     # zeroed block_align
+        C.encode_avi(np.zeros((1, 2, 2, 3), np.uint8))[:40],
+        b"P6\n4 4\n255",                # netpbm header cut short
+    ]
+
+
+def test_all_corruption_surfaces_as_valueerror():
+    for payload in _nasty_payloads():
+        fmt = C.sniff_format(payload)
+        for dec in (C.decode_image, C.decode_video, C.decode_wav,
+                    C.wav_data_range):
+            try:
+                dec(payload)
+            except ValueError:
+                pass  # the contract
+            except Exception as e:  # noqa: BLE001
+                raise AssertionError(
+                    f"{dec.__name__} leaked {type(e).__name__} "
+                    f"on {fmt!r} payload: {e}"
+                ) from e
+
+
+def test_corrupt_payloads_yield_null_rows_not_task_failure(spark):
+    from garmin_data_pipeline_spark.operators.multimodal import (
+        decode_audio_features,
+        decode_image_metadata,
+        decode_video_frames,
+        resize_images,
+    )
+
+    rows = [
+        (i, bytearray(p)) for i, p in enumerate(_nasty_payloads())
+    ]
+    df = spark.createDataFrame(rows, "asset_id int, payload binary")
+    metas = decode_image_metadata(df, "payload", real=True).collect()
+    assert all(r["width"] is None for r in metas)
+    assert {r["format"] for r in metas} == {"unknown"}
+    resized = resize_images(df, 4, 4, real=True).collect()
+    assert all(r["width"] is None for r in resized)
+    vids = decode_video_frames(df, "payload").collect()
+    assert all(r["n_frames"] is None for r in vids)
+    auds = decode_audio_features(df, "payload").collect()
+    # payload 5 (zeroed block_align) is DECODABLE by decode_wav —
+    # sample stride comes from bits, not block_align; only
+    # wav_data_range (JVM windowing) needs block_align and rejects it
+    assert all(
+        r["n_frames"] is None for r in auds if r["asset_id"] != 5
+    )
+    (zeroed,) = [r for r in auds if r["asset_id"] == 5]
+    assert zeroed["n_frames"] == 4 and zeroed["amp_sum"] == 0
+
+
+def test_gif_transparency_keeps_prior_canvas():
+    # frame 1 paints the 2x1 canvas; frame 2's graphic control sets
+    # the transparency flag with index 1, and its pixels are
+    # [transparent, 0] — so pixel 0 must KEEP frame 1's color.
+    pal = np.array([[5, 5, 5], [200, 200, 200]], dtype=np.uint8)
+    f1 = C._lzw_encode(bytes([1, 1]), 2)
+    f2 = C._lzw_encode(bytes([1, 0]), 2)
+    payload = (
+        b"GIF89a"
+        + struct.pack("<HH", 2, 1)
+        + bytes([0x80, 0, 0])
+        + pal.tobytes()
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 1) + b"\x00"
+        + bytes([2, len(f1)]) + f1 + b"\x00"
+        # graphic control: flags bit0 = transparency, index 1
+        + b"\x21\xf9\x04\x01\x00\x00\x01\x00"
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 1) + b"\x00"
+        + bytes([2, len(f2)]) + f2 + b"\x00"
+        + b"\x3b"
+    )
+    _m, frames = C.decode_gif(payload)
+    assert frames[0].tolist() == [[[200] * 3, [200] * 3]]
+    # pixel 0 transparent -> keeps 200; pixel 1 painted with pal[0]
+    assert frames[1].tolist() == [[[200] * 3, [5] * 3]]
+
+
+def test_wav_data_range_clamps_truncated_declaration():
+    full = C.encode_wav(np.arange(100, dtype=np.int16))
+    truncated = full[:-120]  # drop 60 of the declared 100 frames
+    rng = C.wav_data_range(truncated)
+    assert rng["n_frames"] == 40  # from bytes PRESENT, not declared
+    meta, _ = C.decode_wav(truncated)
+    assert meta["n_frames"] == 40  # both parsers agree
+
+
+def test_avi_audio_stream_does_not_shadow_video_strf():
+    frames = np.arange(24, dtype=np.uint8).reshape(1, 2, 4, 3)
+    payload = bytearray(C.encode_avi(frames))
+    # splice an 'auds' strl (strh + a WAVEFORMATEX-ish strf) AFTER
+    # the video strl, inside hdrl — the common mixed-AV layout
+    astrh = b"auds" + bytes(52)
+    astrf = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    strl = (
+        b"LIST"
+        + struct.pack("<I", 4 + 8 + len(astrh) + 8 + len(astrf))
+        + b"strl"
+        + b"strh" + struct.pack("<I", len(astrh)) + astrh
+        + b"strf" + struct.pack("<I", len(astrf)) + astrf
+    )
+    i = bytes(payload).find(b"LIST", 12)  # hdrl LIST header
+    (hdrl_size,) = struct.unpack_from("<I", payload, i + 4)
+    end = i + 8 + hdrl_size  # splice at the end of hdrl's body
+    payload[end:end] = strl
+    struct.pack_into("<I", payload, i + 4, hdrl_size + len(strl))
+    struct.pack_into("<I", payload, 4, len(payload) - 8)
+    meta, out = C.decode_avi(bytes(payload))
+    assert meta["width"] == 4 and meta["height"] == 2
+    assert (out == frames).all()
+
+
+def test_resize_images_real_animated_gif_keeps_all_frames(spark):
+    from garmin_data_pipeline_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    rng = np.random.default_rng(41)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, size=(5, 4, 4), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(C.encode_gif(idx, pal)))],
+        "asset_id int, payload binary",
+    )
+    row = resize_images(df, 8, 8, real=True).collect()[0]
+    meta, frames = C.decode_gif(bytes(row["payload"]))
+    assert meta["n_frames"] == 5  # the animation survived the resize
+    expect = np.stack(
+        [C.resize_nearest(pal[f], 8, 8) for f in idx]
+    )
+    assert (frames == expect).all()
+
+
+def test_decode_video_frames_validates_every_n(spark):
+    from garmin_data_pipeline_spark.operators.multimodal import (
+        decode_video_frames,
+    )
+
+    df = spark.createDataFrame([(1, bytearray(b""))], "i int, payload binary")
+    with pytest.raises(ValueError, match="every_n"):
+        decode_video_frames(df, "payload", every_n=0)
+
+
+def test_window_audio_frames_tail_stops_at_data_chunk(spark):
+    from garmin_data_pipeline_spark.operators.multimodal import (
+        window_audio_frames,
+    )
+
+    samples = np.arange(10, dtype=np.int16)
+    wav = bytearray(C.encode_wav(samples))
+    # append a LIST INFO chunk AFTER data (many encoders do)
+    info = b"INFOISFT" + struct.pack("<I", 4) + b"test"
+    wav += b"LIST" + struct.pack("<I", len(info)) + info
+    struct.pack_into("<I", wav, 4, len(wav) - 8)
+    df = spark.createDataFrame(
+        [(1, bytearray(bytes(wav)))], "clip_id int, payload binary"
+    )
+    rows = sorted(
+        window_audio_frames(df, window_frames=8, hop_frames=4).collect(),
+        key=lambda r: r["window_idx"],
+    )
+    tail = rows[-1]
+    start = tail["window_idx"] * 4
+    # the tail window holds ONLY real PCM — no LIST bytes spliced on
+    assert bytes(tail["window"]) == samples[start:].tobytes()
+    assert tail["window_len_frames"] == 10 - start
+
+
+# ---------------------------------------------------------------------------
 # Spark-side: the real=True operator paths
 # ---------------------------------------------------------------------------
 
