@@ -21,10 +21,13 @@ from .archive import (  # noqa: F401
     scan_zip_members,
 )
 from .sinks import (  # noqa: F401
+    export_training_shards,
     jdbc_reader_options,
     merge_upsert,
     read_jdbc,
+    read_jsonl,
     read_orc,
     write_bucketed_table,
+    write_jsonl,
     write_orc,
 )

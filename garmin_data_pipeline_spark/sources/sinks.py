@@ -342,6 +342,77 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    compression: str | None = "gzip",
+    partition_by: list[str] | None = None,
+) -> None:
+    """JSON-Lines sink — the lingua franca of LLM training corpora
+    (one JSON object per line; Spark's native ``json`` format IS
+    JSONL). Beyond-reference: the reference emits CSV + PostgreSQL
+    only.
+
+    gzip by default: JSONL text compresses 5-10x and every trainer
+    ingests .jsonl.gz. Note gzip is NOT splittable — fine for
+    training shards (the shard is the parallelism unit, see
+    :func:`export_training_shards`), but for ad-hoc re-analysis in
+    Spark prefer parquet or ``compression=None``.
+    """
+    writer = df.write.mode("overwrite").format("json")
+    if compression:
+        writer = writer.option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSONL scan. ALWAYS pass an explicit schema at scale: without
+    one Spark runs a full inference pre-pass over every byte of the
+    corpus — at 100 TB that is a second full read before the first
+    real job, and a single malformed line can flip a column to
+    string. With a schema, corrupt lines land in NULLs (default
+    PERMISSIVE mode) instead of failing the scan — the same
+    corrupt-data posture as the multimodal decoders."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def export_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str,
+    salt: str = "shuffle-v1",
+    compression: str | None = "gzip",
+) -> None:
+    """Export a corpus as ``n_shards`` deterministically-shuffled
+    JSONL shards — the canonical hand-off from a data pipeline to a
+    trainer's data loader.
+
+    Composes :func:`operators.sampling.shuffle_order` (salted-hash
+    key, ONE range exchange + per-partition sort — no global window,
+    no single-task ordering point) with the JSONL sink: same corpus +
+    same salt ⇒ byte-identical shard contents on every run, so a
+    training run is reproducible from the manifest alone. Each shard
+    is one file; the trainer's parallelism unit is the shard, which
+    is why per-shard gzip is safe here.
+    """
+    from garmin_data_pipeline_spark.operators.sampling import (
+        shuffle_order,
+    )
+
+    shuffled = shuffle_order(
+        df, key_col, salt=salt, num_partitions=n_shards
+    )
+    write_jsonl(
+        shuffled.drop("shuffle_key"), path, compression=compression
+    )
+
+
 def _contains_map(dt) -> bool:
     from pyspark.sql.types import ArrayType, MapType, StructType
 
