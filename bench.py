@@ -319,8 +319,11 @@ HEADLINE = [
     # decode boundary itself)
     "m5_image_stats",
     "m6_audio_features",
-    # r11 fifth wave: real uncompressed-AVI video frame decode
+    # r11 fifth wave: real mixed AVI/GIF video frame decode
     "m7_video_frame_stats",
+    # r11 sixth wave: temperature-based source mixture (exact-integer
+    # rates, broadcast-only plan)
+    "t24_temperature_mix",
 ]
 
 

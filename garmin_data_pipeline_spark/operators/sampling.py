@@ -288,3 +288,82 @@ def shuffle_order(
     else:
         out = out.repartitionByRange(*parts)
     return out.sortWithinPartitions(*parts)
+
+
+def temperature_mixture(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    alpha: float = 0.5,
+    salt: str = "mix-v1",
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-based source re-weighting — the multinomial data
+    mixture of the XLM-R / LLaMA training recipes: a source with
+    corpus share p_s is sampled with probability w_s ∝ p_s^alpha
+    (alpha < 1 upsamples the tail sources), keeping the TOTAL token
+    budget roughly at one corpus pass. Emits one row per retained
+    COPY with ``copy_idx`` (1..n) — rare sources repeat (epochs > 1),
+    dominant sources subsample (a salted-hash Bernoulli on the
+    fractional part), both deterministic.
+
+    Exact integer arithmetic end to end, so the output is
+    hash-stable across engines: with alpha = 0.5,
+    ``s = floor(sqrt(c_s) * unit)`` (IEEE sqrt is exactly rounded,
+    floor is unambiguous), the per-source rate is the exact rational
+    ``r_ppm = (s * total * unit) div (sum(s) * c_s)`` evaluated in
+    DECIMAL(38,0) (the probe in tests shows bit-parity with DuckDB's
+    HUGEINT), and a doc keeps ``r_ppm div unit`` copies plus one more
+    iff ``salted_hash(key) % unit < r_ppm % unit``. Only alpha in
+    {0.5, 1.0} is supported: ``pow`` is NOT correctly rounded across
+    libms, so a general alpha could flip a ppm boundary between
+    engines — state what we don't do rather than guess.
+
+    Scale shape: one count aggregate over the corpus, a 1-row
+    broadcast (total/denominator — the sanctioned t17/t21 pattern),
+    a broadcast join of the #sources-row rate table, and one explode
+    — no shuffle beyond the count's partial aggregate.
+    """
+    if alpha not in (0.5, 1.0):
+        raise ValueError(
+            "alpha must be 0.5 or 1.0: pow() is not correctly rounded "
+            "across libms, so other temperatures are not hash-stable "
+            "cross-engine"
+        )
+    docs = df.select(key_col, source_col)
+    stats = docs.groupBy(source_col).agg(F.count("*").alias("c"))
+    if alpha == 0.5:
+        s_int = F.expr(f"FLOOR(SQRT(CAST(c AS DOUBLE)) * {unit})")
+    else:
+        s_int = F.expr(f"c * CAST({unit} AS BIGINT)")
+    stats = stats.withColumn("s_int", s_int)
+    totals = stats.agg(
+        F.sum("c").alias("total"), F.sum("s_int").alias("denom")
+    )
+    rates = (
+        stats.crossJoin(F.broadcast(totals))
+        .select(
+            source_col,
+            F.expr(
+                f"(CAST(s_int AS DECIMAL(38,0)) * total * {unit}) div "
+                "(CAST(denom AS DECIMAL(38,0)) * c)"
+            ).alias("r_ppm"),
+        )
+    )
+    h = _salted_hash(key_col, salt) % unit
+    n_copies = (
+        F.expr(f"r_ppm div {unit}")
+        + F.when(h < F.col("r_ppm") % unit, F.lit(1)).otherwise(F.lit(0))
+    ).alias("n_copies")
+    return (
+        docs.join(F.broadcast(rates), source_col)
+        .select(key_col, source_col, n_copies)
+        .filter(F.col("n_copies") > 0)
+        .withColumn(
+            "copy_idx",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("n_copies"))
+            ),
+        )
+        .drop("n_copies")
+    )

@@ -97,6 +97,15 @@ _HEAD = [
     # a new operator's first row outranks a second consecutive row),
     # which rotates to the tail with its green r10 row.
     "m7_video_frame_stats",
+    # t24 registered sixth-wave (temperature-based source mixture in
+    # exact integer arithmetic). Its head slot comes from demoting
+    # t2_language_id DIRECTLY from the head to the pytest tier (six
+    # green rows r1/r2/r3/r5/r7/r9, a row-local single-pass
+    # projection — the same certification bar as every prior tier
+    # demotion; demoting a HEAD resident is strictly safe for the
+    # rotation invariant since tier queries replay their oracle
+    # every pytest run instead of rotating).
+    "t24_temperature_mix",
     # --- r10 first-timer: second consecutive row (d8 also
     # carries this round's exact-arithmetic prefix-bound change) ---
     "d8_prefix_jaccard_pairs",
@@ -113,7 +122,6 @@ _HEAD = [
     "t21_unigram_logprob",
     "o4_topk_orders_per_customer",
     "a11_correlation",
-    "t2_language_id",
     "d2_token_jaccard_pairs",
     "d3p_minhash_lsh_pairs",
     "d4p_simhash_candidates",
@@ -220,6 +228,11 @@ _PYTEST_TIER = [
     # candidate; its streaming-source siblings st2-st5 stay
     # registered
     "st1_tumbling_daily",
+    # r11 sixth-wave demotion (balancing t24_temperature_mix): six
+    # green rows (r1/r2/r3/r5/r7/r9), row-local language-ID
+    # projection; demoted from the HEAD, so no rotation-staleness
+    # question arises
+    "t2_language_id",
     # r11 demotions (balancing the d10_exact_substring_spans and
     # d7p_canonical_docs_lsh registrations, and funding second
     # consecutive rows for all six r10 first-timers): each has SIX

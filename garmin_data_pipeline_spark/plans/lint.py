@@ -64,6 +64,10 @@ NLJ_ALLOWLIST: dict[str, str] = {
     "t17_tfidf_matrix": "tf x broadcast 1-row corpus count",
     "t21_unigram_logprob": "tokens x broadcast 1-row total",
     "t22_lm_quality_zscore": "t21's 1-row total + 1-row moments",
+    "t24_temperature_mix": (
+        "#sources-row stats x broadcast 1-row total/denominator "
+        "(t17/t21's pattern) for the exact mixture rates"
+    ),
 }
 
 
@@ -211,6 +215,13 @@ def _double_reaches(node: dict, children: list, taint: set) -> bool:
                 return _expr_id(cnode) in taint
             return _double_reaches(cnode, cch, taint)
     if cls in ("Round", "BRound"):
+        return False
+    if cls in ("Floor", "Ceil"):
+        # floor/ceil of a double are UNAMBIGUOUS (no rounding mode —
+        # both engines produce the identical integral value from the
+        # identical double), and their result type is LONG/DECIMAL(_,0),
+        # so a downstream decimal cast converts exact data. Same
+        # barrier status as round()/bround()'s explicit grid snap.
         return False
     if cls in ("AttributeReference", "Literal"):
         return dt == "double" or _expr_id(node) in taint

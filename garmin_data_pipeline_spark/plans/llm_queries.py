@@ -2073,6 +2073,80 @@ def t13_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# T24 — temperature-based source mixture (the multinomial data-mixing
+# recipe of XLM-R / LLaMA): source with corpus share p is sampled with
+# probability ∝ p^0.5, so tail sources up-sample (epochs > 1 via
+# repetition) and dominant sources down-sample (salted-hash Bernoulli
+# on the fractional rate). The testdata's `source` column is uniform
+# (degenerate: every rate would be exactly 1.0), so the query derives
+# a skewed 60/30/10 bucket from doc_id — both the repeat path
+# (bucket 'code': r ≈ 1.9 ⇒ 1-2 copies each) and the subsample path
+# (bucket 'web': r ≈ 0.78) are exercised and hash-checked. All
+# arithmetic is exact integers: floor(sqrt(c)·1e6) (IEEE sqrt is
+# exactly rounded), rational rate via DECIMAL(38,0) `div` (probed
+# bit-equal to DuckDB HUGEINT `//`), salted md5 hash for the
+# Bernoulli — no float accumulation anywhere.
+# ---------------------------------------------------------------------------
+_T24_BUCKET = (
+    "CASE WHEN doc_id % 10 < 6 THEN 'web' "
+    "WHEN doc_id % 10 < 9 THEN 'books' ELSE 'code' END"
+)
+_T24_HASH = sql_base_hash32("CAST(doc_id AS VARCHAR) || '#mix-v1'")
+
+
+@register(
+    "t24_temperature_mix",
+    f"""
+    WITH d AS (
+        SELECT doc_id, {_T24_BUCKET} AS bucket FROM documents
+    ), stats AS (
+        SELECT bucket, COUNT(*) AS c FROM d GROUP BY bucket
+    ), s2 AS (
+        SELECT bucket, c,
+               CAST(FLOOR(SQRT(c::DOUBLE) * 1000000) AS HUGEINT) AS s_int
+        FROM stats
+    ), tot AS (
+        SELECT SUM(c) AS total, SUM(s_int) AS denom FROM s2
+    ), rates AS (
+        SELECT bucket,
+               (s_int * total * 1000000) // (denom * c::HUGEINT) AS r_ppm
+        FROM s2, tot
+    ), mixed AS (
+        SELECT d.doc_id, d.bucket, r.r_ppm,
+               {_T24_HASH} % 1000000 AS h
+        FROM d JOIN rates r USING (bucket)
+    )
+    SELECT doc_id, bucket,
+           CAST(copy_idx AS BIGINT) AS copy_idx
+    FROM mixed,
+         LATERAL (
+            SELECT unnest(range(1, CAST(
+                1 + r_ppm // 1000000
+                  + CASE WHEN h < r_ppm % 1000000 THEN 1 ELSE 0 END
+                AS BIGINT)
+            )) AS copy_idx
+         )
+    """,
+    doc="Temperature-based (alpha=0.5) source mixture: per-source "
+    "rates from exact integer arithmetic, deterministic repetition "
+    "for tail sources and salted-hash subsampling for dominant ones. "
+    "Scale shape: one count aggregate, a 1-row broadcast "
+    "(total/denominator), a #sources-row broadcast join, one explode "
+    "— no shuffle beyond the count's partials.",
+)
+def t24_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_T24_BUCKET).alias("bucket")
+    )
+    out = temperature_mixture(docs, "doc_id", "bucket", alpha=0.5)
+    return out.select("doc_id", "bucket", "copy_idx")
+
+
+# ---------------------------------------------------------------------------
 # T6 — sequence packing: assign docs (ordered by id) to fixed
 # token-budget bins for context-window packing.
 # ---------------------------------------------------------------------------

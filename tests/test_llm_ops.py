@@ -748,6 +748,79 @@ class TestMultimodalKernels:
             sample_video_frames(df, real=True)
 
 
+class TestTemperatureMixture:
+    """Hand-computed pin for temperature_mixture (t24): exact
+    integer rate arithmetic, repetition for tail sources, salted
+    Bernoulli subsample for dominant ones."""
+
+    def test_rates_and_copies_hand_computed(self, spark):
+        import hashlib
+        import math
+
+        from garmin_data_pipeline_spark.operators.sampling import (
+            temperature_mixture,
+        )
+
+        # 80 'big' + 20 'small' docs. alpha=0.5:
+        #   s_big  = floor(sqrt(80)*1e6) = 8944271
+        #   s_small= floor(sqrt(20)*1e6) = 4472135
+        #   r_big  = (8944271*100*1e6) div ((8944271+4472135)*80)  ppm
+        #   r_small= (4472135*100*1e6) div ((8944271+4472135)*20)  ppm
+        rows = [
+            (i, "big" if i < 80 else "small") for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, src string")
+        out = temperature_mixture(df, "doc_id", "src", alpha=0.5)
+        got = {}
+        for r in out.collect():
+            got.setdefault(r["doc_id"], []).append(r["copy_idx"])
+
+        s_big = math.floor(math.sqrt(80) * 1_000_000)
+        s_small = math.floor(math.sqrt(20) * 1_000_000)
+        denom = s_big + s_small
+        r_big = (s_big * 100 * 1_000_000) // (denom * 80)
+        r_small = (s_small * 100 * 1_000_000) // (denom * 20)
+        assert r_big < 1_000_000 < r_small  # subsample vs upsample
+
+        def h(doc_id):
+            m = hashlib.md5(f"{doc_id}#mix-v1".encode()).hexdigest()
+            return int(m[:8], 16) % 1_000_000
+
+        for i, src in rows:
+            r = r_big if src == "big" else r_small
+            expect = r // 1_000_000 + (1 if h(i) < r % 1_000_000 else 0)
+            copies = got.get(i, [])
+            assert len(copies) == expect, (i, src, expect, copies)
+            assert sorted(copies) == list(range(1, expect + 1))
+        # mixture total lands near the one-pass budget
+        total = sum(len(v) for v in got.values())
+        assert abs(total - 100) <= 10
+
+    def test_alpha_one_is_identity_rates(self, spark):
+        from garmin_data_pipeline_spark.operators.sampling import (
+            temperature_mixture,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "a" if i % 2 == 0 else "b") for i in range(50)],
+            "doc_id long, src string",
+        )
+        out = temperature_mixture(df, "doc_id", "src", alpha=1.0)
+        # alpha=1 keeps the natural distribution: every doc exactly 1
+        assert out.groupBy("doc_id").count().filter(
+            "count != 1"
+        ).count() == 0
+        assert out.count() == 50
+
+    def test_unsupported_alpha_raises(self, spark):
+        from garmin_data_pipeline_spark.operators.sampling import (
+            temperature_mixture,
+        )
+
+        with pytest.raises(ValueError, match="correctly rounded"):
+            temperature_mixture(spark.range(1), "id", "id", alpha=0.3)
+
+
 class TestSamplingPacking:
     def test_mod_sample_deterministic(self, spark):
         from garmin_data_pipeline_spark.operators.sampling import mod_sample

@@ -407,6 +407,19 @@ def test_decimal_cast_lint_detects_the_w9_antipattern(spark):
         F.sum(F.col("v").cast("decimal(18,6)")).alias("s")
     ).select(F.col("s").cast("decimal(38,6)").alias("y"))
     assert unsafe_decimal_casts(ok3) == []
+    # r11: floor()/ceil() of a double are UNAMBIGUOUS integral values
+    # (no rounding mode), so a downstream DECIMAL cast of the result
+    # — including across a staged projection (t24's
+    # floor(sqrt(c)*1e6) -> DECIMAL(38,0) rate arithmetic) — is
+    # sanctioned, while the same shape WITHOUT the floor still fires.
+    ok4 = df.select(
+        F.floor(F.sqrt("d") * 1_000_000).alias("s_int")
+    ).select(F.col("s_int").cast("decimal(38,0)").alias("y"))
+    assert unsafe_decimal_casts(ok4) == []
+    bad8 = df.select(
+        (F.sqrt("d") * 1_000_000).alias("s_dbl")
+    ).select(F.col("s_dbl").cast("decimal(38,0)").alias("y"))
+    assert unsafe_decimal_casts(bad8), "unfloored sqrt cast missed"
     # sanctioned forms stay clean
     ok = df.select(
         F.col("v").cast("decimal(12,2)").alias("a"),

@@ -146,6 +146,9 @@ PROBES = [
     "m5_image_stats",
     "m6_audio_features",
     "m7_video_frame_stats",
+    # r11 sixth wave: one count aggregate + broadcasts + explode —
+    # expected scan-bound
+    "t24_temperature_mix",
 ]
 
 WARMUPS = 1
