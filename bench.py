@@ -324,6 +324,9 @@ HEADLINE = [
     # r11 sixth wave: temperature-based source mixture (exact-integer
     # rates, broadcast-only plan)
     "t24_temperature_mix",
+    # r11 seventh wave: WARC (Common Crawl) ingest — grouped gzip
+    # encode + record explode + JVM HTTP split
+    "s14_warc_scan",
 ]
 
 

@@ -106,6 +106,12 @@ _HEAD = [
     # rotation invariant since tier queries replay their oracle
     # every pytest run instead of rotating).
     "t24_temperature_mix",
+    # s14 registered seventh-wave (WARC/Common-Crawl ingestion
+    # certified end-to-end). Head slot from demoting a11_correlation
+    # straight from the head to the pytest tier (six green rows
+    # r1/r2/r3/r5/r7/r9, one-aggregate plan — the head-demotion
+    # route t2 established).
+    "s14_warc_scan",
     # --- r10 first-timer: second consecutive row (d8 also
     # carries this round's exact-arithmetic prefix-bound change) ---
     "d8_prefix_jaccard_pairs",
@@ -121,7 +127,6 @@ _HEAD = [
     "q3_sql_revenue_topk",
     "t21_unigram_logprob",
     "o4_topk_orders_per_customer",
-    "a11_correlation",
     "d2_token_jaccard_pairs",
     "d3p_minhash_lsh_pairs",
     "d4p_simhash_candidates",
@@ -233,6 +238,10 @@ _PYTEST_TIER = [
     # projection; demoted from the HEAD, so no rotation-staleness
     # question arises
     "t2_language_id",
+    # r11 seventh-wave demotion (balancing s14_warc_scan): six green
+    # rows (r1/r2/r3/r5/r7/r9), single exact-DECIMAL correlation
+    # aggregate; head-demotion route like t2
+    "a11_correlation",
     # r11 demotions (balancing the d10_exact_substring_spans and
     # d7p_canonical_docs_lsh registrations, and funding second
     # consecutive rows for all six r10 first-timers): each has SIX

@@ -2073,6 +2073,93 @@ def t13_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S14 — WARC ingestion (ISO 28500, the Common Crawl container): the
+# documents table is packed into REAL multi-record per-member-gzip
+# WARC archives (50 response records each, the CC layout) inside the
+# query, then re-ingested through the real parser
+# (sources/warc.py: member-wise gzip walk, Content-Length framing,
+# header-block parse) and the HTTP response body is split back out
+# JVM-side (locate + substring on the decoded content — no third
+# Python pass). The oracle predicts each body's length and md5 from
+# the raw text WITHOUT framing a record — a hash match certifies the
+# whole ingest path: record framing, gzip member decode, header
+# parse, HTTP split, and the uri→doc_id round-trip. ASCII-corpus
+# md5 parity per the m4 precondition test.
+# ---------------------------------------------------------------------------
+@register(
+    "s14_warc_scan",
+    """
+    SELECT doc_id,
+           'response' AS warc_type,
+           CAST(length(COALESCE(text, '')) AS BIGINT) AS body_len,
+           md5(COALESCE(text, '')) AS body_md5
+    FROM documents
+    """,
+    doc="WARC (Common Crawl) ingestion certified end-to-end: real "
+    "multi-record gzip-member archives built in the query, re-parsed "
+    "by the real framing/gzip/header parser, HTTP bodies split "
+    "JVM-side, hash-matched against a no-framing oracle. Scale "
+    "shape: one grouped Arrow encode, one Arrow record explode, "
+    "pure column expressions after — file-per-task like every "
+    "production CC reader.",
+)
+def s14_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from garmin_data_pipeline_spark.sources.warc import (
+        encode_warc,
+        records_from_archives,
+    )
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            (F.col("doc_id") / 50).cast("bigint").alias("archive_id"),
+        )
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")  # deterministic archive bytes
+        recs = [
+            {
+                "type": "response",
+                "uri": f"http://corpus.example/doc/{int(r.doc_id)}",
+                "date": "2026-01-01T00:00:00Z",
+                "content": (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+                    b"\r\n" + str(r.text).encode("utf-8")
+                ),
+            }
+            for r in pdf.itertuples()
+        ]
+        return pd.DataFrame(
+            {
+                "archive_id": [int(pdf["archive_id"].iloc[0])],
+                "payload": [encode_warc(recs, gzip_members=True)],
+            }
+        )
+
+    archives = docs.groupBy("archive_id").applyInPandas(
+        build, schema="archive_id bigint, payload binary"
+    )
+    recs = records_from_archives(archives, "payload")
+    body = F.expr(
+        "substring(decode(content, 'UTF-8'), "
+        "locate('\\r\\n\\r\\n', decode(content, 'UTF-8')) + 4)"
+    )
+    return recs.filter(F.col("parse_error").isNull()).select(
+        F.regexp_extract(F.col("target_uri"), r"doc/(\d+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("warc_type"),
+        F.length(body).cast("bigint").alias("body_len"),
+        F.md5(F.encode(body, "UTF-8")).alias("body_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # T24 — temperature-based source mixture (the multinomial data-mixing
 # recipe of XLM-R / LLaMA): source with corpus share p is sampled with
 # probability ∝ p^0.5, so tail sources up-sample (epochs > 1 via

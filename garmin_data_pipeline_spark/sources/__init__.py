@@ -20,6 +20,12 @@ from .archive import (  # noqa: F401
     read_zipped_text_members,
     scan_zip_members,
 )
+from .warc import (  # noqa: F401
+    encode_warc,
+    parse_warc,
+    records_from_archives,
+    scan_warc,
+)
 from .sinks import (  # noqa: F401
     export_training_shards,
     jdbc_reader_options,

@@ -1,0 +1,216 @@
+"""WARC (Web ARChive, ISO 28500) source — the container format of
+Common Crawl, i.e. THE wire format an LLM training-data pipeline
+ingests first.
+
+Implemented for real in pure stdlib: record framing per the spec
+(version line, header block, ``Content-Length``-framed body, CRLF CRLF
+record separator), plain and **per-record-gzip-member** archives (the
+Common Crawl layout: each record its own gzip member, so members can
+be located and decoded independently), and HTTP response payload
+splitting (status line + headers vs body). An encoder ships alongside
+for round-trip and golden tests, exactly like the media codecs in
+``functions/codecs.py``.
+
+Certification: ``s14_warc_scan`` builds real multi-record gzip WARCs
+from the documents table inside the query, re-ingests them through
+this parser, and hash-matches body lengths and md5s against an oracle
+that predicts them from the raw text without ever framing a record.
+
+100 TB notes: Common Crawl ships ~1 GB ``.warc.gz`` files — the FILE
+is the split unit (``binaryFile`` scan, one task per archive), which
+matches how every production CC reader works; within a task the
+per-member gzip stream decodes incrementally, and payload bytes go
+row-wise into the DataFrame (never driver-side). Corrupt records
+follow the multimodal posture: a malformed archive yields an error
+row, not a dead job.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+_CRLF = b"\r\n"
+
+
+def encode_warc(
+    records: list[dict], gzip_members: bool = True
+) -> bytes:
+    """Encode records as a WARC/1.0 archive.
+
+    Each record dict: ``{'type': 'response', 'uri': ..., 'date':
+    ..., 'content': bytes}``. ``gzip_members=True`` writes the
+    Common Crawl layout (one gzip member per record); False writes a
+    plain concatenated archive. Record IDs are deterministic (md5 of
+    uri+date) so archives are byte-reproducible.
+    """
+    out = bytearray()
+    for r in records:
+        content = r["content"]
+        rid = hashlib.md5(
+            (r.get("uri", "") + r.get("date", "")).encode()
+        ).hexdigest()
+        head = (
+            b"WARC/1.0" + _CRLF
+            + b"WARC-Type: " + r.get("type", "response").encode() + _CRLF
+            + b"WARC-Record-ID: <urn:md5:" + rid.encode() + b">" + _CRLF
+            + b"WARC-Target-URI: " + r.get("uri", "").encode() + _CRLF
+            + b"WARC-Date: "
+            + r.get("date", "2026-01-01T00:00:00Z").encode() + _CRLF
+            + b"Content-Length: " + str(len(content)).encode() + _CRLF
+            + _CRLF
+        )
+        record = head + content + _CRLF + _CRLF
+        out += gzip.compress(record, mtime=0) if gzip_members else record
+    return bytes(out)
+
+
+def parse_warc(payload: bytes) -> list[dict]:
+    """Parse a WARC archive (plain or multi-member gzip) into
+    ``[{'headers': {name: value}, 'content': bytes}, ...]``.
+
+    Framing follows the spec: headers run to the first blank line,
+    the body is exactly ``Content-Length`` bytes, and the record ends
+    with CRLF CRLF. Gzip archives are decoded member-by-member with a
+    raw zlib stream walk (``decompressobj``'s unused tail), the same
+    incremental pattern a 1 GB Common Crawl file needs.
+    """
+    if payload[:2] == b"\x1f\x8b":
+        chunks = []
+        rest = payload
+        while rest:
+            d = zlib.decompressobj(wbits=31)
+            try:
+                chunks.append(d.decompress(rest))
+            except zlib.error as e:
+                raise ValueError(f"corrupt WARC gzip member: {e}") from e
+            chunks.append(d.flush())
+            rest = d.unused_data
+        payload = b"".join(chunks)
+    records = []
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        # tolerate inter-record padding
+        while pos < n and payload[pos : pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if pos >= n:
+            break
+        if not payload.startswith(b"WARC/", pos):
+            raise ValueError(
+                f"bad WARC version line at offset {pos}"
+            )
+        head_end = payload.find(_CRLF + _CRLF, pos)
+        if head_end == -1:
+            raise ValueError("truncated WARC header block")
+        lines = payload[pos:head_end].split(_CRLF)
+        headers: dict[str, str] = {}
+        for line in lines[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.decode().strip()] = v.decode().strip()
+        try:
+            length = int(headers["Content-Length"])
+        except (KeyError, ValueError) as e:
+            raise ValueError(f"bad WARC Content-Length: {e}") from e
+        body_start = head_end + 4
+        if body_start + length > n:
+            raise ValueError("truncated WARC record body")
+        records.append(
+            {
+                "headers": headers,
+                "content": payload[body_start : body_start + length],
+            }
+        )
+        pos = body_start + length
+    return records
+
+
+def http_response_body(content: bytes) -> tuple[int, bytes]:
+    """Split an HTTP response payload into (status_code, body) — the
+    standard second framing layer inside a WARC ``response`` record."""
+    sep = content.find(b"\r\n\r\n")
+    if sep == -1 or not content.startswith(b"HTTP/"):
+        raise ValueError("not an HTTP response payload")
+    status_line = content[: content.find(_CRLF)].decode(
+        "ascii", "replace"
+    )
+    parts = status_line.split(None, 2)
+    if len(parts) < 2 or not parts[1].isdigit():
+        raise ValueError(f"bad HTTP status line {status_line!r}")
+    return int(parts[1]), content[sep + 4 :]
+
+
+WARC_RECORD_SCHEMA = (
+    "archive string, warc_type string, target_uri string, "
+    "warc_date string, content binary, content_length bigint, "
+    "parse_error string"
+)
+
+
+def records_from_archives(
+    df: DataFrame,
+    payload_col: str = "payload",
+    name_col: str | None = None,
+) -> DataFrame:
+    """Explode WARC archive payloads into one row per record via an
+    Arrow-batched kernel (the scan-side half; pair with a
+    ``binaryFile`` read for directories of .warc.gz files).
+
+    A corrupt archive yields ONE row with ``parse_error`` set and
+    NULL content — a 100 TB crawl ingest must not die on one bad
+    file; filter/route on ``parse_error`` downstream.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                name = str(r[name_col]) if name_col else ""
+                p = r[payload_col]
+                try:
+                    recs = parse_warc(bytes(p) if p is not None else b"")
+                except ValueError as e:
+                    rows.append((name, None, None, None, None, None, str(e)))
+                    continue
+                for rec in recs:
+                    h = rec["headers"]
+                    rows.append(
+                        (
+                            name,
+                            h.get("WARC-Type"),
+                            h.get("WARC-Target-URI"),
+                            h.get("WARC-Date"),
+                            rec["content"],
+                            len(rec["content"]),
+                            None,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "archive", "warc_type", "target_uri", "warc_date",
+                    "content", "content_length", "parse_error",
+                ],
+            ).astype({"content_length": "Int64"})
+
+    return df.mapInPandas(kernel, schema=WARC_RECORD_SCHEMA)
+
+
+def scan_warc(
+    spark: SparkSession, path: str, glob: str = "*.warc*"
+) -> DataFrame:
+    """Directory scan for WARC archives: ``binaryFile`` (one task per
+    archive — the Common Crawl parallelism unit) → per-record rows."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+        .withColumnRenamed("content", "payload")
+    )
+    return records_from_archives(files, "payload", name_col="path")

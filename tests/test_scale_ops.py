@@ -255,9 +255,12 @@ def test_registered_plans_stay_jvm_side(spark, sf_dir):
         # encode->decode round-trip; no shuffle in either plan
         "m5_image_stats",
         "m6_audio_features",
-        # m7: real uncompressed-AVI frame decode (encode kernel +
+        # m7: real mixed AVI/GIF frame decode (encode kernel +
         # decode/explode kernel; no shuffle)
         "m7_video_frame_stats",
+        # s14: WARC ingest — grouped Arrow encode (applyInPandas) +
+        # Arrow record explode; the HTTP split stays JVM-side
+        "s14_warc_scan",
     }
     # per-plan justifications live with the allowlist in plans/lint.py
     # (shared with tools/explain_audit.py's footer so prose and gate

@@ -149,6 +149,9 @@ PROBES = [
     # r11 sixth wave: one count aggregate + broadcasts + explode —
     # expected scan-bound
     "t24_temperature_mix",
+    # r11 seventh wave: per-archive gzip encode/decode is the wall —
+    # linear in corpus bytes, file-per-task at CC scale
+    "s14_warc_scan",
 ]
 
 WARMUPS = 1
