@@ -323,6 +323,10 @@ def temperature_mixture(
     broadcast (total/denominator — the sanctioned t17/t21 pattern),
     a broadcast join of the #sources-row rate table, and one explode
     — no shuffle beyond the count's partial aggregate.
+
+    Output schema: ALL input columns plus ``copy_idx`` (1..n per
+    retained copy); rows whose source subsampled them away are
+    absent.
     """
     if alpha not in (0.5, 1.0):
         raise ValueError(
@@ -356,8 +360,8 @@ def temperature_mixture(
         + F.when(h < F.col("r_ppm") % unit, F.lit(1)).otherwise(F.lit(0))
     ).alias("n_copies")
     return (
-        docs.join(F.broadcast(rates), source_col)
-        .select(key_col, source_col, n_copies)
+        df.join(F.broadcast(rates), source_col)
+        .select(*df.columns, n_copies)
         .filter(F.col("n_copies") > 0)
         .withColumn(
             "copy_idx",

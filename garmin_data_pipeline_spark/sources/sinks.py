@@ -393,24 +393,46 @@ def export_training_shards(
     JSONL shards — the canonical hand-off from a data pipeline to a
     trainer's data loader.
 
-    Composes :func:`operators.sampling.shuffle_order` (salted-hash
-    key, ONE range exchange + per-partition sort — no global window,
-    no single-task ordering point) with the JSONL sink: same corpus +
-    same salt ⇒ byte-identical shard contents on every run, so a
-    training run is reproducible from the manifest alone. Each shard
-    is one file; the trainer's parallelism unit is the shard, which
-    is why per-shard gzip is safe here.
+    Shard membership is a pure function of (key, salt): the shard id
+    is a RANGE bucket of the salted 32-bit shuffle hash
+    (``hash * n div 2^32`` — contiguous in shuffle order, balanced
+    for a uniform hash), NOT a sampled ``repartitionByRange``
+    boundary, whose RangePartitioner samples depend on the INPUT
+    partitioning and would make "the same corpus" shard differently
+    on a laptop vs a cluster. Rows sort by (shuffle_key, key) inside
+    each shard, so same corpus + same salt ⇒ byte-identical shard
+    contents regardless of how the input was partitioned (tested by
+    exporting under different input partitionings) and a training
+    run is reproducible from the manifest alone. Output layout:
+    ``shard=K/`` directories (one file each — every shard lands
+    wholly in one task), per-shard gzip (the shard is the trainer's
+    parallelism unit, so non-splittable compression is safe).
     """
     from garmin_data_pipeline_spark.operators.sampling import (
-        shuffle_order,
+        _salted_hash,
     )
 
-    shuffled = shuffle_order(
-        df, key_col, salt=salt, num_partitions=n_shards
+    key = F.col(key_col)
+    shuffle_key = _salted_hash(key_col, salt)
+    shard = (
+        (shuffle_key * n_shards / F.lit(1 << 32))
+        .cast("bigint")
+        .alias("shard")
     )
-    write_jsonl(
-        shuffled.drop("shuffle_key"), path, compression=compression
+    out = (
+        df.withColumn("shuffle_key", shuffle_key)
+        .withColumn("shard", shard)
+        # one Exchange; hash collisions may co-locate two shards in
+        # one task, but each shard is never SPLIT across tasks, so
+        # partitionBy('shard') writes exactly one file per shard
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions(F.col("shard"), F.col("shuffle_key"), key)
+        .drop("shuffle_key")
     )
+    writer = out.write.mode("overwrite").format("json").partitionBy("shard")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.save(path)
 
 
 def _contains_map(dt) -> bool:

@@ -90,6 +90,14 @@ def parse_warc(payload: bytes) -> list[dict]:
             except zlib.error as e:
                 raise ValueError(f"corrupt WARC gzip member: {e}") from e
             chunks.append(d.flush())
+            if not d.eof:
+                # a member cut mid-stream decompresses to a prefix
+                # WITHOUT a zlib.error — accepting it would silently
+                # drop every record after the cut
+                raise ValueError(
+                    "truncated WARC gzip member (stream ended "
+                    "before the member's end marker)"
+                )
             rest = d.unused_data
         payload = b"".join(chunks)
     records = []
@@ -173,7 +181,11 @@ def records_from_archives(
                 name = str(r[name_col]) if name_col else ""
                 p = r[payload_col]
                 try:
-                    recs = parse_warc(bytes(p) if p is not None else b"")
+                    if p is None or len(p) == 0:
+                        raise ValueError("empty WARC payload")
+                    recs = parse_warc(bytes(p))
+                    if not recs:
+                        raise ValueError("WARC archive with no records")
                 except ValueError as e:
                     rows.append((name, None, None, None, None, None, str(e)))
                     continue

@@ -1205,6 +1205,11 @@ def test_text_query_oracles_on_edge_corpus(spark, tmp_path):
         "t20_stratified_take_k", "t21_unigram_logprob",
         "d6_edit_distance_pairs", "g2_dup_triangles",
         "c2_decontaminated_corpus", "a16_decile_stats",
+        # r11 additions — t24's NULL-safe bucket/rate paths, s14's
+        # empty/NULL-text archive records, m5/m6/m7's real decoders
+        # over degenerate docs
+        "t24_temperature_mix", "s14_warc_scan",
+        "m5_image_stats", "m6_audio_features", "m7_video_frame_stats",
     ]
     failures = {}
     for name in targets:

@@ -95,46 +95,62 @@ class TestJsonlCorpusExport:
             r["doc_id"] for r in rows if r["doc_id"] is not None
         ) == [1, 2]
 
-    def test_export_training_shards_deterministic(
+    @staticmethod
+    def _shard_bytes(path):
+        import gzip
+
+        out = {}
+        for d in sorted(path.glob("shard=*")):
+            files = sorted(d.glob("*.json.gz"))
+            assert len(files) == 1, (
+                f"{d}: a shard must land wholly in one file"
+            )
+            out[d.name] = gzip.decompress(files[0].read_bytes())
+        return out
+
+    def test_export_training_shards_deterministic_across_partitionings(
         self, spark, sf_dir, tmp_path
     ):
-        import gzip
+        import json as _json
 
         from garmin_data_pipeline_spark.sources.sinks import (
             export_training_shards,
-            read_jsonl,
         )
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
-        def export(tag):
-            path = str(tmp_path / tag)
+        def export(tag, n_input_partitions):
+            path = tmp_path / tag
             export_training_shards(
-                docs, path, n_shards=4, key_col="doc_id"
+                docs.repartition(n_input_partitions),
+                str(path),
+                n_shards=4,
+                key_col="doc_id",
             )
-            shards = sorted((tmp_path / tag).glob("*.json.gz"))
-            return path, [gzip.decompress(s.read_bytes()) for s in shards]
+            return self._shard_bytes(path)
 
-        path1, shards1 = export("run1")
-        _path2, shards2 = export("run2")
+        # shard membership and bytes must NOT depend on how the
+        # input happened to be partitioned (laptop vs cluster)
+        shards1 = export("run_p3", 3)
+        shards2 = export("run_p11", 11)
         assert len(shards1) == 4
-        # same corpus + same salt => byte-identical shard contents
         assert shards1 == shards2
         # nothing lost or duplicated across the shard set
-        back = read_jsonl(spark, path1, schema=docs.schema)
-        assert sorted(
-            r["doc_id"] for r in back.select("doc_id").collect()
-        ) == sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+        back_ids = sorted(
+            _json.loads(line)["doc_id"]
+            for blob in shards1.values()
+            for line in blob.splitlines()
+        )
+        assert back_ids == sorted(
+            r["doc_id"] for r in docs.select("doc_id").collect()
+        )
         # shuffled: shard 0 is not simply the first doc_ids in order
-        ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
-        first_line = shards1[0].splitlines()[0].decode()
-        import json as _json
-
-        assert _json.loads(first_line)["doc_id"] != ids[0] or len(ids) == 1
+        first = _json.loads(
+            shards1["shard=0"].splitlines()[0].decode()
+        )
+        assert first["doc_id"] != back_ids[0] or len(back_ids) == 1
 
     def test_export_salt_changes_order(self, spark, sf_dir, tmp_path):
-        import gzip
-
         from garmin_data_pipeline_spark.sources.sinks import (
             export_training_shards,
         )
@@ -146,8 +162,9 @@ class TestJsonlCorpusExport:
             export_training_shards(
                 docs, str(path), n_shards=2, key_col="doc_id", salt=salt
             )
-            shards = sorted(path.glob("*.json.gz"))
-            out.append(b"".join(gzip.decompress(s.read_bytes()) for s in shards))
+            out.append(
+                b"".join(self._shard_bytes(path).values())
+            )
         assert out[0] != out[1]  # a new salt is a new epoch order
 
 

@@ -69,16 +69,48 @@ def test_gzip_members_are_independent():
 
 def test_corrupt_archives_raise_valueerror():
     good = encode_warc([_resp(0)], gzip_members=False)
+    gz = encode_warc([_resp(0)], gzip_members=True)
+    # flip a byte INSIDE the deflate stream (past the 10-byte gzip
+    # header) so zlib itself errors — exercising the zlib.error ->
+    # ValueError branch, not the Content-Length one
+    bad_deflate = bytearray(gz)
+    bad_deflate[14] ^= 0xFF
+    bad_deflate[15] ^= 0xFF
     for bad in (
         b"NOT A WARC",
-        good[:-12],  # truncated body
+        good[:-12],                 # truncated record body
         good.replace(b"Content-Length: ", b"Content-Length: x"),
-        gzip.compress(b"WARC/1.0\r\n\r\n")[:-4],  # corrupt gzip tail
+        bytes(bad_deflate),         # corrupt deflate bytes
     ):
         with pytest.raises(ValueError):
             parse_warc(bad)
     with pytest.raises(ValueError):
         http_response_body(b"not http at all")
+
+
+def test_truncated_gzip_member_is_an_error_not_silent_loss():
+    # cut the archive inside the SECOND member: the first member
+    # still decodes cleanly, so a decoder that doesn't check eof
+    # would return record 0 and silently drop record 1
+    payload = encode_warc([_resp(0), _resp(1)], gzip_members=True)
+    second = payload.index(b"\x1f\x8b", 2)
+    truncated = payload[: second + 20]
+    with pytest.raises(ValueError, match="truncated WARC gzip member"):
+        parse_warc(truncated)
+
+
+def test_empty_and_recordless_payloads_yield_error_rows(spark):
+    rows = [
+        (1, None),
+        (2, bytearray(b"")),
+        (3, bytearray(gzip.compress(b""))),  # valid gzip, no records
+    ]
+    df = spark.createDataFrame(rows, "archive_id int, payload binary")
+    out = records_from_archives(df, "payload").collect()
+    # every archive is accounted for: one error row each, no silent
+    # disappearance
+    assert len(out) == 3
+    assert all(r["parse_error"] is not None for r in out)
 
 
 def test_records_from_archives_error_rows(spark):
