@@ -57,6 +57,23 @@ import zlib
 
 import numpy as np
 
+# Plausibility caps for header-driven allocations: a crafted or
+# corrupt payload must become a ValueError (-> NULL row under the
+# kernels' corrupt-payload contract) BEFORE it can allocate
+# gigabytes from unvalidated header dimensions or inflate a
+# decompression bomb — not an executor OOM. 2^26 px is an 8K x 8K
+# frame (192 MB as RGB); 2^28 px bounds a whole animation/clip at
+# ~768 MB as RGB. Raise them if a workload legitimately needs more.
+MAX_FRAME_PIXELS = 1 << 26
+MAX_TOTAL_PIXELS = 1 << 28
+
+
+def _check_pixels(n_px: int, what: str, cap: int = MAX_FRAME_PIXELS) -> None:
+    if not 0 <= n_px <= cap:
+        raise ValueError(
+            f"{what}: implausible pixel count {n_px} (cap {cap})"
+        )
+
 
 def _decode_guard(fn):
     """Normalize every corruption-shaped failure to ``ValueError``.
@@ -81,6 +98,11 @@ def _decode_guard(fn):
             ZeroDivisionError,
             EOFError,
             wave.Error,
+            # backstop for any allocation the plausibility caps
+            # (_check_pixels / bounded inflate) did not foresee —
+            # a Python-level MemoryError is still a corrupt-payload
+            # signal, not a reason to kill the task
+            MemoryError,
         ) as e:
             raise ValueError(
                 f"corrupt payload in {fn.__name__}: {type(e).__name__}: {e}"
@@ -516,9 +538,13 @@ def decode_png(payload: bytes) -> np.ndarray:
     if interlace != 0:
         raise ValueError("interlaced PNG not supported")
     channels = _PNG_CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
+    _check_pixels(w * h, "PNG IHDR")
     stride = w * channels
-    if len(raw) < h * (stride + 1):
+    need = h * (stride + 1)
+    # bounded inflate: we know the exact raw size the IHDR implies,
+    # so never decompress past it — an IDAT zlib bomb stops here
+    raw = zlib.decompressobj().decompress(bytes(idat), need)
+    if len(raw) < need:
         raise ValueError("truncated PNG pixel data")
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
@@ -712,6 +738,8 @@ def decode_avi(payload: bytes) -> tuple[dict, np.ndarray]:
             f"unsupported AVI DIB (bpp={bpp}, compression={compression})"
         )
     h = abs(h_signed)
+    _check_pixels(w * h, "AVI strf")
+    _check_pixels(len(frames_raw) * w * h, "AVI clip", MAX_TOTAL_PIXELS)
     row_bytes = (w * 3 + 3) & ~3
     out = np.zeros((len(frames_raw), h, w, 3), dtype=np.uint8)
     for i, raw in enumerate(frames_raw):
@@ -908,6 +936,7 @@ def decode_gif(payload: bytes) -> tuple[dict, np.ndarray]:
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     w, h = struct.unpack_from("<HH", payload, 6)
+    _check_pixels(w * h, "GIF logical screen")
     flags = payload[10]
     pos = 13
     global_pal = None
@@ -945,6 +974,10 @@ def decode_gif(payload: bytes) -> tuple[dict, np.ndarray]:
         if b != 0x2C:
             raise ValueError(f"bad GIF block 0x{b:02x}")
         left, top, fw, fh = struct.unpack_from("<HHHH", payload, pos + 1)
+        _check_pixels(fw * fh, "GIF frame rect")
+        _check_pixels(
+            (len(frames) + 1) * w * h, "GIF animation", MAX_TOTAL_PIXELS
+        )
         iflags = payload[pos + 9]
         pos += 10
         pal = global_pal

@@ -326,7 +326,9 @@ def temperature_mixture(
 
     Output schema: ALL input columns plus ``copy_idx`` (1..n per
     retained copy); rows whose source subsampled them away are
-    absent.
+    absent. A NULL source is a real bucket, not a silent drop: the
+    rate join is null-safe (``<=>``), so docs with a NULL
+    ``source_col`` mix under their own share like any other source.
     """
     if alpha not in (0.5, 1.0):
         raise ValueError(
@@ -359,8 +361,15 @@ def temperature_mixture(
         F.expr(f"r_ppm div {unit}")
         + F.when(h < F.col("r_ppm") % unit, F.lit(1)).otherwise(F.lit(0))
     ).alias("n_copies")
+    # null-safe equality: groupBy above already counts NULL sources
+    # as a group, so the join must match them back (a plain equi-join
+    # would silently drop every NULL-source row from the mixture)
+    rates = rates.withColumnRenamed(source_col, "__mix_source")
     return (
-        df.join(F.broadcast(rates), source_col)
+        df.join(
+            F.broadcast(rates),
+            F.col(source_col).eqNullSafe(F.col("__mix_source")),
+        )
         .select(*df.columns, n_copies)
         .filter(F.col("n_copies") > 0)
         .withColumn(

@@ -222,6 +222,14 @@ def _double_reaches(node: dict, children: list, taint: set) -> bool:
         # identical double), and their result type is LONG/DECIMAL(_,0),
         # so a downstream decimal cast converts exact data. Same
         # barrier status as round()/bround()'s explicit grid snap.
+        # CAVEAT (ADVICE r11): like Round/BRound, this barrier makes
+        # the CAST exact, not the input deterministic — it assumes
+        # the double being floored is itself cross-engine stable
+        # (a correctly-rounded producer like sqrt over exact ints,
+        # the t24 shape), NOT e.g. a reordered float sum sitting
+        # near an integral boundary. Determinism of the producer is
+        # the query author's burden; the lint only closes the
+        # representation gap.
         return False
     if cls in ("AttributeReference", "Literal"):
         return dt == "double" or _expr_id(node) in taint

@@ -19,10 +19,13 @@ that predicts them from the raw text without ever framing a record.
 100 TB notes: Common Crawl ships ~1 GB ``.warc.gz`` files — the FILE
 is the split unit (``binaryFile`` scan, one task per archive), which
 matches how every production CC reader works; within a task the
-per-member gzip stream decodes incrementally, and payload bytes go
-row-wise into the DataFrame (never driver-side). Corrupt records
-follow the multimodal posture: a malformed archive yields an error
-row, not a dead job.
+gzip stream decodes ONE member at a time (records never span members
+in the CC layout), so decompression peak memory is one member — never
+the whole ~3-4 GB decompressed archive — and each member's inflate is
+bounded by ``MAX_MEMBER_BYTES`` (gzip-bomb guard; beyond it is a
+ValueError, i.e. an error row). Payload bytes go row-wise into the
+DataFrame (never driver-side). Corrupt records follow the multimodal
+posture: a malformed archive yields an error row, not a dead job.
 """
 
 from __future__ import annotations
@@ -70,37 +73,97 @@ def encode_warc(
     return bytes(out)
 
 
-def parse_warc(payload: bytes) -> list[dict]:
-    """Parse a WARC archive (plain or multi-member gzip) into
-    ``[{'headers': {name: value}, 'content': bytes}, ...]``.
+# Per-member decompressed-size cap. A Common Crawl member is one
+# record (a web page, typically well under a few MB compressed);
+# 1 GiB decompressed per member is far above anything legitimate but
+# stops a crafted gzip bomb from inflating without bound inside a
+# Spark task. The whole ARCHIVE is never buffered decompressed —
+# members stream one at a time (see _gzip_members).
+MAX_MEMBER_BYTES = 1 << 30
 
-    Framing follows the spec: headers run to the first blank line,
-    the body is exactly ``Content-Length`` bytes, and the record ends
-    with CRLF CRLF. Gzip archives are decoded member-by-member with a
-    raw zlib stream walk (``decompressobj``'s unused tail), the same
-    incremental pattern a 1 GB Common Crawl file needs.
+
+def _gzip_members(
+    payload: bytes, max_member_bytes: int
+) -> Iterator[bytes]:
+    """Walk a multi-member gzip stream yielding one decompressed
+    member at a time — peak memory is ONE member (plus the shared
+    compressed buffer), not the whole decompressed archive, and each
+    member's inflate is bounded by ``max_member_bytes``."""
+    view = memoryview(payload)
+    n = len(view)
+    feed_chunk = 1 << 20
+    pos = 0
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        chunks: list[bytes] = []
+        total = 0
+        feed_pos = pos
+        try:
+            while not d.eof:
+                if d.unconsumed_tail:
+                    data: bytes | memoryview = d.unconsumed_tail
+                else:
+                    if feed_pos >= n:
+                        break
+                    data = view[feed_pos : feed_pos + feed_chunk]
+                    feed_pos += len(data)
+                out = d.decompress(data, max_member_bytes + 1 - total)
+                if out:
+                    total += len(out)
+                    if total > max_member_bytes:
+                        raise ValueError(
+                            "WARC gzip member inflates beyond "
+                            f"{max_member_bytes} bytes (bomb guard)"
+                        )
+                    chunks.append(out)
+        except zlib.error as e:
+            raise ValueError(f"corrupt WARC gzip member: {e}") from e
+        if not d.eof:
+            # a member cut mid-stream decompresses to a prefix
+            # WITHOUT a zlib.error — accepting it would silently
+            # drop every record after the cut
+            raise ValueError(
+                "truncated WARC gzip member (stream ended "
+                "before the member's end marker)"
+            )
+        tail = d.flush()
+        if tail:
+            chunks.append(tail)
+        yield b"".join(chunks)
+        pos = feed_pos - len(d.unused_data)
+
+
+def iter_warc_records(
+    payload: bytes, max_member_bytes: int = MAX_MEMBER_BYTES
+) -> Iterator[dict]:
+    """Lazily parse a WARC archive (plain or multi-member gzip),
+    yielding ``{'headers': {name: value}, 'content': bytes}`` per
+    record as the archive is walked.
+
+    Gzip archives decode member-by-member (the Common Crawl layout
+    puts each record in its own member precisely so readers can do
+    this); records are framed WITHIN a member, so end-to-end peak
+    memory is one decompressed member, never the whole archive. A
+    record that spans gzip members is out of spec for the CC layout
+    and raises.
     """
     if payload[:2] == b"\x1f\x8b":
-        chunks = []
-        rest = payload
-        while rest:
-            d = zlib.decompressobj(wbits=31)
-            try:
-                chunks.append(d.decompress(rest))
-            except zlib.error as e:
-                raise ValueError(f"corrupt WARC gzip member: {e}") from e
-            chunks.append(d.flush())
-            if not d.eof:
-                # a member cut mid-stream decompresses to a prefix
-                # WITHOUT a zlib.error — accepting it would silently
-                # drop every record after the cut
-                raise ValueError(
-                    "truncated WARC gzip member (stream ended "
-                    "before the member's end marker)"
-                )
-            rest = d.unused_data
-        payload = b"".join(chunks)
-    records = []
+        for member in _gzip_members(payload, max_member_bytes):
+            yield from _parse_frames(member)
+    else:
+        yield from _parse_frames(payload)
+
+
+def parse_warc(
+    payload: bytes, max_member_bytes: int = MAX_MEMBER_BYTES
+) -> list[dict]:
+    """Eager form of :func:`iter_warc_records` (framing per the
+    spec: headers run to the first blank line, the body is exactly
+    ``Content-Length`` bytes, and the record ends with CRLF CRLF)."""
+    return list(iter_warc_records(payload, max_member_bytes))
+
+
+def _parse_frames(payload: bytes) -> Iterator[dict]:
     pos = 0
     n = len(payload)
     while pos < n:
@@ -128,14 +191,11 @@ def parse_warc(payload: bytes) -> list[dict]:
         body_start = head_end + 4
         if body_start + length > n:
             raise ValueError("truncated WARC record body")
-        records.append(
-            {
-                "headers": headers,
-                "content": payload[body_start : body_start + length],
-            }
-        )
+        yield {
+            "headers": headers,
+            "content": payload[body_start : body_start + length],
+        }
         pos = body_start + length
-    return records
 
 
 def http_response_body(content: bytes) -> tuple[int, bytes]:
@@ -183,7 +243,10 @@ def records_from_archives(
                 try:
                     if p is None or len(p) == 0:
                         raise ValueError("empty WARC payload")
-                    recs = parse_warc(bytes(p))
+                    # consume INSIDE the try: the iterator raises
+                    # lazily (per gzip member), and the contract is
+                    # all-records-or-one-error-row per archive
+                    recs = list(iter_warc_records(bytes(p)))
                     if not recs:
                         raise ValueError("WARC archive with no records")
                 except ValueError as e:

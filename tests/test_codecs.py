@@ -866,3 +866,61 @@ def test_window_audio_frames_real_jvm_slicing(spark):
     # batch stage (the header parse), no further Python past it
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 1
+
+
+# ---------------------------------------------------------------------------
+# Decompression-bomb / implausible-header guards (ADVICE r11): a
+# crafted payload must become a ValueError (-> NULL row) BEFORE any
+# header-driven allocation, never an executor OOM.
+# ---------------------------------------------------------------------------
+
+
+def test_gif_implausible_dims_rejected_before_allocation():
+    # u16 dims 65535x65535 would imply a 12.9 GB RGB canvas
+    bomb = b"GIF89a" + struct.pack("<HH", 65535, 65535) + b"\x00\x00\x00"
+    with pytest.raises(ValueError, match="implausible pixel count"):
+        C.decode_gif(bomb)
+
+
+def test_gif_frame_rect_cap():
+    # plausible screen, implausible frame rect (inconsistent header)
+    p = bytearray(b"GIF89a" + struct.pack("<HH", 4, 4) + b"\x00\x00\x00")
+    p += b"\x2c" + struct.pack("<HHHH", 0, 0, 65535, 65535) + b"\x00"
+    with pytest.raises(ValueError, match="implausible pixel count"):
+        C.decode_gif(bytes(p))
+
+
+def test_avi_implausible_dims_rejected_before_allocation():
+    clip = C.encode_avi(np.zeros((2, 2, 2, 3), dtype=np.uint8))
+    strf = clip.index(b"strf") + 8  # chunk id + size -> BITMAPINFOHEADER
+    bomb = bytearray(clip)
+    # width i32 at +4, height i32 at +8 of the BITMAPINFOHEADER
+    struct.pack_into("<ii", bomb, strf + 4, 1 << 20, 1 << 20)
+    with pytest.raises(ValueError, match="implausible pixel count"):
+        C.decode_avi(bytes(bomb))
+
+
+def test_png_implausible_ihdr_rejected():
+    ihdr = _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 1 << 16, 1 << 16, 8, 2, 0, 0, 0)
+    )
+    bomb = C._PNG_SIG + ihdr + _chunk(b"IDAT", b"") + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="implausible pixel count"):
+        C.decode_png(bomb)
+
+
+def test_png_idat_inflate_is_bounded():
+    # IHDR says 2x2 gray (need = 2*(2+1) = 6 bytes of raw stream) but
+    # the IDAT inflates to 32 MB: the bounded inflate must stop at
+    # `need` and decode the declared image rather than materialize it
+    ihdr = _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+    raw = bytes([0, 7, 9]) + b"\x00" * (32 * 1024 * 1024)
+    png = (
+        C._PNG_SIG
+        + ihdr
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    out = C.decode_png(png)
+    assert out.shape == (2, 2)
+    assert out[0, 0] == 7 and out[0, 1] == 9

@@ -820,6 +820,24 @@ class TestTemperatureMixture:
         with pytest.raises(ValueError, match="correctly rounded"):
             temperature_mixture(spark.range(1), "id", "id", alpha=0.3)
 
+    def test_null_source_is_a_bucket_not_a_silent_drop(self, spark):
+        """ADVICE r11: NULL sources must mix as their own bucket —
+        a plain equi-join to the rates table would drop them."""
+        from garmin_data_pipeline_spark.operators.sampling import (
+            temperature_mixture,
+        )
+
+        rows = [
+            (i, None if i % 2 == 0 else "a") for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, src string")
+        out = temperature_mixture(df, "doc_id", "src", alpha=1.0)
+        # alpha=1 is identity rates: EVERY doc, NULL-source included,
+        # appears exactly once
+        assert out.count() == 50
+        assert out.filter("src IS NULL").count() == 25
+        assert "__mix_source" not in out.columns
+
 
 class TestSamplingPacking:
     def test_mod_sample_deterministic(self, spark):

@@ -138,3 +138,38 @@ def test_scan_warc_directory(spark, tmp_path):
     uris = sorted(r["target_uri"] for r in out)
     assert uris == ["http://x/0", "http://x/1", "http://x/2"]
     assert all(r["archive"].endswith(".warc.gz") for r in out)
+
+
+def test_iter_warc_records_streams_per_member():
+    """The iterator yields records lazily per gzip member: an archive
+    whose FIRST member is valid and SECOND member is corrupt still
+    yields record 0 before raising — proof the parser never buffers
+    the whole decompressed archive up front (an eager implementation
+    would raise before yielding anything)."""
+    from garmin_data_pipeline_spark.sources.warc import iter_warc_records
+
+    payload = encode_warc([_resp(0), _resp(1)], gzip_members=True)
+    second = payload.index(b"\x1f\x8b", 2)
+    broken = payload[: second + 20]  # member 2 truncated
+    it = iter_warc_records(broken)
+    first = next(it)
+    assert first["headers"]["WARC-Target-URI"] == "http://x/0"
+    with pytest.raises(ValueError, match="truncated WARC gzip member"):
+        next(it)
+
+
+def test_gzip_member_bomb_guard():
+    """A member inflating past the cap is a ValueError (error row
+    upstream), never an unbounded allocation."""
+    record = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        + b"Content-Length: " + str(64 * 1024 * 1024).encode()
+        + b"\r\n\r\n" + b"\x00" * (64 * 1024 * 1024) + b"\r\n\r\n"
+    )
+    bomb = gzip.compress(record, mtime=0)  # ~64 KB compressed
+    assert len(bomb) < 1 << 20
+    with pytest.raises(ValueError, match="bomb guard"):
+        parse_warc(bomb, max_member_bytes=1 << 20)
+    # under a cap that admits it, the same archive parses fine
+    recs = parse_warc(bomb, max_member_bytes=1 << 27)
+    assert len(recs) == 1 and len(recs[0]["content"]) == 64 * 1024 * 1024
