@@ -20,8 +20,13 @@ from garmin_data_pipeline_spark import plans  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return plans.queries()["a1_pricing_summary"](
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    a1 was demoted to the pytest oracle tier in r12 (seven green
+    driver rows) — still the flagship here, resolved through the tier
+    registry (demotion changes driver-slot visibility, not the API).
+    """
+    return plans.PYTEST_QUERIES["a1_pricing_summary"].fn(
         spark, "/root/testdata/sf0.001"
     )
 

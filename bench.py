@@ -327,6 +327,15 @@ HEADLINE = [
     # r11 seventh wave: WARC (Common Crawl) ingest — grouped gzip
     # encode + record explode + JVM HTTP split
     "s14_warc_scan",
+    # r12 registrations: HTML→text extraction (the WET step — prices
+    # the one-Arrow-projection extraction boundary), the fused crawl
+    # front-end (WARC → extract → langID → quality → dedup in one
+    # plan; ONE pipeline shuffle), and the iterative BPE trainer +
+    # encoder (K vocabulary-sized aggregate rounds + a zero-shuffle
+    # encode pass).
+    "s15_html_extract",
+    "e2e_crawl",
+    "t25_bpe_train_encode",
 ]
 
 

@@ -1,0 +1,145 @@
+"""HTML → text extraction — the WET step of a crawl pipeline.
+
+Common Crawl's WARC ``response`` records carry HTML; every production
+training-data pipeline runs tag-stripping / boilerplate removal
+between the crawl scan (``sources/warc.py``) and the text kit
+(quality scoring, language ID, dedup all assume plain text). This is
+that stage: the equivalent of the WET extraction Common Crawl itself
+publishes alongside its WARC files.
+
+Semantics (pinned by the edge tests, certified by the
+``s15_html_extract`` driver row's analytic oracle):
+
+* ``<script>`` / ``<style>`` / ``<template>`` elements are dropped
+  WITH their content (the parser's raw-text mode means a ``<`` inside
+  script code cannot fake a tag).
+* Every other tag acts as a whitespace separator — ``a<b>b</b>`` is
+  ``a b``, the same lossy-but-deterministic behavior as replacing
+  tags with spaces, and the safe choice for block elements.
+* Comments, doctypes and processing instructions vanish;
+  ``<![CDATA[x]]>`` contributes its inner text.
+* Character references decode ONCE via the full HTML5 table
+  (``html.unescape`` semantics through ``HTMLParser``'s
+  ``convert_charrefs``): named (``&amp;`` ``&nbsp;``), decimal
+  (``&#72;``) and hex (``&#x4F;``). ``&amp;lt;`` is the literal text
+  ``&lt;`` — no double decoding.
+* U+00A0 (from ``&nbsp;`` or a literal NBSP) becomes a plain space;
+  then ASCII whitespace runs collapse to one space and the result is
+  trimmed. The whitespace class is EXACTLY RE2's ``\\s`` (space, TAB,
+  LF, CR, FF) so multibyte text — CJK, emoji, combining marks, and
+  exotic Unicode spaces — passes through byte-for-byte: that is what
+  makes the extraction oracle-predictable cross-engine.
+* Malformed markup never raises: ``html.parser`` is lenient by
+  construction (unclosed tags, attributes containing ``>``, bogus
+  entities are all handled deterministically); as a belt the UDF maps
+  any unexpected kernel failure to NULL — the error-row posture of
+  the WARC/multimodal kernels.
+
+100 TB shape: extraction is a pure row-local map — one Arrow-batched
+scalar ``pandas_udf`` (no shuffle, no state, embarrassingly parallel),
+the one stage of the crawl front-end that genuinely needs Python
+(general entity decoding and raw-text-mode tag handling are beyond
+column expressions; see ADVICE/VERDICT r11 "What's missing" #1).
+
+Reference parity note: the reference repo has no HTML stage — this is
+part of the beyond-reference LLM-pipeline surface the brief mandates.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+# EXACTLY RE2's \s class ([ \t\n\r\f] — note: no VT, unlike Python's
+# \s) so multibyte text AND the odd control char are untouched and
+# the oracle's regexp_replace('\s+') predicts the kernel bit-for-bit
+_ASCII_WS = re.compile(r"[ \t\n\r\f]+")
+
+_SKIP_CONTENT = {"script", "style", "template"}
+
+
+class _TextExtractor(HTMLParser):
+    """Collect text nodes, treating tags as whitespace separators and
+    dropping script/style/template subtrees."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._skip = 0
+        self.parts: list[str] = []
+
+    def handle_starttag(self, tag, attrs):  # noqa: D102
+        if tag in _SKIP_CONTENT:
+            self._skip += 1
+        self.parts.append(" ")
+
+    def handle_startendtag(self, tag, attrs):  # noqa: D102
+        # <br/> and friends: separator only, never enters skip mode
+        self.parts.append(" ")
+
+    def handle_endtag(self, tag):  # noqa: D102
+        if tag in _SKIP_CONTENT and self._skip:
+            self._skip -= 1
+        self.parts.append(" ")
+
+    def handle_data(self, data):  # noqa: D102
+        if not self._skip:
+            self.parts.append(data)
+
+    def unknown_decl(self, data):  # noqa: D102
+        # html.parser surfaces <![CDATA[x]]> here as "CDATA[x"
+        # (note: the hook is unknown_decl, NOT handle_unknown_decl);
+        # the <![ ... ]]> delimiters are markup, so they separate
+        # like tags do
+        if not self._skip and data.startswith("CDATA["):
+            self.parts.extend((" ", data[6:], " "))
+
+
+def extract_html_text(html: str) -> str:
+    """Extract plain text from one HTML document (see module doc for
+    the pinned semantics)."""
+    p = _TextExtractor()
+    p.feed(html)
+    p.close()
+    text = "".join(p.parts).replace("\xa0", " ")
+    return _ASCII_WS.sub(" ", text).strip(" ")
+
+
+# StringType() (not a DDL string) so the module imports without an
+# active SparkContext — DDL parsing would need one at import time
+@F.pandas_udf(StringType())
+def _extract_udf(html: pd.Series) -> pd.Series:
+    def one(h):
+        if h is None:
+            return None
+        try:
+            return extract_html_text(h)
+        except Exception:  # noqa: BLE001 — error-row posture
+            return None
+
+    return html.map(one)
+
+
+# The function is PURE — the nondeterministic marker is the
+# documented Catalyst idiom to pin evaluation count, not semantics:
+# without it, CollapseProject/PushDownPredicate clone the call into
+# any downstream filter that references the extracted column, and the
+# expensive kernel runs TWICE per row (observed: two ArrowEvalPython
+# nodes in the e2e_crawl plan). At 100 TB the extraction pass is the
+# dominant cost of the crawl front-end — it must run exactly once.
+_extract_udf = _extract_udf.asNondeterministic()
+
+
+def html_to_text(html_col: Column | str) -> Column:
+    """Column-level HTML→text extraction (Arrow-batched kernel).
+
+    NULL in → NULL out; a kernel failure on pathological markup is a
+    NULL row, never a dead task (``html.parser`` itself is lenient,
+    so in practice this fires only on non-string garbage).
+    """
+    col = F.col(html_col) if isinstance(html_col, str) else html_col
+    return _extract_udf(col)

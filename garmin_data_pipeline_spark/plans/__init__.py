@@ -39,83 +39,93 @@ from garmin_data_pipeline_spark.plans.queries import (
 #      that keeps that bound.
 #
 # Coverage ledger (round each query last had a green driver row):
-#   r10 (50/50 green; CORRECTNESS_r10.json): the whole r10 _HEAD —
-#       rotating out to the tail now (policy 2), EXCEPT the six r10
-#       first-timers (v9pss, q5, b2, o6, d8, d9) which keep head
-#       slots for their second consecutive rows (the standing
-#       first-timer treatment; d8's plan also CHANGED this round —
-#       exact integer prefix bounds, ADVICE r10 — so policy 1 pins
-#       it in the head regardless).
-#   r9: the 46 oracled queries of the r10 tail — rotating back in
-#       NOW (policy 3), minus four demoted to the pytest tier (see
-#       _PYTEST_TIER: a2/p1/t7/a8, each with SIX green driver rows
-#       r1/r2/r3/r5/r7/r9 and trivial single-operator plans — the
-#       r10 verdict named head-resident candidates t9/a12/st1, but
-#       demoting TAIL returners is what frees head slots, and these
-#       four are more-certified than any head candidate).
-#   never: the two r11 registrations take their FIRST driver rows
-#       this round — d10 = substring-level exact dedup (the r10
-#       verdict's top directive), d7p = the LSH-composed purge
-#       pipeline under the md5 parity hash (directive 6). Each is
-#       balanced by one of the four demotions (policy 4); the other
-#       two demotions fund the six first-timer second rows.
+#   r11 (50/50 green; CORRECTNESS_r11.json): the whole r11 _HEAD —
+#       rotating out to the tail now (policy 2), EXCEPT the nine r11
+#       first-timers (d10, d10x, d7p, c3, m5, m6, m7, t24, s14) which
+#       keep head slots for their second consecutive rows — the
+#       standing first-timer treatment, honored this round exactly as
+#       the r11 verdict directed (r12 has no registration backlog
+#       squeezing them out).
+#   r10: the 46 oracled queries of the r11 tail — rotating back in
+#       NOW (policy 3), minus EIGHT demoted to the pytest tier (see
+#       _PYTEST_TIER: a1/a3/a4/w1/f23/t1/m1/m2, each with SEVEN green
+#       driver rows r1/r2/r3/r4/r6/r8/r10 and a trivial single-
+#       operator plan — the most-certified demotion wave yet). The
+#       demotions fund the three r12 registrations (registry
+#       103 -> 95, back under the 100 cap with room) and free the
+#       five head slots the nine second rows + three first rows need
+#       beyond the cap math.
+#   never: the three r12 registrations take their FIRST driver rows
+#       this round — s15 = HTML->text extraction (the WET step, r11
+#       verdict directive 1), e2e_crawl = the fused crawl front-end
+#       s14 -> s15 -> t2 -> t19 -> d1 in one Catalyst plan
+#       (directive 2), t25 = iterative BPE trainer + encoder under
+#       the trained vocab (directive 4).
 _HEAD = [
-    # --- first driver rows (r11 registrations). d10x registered
-    # second-wave within the cap (registry 99 <= 100): its head slot
-    # comes from q5_local_supplier_volume, the lowest-risk r10
-    # first-timer (hand-computed six-relation pytest pin + the
-    # certified a1/q3 DECIMAL-revenue family), which rotates to the
-    # tail with its green r10 row (<= 1 round stale; r12 head) —
-    # a NEW operator's first row outranks a second consecutive row.
+    # --- first driver rows (r12 registrations) ---
+    "s15_html_extract",
+    "e2e_crawl",
+    "t25_bpe_train_encode",
+    # --- r11 first-timers: second consecutive rows ---
     "d10_exact_substring_spans",
     "d10x_substring_excision",
     "d7p_canonical_docs_lsh",
-    # c3 registered third-wave (registry at the 100 cap): its head
-    # slot comes from b2_zorder_key, the next-lowest-risk r10
-    # first-timer (bit-exact Morton arithmetic with a hand-computed
-    # pytest pin), which rotates to the tail with its green r10 row
-    # — same trade as q5 above.
     "c3_span_decontamination",
-    # m5/m6 registered fourth-wave (real-codec certification: the
-    # pure-stdlib netpbm and WAV decoders hash-matched against
-    # ANALYTIC oracles that never parse bytes). Cap funded by
-    # demoting t9_length_trim (7 green rows) and a12_time_rollup
-    # (5 green rows) from the tail to the pytest tier; head slots
-    # come from o6_pareto_frontier and d9_containment_pairs — the
-    # next-lowest-risk r10 first-timers (o6 has the O(n^2) dominance
-    # oracle + skyline pytest suite, d9 the completeness-proof +
-    # containment suite) — which rotate to the tail with their green
-    # r10 rows (<= 1 round stale; back in the r12 head).
     "m5_image_stats",
     "m6_audio_features",
-    # m7 registered fifth-wave (real uncompressed-AVI video decode —
-    # the last codec family — closed-form oracle). Cap funded by
-    # demoting st1_tumbling_daily (5 green rows r3/r4/r6/r8/r10, the
-    # r10 verdict's own named candidate) to the pytest tier; the
-    # head slot comes from v9pss_imi_serve_grid, the last movable
-    # r10 first-timer (its r10 row is the FULL grid certification;
-    # a new operator's first row outranks a second consecutive row),
-    # which rotates to the tail with its green r10 row.
     "m7_video_frame_stats",
-    # t24 registered sixth-wave (temperature-based source mixture in
-    # exact integer arithmetic). Its head slot comes from demoting
-    # t2_language_id DIRECTLY from the head to the pytest tier (six
-    # green rows r1/r2/r3/r5/r7/r9, a row-local single-pass
-    # projection — the same certification bar as every prior tier
-    # demotion; demoting a HEAD resident is strictly safe for the
-    # rotation invariant since tier queries replay their oracle
-    # every pytest run instead of rotating).
     "t24_temperature_mix",
-    # s14 registered seventh-wave (WARC/Common-Crawl ingestion
-    # certified end-to-end). Head slot from demoting a11_correlation
-    # straight from the head to the pytest tier (six green rows
-    # r1/r2/r3/r5/r7/r9, one-aggregate plan — the head-demotion
-    # route t2 established).
     "s14_warc_scan",
-    # --- r10 first-timer: second consecutive row (d8 also
-    # carries this round's exact-arithmetic prefix-bound change) ---
+    # --- r11's tail rotates back in (green r10, code unchanged) ---
+    "q5_local_supplier_volume",
+    "b2_zorder_key",
+    "o6_pareto_frontier",
+    "d9_containment_pairs",
+    "v9pss_imi_serve_grid",
+    "t23_ngram_novelty",
+    "w10_ewma_8",
+    "j10_interval_anti_join",
+    "w9_time_weighted_avg",
+    "v9rp_ivfpq_rerank_grid",
+    "j9_interval_overlap",
+    "v9p_ivfpq_codes_grid",
+    "st2b_session_window",
+    "j7_salted_skew_join",
+    "st5_segment_rollup",
+    "b1_bucketed_join_agg",
+    "t16_vocab_topk_per_lang",
+    "v7_label_centroids",
+    "t18_bpe_pairs",
+    "t11_document_chunking",
+    "t12_pii_redaction",
+    "d1_exact_dedup",
+    "m3_audio_windows",
+    "j5_asof_join",
+    "j6_range_join",
+    "t10_clean_corpus",
+    "d5s_duplicate_groups_star",
+    "v4p_cosine_topk_ivf_grid",
+    "v2_cosine_topk_lsh",
+    "v3_embedding_near_dups",
+    "d5_duplicate_groups",
+    "e3_cohort_retention",
+    "e4_funnel_stages",
+    "u3_unpivot_measures",
+    "j8_snapshot_diff",
+    "w8_scd2_intervals",
+    "o5_median_quantity",
+    "d6_edit_distance_pairs",
+]
+_TAIL = [
+    # rows-only variants — PERMANENT tail residents (see policy 2);
+    # their oracle-backed twins carry the correctness signal:
+    "d3_minhash_lsh_pairs",
+    "d4_simhash_candidates",
+    "v4_cosine_topk_ivf",
+    "t8_rolling_fingerprint",
+    # green r11 (CORRECTNESS_r11), code unchanged — rotating out per
+    # policy 2; back in the r13 head per policy 3:
     "d8_prefix_jaccard_pairs",
-    # --- r10's tail rotates back in (green r9, code unchanged) ---
     "v8_pq_codes",
     "d7_canonical_docs",
     "t22_lm_quality_zscore",
@@ -157,64 +167,6 @@ _HEAD = [
     "g1_pagerank_bipartite",
     "g2_dup_triangles",
 ]
-_TAIL = [
-    # rows-only variants — PERMANENT tail residents (see policy 2);
-    # their oracle-backed twins carry the correctness signal:
-    "d3_minhash_lsh_pairs",
-    "d4_simhash_candidates",
-    "v4_cosine_topk_ivf",
-    "t8_rolling_fingerprint",
-    # green r10 (CORRECTNESS_r10), code unchanged — rotating out per
-    # policy 2; back in the r12 head per policy 3 (q5 and b2 fund
-    # the d10x and c3 head slots, see the _HEAD comments):
-    "q5_local_supplier_volume",
-    "b2_zorder_key",
-    # green r10 + funding the m5/m6/m7 head slots (see _HEAD comment):
-    "o6_pareto_frontier",
-    "d9_containment_pairs",
-    "v9pss_imi_serve_grid",
-    "t23_ngram_novelty",
-    "w10_ewma_8",
-    "j10_interval_anti_join",
-    "w9_time_weighted_avg",
-    "v9rp_ivfpq_rerank_grid",
-    "j9_interval_overlap",
-    "v9p_ivfpq_codes_grid",
-    "st2b_session_window",
-    "j7_salted_skew_join",
-    "st5_segment_rollup",
-    "b1_bucketed_join_agg",
-    "t16_vocab_topk_per_lang",
-    "v7_label_centroids",
-    "t18_bpe_pairs",
-    "t1_token_quality",
-    "t11_document_chunking",
-    "t12_pii_redaction",
-    "d1_exact_dedup",
-    "m1_multimodal_metadata",
-    "m2_frame_sampling",
-    "m3_audio_windows",
-    "a1_pricing_summary",
-    "a3_latest_order_per_customer",
-    "a4_dedupe_latest_lineitem",
-    "w1_cumulative_spend",
-    "f23_binned_group_mean",
-    "j5_asof_join",
-    "j6_range_join",
-    "t10_clean_corpus",
-    "d5s_duplicate_groups_star",
-    "v4p_cosine_topk_ivf_grid",
-    "v2_cosine_topk_lsh",
-    "v3_embedding_near_dups",
-    "d5_duplicate_groups",
-    "e3_cohort_retention",
-    "e4_funnel_stages",
-    "u3_unpivot_measures",
-    "j8_snapshot_diff",
-    "w8_scd2_intervals",
-    "o5_median_quantity",
-    "d6_edit_distance_pairs",
-]
 # Policy 4: demoted to the pytest oracle tier (r6 verdict's named
 # candidate list — all single-operator projections/filters/aggregates
 # certified by hash-matched driver rows in r3, r4 AND r5, code frozen
@@ -222,6 +174,20 @@ _TAIL = [
 # oracle on every pytest run; tests/test_scale_ops.py keeps them under
 # the plan-shape invariants.
 _PYTEST_TIER = [
+    # r12 demotions (funding the s15/e2e_crawl/t25 registrations and
+    # the nine r11 first-timers' second consecutive rows): each has
+    # SEVEN green driver rows (r1/r2/r3/r4/r6/r8/r10) — more than any
+    # prior demotion wave — and a trivial single-operator plan
+    # (group means / argmax window / keep-first window / grouped
+    # cumsum / binned group mean / row-local projections)
+    "a1_pricing_summary",
+    "a3_latest_order_per_customer",
+    "a4_dedupe_latest_lineitem",
+    "w1_cumulative_spend",
+    "f23_binned_group_mean",
+    "t1_token_quality",
+    "m1_multimodal_metadata",
+    "m2_frame_sampling",
     # r11 fourth-wave demotions (balancing the m5/m6 real-codec
     # registrations): t9 has SEVEN green driver rows
     # (r1/r2/r3/r4/r6/r8/r10), a12 has five (r3/r4/r6/r8/r10);

@@ -68,6 +68,11 @@ NLJ_ALLOWLIST: dict[str, str] = {
         "#sources-row stats x broadcast 1-row total/denominator "
         "(t17/t21's pattern) for the exact mixture rates"
     ),
+    "t25_bpe_train_encode": (
+        "word/doc states x broadcast 1-ROW argmax merge, K times "
+        "(training-order merge application; t17/t21's 1-row pattern "
+        "chained)"
+    ),
 }
 
 

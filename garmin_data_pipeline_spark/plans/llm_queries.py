@@ -2160,6 +2160,416 @@ def s14_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S15 — HTML→text extraction (the WET step, VERDICT r11 directive 1):
+# the one stage between the WARC scan and the text kit. Certified the
+# m5/s14 way: the query BUILDS real HTML from documents.text with
+# column expressions (escaped body text, a <script> with a bare '<'
+# inside, <style>, a comment, an attribute containing '>', CDATA,
+# named/decimal/hex entities incl. the &amp;amp; no-double-decode
+# trap, &nbsp;, and a fixed CJK+emoji+combining-mark literal — the
+# multibyte UTF-8 proof the r11 verdict asked for), extracts with the
+# stdlib-parser Arrow kernel (functions/html.py), and the oracle
+# predicts the extracted text DIRECTLY from the raw text without ever
+# parsing HTML. Whitespace normalization is pinned to RE2's \s class
+# on both sides, so any multibyte corpus content passes byte-for-byte.
+# n_chars certifies char-semantics length parity (Spark numChars ==
+# DuckDB length == codepoints; the emoji counts 1 on both).
+# ---------------------------------------------------------------------------
+_S15_MB = "中文 🚀 café"  # CJK + astral emoji + combining mark
+
+
+@register(
+    "s15_html_extract",
+    f"""
+    WITH x AS (
+        SELECT doc_id,
+               trim(regexp_replace(replace(
+                   'Doc ' || CAST(doc_id AS VARCHAR) ||
+                   ' Doc ' || CAST(doc_id AS VARCHAR) ||
+                   ' {_S15_MB} ' || COALESCE(text, '') ||
+                   ' raw &amp; <b> Hi O end',
+                   chr(160), ' '), '[ \\t\\n\\r\\f]+', ' ', 'g')
+               ) AS extracted
+        FROM documents
+    )
+    SELECT doc_id, extracted,
+           CAST(length(extracted) AS BIGINT) AS n_chars
+    FROM x
+    """,
+    doc="HTML→text extraction (the WET step): script/style/comment "
+    "removal, tag stripping, full entity decode, RE2-\\s whitespace "
+    "normalization — real HTML built in-query from the corpus, "
+    "extracted by the stdlib-parser Arrow kernel, hash-matched "
+    "against an oracle that predicts the text without parsing HTML. "
+    "Scale shape: one row-local Arrow-batched projection — no "
+    "shuffle, embarrassingly parallel.",
+)
+def s15_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.functions.html import html_to_text
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    esc = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.coalesce(F.col("text"), F.lit("")), "&", "&amp;"
+            ),
+            "<",
+            "&lt;",
+        ),
+        ">",
+        "&gt;",
+    )
+    html = F.concat(
+        F.lit("<!DOCTYPE html><html><head><title>Doc "),
+        did,
+        F.lit(
+            '</title><script type="text/javascript">'
+            'if (1 < 2) { alert("x&y"); }</script>'
+            "<style media=\"all\">p { margin: 0; }</style></head><body>"
+            '<!-- boilerplate comment --><h1 class="t">Doc '
+        ),
+        did,
+        F.lit(f'</h1>\n<span lang="zh">{_S15_MB}</span><p data-x="a>b">'),
+        esc,
+        F.lit(
+            "</p><![CDATA[raw]]><div>&amp;amp; &lt;b&gt; &#72;&#105;"
+            " &#x4F; &nbsp;end</div></body></html>"
+        ),
+    )
+    return (
+        docs.select(
+            "doc_id", html_to_text(html).alias("extracted")
+        ).select(
+            "doc_id",
+            "extracted",
+            F.length("extracted").cast("bigint").alias("n_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E2E-CRAWL — the fused crawl front-end (VERDICT r11 directive 2):
+# WARC scan (s14) → HTML→text extraction (s15) → language ID (t2) →
+# Gopher quality verdicts (t19) → exact dedup annotation (d1) as ONE
+# Catalyst plan — the composition a real training-data user actually
+# runs, certified end-to-end, not stage-by-stage. The e2e_master_daily
+# treatment applied to the LLM side (SURVEY §3's fusion promise).
+#
+# Construction: real per-member-gzip WARC archives are built in-query
+# whose HTTP bodies are HTML-wrapped document text (the s15 wrapper
+# WITHOUT doc-id-dependent text content, so exact duplicates in the
+# corpus stay exact duplicates after extraction and d1 has real
+# groups to find). The oracle composes the stage oracles in one CTE
+# chain: predicted extraction (never parses HTML), the t2 langid CASE
+# chain, the t19 gates as a WHERE, d1's normalized-text hash as a
+# GROUP BY — window-annotated back per kept doc.
+#
+# Scale shape: grouped Arrow encode + Arrow record explode + one
+# Arrow extraction projection (all row/group-local, no state), then
+# pure column expressions, ONE shuffle total (the text_hash window).
+# ---------------------------------------------------------------------------
+_CRAWL_PREFIX = f"Crawl Result Crawl Result {_S15_MB} "
+_CRAWL_SUFFIX = " raw &amp; <b> Hi O end"
+
+
+@register(
+    "e2e_crawl",
+    f"""
+    WITH crawl AS (
+        -- re-crawled pages: the same URL fetched twice gets a new
+        -- record id but identical content — the duplicate class a
+        -- crawl front-end exists to collapse (the synthetic corpus
+        -- itself has no exact dups, so the re-scrape is planted
+        -- in-query on BOTH sides)
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text
+        FROM documents WHERE doc_id % 50 = 0
+    ), ext AS (
+        SELECT doc_id,
+               trim(regexp_replace(replace(
+                   '{_CRAWL_PREFIX}' || COALESCE(text, '') ||
+                   '{_CRAWL_SUFFIX}',
+                   chr(160), ' '), '[ \\t\\n\\r\\f]+', ' ', 'g')
+               ) AS text
+        FROM crawl
+    ), m AS (
+        SELECT doc_id, text, {_TOKS} AS toks FROM ext
+    ), k AS (
+        SELECT doc_id,
+               {_sql_langid()} AS lang,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS text_hash
+        FROM m
+        WHERE len(toks) BETWEEN 30 AND 5000
+          AND (CASE WHEN len(toks) > 0 THEN
+                   CAST(list_sum(list_transform(toks, x -> len(x)))
+                       AS BIGINT) / len(toks) ELSE 0.0 END)
+              BETWEEN 3.0 AND 10.0
+          AND (CASE WHEN len(toks) > 0 THEN
+                   {T.sql_stopword_hits("toks", "en")} / len(toks)
+                   ELSE 0.0 END) >= 0.05
+          AND {_sql_dup_frac(2)} <= 0.4
+    ), g AS (
+        SELECT text_hash, MIN(doc_id) AS canonical_id,
+               COUNT(*) AS n_dups
+        FROM k GROUP BY 1
+    )
+    SELECT k.doc_id, k.lang, k.text_hash,
+           g.canonical_id, g.n_dups,
+           CAST(k.doc_id = g.canonical_id AS INT) AS is_canonical
+    FROM k JOIN g USING (text_hash)
+    """,
+    doc="Fused crawl front-end: WARC ingest → HTML extraction → "
+    "language ID → Gopher quality gates → exact-dedup annotation in "
+    "ONE Catalyst plan, oracle-composed end-to-end. Scale shape: "
+    "row/group-local Arrow stages then column expressions; ONE "
+    "pipeline shuffle (the dedup-hash window) — the other Exchange "
+    "in the plan builds the in-query WARC fixture and is absent when "
+    "reading real .warc.gz files. The extraction kernel is pinned to "
+    "a single evaluation (see functions/html.py).",
+)
+def e2e_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    from garmin_data_pipeline_spark.functions.html import html_to_text
+    from garmin_data_pipeline_spark.operators.dedup_scale import (
+        normalize_text,
+    )
+    from garmin_data_pipeline_spark.operators.text import (
+        language_guess,
+        shingles,
+        stopword_hits,
+        tokens,
+    )
+    from garmin_data_pipeline_spark.sources.warc import (
+        encode_warc,
+        records_from_archives,
+    )
+
+    html = F.concat(
+        F.lit(
+            "<!DOCTYPE html><html><head><title>Crawl Result</title>"
+            '<script>if (1 < 2) { track("&x"); }</script>'
+            "<style>body { margin: 0; }</style></head><body>"
+            "<!-- header boilerplate --><h1>Crawl Result</h1>"
+            f'<span lang="zh">{_S15_MB}</span><p data-x="a>b">'
+        ),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.coalesce(F.col("text"), F.lit("")), "&", "&amp;"
+                ),
+                "<",
+                "&lt;",
+            ),
+            ">",
+            "&gt;",
+        ),
+        F.lit(
+            "</p><![CDATA[raw]]><div>&amp;amp; &lt;b&gt; &#72;&#105;"
+            " &#x4F; &nbsp;end</div></body></html>"
+        ),
+    )
+    base = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # planted re-scrapes: same text under a fresh record id (see the
+    # oracle's `crawl` CTE — the corpus has no natural exact dups)
+    crawl = base.unionByName(
+        base.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    docs = crawl.select(
+        "doc_id",
+        html.alias("html"),
+        (F.col("doc_id") / 50).cast("bigint").alias("archive_id"),
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")  # deterministic archive bytes
+        recs = [
+            {
+                "type": "response",
+                "uri": f"http://corpus.example/doc/{int(r.doc_id)}",
+                "date": "2026-01-01T00:00:00Z",
+                "content": (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    b"\r\n" + str(r.html).encode("utf-8")
+                ),
+            }
+            for r in pdf.itertuples()
+        ]
+        return pd.DataFrame(
+            {
+                "archive_id": [int(pdf["archive_id"].iloc[0])],
+                "payload": [encode_warc(recs, gzip_members=True)],
+            }
+        )
+
+    archives = docs.groupBy("archive_id").applyInPandas(
+        build, schema="archive_id bigint, payload binary"
+    )
+    recs = records_from_archives(archives, "payload")
+    body = F.expr(
+        "substring(decode(content, 'UTF-8'), "
+        "locate('\\r\\n\\r\\n', decode(content, 'UTF-8')) + 4)"
+    )
+    pages = recs.filter(F.col("parse_error").isNull()).select(
+        F.regexp_extract(F.col("target_uri"), r"doc/(\d+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        html_to_text(body).alias("text"),
+    )
+    text = F.col("text")
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    mwl = F.when(
+        n_tokens > 0,
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+        / n_tokens,
+    ).otherwise(F.lit(0.0))
+    swr = F.when(
+        n_tokens > 0, stopword_hits(toks, "en") / n_tokens
+    ).otherwise(F.lit(0.0))
+    dup2 = F.when(
+        n_tokens >= 2,
+        F.round(1.0 - F.size(shingles(text, 2)) / (n_tokens - 1), 6),
+    ).otherwise(F.lit(0.0))
+    keep = (
+        n_tokens.between(30, 5000)
+        & (mwl >= 3.0)
+        & (mwl <= 10.0)
+        & (swr >= 0.05)
+        & (dup2 <= 0.4)
+    )
+    kept = (
+        pages.filter(keep)
+        .select(
+            "doc_id",
+            language_guess(text).alias("lang"),
+            F.md5(normalize_text(text)).alias("text_hash"),
+        )
+    )
+    w = Window.partitionBy("text_hash")
+    return (
+        kept.select(
+            "doc_id",
+            "lang",
+            "text_hash",
+            F.min("doc_id").over(w).alias("canonical_id"),
+            F.count(F.lit(1)).over(w).alias("n_dups"),
+        )
+        .withColumn(
+            "is_canonical",
+            (F.col("doc_id") == F.col("canonical_id")).cast("int"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# T25 — iterative BPE trainer + encoder (VERDICT r11 directive 4):
+# t18 computes ONE merge step; t25 loops it K times into a trained
+# vocabulary and then encodes every document under it — the full
+# Sennrich-et-al corpus-BPE recipe as relational algebra
+# (operators/bpe.py). The oracle UNROLLS the same K iterations as
+# chained CTEs (the g1 recipe): pair counts are exact integers, the
+# argmax tie-break is total (count DESC, pair ASC), and merge
+# application is plain `replace` over a token-boundary string
+# encoding (`|l||r|` can only match whole adjacent symbols; both
+# engines' replace is left-to-right non-overlapping — exactly BPE's
+# greedy-left order), so every intermediate state is bit-stable
+# cross-engine. The encoded doc state + exact token count certify the
+# TRAINER transitively: one wrong merge changes every encoding.
+# ---------------------------------------------------------------------------
+_T25_K = 8
+
+
+def _t25_oracle(k: int) -> str:
+    init = (
+        "'|' || array_to_string(regexp_extract_all({w}, '[a-z]'), '||')"
+        " || '|'"
+    )
+    apply = (
+        "CASE WHEN m.l IS NULL THEN state ELSE replace(state, "
+        "'|' || m.l || '||' || m.r || '|', "
+        "'|' || m.l || m.r || '|') END AS state"
+    )
+    parts = [
+        "w AS (SELECT word, COUNT(*) AS cnt FROM (SELECT UNNEST("
+        "regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+')) AS "
+        "word FROM documents) GROUP BY word)",
+        f"s0 AS (SELECT word, cnt, {init.format(w='word')} AS state "
+        "FROM w)",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"p{i} AS (SELECT l, r, SUM(cnt) AS c FROM (SELECT cnt, "
+            "UNNEST(list_slice(toks, 1, len(toks) - 1)) AS l, "
+            "UNNEST(list_slice(toks, 2, len(toks))) AS r FROM ("
+            "SELECT cnt, string_split(substr(state, 2, "
+            f"length(state) - 2), '||') AS toks FROM s{i - 1})) "
+            "GROUP BY l, r)"
+        )
+        parts.append(
+            f"m{i} AS (SELECT l, r FROM p{i} "
+            "ORDER BY c DESC, l, r LIMIT 1)"
+        )
+        parts.append(
+            f"s{i} AS (SELECT word, cnt, {apply} "
+            f"FROM s{i - 1} LEFT JOIN m{i} m ON TRUE)"
+        )
+    parts.append(
+        # COALESCE: DuckDB's array_to_string([]) is NULL, Spark's
+        # array_join([]) is '' — a zero-word doc must encode as ''
+        "e0 AS (SELECT doc_id, COALESCE(array_to_string("
+        "list_transform("
+        "regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+'), "
+        f"w -> {init.format(w='w')}), '#'), '') AS state "
+        "FROM documents)"
+    )
+    for i in range(1, k + 1):
+        parts.append(
+            f"e{i} AS (SELECT doc_id, {apply} "
+            f"FROM e{i - 1} LEFT JOIN m{i} m ON TRUE)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT doc_id, CAST((length(state) - "
+        "length(replace(state, '|', ''))) // 2 AS BIGINT) AS n_tokens,"
+        f" state FROM e{k}"
+    )
+
+
+@register(
+    "t25_bpe_train_encode",
+    _t25_oracle(_T25_K),
+    doc=f"Iterative BPE: train {_T25_K} merges on word counts, encode "
+    "every doc under the trained vocab (exact token count + full "
+    "tokenized state). Scale shape: ONE corpus aggregate (word "
+    "counts); each training round touches only the vocabulary-sized "
+    "distinct-word relation and broadcasts a 1-row argmax; the "
+    "encoder is K 1-row broadcasts + row-local replaces, zero "
+    "shuffles. Oracle: the K rounds unrolled as CTEs (exact-integer "
+    "counts, total tie-break, shared replace semantics).",
+)
+def t25_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    merges, _states = bpe_train(docs, "text", _T25_K)
+    return bpe_encode(
+        docs.select("doc_id", "text"), "doc_id", "text", merges
+    )
+
+
+# ---------------------------------------------------------------------------
 # T24 — temperature-based source mixture (the multinomial data-mixing
 # recipe of XLM-R / LLaMA): source with corpus share p is sampled with
 # probability ∝ p^0.5, so tail sources up-sample (epochs > 1 via

@@ -839,6 +839,107 @@ class TestTemperatureMixture:
         assert "__mix_source" not in out.columns
 
 
+class TestBpe:
+    """Hand-computed pins for the iterative BPE trainer + encoder
+    (t25, operators/bpe.py)."""
+
+    _CORPUS = [(1, "the the the cat"), (2, "the hat")]
+
+    def test_merge_sequence_hand_computed(self, spark):
+        from garmin_data_pipeline_spark.operators.bpe import bpe_train
+
+        df = spark.createDataFrame(self._CORPUS, "doc_id long, text string")
+        merges, states = bpe_train(df, "text", 3)
+        got = [tuple(m.collect()[0]) for m in merges]
+        # counts: the=4, cat=1, hat=1.
+        # iter1: (t,h)=4, (h,e)=4, (a,t)=2, (c,a)=1, (h,a)=1 —
+        #        tie at 4 broken by left asc: (h,e)
+        # iter2: (t,he)=4 wins
+        # iter3: (a,t)=2 wins
+        assert got == [("h", "e"), ("t", "he"), ("a", "t")]
+        final = {r["word"]: r["state"] for r in states.collect()}
+        assert final == {
+            "the": "|the|", "cat": "|c||at|", "hat": "|h||at|",
+        }
+
+    def test_encode_hand_computed(self, spark):
+        from garmin_data_pipeline_spark.operators.bpe import (
+            bpe_encode,
+            bpe_train,
+        )
+
+        df = spark.createDataFrame(self._CORPUS, "doc_id long, text string")
+        merges, _ = bpe_train(df, "text", 3)
+        enc = {
+            r["doc_id"]: (r["n_tokens"], r["state"])
+            for r in bpe_encode(df, "doc_id", "text", merges).collect()
+        }
+        assert enc[1] == (5, "|the|#|the|#|the|#|c||at|")
+        assert enc[2] == (3, "|the|#|h||at|")
+
+    def test_greedy_left_merge_order(self, spark):
+        """'aaa' under merge (a,a) must become [aa, a] — BPE's
+        greedy-left semantics, carried by replace's left-to-right
+        non-overlapping scan on the boundary encoding."""
+        from garmin_data_pipeline_spark.operators.bpe import (
+            bpe_encode,
+            bpe_train,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "aaa aaa")], "doc_id long, text string"
+        )
+        merges, _ = bpe_train(df, "text", 1)
+        assert tuple(merges[0].collect()[0]) == ("a", "a")
+        r = bpe_encode(df, "doc_id", "text", merges).collect()[0]
+        assert r["state"] == "|aa||a|#|aa||a|" and r["n_tokens"] == 4
+
+    def test_empty_and_null_docs(self, spark):
+        from garmin_data_pipeline_spark.operators.bpe import (
+            bpe_encode,
+            bpe_train,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "the cat"), (2, ""), (3, None), (4, "123 !!")],
+            "doc_id long, text string",
+        )
+        merges, _ = bpe_train(df, "text", 2)
+        enc = {
+            r["doc_id"]: (r["n_tokens"], r["state"])
+            for r in bpe_encode(df, "doc_id", "text", merges).collect()
+        }
+        assert enc[2] == (0, "") and enc[3] == (0, "")
+        assert enc[4] == (0, "")  # no [a-z] words
+
+    def test_encoder_plan_has_zero_shuffles(self, spark):
+        """The ENCODE side (trained merges applied to docs) must be
+        shuffle-free: K 1-row broadcasts + row-local replaces. The
+        trainer's shuffles touch only the distinct-word relation."""
+        import re
+
+        from garmin_data_pipeline_spark.operators.bpe import (
+            bpe_encode,
+            bpe_train,
+        )
+
+        df = spark.createDataFrame(self._CORPUS, "doc_id long, text string")
+        merges, _ = bpe_train(df, "text", 2)
+        # materialize the merges so the encode plan stands alone
+        frozen = [
+            spark.createDataFrame([tuple(m.collect()[0])], "l string, r string")
+            for m in merges
+        ]
+        plan = (
+            bpe_encode(df, "doc_id", "text", frozen)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        shuffles = re.findall(
+            r"Exchange (?:hash|range|RoundRobin|Single)", plan
+        )
+        assert not shuffles, plan
+
+
 class TestSamplingPacking:
     def test_mod_sample_deterministic(self, spark):
         from garmin_data_pipeline_spark.operators.sampling import mod_sample
@@ -1228,6 +1329,95 @@ def test_text_query_oracles_on_edge_corpus(spark, tmp_path):
         # over degenerate docs
         "t24_temperature_mix", "s14_warc_scan",
         "m5_image_stats", "m6_audio_features", "m7_video_frame_stats",
+        # r12 additions — s15's extraction of empty/NULL bodies,
+        # e2e_crawl's gates dropping every degenerate doc, t25's
+        # trainer/encoder over docs with zero [a-z] words
+        "s15_html_extract", "e2e_crawl", "t25_bpe_train_encode",
+    ]
+    failures = {}
+    for name in targets:
+        sdf = qs[name](spark, str(tmp_path)).toPandas()
+        odf = con.execute(oracles[name]).df()
+        probs = compare(name, sdf, odf)
+        if probs:
+            failures[name] = probs
+    assert not failures, failures
+
+
+def test_text_query_oracles_on_multibyte_corpus(spark, tmp_path):
+    """VERDICT r11 directive 6: the text/crawl families must hold
+    oracle parity on a MULTIBYTE corpus — CJK, astral emoji,
+    precomposed AND combining accents, NBSP, U+2028 — proving their
+    char-semantics (Spark numChars == DuckDB length == codepoints,
+    md5 over UTF-8-encoded bytes on both sides, token regexes
+    treating non-[a-z0-9] runs identically in Java regex and RE2).
+
+    The m-family is EXCLUDED BY CONSTRUCTION: m4/m5 build pixel
+    payloads with rpad arithmetic that assumes byte == char (the
+    documented ASCII precondition pinned by
+    test_m4_oracle_ascii_precondition) — they are byte-domain
+    operators; everything here is char-domain."""
+    import sys
+    from pathlib import Path
+
+    import duckdb
+    import pandas as pd
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from check import compare
+
+    from garmin_data_pipeline_spark import plans
+
+    rows = [
+        (0, "中文文档 测试 the cat sat", "zh", 0, "web", 14),
+        (1, "emoji 🚀 rocket and 🎉 party the end", "en", 1, "web", 35),
+        (2, "café naive the same café naive again",
+         "fr", 2, "book", 38),
+        (3, "nbsp here and line sep the rest", "en", 3,
+         "web", 31),
+        (4, "the quick brown fox jumps over the lazy dog", "en", 4,
+         "web", 44),
+        (5, "the quick brown fox jumps over the lazy dog", "en", 5,
+         "web", 44),
+        (6, None, "en", 6, None, None),
+        (7, "ｆｕｌｌｗｉｄｔｈ ascii and ＡＢＣ", "en", 7, "code", 18),
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=["doc_id", "text", "lang", "chunk", "source", "n_chars"],
+    )
+    pdf["n_chars"] = pdf["n_chars"].astype("Int64")
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM '{tmp_path}/documents.parquet'"
+    )
+    qs = dict(plans.queries())
+    qs.update({n: q.fn for n, q in plans.PYTEST_QUERIES.items()})
+    oracles = dict(plans.oracle_sql())
+    oracles.update(
+        {n: q.oracle for n, q in plans.PYTEST_QUERIES.items()}
+    )
+    targets = [
+        # text kit — char-domain by construction
+        "t1_token_quality", "t2_language_id", "t3_fingerprint",
+        "t4_length_quantiles", "t7_bpe_token_count", "t10_clean_corpus",
+        "t11_document_chunking", "t12_pii_redaction", "t13_hash_split",
+        "t14_repetition_metrics", "t15_vocab_topk",
+        "t16_vocab_topk_per_lang", "t17_tfidf_matrix", "t18_bpe_pairs",
+        "t19_quality_verdicts", "t20_stratified_take_k",
+        "t21_unigram_logprob", "t22_lm_quality_zscore",
+        "t24_temperature_mix", "t25_bpe_train_encode",
+        # dedup over multibyte text
+        "d1_exact_dedup", "d2_token_jaccard_pairs",
+        "d8_prefix_jaccard_pairs", "d9_containment_pairs",
+        "d10_exact_substring_spans", "d10x_substring_excision",
+        # contamination
+        "c1_contamination", "c2_decontaminated_corpus",
+        # crawl front-end: UTF-8 through WARC bytes, HTML entities,
+        # and the fused pipeline
+        "s14_warc_scan", "s15_html_extract", "e2e_crawl",
     ]
     failures = {}
     for name in targets:

@@ -261,6 +261,14 @@ def test_registered_plans_stay_jvm_side(spark, sf_dir):
         # s14: WARC ingest — grouped Arrow encode (applyInPandas) +
         # Arrow record explode; the HTTP split stays JVM-side
         "s14_warc_scan",
+        # s15: HTML→text extraction — ONE Arrow-batched scalar
+        # pandas_udf (general entity decode + raw-text-mode tag
+        # handling are beyond column expressions); pinned to a single
+        # evaluation in functions/html.py
+        "s15_html_extract",
+        # e2e_crawl: the fused crawl front-end — s14's two Arrow
+        # stages + s15's one; everything downstream is JVM-side
+        "e2e_crawl",
     }
     # per-plan justifications live with the allowlist in plans/lint.py
     # (shared with tools/explain_audit.py's footer so prose and gate
@@ -275,6 +283,9 @@ def test_registered_plans_stay_jvm_side(spark, sf_dir):
         assert "BatchEvalPython" not in plan, f"{name}: row-wise Python"
         if name not in arrow_ok:
             assert "MapInPandas" not in plan, f"{name}: unexpected Python"
+            assert "ArrowEvalPython" not in plan, (
+                f"{name}: unexpected Python (pandas_udf)"
+            )
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
         if name not in nlj_ok:
             assert "BroadcastNestedLoopJoin" not in plan, (

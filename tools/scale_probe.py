@@ -152,6 +152,15 @@ PROBES = [
     # r11 seventh wave: per-archive gzip encode/decode is the wall —
     # linear in corpus bytes, file-per-task at CC scale
     "s14_warc_scan",
+    # r12: HTML extraction is a single Arrow projection (expected the
+    # m5/m6 per-row-kernel band); e2e_crawl stacks s14's archive walk
+    # + extraction + one hash-window shuffle (linear stages only);
+    # t25's training rounds touch the DISTINCT-WORD relation — vocab
+    # grows sublinearly in corpus size, so the ratio should sit WELL
+    # below linear (the encode pass is the only corpus-sized stage)
+    "s15_html_extract",
+    "e2e_crawl",
+    "t25_bpe_train_encode",
 ]
 
 WARMUPS = 1
