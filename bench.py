@@ -336,6 +336,10 @@ HEADLINE = [
     "s15_html_extract",
     "e2e_crawl",
     "t25_bpe_train_encode",
+    # r12 second wave: the fixed-weight quality scorer (pure
+    # row-local integer expressions — prices the zero-shuffle
+    # model-scoring pass next to rule-based t19).
+    "t26_quality_linear_score",
 ]
 
 

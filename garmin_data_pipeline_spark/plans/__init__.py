@@ -66,6 +66,13 @@ _HEAD = [
     "s15_html_extract",
     "e2e_crawl",
     "t25_bpe_train_encode",
+    # t26 registered second-wave (the r11 stretch: model-based
+    # quality scoring — the exact-integer fixed-weights twin carries
+    # the oracle signal; the pyspark.ml distillation is pytest-
+    # pinned). Funded by demoting t11_document_chunking (FOUR green
+    # rows r4/r6/r8/r10, a row-local chunk-explode projection) from
+    # the returning tail to the pytest tier.
+    "t26_quality_linear_score",
     # --- r11 first-timers: second consecutive rows ---
     "d10_exact_substring_spans",
     "d10x_substring_excision",
@@ -96,7 +103,6 @@ _HEAD = [
     "t16_vocab_topk_per_lang",
     "v7_label_centroids",
     "t18_bpe_pairs",
-    "t11_document_chunking",
     "t12_pii_redaction",
     "d1_exact_dedup",
     "m3_audio_windows",
@@ -188,6 +194,9 @@ _PYTEST_TIER = [
     "t1_token_quality",
     "m1_multimodal_metadata",
     "m2_frame_sampling",
+    # r12 second-wave demotion (funding t26_quality_linear_score):
+    # four green rows (r4/r6/r8/r10), row-local posexplode chunking
+    "t11_document_chunking",
     # r11 fourth-wave demotions (balancing the m5/m6 real-codec
     # registrations): t9 has SEVEN green driver rows
     # (r1/r2/r3/r4/r6/r8/r10), a12 has five (r3/r4/r6/r8/r10);

@@ -2471,6 +2471,78 @@ def e2e_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# T26 — model-based quality scoring (VERDICT r11 stretch item 8):
+# production pipelines distill heuristic signals into a TRAINED
+# classifier (CCNet, the GPT-3 WebText filter). The repo ships both
+# halves (operators/quality_model.py): pyspark.ml LogisticRegression
+# distillation behind the import guard (pytest-pinned by holdout
+# agreement with the t19 rule labels — LBFGS coefficients are
+# float-path-dependent, so bit-parity is NOT claimed there), and this
+# registered row: the deterministic closed-form-weights TWIN (the v9p
+# grid-book recipe) — the same engineered features as EXACT ppm
+# integers (the t24 `div` discipline) under fixed integer weights, so
+# the score is hash-stable cross-engine.
+# ---------------------------------------------------------------------------
+_T26_SH2 = T.sql_shingles(_TOKS, 2)
+
+
+@register(
+    "t26_quality_linear_score",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text, {_TOKS} AS toks FROM documents
+    ), f AS (
+        SELECT doc_id,
+               len(toks) AS f_tokens,
+               CASE WHEN len(toks) > 0 THEN
+                   (CAST(list_sum(list_transform(toks, x -> len(x)))
+                        AS BIGINT) * 1000000) // len(toks)
+                   ELSE 0 END AS f_mwl_ppm,
+               CASE WHEN len(toks) > 0 THEN
+                   (CAST({T.sql_stopword_hits("toks", "en")} AS BIGINT)
+                        * 1000000) // len(toks)
+                   ELSE 0 END AS f_stop_ppm,
+               CASE WHEN len(toks) > 0 THEN
+                   (CAST(len(list_distinct(toks)) AS BIGINT) * 1000000)
+                        // len(toks)
+                   ELSE 0 END AS f_dist_ppm,
+               CASE WHEN len(toks) - 1 > 0 THEN
+                   (CAST(len(toks) - 1 - len({_T26_SH2}) AS BIGINT)
+                        * 1000000) // (len(toks) - 1)
+                   ELSE 0 END AS f_dup2_ppm
+        FROM t
+    ), s AS (
+        SELECT *,
+               CAST(6 * f_stop_ppm + 2 * f_dist_ppm - 4 * f_dup2_ppm
+                    - 1 * abs(f_mwl_ppm - 4000000) - 1200000
+                    AS BIGINT) AS score
+        FROM f
+    )
+    SELECT doc_id, CAST(f_tokens AS BIGINT) AS f_tokens,
+           f_mwl_ppm, f_stop_ppm, f_dist_ppm, f_dup2_ppm,
+           score, CAST(score >= 0 AS INT) AS keep
+    FROM s
+    """,
+    doc="Model-based quality scoring, deterministic twin: engineered "
+    "features as exact ppm integers under fixed linear weights "
+    "(hand-distilled from the t19 Gopher gates); keep = score >= 0. "
+    "The trained pyspark.ml distillation lives beside it, "
+    "pytest-pinned by rule-label agreement. Scale shape: pure "
+    "row-local column expressions, zero shuffle, no UDF.",
+)
+def t26_quality_linear_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.quality_model import (
+        linear_quality_score,
+    )
+
+    return linear_quality_score(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+# ---------------------------------------------------------------------------
 # T25 — iterative BPE trainer + encoder (VERDICT r11 directive 4):
 # t18 computes ONE merge step; t25 loops it K times into a trained
 # vocabulary and then encodes every document under it — the full

@@ -940,6 +940,113 @@ class TestBpe:
         assert not shuffles, plan
 
 
+class TestQualityModel:
+    """Model-based quality scoring (t26, operators/quality_model.py):
+    the fixed-weight exact-integer twin plus the pyspark.ml
+    LogisticRegression distillation (pinned by rule-label agreement,
+    NOT bit-equality — LBFGS coefficients are float-path-dependent).
+    """
+
+    @staticmethod
+    def _corpus(spark):
+        content = [
+            "cat", "dog", "tree", "house", "river", "stone",
+            "cloud", "bird", "field", "lamp", "road", "boat",
+        ]
+        rows = []
+        for i in range(80):  # prose-like: stopwords, varied bigrams
+            c = [content[(i + j * (1 + i % 3)) % 12] for j in range(12)]
+            rows.append((
+                i,
+                f"the {c[0]} and the {c[1]} are near a {c[2]} in "
+                f"the {c[3]} while a {c[4]} is on the {c[5]} and "
+                f"some {c[6]} with the {c[7]} go to a {c[8]} as "
+                f"the {c[9]} or the {c[10]} sit by the {c[11]}",
+            ))
+        for i in range(80, 160):  # repetitive spam, no stopwords
+            w = content[i % 12]
+            rows.append((i, (w + " ") * 40))
+        for i in range(160, 240):  # stopword-free jargon
+            c = [content[(i + j * 5) % 12] for j in range(36)]
+            rows.append((i, " ".join(x + "ification" for x in c)))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_fixed_weights_separate_classes(self, spark):
+        from garmin_data_pipeline_spark.operators.quality_model import (
+            linear_quality_score,
+        )
+
+        out = linear_quality_score(
+            self._corpus(spark), "doc_id", "text"
+        ).collect()
+        keep = {r["doc_id"]: r["keep"] for r in out}
+        assert all(keep[i] == 1 for i in range(80)), "prose kept"
+        assert all(keep[i] == 0 for i in range(80, 240)), (
+            "spam/jargon dropped"
+        )
+
+    def test_distilled_classifier_agrees_with_rules(self, spark):
+        """Train LR on the fixed-weight twin's labels over 4/5 of the
+        corpus; holdout agreement must be high — the distillation
+        story (heuristic labels -> model) actually works."""
+        pytest.importorskip("pyspark.ml")
+        from garmin_data_pipeline_spark.operators.quality_model import (
+            linear_quality_score,
+            train_quality_classifier,
+        )
+
+        docs = self._corpus(spark)
+        labeled = docs.join(
+            linear_quality_score(docs, "doc_id", "text").select(
+                "doc_id", F.col("keep").alias("label")
+            ),
+            "doc_id",
+        )
+        train = labeled.filter("doc_id % 5 != 0")
+        test = labeled.filter("doc_id % 5 = 0")
+        model = train_quality_classifier(
+            train, "doc_id", "text", "label"
+        )
+        from pyspark.ml.feature import VectorAssembler
+        from garmin_data_pipeline_spark.operators.quality_model import (
+            quality_features_exact,
+        )
+
+        cols = [
+            "f_tokens", "f_mwl_ppm", "f_stop_ppm", "f_dist_ppm",
+            "f_dup2_ppm",
+        ]
+        feats = quality_features_exact(test, "doc_id", "text").join(
+            test.select("doc_id", "label"), "doc_id"
+        )
+        assembled = VectorAssembler(
+            inputCols=cols, outputCol="features"
+        ).transform(
+            feats.select(
+                "doc_id",
+                *[F.col(c).cast("double").alias(c) for c in cols],
+                F.col("label").cast("double").alias("label"),
+            )
+        )
+        pred = model.transform(assembled)
+        agree = pred.filter("prediction = label").count()
+        total = pred.count()
+        assert total == 48
+        assert agree / total >= 0.9, (agree, total)
+
+    def test_import_guard_message(self):
+        """The guard names the working alternative (repo posture)."""
+        import inspect
+
+        from garmin_data_pipeline_spark.operators import quality_model
+
+        src = inspect.getsource(
+            quality_model.train_quality_classifier
+        )
+        assert "NotImplementedError" in src
+        assert "linear_quality_score" in src
+
+
 class TestSamplingPacking:
     def test_mod_sample_deterministic(self, spark):
         from garmin_data_pipeline_spark.operators.sampling import mod_sample
@@ -1331,8 +1438,10 @@ def test_text_query_oracles_on_edge_corpus(spark, tmp_path):
         "m5_image_stats", "m6_audio_features", "m7_video_frame_stats",
         # r12 additions — s15's extraction of empty/NULL bodies,
         # e2e_crawl's gates dropping every degenerate doc, t25's
-        # trainer/encoder over docs with zero [a-z] words
+        # trainer/encoder over docs with zero [a-z] words, t26's
+        # guarded integer divisions on zero-token docs
         "s15_html_extract", "e2e_crawl", "t25_bpe_train_encode",
+        "t26_quality_linear_score",
     ]
     failures = {}
     for name in targets:
@@ -1409,6 +1518,7 @@ def test_text_query_oracles_on_multibyte_corpus(spark, tmp_path):
         "t19_quality_verdicts", "t20_stratified_take_k",
         "t21_unigram_logprob", "t22_lm_quality_zscore",
         "t24_temperature_mix", "t25_bpe_train_encode",
+        "t26_quality_linear_score",
         # dedup over multibyte text
         "d1_exact_dedup", "d2_token_jaccard_pairs",
         "d8_prefix_jaccard_pairs", "d9_containment_pairs",

@@ -161,6 +161,9 @@ PROBES = [
     "s15_html_extract",
     "e2e_crawl",
     "t25_bpe_train_encode",
+    # t26 is a zero-shuffle row-local projection — expected in the
+    # pure scan band
+    "t26_quality_linear_score",
 ]
 
 WARMUPS = 1
