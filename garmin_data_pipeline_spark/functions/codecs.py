@@ -538,6 +538,11 @@ def decode_png(payload: bytes) -> np.ndarray:
     if interlace != 0:
         raise ValueError("interlaced PNG not supported")
     channels = _PNG_CHANNELS[color_type]
+    if w == 0 or h == 0:
+        # reject zero-dimension images BEFORE the bounded inflate:
+        # need == 0 would mean max_length=0, which zlib treats as
+        # UNLIMITED — the exact bomb bypass the bound exists to close
+        raise ValueError("PNG with zero dimension")
     _check_pixels(w * h, "PNG IHDR")
     stride = w * channels
     need = h * (stride + 1)

@@ -69,12 +69,18 @@ class _TextExtractor(HTMLParser):
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self._skip = 0
+        # STACK of open skip tags, not a counter: a stray </script>
+        # inside a <template> must NOT end the template's skip — only
+        # a closer matching the innermost open skip tag pops it.
+        # (script/style get the parser's raw-text mode, so only their
+        # real closer fires an endtag; template does not — its nested
+        # markup raises events, hence the stack.)
+        self._skip: list[str] = []
         self.parts: list[str] = []
 
     def handle_starttag(self, tag, attrs):  # noqa: D102
         if tag in _SKIP_CONTENT:
-            self._skip += 1
+            self._skip.append(tag)
         self.parts.append(" ")
 
     def handle_startendtag(self, tag, attrs):  # noqa: D102
@@ -82,8 +88,8 @@ class _TextExtractor(HTMLParser):
         self.parts.append(" ")
 
     def handle_endtag(self, tag):  # noqa: D102
-        if tag in _SKIP_CONTENT and self._skip:
-            self._skip -= 1
+        if self._skip and self._skip[-1] == tag:
+            self._skip.pop()
         self.parts.append(" ")
 
     def handle_data(self, data):  # noqa: D102

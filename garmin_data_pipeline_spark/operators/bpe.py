@@ -130,8 +130,21 @@ def bpe_train(
     merges: list[DataFrame] = []
     for _ in range(k):
         pairs = _adjacent_pairs(states, "cnt")
+        # localCheckpoint(eager): MATERIALIZE the 1-row argmax and cut
+        # its lineage. Without this, merge i embeds the full training
+        # prefix and states(i+1) = join(states(i), merge(i)) doubles
+        # the plan per round — the final K=8 plan re-derived the word
+        # aggregate 2^K times (256 scans, ~1 MB plan; caught in the
+        # r12 review). With it, training runs K tiny jobs (the loop
+        # is action-driven anyway, like pyspark.ml's fit) and both
+        # the per-round state plan and the encoder stay LINEAR in K —
+        # making the module's one-corpus-aggregate claim actually
+        # true. Same device as the v9r shortlist checkpoint.
         best = (
-            pairs.orderBy(F.desc("c"), "l", "r").limit(1).select("l", "r")
+            pairs.orderBy(F.desc("c"), "l", "r")
+            .limit(1)
+            .select("l", "r")
+            .localCheckpoint(eager=True)
         )
         merges.append(best)
         states = _apply_merge(states, best)

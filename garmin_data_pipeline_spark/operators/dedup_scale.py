@@ -105,9 +105,17 @@ def sql_base_hash32(expr: str) -> str:
 
 
 def normalize_text(col):
-    """Normalization for exact dedup: lowercase + collapse whitespace."""
+    """Normalization for exact dedup: lowercase + collapse whitespace.
+
+    The whitespace class is written out as RE2's ``\\s`` ([ \\t\\n\\r\\f])
+    rather than Java's ``\\s`` (which also includes VT, 0x0B): the
+    DuckDB oracles collapse with RE2 semantics, so a VT in the corpus
+    would otherwise hash differently per engine (found in the r12
+    review auditing e2e_crawl's dedup stage against the s15 kernel's
+    pinned VT-preserving normalization).
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(c), "[ \t\n\r\f]+", " "))
 
 
 def exact_duplicates(

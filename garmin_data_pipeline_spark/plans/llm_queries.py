@@ -2073,6 +2073,83 @@ def t13_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Shared crawl-fixture helpers (s14 / s15 / e2e_crawl): ONE archive
+# builder and ONE escape chain, so a fix to the framing or the
+# entity escaping can never drift between the stage queries and the
+# fused pipeline that claims to compose them (r12 review finding).
+# ---------------------------------------------------------------------------
+def _escape_html(col):
+    """&/</> escape — & FIRST so the others' entities survive."""
+    esc = F.regexp_replace(
+        F.coalesce(col, F.lit("")), "&", "&amp;"
+    )
+    esc = F.regexp_replace(esc, "<", "&lt;")
+    return F.regexp_replace(esc, ">", "&gt;")
+
+
+def _http_body_expr() -> "F.Column":
+    """JVM-side HTTP body split of a parsed WARC record's content."""
+    return F.expr(
+        "substring(decode(content, 'UTF-8'), "
+        "locate('\\r\\n\\r\\n', decode(content, 'UTF-8')) + 4)"
+    )
+
+
+def _warc_fixture_records(docs: DataFrame, content_type: str) -> DataFrame:
+    """Pack (doc_id, body) rows into REAL multi-record per-member-
+    gzip WARC archives (50 response records each, the CC layout)
+    in-query, then re-ingest them through the real parser. Returns
+    the parsed record rows (sources/warc.py schema)."""
+    import pandas as pd
+
+    from garmin_data_pipeline_spark.sources.warc import (
+        encode_warc,
+        records_from_archives,
+    )
+
+    docs = docs.select(
+        "doc_id",
+        "body",
+        (F.col("doc_id") / 50).cast("bigint").alias("archive_id"),
+    )
+    header = (
+        f"HTTP/1.1 200 OK\r\nContent-Type: {content_type}\r\n\r\n"
+    ).encode("ascii")
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")  # deterministic archive bytes
+        recs = [
+            {
+                "type": "response",
+                "uri": f"http://corpus.example/doc/{int(r.doc_id)}",
+                "date": "2026-01-01T00:00:00Z",
+                "content": header + str(r.body).encode("utf-8"),
+            }
+            for r in pdf.itertuples()
+        ]
+        return pd.DataFrame(
+            {
+                "archive_id": [int(pdf["archive_id"].iloc[0])],
+                "payload": [encode_warc(recs, gzip_members=True)],
+            }
+        )
+
+    archives = docs.groupBy("archive_id").applyInPandas(
+        build, schema="archive_id bigint, payload binary"
+    )
+    return records_from_archives(archives, "payload")
+
+
+def _record_doc_id() -> "F.Column":
+    """Recover the doc id the fixture encoded into the record URI."""
+    return (
+        F.regexp_extract(F.col("target_uri"), r"doc/(\d+)$", 1)
+        .cast("bigint")
+        .alias("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # S14 — WARC ingestion (ISO 28500, the Common Crawl container): the
 # documents table is packed into REAL multi-record per-member-gzip
 # WARC archives (50 response records each, the CC layout) inside the
@@ -2104,55 +2181,14 @@ def t13_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "production CC reader.",
 )
 def s14_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-
-    from garmin_data_pipeline_spark.sources.warc import (
-        encode_warc,
-        records_from_archives,
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("body"),
     )
-
-    docs = (
-        table(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("text"), F.lit("")).alias("text"),
-            (F.col("doc_id") / 50).cast("bigint").alias("archive_id"),
-        )
-    )
-
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")  # deterministic archive bytes
-        recs = [
-            {
-                "type": "response",
-                "uri": f"http://corpus.example/doc/{int(r.doc_id)}",
-                "date": "2026-01-01T00:00:00Z",
-                "content": (
-                    b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
-                    b"\r\n" + str(r.text).encode("utf-8")
-                ),
-            }
-            for r in pdf.itertuples()
-        ]
-        return pd.DataFrame(
-            {
-                "archive_id": [int(pdf["archive_id"].iloc[0])],
-                "payload": [encode_warc(recs, gzip_members=True)],
-            }
-        )
-
-    archives = docs.groupBy("archive_id").applyInPandas(
-        build, schema="archive_id bigint, payload binary"
-    )
-    recs = records_from_archives(archives, "payload")
-    body = F.expr(
-        "substring(decode(content, 'UTF-8'), "
-        "locate('\\r\\n\\r\\n', decode(content, 'UTF-8')) + 4)"
-    )
+    recs = _warc_fixture_records(docs, "text/plain")
+    body = _http_body_expr()
     return recs.filter(F.col("parse_error").isNull()).select(
-        F.regexp_extract(F.col("target_uri"), r"doc/(\d+)$", 1)
-        .cast("bigint")
-        .alias("doc_id"),
+        _record_doc_id(),
         F.col("warc_type"),
         F.length(body).cast("bigint").alias("body_len"),
         F.md5(F.encode(body, "UTF-8")).alias("body_md5"),
@@ -2209,17 +2245,7 @@ def s15_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     did = F.col("doc_id").cast("string")
-    esc = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.coalesce(F.col("text"), F.lit("")), "&", "&amp;"
-            ),
-            "<",
-            "&lt;",
-        ),
-        ">",
-        "&gt;",
-    )
+    esc = _escape_html(F.col("text"))
     html = F.concat(
         F.lit("<!DOCTYPE html><html><head><title>Doc "),
         did,
@@ -2331,7 +2357,6 @@ _CRAWL_SUFFIX = " raw &amp; <b> Hi O end"
     "a single evaluation (see functions/html.py).",
 )
 def e2e_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
     from pyspark.sql.window import Window
 
     from garmin_data_pipeline_spark.functions.html import html_to_text
@@ -2344,10 +2369,6 @@ def e2e_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
         stopword_hits,
         tokens,
     )
-    from garmin_data_pipeline_spark.sources.warc import (
-        encode_warc,
-        records_from_archives,
-    )
 
     html = F.concat(
         F.lit(
@@ -2357,17 +2378,7 @@ def e2e_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
             "<!-- header boilerplate --><h1>Crawl Result</h1>"
             f'<span lang="zh">{_S15_MB}</span><p data-x="a>b">'
         ),
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(
-                    F.coalesce(F.col("text"), F.lit("")), "&", "&amp;"
-                ),
-                "<",
-                "&lt;",
-            ),
-            ">",
-            "&gt;",
-        ),
+        _escape_html(F.col("text")),
         F.lit(
             "</p><![CDATA[raw]]><div>&amp;amp; &lt;b&gt; &#72;&#105;"
             " &#x4F; &nbsp;end</div></body></html>"
@@ -2381,46 +2392,12 @@ def e2e_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 1000000).alias("doc_id"), "text"
         )
     )
-    docs = crawl.select(
-        "doc_id",
-        html.alias("html"),
-        (F.col("doc_id") / 50).cast("bigint").alias("archive_id"),
-    )
-
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")  # deterministic archive bytes
-        recs = [
-            {
-                "type": "response",
-                "uri": f"http://corpus.example/doc/{int(r.doc_id)}",
-                "date": "2026-01-01T00:00:00Z",
-                "content": (
-                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-                    b"\r\n" + str(r.html).encode("utf-8")
-                ),
-            }
-            for r in pdf.itertuples()
-        ]
-        return pd.DataFrame(
-            {
-                "archive_id": [int(pdf["archive_id"].iloc[0])],
-                "payload": [encode_warc(recs, gzip_members=True)],
-            }
-        )
-
-    archives = docs.groupBy("archive_id").applyInPandas(
-        build, schema="archive_id bigint, payload binary"
-    )
-    recs = records_from_archives(archives, "payload")
-    body = F.expr(
-        "substring(decode(content, 'UTF-8'), "
-        "locate('\\r\\n\\r\\n', decode(content, 'UTF-8')) + 4)"
+    recs = _warc_fixture_records(
+        crawl.select("doc_id", html.alias("body")), "text/html"
     )
     pages = recs.filter(F.col("parse_error").isNull()).select(
-        F.regexp_extract(F.col("target_uri"), r"doc/(\d+)$", 1)
-        .cast("bigint")
-        .alias("doc_id"),
-        html_to_text(body).alias("text"),
+        _record_doc_id(),
+        html_to_text(_http_body_expr()).alias("text"),
     )
     text = F.col("text")
     toks = tokens(text)

@@ -20,12 +20,18 @@ that predicts them from the raw text without ever framing a record.
 is the split unit (``binaryFile`` scan, one task per archive), which
 matches how every production CC reader works; within a task the
 gzip stream decodes ONE member at a time (records never span members
-in the CC layout), so decompression peak memory is one member — never
-the whole ~3-4 GB decompressed archive — and each member's inflate is
-bounded by ``MAX_MEMBER_BYTES`` (gzip-bomb guard; beyond it is a
-ValueError, i.e. an error row). Payload bytes go row-wise into the
-DataFrame (never driver-side). Corrupt records follow the multimodal
-posture: a malformed archive yields an error row, not a dead job.
+in the CC layout), so the DECOMPRESSION BUFFER is one member — the
+old implementation additionally held the whole joined ~3-4 GB
+decompressed archive — and each member's inflate is bounded by
+``MAX_MEMBER_BYTES`` (gzip-bomb guard; beyond it is a ValueError,
+i.e. an error row). Honest sizing note: ``records_from_archives``
+still accumulates the archive's RECORD CONTENTS before emitting
+(its all-records-or-one-error-row contract requires it), so its peak
+is raw payload + record payloads; only direct ``iter_warc_records``
+consumers get true record-at-a-time streaming. Payload bytes go
+row-wise into the DataFrame (never driver-side). Corrupt records
+follow the multimodal posture: a malformed archive yields an error
+row, not a dead job.
 """
 
 from __future__ import annotations

@@ -924,3 +924,20 @@ def test_png_idat_inflate_is_bounded():
     out = C.decode_png(png)
     assert out.shape == (2, 2)
     assert out[0, 0] == 7 and out[0, 1] == 9
+
+
+def test_png_zero_dimension_rejected_before_inflate():
+    """r12 review: need == 0 would make the bounded inflate UNBOUNDED
+    (zlib treats max_length=0 as unlimited) — zero-dim PNGs must be
+    rejected before the inflate."""
+    bomb = zlib.compress(b"\x00" * (8 * 1024 * 1024))
+    for w, h in ((4, 0), (0, 4)):
+        ihdr = _chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        )
+        png = (
+            C._PNG_SIG + ihdr + _chunk(b"IDAT", bomb)
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="zero dimension"):
+            C.decode_png(png)

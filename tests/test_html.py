@@ -110,3 +110,12 @@ class TestSparkKernel:
         assert "BatchEvalPython" not in plan
         got = {r["id"]: r["t"] for r in out.collect()}
         assert got == {1: "a", 2: None, 3: "c&d"}
+
+
+class TestReviewRegressions:
+    def test_stray_closer_inside_template_does_not_leak(self):
+        """r12 review: a stray </script> inside <template> must not
+        end the template's skip — skip state is a matching stack."""
+        assert X("<template>hidden</script>leaked</template>ok") == "ok"
+        assert X("<template>a<script>b</script>c</template>ok") == "ok"
+        assert X("</template>stray closer ok") == "stray closer ok"

@@ -925,19 +925,42 @@ class TestBpe:
 
         df = spark.createDataFrame(self._CORPUS, "doc_id long, text string")
         merges, _ = bpe_train(df, "text", 2)
-        # materialize the merges so the encode plan stands alone
-        frozen = [
-            spark.createDataFrame([tuple(m.collect()[0])], "l string, r string")
-            for m in merges
-        ]
+        # the SHIPPED path: bpe_train's merges are eager local
+        # checkpoints (1 row each), so the encode plan stands alone —
+        # no training lineage, no shuffle
         plan = (
-            bpe_encode(df, "doc_id", "text", frozen)
+            bpe_encode(df, "doc_id", "text", merges)
             ._jdf.queryExecution().executedPlan().toString()
         )
         shuffles = re.findall(
             r"Exchange (?:hash|range|RoundRobin|Single)", plan
         )
         assert not shuffles, plan
+        assert "HashAggregate" not in plan, "training lineage leaked"
+
+    def test_training_lineage_stays_linear_in_k(self, spark):
+        """r12 review: without the per-round merge checkpoint the
+        encode plan re-derived the word aggregate 2^K times (256
+        scans at the registered K=8). Pin the fix: scan count in the
+        final plan must not grow with K."""
+        from garmin_data_pipeline_spark.operators.bpe import (
+            bpe_encode,
+            bpe_train,
+        )
+
+        df = spark.createDataFrame(self._CORPUS, "doc_id long, text string")
+        counts = []
+        for k in (2, 4):
+            merges, _ = bpe_train(df, "text", k)
+            plan = (
+                bpe_encode(df, "doc_id", "text", merges)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            counts.append(plan.count("Scan ExistingRDD"))
+        # one corpus-side scan; each checkpointed merge is a 1-row
+        # LogicalRDD — K+1-ish scans, NEVER 2^K
+        assert counts[1] - counts[0] == 2, counts
+        assert counts[1] <= 6, counts
 
 
 class TestQualityModel:
