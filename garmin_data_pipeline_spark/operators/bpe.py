@@ -180,8 +180,49 @@ def bpe_encode(
     n_tokens = F.expr(
         "(length(state) - length(replace(state, '|', ''))) div 2"
     )
-    return out.select(
+    # Model-ready token IDS under the trained vocab, still zero
+    # shuffle: every token is pipe-delimited, so whole-token
+    # replaces can map tokens to numeric ids with no explode/join.
+    # Vocabulary ids are the standard merge-order assignment: chars
+    # a..z take 0..25 (26 static replaces), merge i takes 25+i (K
+    # broadcast replaces). Alpha patterns can never match inside an
+    # already-numeric id, and the |tok| boundaries mean replace
+    # order is irrelevant. Output: ','-joined ids within a word,
+    # ';' between words — scalar, deterministic, oracle-mirrorable.
+    ids = F.col("state")
+    for i, m in enumerate(merges):
+        mm = m.select(
+            F.col("l").alias("__m_l"), F.col("r").alias("__m_r")
+        )
+        out = out.join(F.broadcast(mm), F.lit(True), "left")
+        pattern = F.concat(
+            F.lit("|"), F.col("__m_l"), F.col("__m_r"), F.lit("|")
+        )
+        ids = F.when(F.col("__m_l").isNull(), ids).otherwise(
+            F.replace(ids, pattern, F.lit(f"|{26 + i}|"))
+        )
+        out = out.withColumn("__ids", ids).drop("__m_l", "__m_r")
+        ids = F.col("__ids")
+    for c in "abcdefghijklmnopqrstuvwxyz":
+        ids = F.replace(
+            ids, F.lit(f"|{c}|"), F.lit(f"|{ord(c) - 97}|")
+        )
+    ids_str = F.replace(
+        F.replace(
+            F.expr(
+                "CASE WHEN length(__ids_done) >= 2 THEN "
+                "substring(__ids_done, 2, length(__ids_done) - 2) "
+                "ELSE '' END"
+            ),
+            F.lit("||"),
+            F.lit(","),
+        ),
+        F.lit("|#|"),
+        F.lit(";"),
+    )
+    return out.withColumn("__ids_done", ids).select(
         id_col,
         n_tokens.cast("bigint").alias("n_tokens"),
         F.col("state"),
+        ids_str.alias("token_ids"),
     )

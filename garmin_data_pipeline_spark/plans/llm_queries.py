@@ -2585,11 +2585,28 @@ def _t25_oracle(k: int) -> str:
             f"e{i} AS (SELECT doc_id, {apply} "
             f"FROM e{i - 1} LEFT JOIN m{i} m ON TRUE)"
         )
+    # token-id emission (merge-order vocab): merge i -> id 25+i via
+    # its 1-row CTE, chars a..z -> 0..25 as nested static replaces
+    parts.append(f"i0 AS (SELECT doc_id, state, state AS ids FROM e{k})")
+    for i in range(1, k + 1):
+        parts.append(
+            f"i{i} AS (SELECT doc_id, state, CASE WHEN m.l IS NULL "
+            "THEN ids ELSE replace(ids, "
+            f"'|' || m.l || m.r || '|', '|{25 + i}|') END AS ids "
+            f"FROM i{i - 1} LEFT JOIN m{i} m ON TRUE)"
+        )
+    ids_expr = "ids"
+    for ci, c in enumerate("abcdefghijklmnopqrstuvwxyz"):
+        ids_expr = f"replace({ids_expr}, '|{c}|', '|{ci}|')"
     return (
         "WITH " + ",\n".join(parts)
+        + f",\nix AS (SELECT doc_id, state, {ids_expr} AS idn "
+        f"FROM i{k})"
         + "\nSELECT doc_id, CAST((length(state) - "
         "length(replace(state, '|', ''))) // 2 AS BIGINT) AS n_tokens,"
-        f" state FROM e{k}"
+        " state, CASE WHEN length(idn) >= 2 THEN "
+        "replace(replace(substr(idn, 2, length(idn) - 2), "
+        "'||', ','), '|#|', ';') ELSE '' END AS token_ids FROM ix"
     )
 
 

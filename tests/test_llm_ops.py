@@ -871,11 +871,16 @@ class TestBpe:
         df = spark.createDataFrame(self._CORPUS, "doc_id long, text string")
         merges, _ = bpe_train(df, "text", 3)
         enc = {
-            r["doc_id"]: (r["n_tokens"], r["state"])
+            r["doc_id"]: (r["n_tokens"], r["state"], r["token_ids"])
             for r in bpe_encode(df, "doc_id", "text", merges).collect()
         }
-        assert enc[1] == (5, "|the|#|the|#|the|#|c||at|")
-        assert enc[2] == (3, "|the|#|h||at|")
+        # merge-order vocab ids: chars a..z -> 0..25, merge i -> 25+i
+        # (merges here: 1=(h,e) 'he'->26, 2=(t,he) 'the'->27,
+        # 3=(a,t) 'at'->28); c=2, h=7
+        assert enc[1] == (
+            5, "|the|#|the|#|the|#|c||at|", "27;27;27;2,28",
+        )
+        assert enc[2] == (3, "|the|#|h||at|", "27;7,28")
 
     def test_greedy_left_merge_order(self, spark):
         """'aaa' under merge (a,a) must become [aa, a] — BPE's
@@ -958,9 +963,10 @@ class TestBpe:
             )
             counts.append(plan.count("Scan ExistingRDD"))
         # one corpus-side scan; each checkpointed merge is a 1-row
-        # LogicalRDD — K+1-ish scans, NEVER 2^K
-        assert counts[1] - counts[0] == 2, counts
-        assert counts[1] <= 6, counts
+        # LogicalRDD referenced twice (state replace + token-id
+        # replace) — 2K+1 scans, LINEAR in K, never 2^K
+        assert counts[1] - counts[0] == 4, counts
+        assert counts[1] <= 10, counts
 
 
 class TestQualityModel:
