@@ -340,6 +340,9 @@ HEADLINE = [
     # row-local integer expressions — prices the zero-shuffle
     # model-scoring pass next to rule-based t19).
     "t26_quality_linear_score",
+    # r12 third wave: URL/domain curation (row-local parses +
+    # broadcast blocklist anti-join + ONE capped per-domain window).
+    "s16_url_curation",
 ]
 
 

@@ -73,6 +73,11 @@ _HEAD = [
     # rows r4/r6/r8/r10, a row-local chunk-explode projection) from
     # the returning tail to the pytest tier.
     "t26_quality_linear_score",
+    # s16 registered third-wave (URL/domain curation: blocklist
+    # anti-join + per-domain cap — the crawl-side curation stage).
+    # Funded by demoting t12_pii_redaction (FOUR green rows
+    # r4/r6/r8/r10, a row-local regex-redaction projection).
+    "s16_url_curation",
     # --- r11 first-timers: second consecutive rows ---
     "d10_exact_substring_spans",
     "d10x_substring_excision",
@@ -103,7 +108,6 @@ _HEAD = [
     "t16_vocab_topk_per_lang",
     "v7_label_centroids",
     "t18_bpe_pairs",
-    "t12_pii_redaction",
     "d1_exact_dedup",
     "m3_audio_windows",
     "j5_asof_join",
@@ -197,6 +201,9 @@ _PYTEST_TIER = [
     # r12 second-wave demotion (funding t26_quality_linear_score):
     # four green rows (r4/r6/r8/r10), row-local posexplode chunking
     "t11_document_chunking",
+    # r12 third-wave demotion (funding s16_url_curation): four green
+    # rows (r4/r6/r8/r10), row-local regex-redaction projection
+    "t12_pii_redaction",
     # r11 fourth-wave demotions (balancing the m5/m6 real-codec
     # registrations): t9 has SEVEN green driver rows
     # (r1/r2/r3/r4/r6/r8/r10), a12 has five (r3/r4/r6/r8/r10);

@@ -2275,6 +2275,96 @@ def s15_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S16 — URL / domain curation (the crawl-side curation stage every
+# production pipeline runs between the WARC scan and document
+# filtering): parse host/registered-domain/TLD/path-depth, drop
+# blocklisted domains (UT1-style, broadcast LEFT ANTI), cap each
+# registered domain's contribution at K docs by salted-md5 rank (the
+# C4/Gopher anti-SEO-farm device). URLs are derived deterministically
+# from doc_id in-query (the t24 bucket recipe — the synthetic corpus
+# has no URL column): a skewed host mix incl. subdomains that
+# collapse to one registered domain, a blocked spam host, and
+# variable path depths, so every stage discriminates.
+# ---------------------------------------------------------------------------
+# CAST(... AS STRING): the one spelling BOTH engines parse (Spark has
+# no bare VARCHAR; DuckDB aliases STRING to VARCHAR) — this expr runs
+# verbatim in the Spark plan AND the DuckDB oracle
+_S16_HOST = (
+    "CASE WHEN doc_id % 20 < 8 THEN 'en.wikipedia.org' "
+    "WHEN doc_id % 20 < 13 THEN "
+    "'u' || CAST(doc_id % 7 AS STRING) || '.blogspot.com' "
+    "WHEN doc_id % 20 < 16 THEN 'spam-mill.example' "
+    "WHEN doc_id % 20 < 18 THEN 'docs.github.io' "
+    "ELSE 'arxiv.org' END"
+)
+_S16_URL = (
+    f"'https://' || {_S16_HOST} || '/p/' || CAST(doc_id AS STRING) "
+    "|| CASE WHEN doc_id % 3 = 0 THEN '/a/b' ELSE '' END"
+)
+_S16_K = 30
+_S16_RANK_HASH = "md5(CAST(doc_id AS VARCHAR) || '#s16-v1')"
+
+
+@register(
+    "s16_url_curation",
+    f"""
+    WITH u AS (
+        SELECT doc_id, {_S16_URL} AS url FROM documents
+    ), p AS (
+        SELECT doc_id, url,
+               regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+               regexp_extract(regexp_extract(url,
+                   '^https?://([^/]+)', 1),
+                   '([^.]+\\.[^.]+)$', 1) AS reg_domain,
+               regexp_extract(regexp_extract(url,
+                   '^https?://([^/]+)', 1),
+                   '\\.([a-z]+)$', 1) AS tld,
+               CAST(length(regexp_replace(url, '^https?://[^/]+', ''))
+                    - length(replace(regexp_replace(url,
+                          '^https?://[^/]+', ''), '/', ''))
+                    AS BIGINT) AS path_depth
+        FROM u
+    ), kept AS (
+        SELECT *,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY reg_domain
+                   ORDER BY {_S16_RANK_HASH}
+               ) AS BIGINT) AS domain_rank
+        FROM p
+        WHERE reg_domain NOT IN ('spam-mill.example')
+    )
+    SELECT doc_id, host, reg_domain, tld, path_depth, domain_rank
+    FROM kept WHERE domain_rank <= {_S16_K}
+    """,
+    doc="URL/domain curation: host/registered-domain/TLD/path-depth "
+    "parse, UT1-style blocklist anti-join, per-domain cap at "
+    f"{_S16_K} docs by salted-md5 rank (the C4/Gopher anti-"
+    "domination device). Scale shape: row-local parses, a broadcast "
+    "anti-join, ONE per-domain window shuffle whose output the cap "
+    "itself bounds.",
+)
+def s16_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.urls import (
+        blocklist_filter,
+        domain_cap,
+        parse_url_columns,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_S16_URL).alias("url")
+    )
+    parsed = parse_url_columns(docs, "url")
+    blocklist = spark.createDataFrame(
+        [("spam-mill.example",)], "blocked string"
+    )
+    kept = blocklist_filter(parsed, "reg_domain", blocklist)
+    return domain_cap(kept, "doc_id", "reg_domain", _S16_K).select(
+        "doc_id", "host", "reg_domain", "tld", "path_depth",
+        "domain_rank",
+    )
+
+
+# ---------------------------------------------------------------------------
 # E2E-CRAWL — the fused crawl front-end (VERDICT r11 directive 2):
 # WARC scan (s14) → HTML→text extraction (s15) → language ID (t2) →
 # Gopher quality verdicts (t19) → exact dedup annotation (d1) as ONE

@@ -1076,6 +1076,70 @@ class TestQualityModel:
         assert "linear_quality_score" in src
 
 
+class TestUrlCuration:
+    """URL/domain curation operators (s16, operators/urls.py)."""
+
+    def test_parse_url_columns(self, spark):
+        from garmin_data_pipeline_spark.operators.urls import (
+            parse_url_columns,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "https://u3.blogspot.com/p/1/a/b"),
+                (2, "http://arxiv.org/abs/1234"),
+                (3, "https://en.wikipedia.org/"),
+            ],
+            "doc_id long, url string",
+        )
+        got = {
+            r["doc_id"]: (
+                r["host"], r["reg_domain"], r["tld"], r["path_depth"]
+            )
+            for r in parse_url_columns(df, "url").collect()
+        }
+        assert got[1] == ("u3.blogspot.com", "blogspot.com", "com", 4)
+        assert got[2] == ("arxiv.org", "arxiv.org", "org", 2)
+        assert got[3] == ("en.wikipedia.org", "wikipedia.org", "org", 1)
+
+    def test_blocklist_and_cap(self, spark):
+        from garmin_data_pipeline_spark.operators.urls import (
+            blocklist_filter,
+            domain_cap,
+        )
+
+        rows = [(i, "spam.bad" if i % 3 == 0 else "ok.good")
+                for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, reg_domain string")
+        bl = spark.createDataFrame([("spam.bad",)], "blocked string")
+        kept = blocklist_filter(df, "reg_domain", bl)
+        assert kept.filter("reg_domain = 'spam.bad'").count() == 0
+        capped = domain_cap(kept, "doc_id", "reg_domain", 5)
+        assert capped.count() == 5
+        # deterministic: same salt -> same survivors
+        again = domain_cap(kept, "doc_id", "reg_domain", 5)
+        a = sorted(r["doc_id"] for r in capped.collect())
+        b = sorted(r["doc_id"] for r in again.collect())
+        assert a == b
+        # different salt -> (almost surely) different survivors
+        other = domain_cap(kept, "doc_id", "reg_domain", 5, salt="x")
+        c = sorted(r["doc_id"] for r in other.collect())
+        assert a != c
+
+    def test_cap_window_is_partitioned(self, spark):
+        from garmin_data_pipeline_spark.operators.urls import domain_cap
+
+        df = spark.createDataFrame(
+            [(i, f"d{i % 4}.com") for i in range(40)],
+            "doc_id long, reg_domain string",
+        )
+        plan = (
+            domain_cap(df, "doc_id", "reg_domain", 3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "windowspecdefinition(reg_domain" in plan
+
+
 class TestSamplingPacking:
     def test_mod_sample_deterministic(self, spark):
         from garmin_data_pipeline_spark.operators.sampling import mod_sample
@@ -1471,6 +1535,9 @@ def test_text_query_oracles_on_edge_corpus(spark, tmp_path):
         # guarded integer divisions on zero-token docs
         "s15_html_extract", "e2e_crawl", "t25_bpe_train_encode",
         "t26_quality_linear_score",
+        # s16 derives URLs from doc_id alone — included to pin the
+        # window/cap behavior on a tiny skewed id set
+        "s16_url_curation",
     ]
     failures = {}
     for name in targets:

@@ -164,6 +164,9 @@ PROBES = [
     # t26 is a zero-shuffle row-local projection — expected in the
     # pure scan band
     "t26_quality_linear_score",
+    # s16: one window shuffle whose output the per-domain cap bounds
+    # (output rows CONSTANT at 10x input — the cap is the point)
+    "s16_url_curation",
 ]
 
 WARMUPS = 1
