@@ -189,6 +189,15 @@ def bpe_encode(
     # already-numeric id, and the |tok| boundaries mean replace
     # order is irrelevant. Output: ','-joined ids within a word,
     # ';' between words — scalar, deterministic, oracle-mirrorable.
+    # COLLISION RULE (ADVICE r12): ids are keyed by token STRING, so
+    # if two distinct merges produce the same surface string — e.g.
+    # (a,bc) and (ab,c) both yielding 'abc' — every occurrence maps
+    # to the EARLIEST such merge's id (its replace runs first and the
+    # numeric form can't re-match). This matches standard BPE
+    # vocabularies, which are string-keyed (a duplicate surface form
+    # is one vocab entry; later duplicate merges add no new id) —
+    # token_ids identify vocab entries, not which merge produced a
+    # given occurrence. Deterministic, and the oracle mirrors it.
     ids = F.col("state")
     for i, m in enumerate(merges):
         mm = m.select(

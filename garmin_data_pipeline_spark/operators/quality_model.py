@@ -55,8 +55,9 @@ PPM = 1_000_000
 # Hand-distilled linear form of the t19 Gopher gates (integer ppm
 # domain). Signs follow the rules: stopwords and lexical diversity
 # are quality-positive, 2-gram repetition and mean-word-length
-# distance from the English-prose center (~6.5 chars) are negative;
-# the bias sets the keep threshold at score >= 0.
+# distance from the English-prose center (MWL_CENTER below, ~4
+# chars) are negative; the bias sets the keep threshold at
+# score >= 0.
 WEIGHTS = {
     "f_stop_ppm": 6,
     "f_dist_ppm": 2,
@@ -150,12 +151,14 @@ def train_quality_classifier(
     id_col: str,
     text_col: str,
     label_col: str,
-    seed: int = 7,
 ):
     """Distill rule labels into a LogisticRegression over the exact
     features (double-cast for the optimizer). Returns the fitted
     pyspark.ml model; raises NotImplementedError without pyspark.ml
-    (the repo's import-guard posture)."""
+    (the repo's import-guard posture). No seed parameter: LBFGS is
+    deterministic given the data (no sampling step here), so a seed
+    would only mislead callers about what they control (ADVICE r12).
+    """
     try:
         from pyspark.ml.classification import LogisticRegression
         from pyspark.ml.feature import VectorAssembler

@@ -2277,53 +2277,86 @@ def s15_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # S16 — URL / domain curation (the crawl-side curation stage every
 # production pipeline runs between the WARC scan and document
-# filtering): parse host/registered-domain/TLD/path-depth, drop
-# blocklisted domains (UT1-style, broadcast LEFT ANTI), cap each
+# filtering): normalize + parse host/registered-domain/TLD/path-depth
+# (public-suffix rule — broadcast PSL table, r12 verdict directive 3),
+# drop blocklisted domains (UT1-style, broadcast LEFT ANTI), cap each
 # registered domain's contribution at K docs by salted-md5 rank (the
-# C4/Gopher anti-SEO-farm device). URLs are derived deterministically
-# from doc_id in-query (the t24 bucket recipe — the synthetic corpus
-# has no URL column): a skewed host mix incl. subdomains that
-# collapse to one registered domain, a blocked spam host, and
-# variable path depths, so every stage discriminates.
+# C4/Gopher anti-SEO-farm device) via the TWO-PHASE skew-safe cap
+# (directive 1a — the oracle below keeps the SINGLE-window spelling,
+# which the two-phase plan is row-identical to by construction).
+# URLs are derived deterministically from doc_id in-query (the t24
+# bucket recipe — the synthetic corpus has no URL column): a skewed
+# host mix incl. ccTLD hosts (news.BBC.co.UK → bbc.co.uk;
+# example.com.au), PSL private-section hosts whose SUBDOMAINS are the
+# registrable unit (u#.blogspot.com, docs.github.io), a host that IS
+# a public suffix plus one label (www.gov.uk — does NOT collapse the
+# UK), and a blocked spam host spelled with uppercase + userinfo +
+# an explicit port ('HTTP://crawler@SPAM-MILL.EXAMPLE:80/…', the
+# ADVICE r12 evasion case) — so normalization, the PSL join, the
+# anti-join and the cap each discriminate.
 # ---------------------------------------------------------------------------
 # CAST(... AS STRING): the one spelling BOTH engines parse (Spark has
 # no bare VARCHAR; DuckDB aliases STRING to VARCHAR) — this expr runs
 # verbatim in the Spark plan AND the DuckDB oracle
 _S16_HOST = (
     "CASE WHEN doc_id % 20 < 8 THEN 'en.wikipedia.org' "
-    "WHEN doc_id % 20 < 13 THEN "
+    "WHEN doc_id % 20 < 11 THEN "
     "'u' || CAST(doc_id % 7 AS STRING) || '.blogspot.com' "
-    "WHEN doc_id % 20 < 16 THEN 'spam-mill.example' "
-    "WHEN doc_id % 20 < 18 THEN 'docs.github.io' "
+    "WHEN doc_id % 20 < 13 THEN 'crawler@SPAM-MILL.EXAMPLE:80' "
+    "WHEN doc_id % 20 < 15 THEN 'news.BBC.co.UK' "
+    "WHEN doc_id % 20 < 16 THEN 'example.com.au' "
+    "WHEN doc_id % 20 < 17 THEN 'docs.github.io' "
+    "WHEN doc_id % 20 < 18 THEN 'www.gov.uk' "
     "ELSE 'arxiv.org' END"
 )
+_S16_SCHEME = (
+    "CASE WHEN doc_id % 20 >= 11 AND doc_id % 20 < 13 "
+    "THEN 'HTTP://' ELSE 'https://' END"
+)
 _S16_URL = (
-    f"'https://' || {_S16_HOST} || '/p/' || CAST(doc_id AS STRING) "
+    f"{_S16_SCHEME} || {_S16_HOST} || '/p/' || "
+    "CAST(doc_id AS STRING) "
     "|| CASE WHEN doc_id % 3 = 0 THEN '/a/b' ELSE '' END"
 )
 _S16_K = 30
 _S16_RANK_HASH = "md5(CAST(doc_id AS VARCHAR) || '#s16-v1')"
 
 
-@register(
-    "s16_url_curation",
-    f"""
+def _s16_oracle() -> str:
+    from garmin_data_pipeline_spark.operators.urls import (
+        HOST_PATTERN,
+        sql_psl_values,
+    )
+
+    path = "regexp_replace(url, '(?i)^https?://[^/]+', '')"
+    return f"""
     WITH u AS (
         SELECT doc_id, {_S16_URL} AS url FROM documents
-    ), p AS (
+    ), s AS (
         SELECT doc_id, url,
-               regexp_extract(url, '^https?://([^/]+)', 1) AS host,
-               regexp_extract(regexp_extract(url,
-                   '^https?://([^/]+)', 1),
-                   '([^.]+\\.[^.]+)$', 1) AS reg_domain,
-               regexp_extract(regexp_extract(url,
-                   '^https?://([^/]+)', 1),
-                   '\\.([a-z]+)$', 1) AS tld,
-               CAST(length(regexp_replace(url, '^https?://[^/]+', ''))
-                    - length(replace(regexp_replace(url,
-                          '^https?://[^/]+', ''), '/', ''))
-                    AS BIGINT) AS path_depth
+               lower(regexp_extract(url, '{HOST_PATTERN}', 1)) AS host
         FROM u
+    ), c AS (
+        SELECT *,
+               regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS suf2,
+               regexp_extract(host,
+                   '([^.]+\\.[^.]+\\.[^.]+)$', 1) AS suf3,
+               regexp_extract(host,
+                   '((?:[^.]+\\.){{3}}[^.]+)$', 1) AS suf4
+        FROM s
+    ), psl(suffix) AS (
+        VALUES {sql_psl_values()}
+    ), p AS (
+        SELECT doc_id, url, host,
+               CASE WHEN p3.suffix IS NOT NULL THEN suf4
+                    WHEN p2.suffix IS NOT NULL THEN suf3
+                    ELSE suf2 END AS reg_domain,
+               regexp_extract(host, '\\.([a-z0-9-]+)$', 1) AS tld,
+               CAST(length({path})
+                    - length(replace({path}, '/', ''))
+                    AS BIGINT) AS path_depth
+        FROM c LEFT JOIN psl p3 ON c.suf3 = p3.suffix
+               LEFT JOIN psl p2 ON c.suf2 = p2.suffix
     ), kept AS (
         SELECT *,
                CAST(ROW_NUMBER() OVER (
@@ -2335,13 +2368,23 @@ _S16_RANK_HASH = "md5(CAST(doc_id AS VARCHAR) || '#s16-v1')"
     )
     SELECT doc_id, host, reg_domain, tld, path_depth, domain_rank
     FROM kept WHERE domain_rank <= {_S16_K}
-    """,
-    doc="URL/domain curation: host/registered-domain/TLD/path-depth "
-    "parse, UT1-style blocklist anti-join, per-domain cap at "
-    f"{_S16_K} docs by salted-md5 rank (the C4/Gopher anti-"
-    "domination device). Scale shape: row-local parses, a broadcast "
-    "anti-join, ONE per-domain window shuffle whose output the cap "
-    "itself bounds.",
+    """
+
+
+@register(
+    "s16_url_curation",
+    _s16_oracle(),
+    doc="URL/domain curation: host normalization (lowercase, strip "
+    "userinfo/port), public-suffix registered domains (longest "
+    "matching suffix via TWO broadcast LEFT joins against the "
+    "shipped PSL subset — a .co.uk site no longer shares a cap with "
+    "the whole UK), UT1-style blocklist anti-join, and the per-"
+    f"domain cap at {_S16_K} docs by salted-md5 rank (the C4/Gopher "
+    "anti-domination device) — TWO-PHASE: per (domain, bucket) "
+    "pre-cap then exact re-rank of ≤ buckets×k survivors, so a hot "
+    "domain sorts on `buckets` tasks, never one. Scale shape: "
+    "row-local parses, three broadcast joins, two bounded window "
+    "shuffles.",
 )
 def s16_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from garmin_data_pipeline_spark.operators.urls import (
@@ -2383,7 +2426,17 @@ def s16_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Scale shape: grouped Arrow encode + Arrow record explode + one
 # Arrow extraction projection (all row/group-local, no state), then
-# pure column expressions, ONE shuffle total (the text_hash window).
+# pure column expressions. The dedup annotation is the skew-safe
+# shape (r12 verdict directive 1b): a groupBy(text_hash) aggregate —
+# map-side partial combine, so a viral page that passes the gates is
+# pre-reduced on every map task instead of landing whole on ONE
+# window partition — joined back per kept doc (sort-merge under AQE,
+# skew-split eligible; at small SF AQE converts it to a broadcast of
+# the group relation). The kept relation is lazily localCheckpointed
+# first so its two consumers (aggregate + probe) run the extraction
+# kernel ONCE — the production move of materializing the extracted
+# (id, lang, hash) relation, which is ~50 bytes/row however big the
+# HTML was.
 # ---------------------------------------------------------------------------
 _CRAWL_PREFIX = f"Crawl Result Crawl Result {_S15_MB} "
 _CRAWL_SUFFIX = " raw &amp; <b> Hi O end"
@@ -2440,15 +2493,16 @@ _CRAWL_SUFFIX = " raw &amp; <b> Hi O end"
     doc="Fused crawl front-end: WARC ingest → HTML extraction → "
     "language ID → Gopher quality gates → exact-dedup annotation in "
     "ONE Catalyst plan, oracle-composed end-to-end. Scale shape: "
-    "row/group-local Arrow stages then column expressions; ONE "
-    "pipeline shuffle (the dedup-hash window) — the other Exchange "
-    "in the plan builds the in-query WARC fixture and is absent when "
-    "reading real .warc.gz files. The extraction kernel is pinned to "
-    "a single evaluation (see functions/html.py).",
+    "row/group-local Arrow stages then column expressions; the dedup "
+    "annotation is the skew-safe groupBy(text_hash) aggregate "
+    "(map-side partial combine) joined back per doc (AQE skew-split "
+    "eligible) — NOT a per-hash window, so a viral duplicate page "
+    "never lands whole on one task. The extracted relation is "
+    "checkpointed once so both join sides reuse ONE kernel pass. "
+    "The extraction kernel is pinned to a single evaluation (see "
+    "functions/html.py).",
 )
 def e2e_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     from garmin_data_pipeline_spark.functions.html import html_to_text
     from garmin_data_pipeline_spark.operators.dedup_scale import (
         normalize_text,
@@ -2520,20 +2574,27 @@ def e2e_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
             language_guess(text).alias("lang"),
             F.md5(normalize_text(text)).alias("text_hash"),
         )
+        # one kernel pass feeds BOTH the group aggregate and the
+        # probe side (lazy: materializes on first action, reused by
+        # the second consumer; bench/serve hygiene releases it)
+        .localCheckpoint(eager=False)
     )
-    w = Window.partitionBy("text_hash")
-    return (
-        kept.select(
-            "doc_id",
-            "lang",
-            "text_hash",
-            F.min("doc_id").over(w).alias("canonical_id"),
-            F.count(F.lit(1)).over(w).alias("n_dups"),
-        )
-        .withColumn(
-            "is_canonical",
-            (F.col("doc_id") == F.col("canonical_id")).cast("int"),
-        )
+    # skew-safe dedup annotation (r12 verdict 1b): partial-aggregating
+    # groupBy — the d1 exact_duplicates shape — then join back; never
+    # a per-hash window (a hot hash would sort whole on one task)
+    groups = kept.groupBy("text_hash").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+    return kept.join(groups, "text_hash").select(
+        "doc_id",
+        "lang",
+        "text_hash",
+        "canonical_id",
+        "n_dups",
+        (F.col("doc_id") == F.col("canonical_id"))
+        .cast("int")
+        .alias("is_canonical"),
     )
 
 

@@ -1086,9 +1086,23 @@ class TestUrlCuration:
 
         df = spark.createDataFrame(
             [
+                # PSL private section: the subdomain is registrable
                 (1, "https://u3.blogspot.com/p/1/a/b"),
                 (2, "http://arxiv.org/abs/1234"),
                 (3, "https://en.wikipedia.org/"),
+                # ADVICE r12: case/port/userinfo variants must not
+                # evade a lowercase blocklist
+                (4, "HTTP://crawler@SPAM-MILL.EXAMPLE:80/x"),
+                # ccTLD second-level registry (PSL ICANN section)
+                (5, "https://news.BBC.co.UK/sport"),
+                # host is public-suffix-plus-one-label (gov.uk is a
+                # public suffix — the UK does NOT collapse to one cap)
+                (6, "https://www.gov.uk/browse"),
+                (7, "https://example.com.au/"),
+                # single-label host: no registrable domain
+                (8, "http://localhost/health"),
+                # host IS a public suffix: not registrable
+                (9, "https://co.uk/"),
             ],
             "doc_id long, url string",
         )
@@ -1098,9 +1112,146 @@ class TestUrlCuration:
             )
             for r in parse_url_columns(df, "url").collect()
         }
-        assert got[1] == ("u3.blogspot.com", "blogspot.com", "com", 4)
+        assert got[1] == (
+            "u3.blogspot.com", "u3.blogspot.com", "com", 4
+        )
         assert got[2] == ("arxiv.org", "arxiv.org", "org", 2)
         assert got[3] == ("en.wikipedia.org", "wikipedia.org", "org", 1)
+        assert got[4] == (
+            "spam-mill.example", "spam-mill.example", "example", 1
+        )
+        assert got[5] == ("news.bbc.co.uk", "bbc.co.uk", "uk", 1)
+        assert got[6] == ("www.gov.uk", "www.gov.uk", "uk", 1)
+        assert got[7] == ("example.com.au", "example.com.au", "au", 1)
+        assert got[8] == ("localhost", "", "", 1)
+        assert got[9] == ("co.uk", "", "uk", 1)
+
+    def test_two_phase_cap_matches_single_window(self, spark):
+        """The two-phase skew-safe cap is row-identical (ids AND
+        ranks) to the naive single-window form — the equivalence the
+        docstring proves and the unchanged s16 oracle relies on —
+        across bucket counts and on a 40%-hot-domain mix."""
+        from garmin_data_pipeline_spark.operators.urls import (
+            domain_cap,
+            domain_rank,
+        )
+
+        rows = [
+            (i, "hot.example" if i % 5 < 2 else f"d{i % 11}.example")
+            for i in range(500)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, reg_domain string"
+        )
+        naive = {
+            (r["doc_id"], r["domain_rank"])
+            for r in df.withColumn(
+                "domain_rank",
+                domain_rank("doc_id", "reg_domain").cast("bigint"),
+            )
+            .filter("domain_rank <= 7")
+            .collect()
+        }
+        for buckets in (1, 2, 16):
+            got = {
+                (r["doc_id"], r["domain_rank"])
+                for r in domain_cap(
+                    df, "doc_id", "reg_domain", 7, buckets=buckets
+                ).collect()
+            }
+            assert got == naive, buckets
+
+    def test_canonicalize_url(self, spark):
+        from garmin_data_pipeline_spark.operators.urls import (
+            canonicalize_url,
+        )
+
+        cases = [
+            # case/port/userinfo/fragment/tracking/param-order all
+            # collapse; real params survive sorted
+            (
+                "HTTPS://user@WWW.Example.COM:443/a/B?b=2&utm_source=x"
+                "&a=1#frag",
+                "https://www.example.com/a/B?a=1&b=2",
+            ),
+            (
+                "http://example.com:80/?fbclid=abc",
+                "http://example.com/",
+            ),
+            ("http://example.com", "http://example.com/"),
+            (
+                "https://example.com:8080/x?a=1",
+                "https://example.com:8080/x?a=1",  # non-default port kept
+            ),
+            (
+                "https://example.com/x?utm_campaign=1&utm_medium=2",
+                "https://example.com/x",
+            ),
+        ]
+        df = spark.createDataFrame(
+            [(i, u) for i, (u, _) in enumerate(cases)],
+            "i long, url string",
+        )
+        got = {
+            r["i"]: r["c"]
+            for r in df.select(
+                "i", canonicalize_url(F.col("url")).alias("c")
+            ).collect()
+        }
+        for i, (_, want) in enumerate(cases):
+            assert got[i] == want, (i, got[i], want)
+
+    def test_canonicalize_url_oracle_parity(self, spark, tmp_path):
+        """sql_canonicalize_url (DuckDB) and canonicalize_url (Spark)
+        agree byte-for-byte on messy URLs — incl. the empty-param
+        array_to_string NULL trap."""
+        duckdb = pytest.importorskip("duckdb")
+        from garmin_data_pipeline_spark.operators.urls import (
+            canonicalize_url,
+            sql_canonicalize_url,
+        )
+
+        urls = [
+            "HTTPS://u@H.Example.ORG:443/p?z=9&utm_x=1&a=2#f",
+            "http://a.b:80/only?utm_source=x&gclid=1",
+            "http://a.b",
+            "https://x.y/p/q?b=1&a=2&a=1",
+            "https://x.y:444/p",
+        ]
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "i long, url string"
+        )
+        got_spark = {
+            r["i"]: r["c"]
+            for r in df.select(
+                "i", canonicalize_url(F.col("url")).alias("c")
+            ).collect()
+        }
+        con = duckdb.connect()
+        for i, u in enumerate(urls):
+            sql = sql_canonicalize_url(f"'{u}'")
+            got_duck = con.execute(f"SELECT {sql}").fetchone()[0]
+            assert got_spark[i] == got_duck, (u, got_spark[i], got_duck)
+
+    def test_url_dedup_latest(self, spark):
+        from garmin_data_pipeline_spark.operators.urls import (
+            url_dedup_latest,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "https://a.example/p?x=1"),
+                (2, "HTTPS://A.EXAMPLE:443/p?x=1&utm_source=f#top"),
+                (3, "https://a.example/p?x=2"),
+            ],
+            "fetch_id long, url string",
+        )
+        out = {
+            r["canonical_url"]: (r["fetch_id"], r["n_fetches"])
+            for r in url_dedup_latest(df, "fetch_id", "url").collect()
+        }
+        assert out["https://a.example/p?x=1"] == (2, 2)  # latest wins
+        assert out["https://a.example/p?x=2"] == (3, 1)
 
     def test_blocklist_and_cap(self, spark):
         from garmin_data_pipeline_spark.operators.urls import (
@@ -1127,6 +1278,10 @@ class TestUrlCuration:
         assert a != c
 
     def test_cap_window_is_partitioned(self, spark):
+        """Two-phase shape in the physical plan: the PRE-CAP window
+        is keyed by (reg_domain, bucket) — the hot domain's sort is
+        divided — and only the bounded re-rank keys by reg_domain
+        alone."""
         from garmin_data_pipeline_spark.operators.urls import domain_cap
 
         df = spark.createDataFrame(
@@ -1138,6 +1293,7 @@ class TestUrlCuration:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "windowspecdefinition(reg_domain" in plan
+        assert "__b" in plan  # the salt-bucketed phase-1 partition key
 
 
 class TestSamplingPacking:
