@@ -32,6 +32,50 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 REPEATS = 3
 WARMUPS = 2
 
+# --- Stall auto-adjudication (r12 verdict directive 2) ---------------
+# The documented host-stall signature is a cell whose spread is on
+# the order of its median (r10: v9 47.8s/48.3 spread; r12: st2
+# 0.410->2.855s and t4 0.296->1.909s with spreads ~= medians, both
+# FROZEN code). The repo's host_stall_note prescribes a same-host
+# re-run before reading such a cell as a regression — r12 committed
+# a stalled artifact without applying it, overstating the anchor by
+# ~40%. The protocol is now MECHANICAL: any cell whose spread
+# exceeds STALL_SPREAD_FRACTION of its median triggers one automatic
+# same-session re-run; the better-behaved (lower-median) series is
+# kept — an idle host cannot run the code FASTER than it is, so the
+# smaller median is the truth — and both series ship in the payload
+# (`stall_reruns`) for audit. Sub-noise-floor cells (median under
+# STALL_MIN_MEDIAN_S) are exempt: at 0.1s walls the spread/median
+# ratio is all scheduler noise and a re-run decides nothing.
+# Threshold calibration: clean cells' within-session spreads run
+# 5-25% of the median (serve tiers: <0.3s on 2-6s walls); the r12
+# stall cells read spread/median 29% (st2: 0.832/2.855) and 50%
+# (t4: 0.957/1.909). 0.25 catches both documented stalls while a
+# false trip only costs one extra 3-rep cell run whose result is
+# kept anyway if it agrees.
+STALL_SPREAD_FRACTION = 0.25
+STALL_MIN_MEDIAN_S = 0.15
+
+
+def is_stall_suspect(reps: list[float]) -> bool:
+    """True when a timed-rep series carries the stall signature:
+    spread > STALL_SPREAD_FRACTION x median (above the noise floor)."""
+    med = statistics.median(reps)
+    return (
+        med >= STALL_MIN_MEDIAN_S
+        and (max(reps) - min(reps)) > STALL_SPREAD_FRACTION * med
+    )
+
+
+def pick_series(first: list[float], rerun: list[float]) -> str:
+    """Which series to report after a stall re-run: the lower median
+    ('rerun' on ties — it is the later, settled measurement)."""
+    return (
+        "first"
+        if statistics.median(first) < statistics.median(rerun)
+        else "rerun"
+    )
+
 # --- Host-speed calibration (r6 verdict directive 2) -----------------
 # Same-code anchor totals drifted up to ~1.6x between round VMs (r5:
 # 8.79s; four r6 runs: 10.4-14.3s), making cross-round per-query
@@ -341,8 +385,18 @@ HEADLINE = [
     # model-scoring pass next to rule-based t19).
     "t26_quality_linear_score",
     # r12 third wave: URL/domain curation (row-local parses +
-    # broadcast blocklist anti-join + ONE capped per-domain window).
+    # broadcast blocklist anti-join; r13 made the cap two-phase and
+    # the registered-domain parse PSL-backed).
     "s16_url_curation",
+    # r13 registrations: URL canonicalization + URL-level dedup
+    # (row-local regex/array expressions + one canonical-URL window
+    # — the stage that now runs BEFORE extraction in e2e_crawl),
+    # main-content block filtering (one Arrow segmentation pass +
+    # JVM-side jusText scoring), and the quantized TRAINED quality
+    # model (same zero-shuffle integer path as t26).
+    "s17_url_canonical_dedup",
+    "s18_main_content_blocks",
+    "t26b_quality_trained_score",
 ]
 
 
@@ -416,6 +470,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
+    stall_reruns: dict[str, dict] = {}
     from garmin_data_pipeline_spark.operators.dedup_scale import (
         unpersist_signatures,
     )
@@ -460,13 +515,28 @@ def main() -> None:
                 ckpt_base = snapshot_persistent_rdds(spark)
             else:
                 release_new_persistent_rdds(spark, ckpt_base)
-        reps = []
-        for _ in range(REPEATS):
-            collect_garbage()
-            t0 = time.perf_counter()
-            run(fn(spark, sf_dir))
-            reps.append(time.perf_counter() - t0)
-            release_new_persistent_rdds(spark, ckpt_base)
+        def timed_reps() -> list[float]:
+            out = []
+            for _ in range(REPEATS):
+                collect_garbage()
+                t0 = time.perf_counter()
+                run(fn(spark, sf_dir))
+                out.append(time.perf_counter() - t0)
+                release_new_persistent_rdds(spark, ckpt_base)
+            return out
+
+        reps = timed_reps()
+        if is_stall_suspect(reps):
+            # mechanical stall adjudication: one same-session re-run,
+            # keep the better-behaved series, ship both for audit
+            rerun = timed_reps()
+            kept = pick_series(reps, rerun)
+            stall_reruns[name] = {
+                "first": [round(r, 3) for r in reps],
+                "rerun": [round(r, 3) for r in rerun],
+                "kept": kept,
+            }
+            reps = reps if kept == "first" else rerun
         timings[name] = round(statistics.median(reps), 3)
         spread[name] = round(max(reps) - min(reps), 3)
         # Cache hygiene BETWEEN cells: signature tables persisted by an
@@ -515,6 +585,18 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
+                "stall_reruns": stall_reruns,
+                "stall_rerun_note": (
+                    "r12 verdict directive 2: any cell whose timed-"
+                    "rep spread exceeds "
+                    f"{STALL_SPREAD_FRACTION:.0%} of its median "
+                    "(above a "
+                    f"{STALL_MIN_MEDIAN_S}s noise floor) is re-run "
+                    "once in the same session; the lower-median "
+                    "series is reported (an idle host cannot beat "
+                    "the code's true wall, so the smaller median is "
+                    "the truth) and both series ship here for audit"
+                ),
                 "sf": sf,
                 "value_anchor18": anchor_total,
                 "value_full": full_total,

@@ -149,3 +149,169 @@ def html_to_text(html_col: Column | str) -> Column:
     """
     col = F.col(html_col) if isinstance(html_col, str) else html_col
     return _extract_udf(col)
+
+
+# ---------------------------------------------------------------------------
+# Block-level extraction — the main-content / boilerplate stage
+# (r12 verdict directive 6). Plain tag-stripping (html_to_text above)
+# keeps nav/footer/sidebar text it cannot distinguish; production WET
+# pipelines (trafilatura / jusText class) segment the page into
+# BLOCKS at block-level tags and score each block relationally —
+# link density (anchor-text chars / block chars) and block length —
+# keeping only main-content blocks. The kernel below does ONLY the
+# segmentation (the part that needs a parser); the scoring and the
+# keep decision are pure column expressions in the registered query,
+# so the policy stays relational and oracle-certifiable.
+# ---------------------------------------------------------------------------
+
+# Block-level elements delimit blocks; everything else is inline and
+# separates like whitespace (the html_to_text rule).
+BLOCK_TAGS = frozenset(
+    {
+        "html", "head", "body", "title", "p", "div", "section",
+        "article", "header", "footer", "nav", "aside", "main",
+        "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
+        "table", "tr", "td", "th", "blockquote", "pre", "figure",
+        "figcaption", "dl", "dt", "dd", "hr", "form",
+    }
+)
+
+
+def _norm(text: str) -> str:
+    return _ASCII_WS.sub(" ", text.replace("\xa0", " ")).strip(" ")
+
+
+class _BlockExtractor(HTMLParser):
+    """Segment a page into text blocks at block-level tags.
+
+    Pinned semantics (certified by the s18 driver row's analytic
+    oracle):
+
+    * a block is the text run between block-level tag boundaries,
+      labeled with the INNERMOST open block tag when it flushes
+      (so ``<nav><a>Home</a></nav>`` labels 'nav'); runs that
+      normalize to '' emit nothing;
+    * block text normalizes exactly like :func:`extract_html_text`
+      (NBSP→space, RE2-\\s collapse, trim), with inline tags as
+      separators;
+    * ``anchor_chars`` counts DATA characters inside ``<a>`` elements
+      (same normalization, concatenated WITHOUT tag separators —
+      '<a>Home</a><a>About</a>' contributes 9, not 10): the jusText
+      link-density numerator;
+    * script/style/template subtrees drop with their content (the
+      same stack rule as the text extractor); comments/doctypes
+      vanish.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._skip: list[str] = []
+        self._stack: list[str] = []  # open BLOCK tags
+        self._parts: list[str] = []
+        self._anchor_parts: list[str] = []
+        self._anchor_depth = 0
+        self.blocks: list[tuple[str, str, int]] = []
+
+    def _flush(self) -> None:
+        text = _norm("".join(self._parts))
+        if text:
+            anchor = _norm("".join(self._anchor_parts))
+            label = self._stack[-1] if self._stack else ""
+            self.blocks.append((label, text, len(anchor)))
+        self._parts = []
+        self._anchor_parts = []
+
+    def handle_starttag(self, tag, attrs):  # noqa: D102
+        if tag in _SKIP_CONTENT:
+            self._skip.append(tag)
+        if tag in BLOCK_TAGS:
+            self._flush()
+            self._stack.append(tag)
+        else:
+            self._parts.append(" ")
+            if tag == "a":
+                self._anchor_depth += 1
+
+    def handle_startendtag(self, tag, attrs):  # noqa: D102
+        if tag in BLOCK_TAGS:  # <hr/> and friends still delimit
+            self._flush()
+        else:
+            self._parts.append(" ")
+
+    def handle_endtag(self, tag):  # noqa: D102
+        if self._skip and self._skip[-1] == tag:
+            self._skip.pop()
+        if tag in BLOCK_TAGS:
+            self._flush()
+            if self._stack and self._stack[-1] == tag:
+                self._stack.pop()
+        else:
+            self._parts.append(" ")
+            if tag == "a":
+                self._anchor_depth = max(0, self._anchor_depth - 1)
+
+    def handle_data(self, data):  # noqa: D102
+        if self._skip:
+            return
+        self._parts.append(data)
+        if self._anchor_depth > 0:
+            self._anchor_parts.append(data)
+
+    def unknown_decl(self, data):  # noqa: D102
+        if not self._skip and data.startswith("CDATA["):
+            self._parts.extend((" ", data[6:], " "))
+
+
+def extract_html_blocks(html: str) -> list[tuple[str, str, int]]:
+    """Segment one HTML document into ``(tag, text, anchor_chars)``
+    blocks in document order (see :class:`_BlockExtractor`)."""
+    p = _BlockExtractor()
+    p.feed(html)
+    p.close()
+    p._flush()  # text after the last block tag still emits
+    return p.blocks
+
+
+def html_blocks_rows(
+    df, id_col: str, html_col: str
+):
+    """Explode a page relation into per-block ROWS:
+    ``(id, block_idx, tag, text, anchor_chars)`` — one Arrow-batched
+    ``mapInPandas`` pass (row-group-local, no shuffle, no state;
+    scoring stays JVM-side in the caller). Error-row posture: a NULL
+    page or a kernel failure contributes zero block rows rather than
+    a dead task."""
+    import pandas as pd
+
+    schema = (
+        f"{id_col} long, block_idx int, tag string, text string, "
+        "anchor_chars long"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, idxs, tags, texts, anchors = [], [], [], [], []
+            for rid, h in zip(pdf[id_col], pdf[html_col]):
+                if h is None:
+                    continue
+                try:
+                    blocks = extract_html_blocks(h)
+                except Exception:  # noqa: BLE001 — error-row posture
+                    continue
+                for i, (tag, text, anchor) in enumerate(blocks):
+                    ids.append(rid)
+                    idxs.append(i)
+                    tags.append(tag)
+                    texts.append(text)
+                    anchors.append(anchor)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "block_idx": pd.Series(idxs, dtype="int32"),
+                    "tag": tags,
+                    "text": texts,
+                    "anchor_chars": pd.Series(anchors, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, html_col).mapInPandas(kernel, schema)

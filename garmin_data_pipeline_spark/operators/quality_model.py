@@ -69,6 +69,41 @@ WEIGHTS = {
 # it down); the hinge penalizes distance from that center
 MWL_CENTER = 4_000_000
 
+# --- The TRAINED model, quantized (r12 verdict directive 7) ----------
+# The pyspark.ml LogisticRegression distillation was pytest-only
+# because LBFGS floats can't be oracle-hashed. Quantizing the FITTED
+# coefficients to integers at WEIGHT_SCALE makes the trained model a
+# set of plan constants — scoring runs through the same exact-integer
+# path as the hand-distilled twin, so a DuckDB oracle certifies the
+# trained model end to end (t26b_quality_trained_score).
+#
+# Provenance (regenerate with fit_and_quantize below): fitted on
+# /root/testdata/sf0.01 `documents` with labels =
+# linear_quality_score keep (classic filter distillation),
+# LogisticRegression(maxIter=50, regParam=0.01, standardization=True)
+# under pyspark 4.1.2; a same-session refit reproduces the
+# coefficients bit-identically (LBFGS is deterministic given the
+# data). Float coefficients at fit time:
+#   f_tokens  -3.231366526278317e-02
+#   f_mwl_ppm -7.052048843533655e-06
+#   f_stop_ppm 3.641647065816397e-05
+#   f_dist_ppm 1.0121981636489719e-05
+#   f_dup2_ppm -2.6433115532956834e-05
+#   intercept  23.333144918932796
+# Quantization error bound: |score_q - SCALE*score_f| <=
+# 0.5*(sum|x|+1) ~ 6e6 against typical |score_q| ~ 1e13 — only
+# razor-borderline docs can flip keep; the pytest pin measures the
+# actual agreement.
+WEIGHT_SCALE = 10**12
+TRAINED_WEIGHTS = {
+    "f_tokens": -32_313_665_263,
+    "f_mwl_ppm": -7_052_049,
+    "f_stop_ppm": 36_416_471,
+    "f_dist_ppm": 10_121_982,
+    "f_dup2_ppm": -26_433_116,
+    "bias": 23_333_144_918_933,
+}
+
 
 def quality_features_exact(
     df: DataFrame, id_col: str, text_col: str
@@ -192,3 +227,73 @@ def train_quality_classifier(
         standardization=True,
     )
     return lr.fit(assembled)
+
+
+def quantize_lr_model(model) -> dict[str, int]:
+    """Round a fitted LogisticRegression's coefficients (original
+    feature space — Spark destandardizes) to WEIGHT_SCALE integers:
+    the trained model as oracle-certifiable plan constants."""
+    cols = [
+        "f_tokens", "f_mwl_ppm", "f_stop_ppm", "f_dist_ppm",
+        "f_dup2_ppm",
+    ]
+    out = {
+        c: round(float(w) * WEIGHT_SCALE)
+        for c, w in zip(cols, model.coefficients)
+    }
+    out["bias"] = round(float(model.intercept) * WEIGHT_SCALE)
+    return out
+
+
+def fit_and_quantize(
+    df: DataFrame, id_col: str, text_col: str
+) -> dict[str, int]:
+    """Distill the rule labels into LR and quantize — the one call
+    that regenerates TRAINED_WEIGHTS (run it on sf0.01 documents)."""
+    labeled = df.join(
+        linear_quality_score(df, id_col, text_col).select(
+            id_col, F.col("keep").alias("__label")
+        ),
+        id_col,
+    )
+    model = train_quality_classifier(
+        labeled, id_col, text_col, "__label"
+    )
+    return quantize_lr_model(model)
+
+
+def trained_quality_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: dict[str, int] | None = None,
+) -> DataFrame:
+    """Score docs with the quantized TRAINED model (default:
+    :data:`TRAINED_WEIGHTS`) — exact integer arithmetic end to end,
+    the same feature path as the fixed-weight twin; ``keep = score
+    >= 0``. Magnitudes: ratio features are ppm (≤ 1e6) except
+    f_mwl_ppm (1e6 × mean word length) and f_tokens; with |w| <
+    4e10 the sum stays far inside BIGINT for any document whose mean
+    word length is under ~1e5 chars and token count under ~1e7 —
+    beyond either is not a document, and under ANSI both engines
+    would error identically rather than wrap."""
+    w = TRAINED_WEIGHTS if weights is None else weights
+    feats = quality_features_exact(df, id_col, text_col)
+    score = (
+        F.lit(w["f_tokens"]) * F.col("f_tokens")
+        + F.lit(w["f_mwl_ppm"]) * F.col("f_mwl_ppm")
+        + F.lit(w["f_stop_ppm"]) * F.col("f_stop_ppm")
+        + F.lit(w["f_dist_ppm"]) * F.col("f_dist_ppm")
+        + F.lit(w["f_dup2_ppm"]) * F.col("f_dup2_ppm")
+        + F.lit(w["bias"])
+    ).cast("long")
+    return feats.select(
+        id_col,
+        "f_tokens",
+        "f_mwl_ppm",
+        "f_stop_ppm",
+        "f_dist_ppm",
+        "f_dup2_ppm",
+        score.alias("score"),
+        (score >= 0).cast("int").alias("keep"),
+    )

@@ -39,102 +39,50 @@ from garmin_data_pipeline_spark.plans.queries import (
 #      that keeps that bound.
 #
 # Coverage ledger (round each query last had a green driver row):
-#   r11 (50/50 green; CORRECTNESS_r11.json): the whole r11 _HEAD —
-#       rotating out to the tail now (policy 2), EXCEPT the nine r11
-#       first-timers (d10, d10x, d7p, c3, m5, m6, m7, t24, s14) which
-#       keep head slots for their second consecutive rows — the
-#       standing first-timer treatment, honored this round exactly as
-#       the r11 verdict directed (r12 has no registration backlog
-#       squeezing them out).
-#   r10: the 46 oracled queries of the r11 tail — rotating back in
-#       NOW (policy 3), minus EIGHT demoted to the pytest tier (see
-#       _PYTEST_TIER: a1/a3/a4/w1/f23/t1/m1/m2, each with SEVEN green
-#       driver rows r1/r2/r3/r4/r6/r8/r10 and a trivial single-
-#       operator plan — the most-certified demotion wave yet). The
-#       demotions fund the three r12 registrations (registry
-#       103 -> 95, back under the 100 cap with room) and free the
-#       five head slots the nine second rows + three first rows need
-#       beyond the cap math.
-#   never: the three r12 registrations take their FIRST driver rows
-#       this round — s15 = HTML->text extraction (the WET step, r11
-#       verdict directive 1), e2e_crawl = the fused crawl front-end
-#       s14 -> s15 -> t2 -> t19 -> d1 in one Catalyst plan
-#       (directive 2), t25 = iterative BPE trainer + encoder under
-#       the trained vocab (directive 4).
+#   r12 (50/50 green; CORRECTNESS_r12.json): the whole r12 _HEAD —
+#       rotating out to the tail now (policy 2), EXCEPT (a) the five
+#       r12 first-timers (s15, e2e_crawl, t25, t26, s16) which keep
+#       head slots for their second consecutive rows (the standing
+#       first-timer treatment, honored exactly as the r12 verdict
+#       directed), and (b) FOUR cheap holdovers (d1, q5, b1, o5)
+#       kept only because the head must be exactly 50 and the
+#       returning tail + first-timers + new registrations sum to 46
+#       — d1 chosen because e2e_crawl's dedup annotation was just
+#       rewritten onto its exact_duplicates shape, the other three
+#       as the cheapest plans in the r12 head (third consecutive
+#       rows are wasteful, so the cheapest carry them).
+#   r11: the 41 oracled queries of the r12 tail — rotating back in
+#       NOW (policy 3), minus THREE demoted to the pytest tier
+#       funding the three r13 registrations (see _PYTEST_TIER:
+#       t13/v5/t14, each with FOUR green hash-matched driver rows
+#       r5/r7/r9/r11 and a trivial row-local single-projection
+#       plan). Registry stays at 95, comfortably under the 100 cap.
+#   never: the three r13 registrations take their FIRST driver rows
+#       this round — s17 = URL canonicalization + URL-level dedup
+#       (r12 verdict directive 4), s18 = main-content/boilerplate
+#       block filtering (directive 6), t26b = the TRAINED quality
+#       model quantized to oracle-certifiable integer plan constants
+#       (directive 7). Plan-changed queries this round (policy 1):
+#       e2e_crawl (URL-dedup stage + skew-safe dedup annotation) and
+#       s16 (host normalization + PSL + two-phase cap) — both
+#       already in the head as first-timers.
 _HEAD = [
-    # --- first driver rows (r12 registrations) ---
+    # --- first driver rows (r13 registrations) ---
+    "s17_url_canonical_dedup",
+    "s18_main_content_blocks",
+    "t26b_quality_trained_score",
+    # --- r12 first-timers: second consecutive rows ---
     "s15_html_extract",
     "e2e_crawl",
     "t25_bpe_train_encode",
-    # t26 registered second-wave (the r11 stretch: model-based
-    # quality scoring — the exact-integer fixed-weights twin carries
-    # the oracle signal; the pyspark.ml distillation is pytest-
-    # pinned). Funded by demoting t11_document_chunking (FOUR green
-    # rows r4/r6/r8/r10, a row-local chunk-explode projection) from
-    # the returning tail to the pytest tier.
     "t26_quality_linear_score",
-    # s16 registered third-wave (URL/domain curation: blocklist
-    # anti-join + per-domain cap — the crawl-side curation stage).
-    # Funded by demoting t12_pii_redaction (FOUR green rows
-    # r4/r6/r8/r10, a row-local regex-redaction projection).
     "s16_url_curation",
-    # --- r11 first-timers: second consecutive rows ---
-    "d10_exact_substring_spans",
-    "d10x_substring_excision",
-    "d7p_canonical_docs_lsh",
-    "c3_span_decontamination",
-    "m5_image_stats",
-    "m6_audio_features",
-    "m7_video_frame_stats",
-    "t24_temperature_mix",
-    "s14_warc_scan",
-    # --- r11's tail rotates back in (green r10, code unchanged) ---
-    "q5_local_supplier_volume",
-    "b2_zorder_key",
-    "o6_pareto_frontier",
-    "d9_containment_pairs",
-    "v9pss_imi_serve_grid",
-    "t23_ngram_novelty",
-    "w10_ewma_8",
-    "j10_interval_anti_join",
-    "w9_time_weighted_avg",
-    "v9rp_ivfpq_rerank_grid",
-    "j9_interval_overlap",
-    "v9p_ivfpq_codes_grid",
-    "st2b_session_window",
-    "j7_salted_skew_join",
-    "st5_segment_rollup",
-    "b1_bucketed_join_agg",
-    "t16_vocab_topk_per_lang",
-    "v7_label_centroids",
-    "t18_bpe_pairs",
+    # --- holdovers (see ledger note above) ---
     "d1_exact_dedup",
-    "m3_audio_windows",
-    "j5_asof_join",
-    "j6_range_join",
-    "t10_clean_corpus",
-    "d5s_duplicate_groups_star",
-    "v4p_cosine_topk_ivf_grid",
-    "v2_cosine_topk_lsh",
-    "v3_embedding_near_dups",
-    "d5_duplicate_groups",
-    "e3_cohort_retention",
-    "e4_funnel_stages",
-    "u3_unpivot_measures",
-    "j8_snapshot_diff",
-    "w8_scd2_intervals",
+    "q5_local_supplier_volume",
+    "b1_bucketed_join_agg",
     "o5_median_quantity",
-    "d6_edit_distance_pairs",
-]
-_TAIL = [
-    # rows-only variants — PERMANENT tail residents (see policy 2);
-    # their oracle-backed twins carry the correctness signal:
-    "d3_minhash_lsh_pairs",
-    "d4_simhash_candidates",
-    "v4_cosine_topk_ivf",
-    "t8_rolling_fingerprint",
-    # green r11 (CORRECTNESS_r11), code unchanged — rotating out per
-    # policy 2; back in the r13 head per policy 3:
+    # --- r12's tail rotates back in (green r11, code unchanged) ---
     "d8_prefix_jaccard_pairs",
     "v8_pq_codes",
     "d7_canonical_docs",
@@ -155,14 +103,11 @@ _TAIL = [
     "t6_sequence_packing",
     "st2_sessionize",
     "st3_replay_dedup",
-    "t13_hash_split",
-    "v5_quantize_embeddings",
     "t6b_sequence_packing_sharded",
     "j1_master_daily_join",
     "w5_densify_ffill",
     "a14_salted_event_stats",
     "j4_spatial_join",
-    "t14_repetition_metrics",
     "t15_vocab_topk",
     "st4_attribution",
     "m4_frame_checksums",
@@ -177,6 +122,57 @@ _TAIL = [
     "g1_pagerank_bipartite",
     "g2_dup_triangles",
 ]
+_TAIL = [
+    # rows-only variants — PERMANENT tail residents (see policy 2);
+    # their oracle-backed twins carry the correctness signal:
+    "d3_minhash_lsh_pairs",
+    "d4_simhash_candidates",
+    "v4_cosine_topk_ivf",
+    "t8_rolling_fingerprint",
+    # green r12 (CORRECTNESS_r12), code unchanged — rotating out per
+    # policy 2; back in the r14 head per policy 3:
+    "d10_exact_substring_spans",
+    "d10x_substring_excision",
+    "d7p_canonical_docs_lsh",
+    "c3_span_decontamination",
+    "m5_image_stats",
+    "m6_audio_features",
+    "m7_video_frame_stats",
+    "t24_temperature_mix",
+    "s14_warc_scan",
+    "b2_zorder_key",
+    "o6_pareto_frontier",
+    "d9_containment_pairs",
+    "v9pss_imi_serve_grid",
+    "t23_ngram_novelty",
+    "w10_ewma_8",
+    "j10_interval_anti_join",
+    "w9_time_weighted_avg",
+    "v9rp_ivfpq_rerank_grid",
+    "j9_interval_overlap",
+    "v9p_ivfpq_codes_grid",
+    "st2b_session_window",
+    "j7_salted_skew_join",
+    "st5_segment_rollup",
+    "t16_vocab_topk_per_lang",
+    "v7_label_centroids",
+    "t18_bpe_pairs",
+    "m3_audio_windows",
+    "j5_asof_join",
+    "j6_range_join",
+    "t10_clean_corpus",
+    "d5s_duplicate_groups_star",
+    "v4p_cosine_topk_ivf_grid",
+    "v2_cosine_topk_lsh",
+    "v3_embedding_near_dups",
+    "d5_duplicate_groups",
+    "e3_cohort_retention",
+    "e4_funnel_stages",
+    "u3_unpivot_measures",
+    "j8_snapshot_diff",
+    "w8_scd2_intervals",
+    "d6_edit_distance_pairs",
+]
 # Policy 4: demoted to the pytest oracle tier (r6 verdict's named
 # candidate list — all single-operator projections/filters/aggregates
 # certified by hash-matched driver rows in r3, r4 AND r5, code frozen
@@ -184,6 +180,14 @@ _TAIL = [
 # oracle on every pytest run; tests/test_scale_ops.py keeps them under
 # the plan-shape invariants.
 _PYTEST_TIER = [
+    # r13 demotions (funding the s17/s18/t26b registrations): each
+    # has FOUR green hash-matched driver rows (r5/r7/r9/r11) — the
+    # t11/t12 precedent — and a trivial row-local single-projection
+    # plan (deterministic hash split / int8 quantization / Gopher
+    # repetition metrics)
+    "t13_hash_split",
+    "v5_quantize_embeddings",
+    "t14_repetition_metrics",
     # r12 demotions (funding the s15/e2e_crawl/t25 registrations and
     # the nine r11 first-timers' second consecutive rows): each has
     # SEVEN green driver rows (r1/r2/r3/r4/r6/r8/r10) — more than any

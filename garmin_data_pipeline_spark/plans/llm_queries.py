@@ -2099,7 +2099,14 @@ def _warc_fixture_records(docs: DataFrame, content_type: str) -> DataFrame:
     """Pack (doc_id, body) rows into REAL multi-record per-member-
     gzip WARC archives (50 response records each, the CC layout)
     in-query, then re-ingest them through the real parser. Returns
-    the parsed record rows (sources/warc.py schema)."""
+    the parsed record rows (sources/warc.py schema).
+
+    Optional per-fetch columns: ``uri`` (default
+    ``http://corpus.example/doc/{doc_id}``) and ``date`` (default
+    2026-01-01) — e2e_crawl uses both to plant same-canonical-URL
+    re-crawls with distinct fetch times. ``doc_id`` stays the UNIQUE
+    fetch key (archive grouping + the deterministic in-archive sort
+    need a total order even when two fetches share a URI)."""
     import pandas as pd
 
     from garmin_data_pipeline_spark.sources.warc import (
@@ -2107,22 +2114,31 @@ def _warc_fixture_records(docs: DataFrame, content_type: str) -> DataFrame:
         records_from_archives,
     )
 
+    extras = [c for c in ("uri", "date") if c in docs.columns]
     docs = docs.select(
         "doc_id",
         "body",
+        *extras,
         (F.col("doc_id") / 50).cast("bigint").alias("archive_id"),
     )
     header = (
         f"HTTP/1.1 200 OK\r\nContent-Type: {content_type}\r\n\r\n"
     ).encode("ascii")
+    has_uri, has_date = "uri" in extras, "date" in extras
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")  # deterministic archive bytes
         recs = [
             {
                 "type": "response",
-                "uri": f"http://corpus.example/doc/{int(r.doc_id)}",
-                "date": "2026-01-01T00:00:00Z",
+                "uri": (
+                    str(r.uri)
+                    if has_uri
+                    else f"http://corpus.example/doc/{int(r.doc_id)}"
+                ),
+                "date": (
+                    str(r.date) if has_date else "2026-01-01T00:00:00Z"
+                ),
                 "content": header + str(r.body).encode("utf-8"),
             }
             for r in pdf.itertuples()
@@ -2408,21 +2424,261 @@ def s16_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# E2E-CRAWL — the fused crawl front-end (VERDICT r11 directive 2):
-# WARC scan (s14) → HTML→text extraction (s15) → language ID (t2) →
-# Gopher quality verdicts (t19) → exact dedup annotation (d1) as ONE
-# Catalyst plan — the composition a real training-data user actually
-# runs, certified end-to-end, not stage-by-stage. The e2e_master_daily
-# treatment applied to the LLM side (SURVEY §3's fusion promise).
+# S17 — URL canonicalization + URL-level dedup (r12 verdict directive
+# 4): production pipelines collapse re-crawls at the URL level BEFORE
+# the expensive extraction stage — lowercase scheme/host, strip
+# userinfo / default ports / fragments / tracking params (utm_*,
+# fbclid, gclid, …), sort the surviving query params, then keep the
+# LATEST fetch per canonical URL (the A3 argmax shape). The fixture
+# plants a re-crawl for every doc_id % 4 = 0 under a later fetch_id,
+# spelling the same canonical URL with uppercase + userinfo + :443 +
+# tracking params + a fragment + shuffled param order, so every
+# canonicalization rule discriminates; three base query-string
+# classes (real params out of order / tracking-only / none) exercise
+# the param filter-sort on the base side too.
+# ---------------------------------------------------------------------------
+_S17_BASE_URL = (
+    "'https://www.Example.ORG/p/' || CAST(doc_id AS STRING) || "
+    "CASE WHEN doc_id % 3 = 0 THEN '?b=2&a=1' "
+    "WHEN doc_id % 3 = 1 THEN '?utm_campaign=promo' ELSE '' END"
+)
+_S17_RECRAWL_URL = (
+    "'HTTPS://crawler@WWW.EXAMPLE.ORG:443/p/' || "
+    "CAST(doc_id AS STRING) || "
+    "CASE WHEN doc_id % 3 = 0 THEN '?a=1&fbclid=x&b=2' "
+    "WHEN doc_id % 3 = 1 THEN '?gclid=1' "
+    "ELSE '?utm_source=rss' END || '#top'"
+)
+
+
+def _s17_oracle() -> str:
+    from garmin_data_pipeline_spark.operators.urls import (
+        sql_canonicalize_url,
+    )
+
+    return f"""
+    WITH f AS (
+        SELECT doc_id AS fetch_id, {_S17_BASE_URL} AS url
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS fetch_id, {_S17_RECRAWL_URL}
+        FROM documents WHERE doc_id % 4 = 0
+    ), c AS (
+        SELECT fetch_id,
+               {sql_canonicalize_url("url")} AS canonical_url
+        FROM f
+    ), r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY canonical_url
+                                  ORDER BY fetch_id DESC) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY canonical_url)
+                    AS BIGINT) AS n_fetches
+        FROM c
+    )
+    SELECT canonical_url, fetch_id, n_fetches
+    FROM r WHERE rn = 1
+    """
+
+
+@register(
+    "s17_url_canonical_dedup",
+    _s17_oracle(),
+    doc="URL canonicalization + URL-level dedup: lowercase scheme/"
+    "host, strip userinfo/default-port/fragment/tracking params, "
+    "sort surviving query params, keep the latest fetch per "
+    "canonical URL. Runs BEFORE extraction in the crawl front-end "
+    "so the dominant kernel never touches a re-crawl. Scale shape: "
+    "row-local regex/array expressions + ONE window keyed by "
+    "canonical URL (group size = re-fetch count, politeness-bounded "
+    "— no domain-cap-style hot key).",
+)
+def s17_url_canonical_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.urls import (
+        url_dedup_latest,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    fetches = docs.select(
+        F.col("doc_id").alias("fetch_id"),
+        F.expr(_S17_BASE_URL).alias("url"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + 1000000).alias("fetch_id"),
+            F.expr(_S17_RECRAWL_URL).alias("url"),
+        )
+    )
+    return url_dedup_latest(fetches, "fetch_id", "url").select(
+        "canonical_url", "fetch_id", "n_fetches"
+    )
+
+
+# ---------------------------------------------------------------------------
+# S18 — main-content / boilerplate block filtering (r12 verdict
+# directive 6): plain tag-stripping (s15) keeps nav/footer/sidebar
+# text it cannot distinguish; production WET pipelines (trafilatura /
+# jusText class) segment pages into BLOCKS and keep the main content
+# by link density + length. The kernel (functions/html.py
+# html_blocks_rows) does only the segmentation; the jusText-style
+# scoring — link_density_ppm = anchor_chars·10⁶ div n_chars, keep =
+# long enough AND link-light — is pure column expressions, so the
+# POLICY is relational and oracle-certified. The fixture builds a
+# page per doc with a title, a link-dense <nav>, a short <h1>, the
+# doc text in the main <p>, a link-dense <aside> and a boilerplate
+# <footer>; the oracle predicts every block row WITHOUT parsing HTML
+# (the s15 recipe) and the keep flag drops exactly the
+# nav/aside/footer/short blocks that plain s15 keeps.
+# ---------------------------------------------------------------------------
+_S18_MIN_CHARS = 25
+_S18_NAV = (
+    '<nav><a href="/">Home</a><a href="/about">About</a>'
+    '<a href="/archive">Archive</a></nav>'
+)
+_S18_ASIDE = "<aside><a>Ad one here</a> <a>Ad two there</a></aside>"
+_S18_FOOTER = (
+    "<footer><a>Terms of Use</a> <a>Privacy Policy</a> "
+    "<a>Contact Us</a> © Corpus</footer>"
+)
+# predicted block texts + anchor-char counts (the kernel's pinned
+# semantics: anchors concatenate WITHOUT separators)
+_S18_NAV_TEXT = "Home About Archive"  # anchors: HomeAboutArchive=16
+_S18_ASIDE_TEXT = "Ad one here Ad two there"  # 23 anchor chars
+_S18_FOOTER_TEXT = (
+    "Terms of Use Privacy Policy Contact Us © Corpus"  # 36 anchor
+)
+
+
+def _s18_oracle() -> str:
+    p_text = (
+        "trim(regexp_replace(replace("
+        "'Doc ' || CAST(doc_id AS STRING) || ' body ' || "
+        "COALESCE(text, ''), chr(160), ' '), "
+        "'[ \\t\\n\\r\\f]+', ' ', 'g'))"
+    )
+    return f"""
+    WITH b AS (
+        SELECT doc_id, 0 AS block_idx, 'title' AS tag,
+               'Boilerplate Fixture' AS text,
+               CAST(0 AS BIGINT) AS anchor_chars
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 1, 'nav', '{_S18_NAV_TEXT}', 16
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 2, 'h1',
+               'Doc ' || CAST(doc_id AS STRING), 0
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 3, 'p', {p_text}, 0 FROM documents
+        UNION ALL
+        SELECT doc_id, 4, 'aside', '{_S18_ASIDE_TEXT}', 23
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 5, 'footer', '{_S18_FOOTER_TEXT}', 36
+        FROM documents
+    )
+    SELECT doc_id, block_idx, tag, text,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           anchor_chars,
+           CAST(anchor_chars * 1000000 AS BIGINT)
+               // CAST(greatest(length(text), 1) AS BIGINT)
+               AS link_density_ppm,
+           CASE WHEN length(text) >= {_S18_MIN_CHARS}
+                     AND 2 * anchor_chars < length(text)
+                THEN 1 ELSE 0 END AS kept
+    FROM b
+    """
+
+
+@register(
+    "s18_main_content_blocks",
+    _s18_oracle(),
+    doc="Main-content / boilerplate block filtering (jusText-class): "
+    "segment pages into blocks at block-level tags (one Arrow "
+    "mapInPandas pass), then score relationally — link density "
+    "(anchor chars / block chars, exact ppm integers) and block "
+    "length — keeping main content and dropping the nav/aside/"
+    "footer text plain tag-stripping cannot distinguish. Scale "
+    "shape: row-group-local kernel, zero shuffle; scoring and the "
+    "keep policy are pure column expressions.",
+)
+def s18_main_content_blocks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from garmin_data_pipeline_spark.functions.html import (
+        html_blocks_rows,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit(
+            "<!DOCTYPE html><html><head><title>Boilerplate Fixture"
+            '</title><script>if (1 < 2) { track("&x"); }</script>'
+            f"</head><body>{_S18_NAV}<h1>Doc "
+        ),
+        did,
+        F.lit("</h1><p>Doc "),
+        did,
+        F.lit(" body "),
+        _escape_html(F.col("text")),
+        F.lit(f"</p>{_S18_ASIDE}{_S18_FOOTER}</body></html>"),
+    )
+    blocks = html_blocks_rows(
+        docs.select("doc_id", html.alias("page")), "doc_id", "page"
+    )
+    n = F.length("text")
+    return blocks.select(
+        "doc_id",
+        "block_idx",
+        "tag",
+        "text",
+        n.cast("bigint").alias("n_chars"),
+        "anchor_chars",
+        F.expr(
+            "CAST(anchor_chars * 1000000 AS BIGINT) "
+            "div CAST(greatest(length(text), 1) AS BIGINT)"
+        ).alias("link_density_ppm"),
+        (
+            (n >= _S18_MIN_CHARS)
+            & (2 * F.col("anchor_chars") < n)
+        )
+        .cast("int")
+        .alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E2E-CRAWL — the fused crawl front-end (VERDICT r11 directive 2;
+# URL-level dedup added per r12 directive 4): WARC scan (s14) → URL
+# canonicalization + latest-fetch-per-canonical-URL dedup (s17,
+# BEFORE extraction so the dominant kernel never touches a
+# superseded re-crawl) → HTML→text extraction (s15) → language ID
+# (t2) → Gopher quality verdicts (t19) → exact CONTENT dedup
+# annotation (d1) as ONE Catalyst plan — the composition a real
+# training-data user actually runs, certified end-to-end, not
+# stage-by-stage.
 #
 # Construction: real per-member-gzip WARC archives are built in-query
 # whose HTTP bodies are HTML-wrapped document text (the s15 wrapper
 # WITHOUT doc-id-dependent text content, so exact duplicates in the
 # corpus stay exact duplicates after extraction and d1 has real
-# groups to find). The oracle composes the stage oracles in one CTE
-# chain: predicted extraction (never parses HTML), the t2 langid CASE
-# chain, the t19 gates as a WHERE, d1's normalized-text hash as a
-# GROUP BY — window-annotated back per kept doc.
+# groups to find). THREE fetch classes make every stage discriminate:
+# every doc's base fetch (messy-but-canonicalizable URI); a CONTENT
+# mirror for doc_id % 50 = 0 (different site, same text — survives
+# URL dedup, collapsed by content dedup); and a URL RE-CRAWL for
+# doc_id % 40 = 0 (same canonical URL spelled with uppercase +
+# userinfo + :443 + a tracking param + a fragment, fetched a month
+# later — URL dedup keeps the LATER fetch and drops the base one, so
+# those docs surface with n_fetches = 2 and are never extracted
+# twice). Doc identity is recovered from the canonical URL's path;
+# fetch recency is the WARC-Date — exactly the production rule
+# (latest fetch of a URL wins). The oracle composes the stage oracles
+# in one CTE chain: canonicalization + the argmax window, predicted
+# extraction (never parses HTML), the t2 langid CASE chain, the t19
+# gates as a WHERE, d1's normalized-text hash as a GROUP BY —
+# joined back per kept doc.
 #
 # Scale shape: grouped Arrow encode + Arrow record explode + one
 # Arrow extraction projection (all row/group-local, no state), then
@@ -2440,33 +2696,71 @@ def s16_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _CRAWL_PREFIX = f"Crawl Result Crawl Result {_S15_MB} "
 _CRAWL_SUFFIX = " raw &amp; <b> Hi O end"
+# Fetch URIs (cross-engine exprs over doc_id — run verbatim in the
+# Spark plan and the DuckDB oracle). Base and re-crawl spell the SAME
+# canonical URL two messy ways; the mirror is a different site.
+_E2E_BASE_URI = (
+    "'https://Corpus.EXAMPLE/doc/' || CAST(doc_id AS STRING) "
+    "|| '?b=2&a=1'"
+)
+_E2E_MIRROR_URI = (
+    "'https://mirror.example/doc/' || "
+    "CAST(doc_id + 1000000 AS STRING)"
+)
+_E2E_RECRAWL_URI = (
+    "'HTTPS://crawler@CORPUS.EXAMPLE:443/doc/' || "
+    "CAST(doc_id AS STRING) || '?a=1&utm_source=feed&b=2#top'"
+)
 
 
-@register(
-    "e2e_crawl",
-    f"""
+def _e2e_crawl_oracle() -> str:
+    from garmin_data_pipeline_spark.operators.urls import (
+        sql_canonicalize_url,
+    )
+
+    return f"""
     WITH crawl AS (
-        -- re-crawled pages: the same URL fetched twice gets a new
-        -- record id but identical content — the duplicate class a
-        -- crawl front-end exists to collapse (the synthetic corpus
-        -- itself has no exact dups, so the re-scrape is planted
-        -- in-query on BOTH sides)
-        SELECT doc_id, text FROM documents
+        -- base fetch of every doc, a content MIRROR (different site,
+        -- same text) and a URL RE-CRAWL (same canonical URL, fetched
+        -- later) — the three duplicate classes a crawl front-end
+        -- exists to tell apart (the synthetic corpus has no natural
+        -- dups, so all three are planted in-query on BOTH sides)
+        SELECT doc_id, text, {_E2E_BASE_URI} AS uri,
+               '2026-01-01T00:00:00Z' AS fetch_date
+        FROM documents
         UNION ALL
-        SELECT doc_id + 1000000 AS doc_id, text
+        SELECT doc_id + 1000000 AS doc_id, text, {_E2E_MIRROR_URI},
+               '2026-01-01T00:00:00Z'
         FROM documents WHERE doc_id % 50 = 0
+        UNION ALL
+        SELECT doc_id, text, {_E2E_RECRAWL_URI},
+               '2026-02-01T00:00:00Z'
+        FROM documents WHERE doc_id % 40 = 0
+    ), canon AS (
+        SELECT *, {sql_canonicalize_url("uri")} AS canonical_url
+        FROM crawl
+    ), latest AS (
+        SELECT doc_id, text, n_fetches FROM (
+            SELECT *,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY canonical_url
+                       ORDER BY fetch_date DESC) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY canonical_url)
+                        AS BIGINT) AS n_fetches
+            FROM canon
+        ) WHERE rn = 1
     ), ext AS (
-        SELECT doc_id,
+        SELECT doc_id, n_fetches,
                trim(regexp_replace(replace(
                    '{_CRAWL_PREFIX}' || COALESCE(text, '') ||
                    '{_CRAWL_SUFFIX}',
                    chr(160), ' '), '[ \\t\\n\\r\\f]+', ' ', 'g')
                ) AS text
-        FROM crawl
+        FROM latest
     ), m AS (
-        SELECT doc_id, text, {_TOKS} AS toks FROM ext
+        SELECT doc_id, n_fetches, text, {_TOKS} AS toks FROM ext
     ), k AS (
-        SELECT doc_id,
+        SELECT doc_id, n_fetches,
                {_sql_langid()} AS lang,
                md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
                    AS text_hash
@@ -2485,15 +2779,24 @@ _CRAWL_SUFFIX = " raw &amp; <b> Hi O end"
                COUNT(*) AS n_dups
         FROM k GROUP BY 1
     )
-    SELECT k.doc_id, k.lang, k.text_hash,
+    SELECT k.doc_id, k.n_fetches, k.lang, k.text_hash,
            g.canonical_id, g.n_dups,
            CAST(k.doc_id = g.canonical_id AS INT) AS is_canonical
     FROM k JOIN g USING (text_hash)
-    """,
-    doc="Fused crawl front-end: WARC ingest → HTML extraction → "
-    "language ID → Gopher quality gates → exact-dedup annotation in "
-    "ONE Catalyst plan, oracle-composed end-to-end. Scale shape: "
-    "row/group-local Arrow stages then column expressions; the dedup "
+    """
+
+
+@register(
+    "e2e_crawl",
+    _e2e_crawl_oracle(),
+    doc="Fused crawl front-end: WARC ingest → URL canonicalization + "
+    "latest-fetch URL dedup (BEFORE extraction, so re-crawls never "
+    "reach the dominant kernel) → HTML extraction → language ID → "
+    "Gopher quality gates → exact content-dedup annotation in ONE "
+    "Catalyst plan, oracle-composed end-to-end. Scale shape: "
+    "row/group-local Arrow stages then column expressions; the URL "
+    "dedup is one window over canonical URLs (group size = re-fetch "
+    "count — politeness-bounded, no hot key); the content-dedup "
     "annotation is the skew-safe groupBy(text_hash) aggregate "
     "(map-side partial combine) joined back per doc (AQE skew-split "
     "eligible) — NOT a per-hash window, so a viral duplicate page "
@@ -2503,6 +2806,43 @@ _CRAWL_SUFFIX = " raw &amp; <b> Hi O end"
     "functions/html.py).",
 )
 def e2e_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept = (
+        _e2e_crawl_kept(spark, sf_dir)
+        # one kernel pass feeds BOTH the group aggregate and the
+        # probe side (lazy: materializes on first action, reused by
+        # the second consumer; bench/serve hygiene releases it).
+        # NOTE the checkpoint hides the upstream plan from the outer
+        # EXPLAIN — tests assert the upstream shape (single-eval
+        # extraction, partitioned URL window) on _e2e_crawl_kept
+        # directly.
+        .localCheckpoint(eager=False)
+    )
+    # skew-safe dedup annotation (r12 verdict 1b): partial-aggregating
+    # groupBy — the d1 exact_duplicates shape — then join back; never
+    # a per-hash window (a hot hash would sort whole on one task)
+    groups = kept.groupBy("text_hash").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+    return kept.join(groups, "text_hash").select(
+        "doc_id",
+        "n_fetches",
+        "lang",
+        "text_hash",
+        "canonical_id",
+        "n_dups",
+        (F.col("doc_id") == F.col("canonical_id"))
+        .cast("int")
+        .alias("is_canonical"),
+    )
+
+
+def _e2e_crawl_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused front-end UP TO the dedup annotation: fetch classes
+    → WARC build/parse → URL canonicalization + latest-fetch dedup →
+    single-eval extraction → langID + gates → (doc_id, n_fetches,
+    lang, text_hash). Exposed un-checkpointed so plan tests can see
+    the upstream shape."""
     from garmin_data_pipeline_spark.functions.html import html_to_text
     from garmin_data_pipeline_spark.operators.dedup_scale import (
         normalize_text,
@@ -2512,6 +2852,9 @@ def e2e_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingles,
         stopword_hits,
         tokens,
+    )
+    from garmin_data_pipeline_spark.operators.urls import (
+        url_dedup_latest,
     )
 
     html = F.concat(
@@ -2529,18 +2872,51 @@ def e2e_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     base = table(spark, sf_dir, "documents").select("doc_id", "text")
-    # planted re-scrapes: same text under a fresh record id (see the
-    # oracle's `crawl` CTE — the corpus has no natural exact dups)
-    crawl = base.unionByName(
-        base.filter(F.col("doc_id") % 50 == 0).select(
-            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    jan = F.lit("2026-01-01T00:00:00Z").alias("date")
+    # three planted fetch classes (see the oracle's `crawl` CTE —
+    # the corpus has no natural dups). The helper's doc_id column is
+    # the UNIQUE fetch key (+2M for re-crawls); doc identity travels
+    # in the URI path and is recovered from the canonical URL.
+    fetches = (
+        base.select(
+            "doc_id", "text", F.expr(_E2E_BASE_URI).alias("uri"), jan
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % 50 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                "text",
+                F.expr(_E2E_MIRROR_URI).alias("uri"),
+                jan,
+            )
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % 40 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                "text",
+                F.expr(_E2E_RECRAWL_URI).alias("uri"),
+                F.lit("2026-02-01T00:00:00Z").alias("date"),
+            )
         )
     )
     recs = _warc_fixture_records(
-        crawl.select("doc_id", html.alias("body")), "text/html"
+        fetches.select("doc_id", html.alias("body"), "uri", "date"),
+        "text/html",
     )
-    pages = recs.filter(F.col("parse_error").isNull()).select(
-        _record_doc_id(),
+    # URL-level dedup FIRST (latest WARC-Date per canonical URL —
+    # ISO-8601 strings sort chronologically), so the extraction
+    # kernel below never runs on a superseded fetch
+    latest = url_dedup_latest(
+        recs.filter(F.col("parse_error").isNull()).select(
+            "target_uri", "warc_date", "content"
+        ),
+        "warc_date",
+        "target_uri",
+    )
+    pages = latest.select(
+        F.regexp_extract(F.col("canonical_url"), r"doc/(\d+)", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "n_fetches",
         html_to_text(_http_body_expr()).alias("text"),
     )
     text = F.col("text")
@@ -2567,34 +2943,11 @@ def e2e_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (swr >= 0.05)
         & (dup2 <= 0.4)
     )
-    kept = (
-        pages.filter(keep)
-        .select(
-            "doc_id",
-            language_guess(text).alias("lang"),
-            F.md5(normalize_text(text)).alias("text_hash"),
-        )
-        # one kernel pass feeds BOTH the group aggregate and the
-        # probe side (lazy: materializes on first action, reused by
-        # the second consumer; bench/serve hygiene releases it)
-        .localCheckpoint(eager=False)
-    )
-    # skew-safe dedup annotation (r12 verdict 1b): partial-aggregating
-    # groupBy — the d1 exact_duplicates shape — then join back; never
-    # a per-hash window (a hot hash would sort whole on one task)
-    groups = kept.groupBy("text_hash").agg(
-        F.min("doc_id").alias("canonical_id"),
-        F.count(F.lit(1)).alias("n_dups"),
-    )
-    return kept.join(groups, "text_hash").select(
+    return pages.filter(keep).select(
         "doc_id",
-        "lang",
-        "text_hash",
-        "canonical_id",
-        "n_dups",
-        (F.col("doc_id") == F.col("canonical_id"))
-        .cast("int")
-        .alias("is_canonical"),
+        "n_fetches",
+        language_guess(text).alias("lang"),
+        F.md5(normalize_text(text)).alias("text_hash"),
     )
 
 
@@ -2666,6 +3019,85 @@ def t26_quality_linear_score(
     )
 
     return linear_quality_score(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+# ---------------------------------------------------------------------------
+# T26B — the TRAINED quality model, quantized (r12 verdict directive
+# 7): t26's fixed weights are a hand distillation; this row scores
+# with the FITTED LogisticRegression's coefficients rounded to
+# WEIGHT_SCALE integers (operators/quality_model.py TRAINED_WEIGHTS,
+# provenance + regeneration recipe in the module) through the same
+# exact-integer feature path — the trained model's weights become
+# plan constants, closing the "trained path is pytest-only" gap: the
+# oracle certifies the trained model's scores hash-exactly, and the
+# pytest pin measures quantized-vs-float agreement.
+# ---------------------------------------------------------------------------
+def _t26b_oracle() -> str:
+    from garmin_data_pipeline_spark.operators.quality_model import (
+        TRAINED_WEIGHTS as W,
+    )
+
+    return f"""
+    WITH t AS (
+        SELECT doc_id, text, {_TOKS} AS toks FROM documents
+    ), f AS (
+        SELECT doc_id,
+               len(toks) AS f_tokens,
+               CASE WHEN len(toks) > 0 THEN
+                   (CAST(list_sum(list_transform(toks, x -> len(x)))
+                        AS BIGINT) * 1000000) // len(toks)
+                   ELSE 0 END AS f_mwl_ppm,
+               CASE WHEN len(toks) > 0 THEN
+                   (CAST({T.sql_stopword_hits("toks", "en")} AS BIGINT)
+                        * 1000000) // len(toks)
+                   ELSE 0 END AS f_stop_ppm,
+               CASE WHEN len(toks) > 0 THEN
+                   (CAST(len(list_distinct(toks)) AS BIGINT) * 1000000)
+                        // len(toks)
+                   ELSE 0 END AS f_dist_ppm,
+               CASE WHEN len(toks) - 1 > 0 THEN
+                   (CAST(len(toks) - 1 - len({_T26_SH2}) AS BIGINT)
+                        * 1000000) // (len(toks) - 1)
+                   ELSE 0 END AS f_dup2_ppm
+        FROM t
+    ), s AS (
+        SELECT *,
+               CAST(({W["f_tokens"]}) * f_tokens
+                    + ({W["f_mwl_ppm"]}) * f_mwl_ppm
+                    + ({W["f_stop_ppm"]}) * f_stop_ppm
+                    + ({W["f_dist_ppm"]}) * f_dist_ppm
+                    + ({W["f_dup2_ppm"]}) * f_dup2_ppm
+                    + ({W["bias"]})
+                    AS BIGINT) AS score
+        FROM f
+    )
+    SELECT doc_id, CAST(f_tokens AS BIGINT) AS f_tokens,
+           f_mwl_ppm, f_stop_ppm, f_dist_ppm, f_dup2_ppm,
+           score, CAST(score >= 0 AS INT) AS keep
+    FROM s
+    """
+
+
+@register(
+    "t26b_quality_trained_score",
+    _t26b_oracle(),
+    doc="TRAINED quality model, quantized to exact integers: the "
+    "fitted LogisticRegression's coefficients at WEIGHT_SCALE=1e12 "
+    "as plan constants over the same exact-ppm feature path — the "
+    "trained model is now oracle-hash-certified, not just "
+    "pytest-pinned. Scale shape: identical to t26 — pure row-local "
+    "column expressions, zero shuffle, no UDF.",
+)
+def t26b_quality_trained_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.quality_model import (
+        trained_quality_score,
+    )
+
+    return trained_quality_score(
         table(spark, sf_dir, "documents"), "doc_id", "text"
     )
 

@@ -1,6 +1,7 @@
 """HTML→text extraction (functions/html.py): pinned semantics for
 the WET step — tag stripping, script/style removal, entity decoding,
-whitespace normalization — plus the Spark-side Arrow kernel posture.
+whitespace normalization — plus the Spark-side Arrow kernel posture,
+and the BLOCK segmentation the main-content filter (s18) builds on.
 """
 
 from __future__ import annotations
@@ -8,11 +9,14 @@ from __future__ import annotations
 import pytest
 
 from garmin_data_pipeline_spark.functions.html import (
+    extract_html_blocks,
     extract_html_text,
+    html_blocks_rows,
     html_to_text,
 )
 
 X = extract_html_text
+B = extract_html_blocks
 
 
 class TestExtractSemantics:
@@ -119,3 +123,85 @@ class TestReviewRegressions:
         assert X("<template>hidden</script>leaked</template>ok") == "ok"
         assert X("<template>a<script>b</script>c</template>ok") == "ok"
         assert X("</template>stray closer ok") == "stray closer ok"
+
+
+class TestBlockSegmentation:
+    """The s18 kernel's pinned semantics: blocks delimit at
+    block-level tags, label = innermost open block tag, anchor_chars
+    = normalized <a> data without separators, empty runs emit
+    nothing."""
+
+    def test_basic_blocks_in_document_order(self):
+        html = (
+            "<html><body><nav><a href='/'>Home</a>"
+            "<a href='/a'>About</a></nav><h1>Title</h1>"
+            "<p>main text here</p></body></html>"
+        )
+        assert B(html) == [
+            ("nav", "Home About", 9),
+            ("h1", "Title", 0),
+            ("p", "main text here", 0),
+        ]
+
+    def test_anchor_chars_concatenate_without_separators(self):
+        # 'HomeAbout' = 9, not 10: the pinned jusText numerator rule
+        blocks = B("<div><a>Home</a><a>About</a></div>")
+        assert blocks == [("div", "Home About", 9)]
+
+    def test_inline_markup_stays_in_block(self):
+        assert B("<p>a <b>bold</b> tail</p>") == [
+            ("p", "a bold tail", 0)
+        ]
+
+    def test_empty_blocks_emit_nothing(self):
+        assert B("<div>  </div><p></p><p>x</p>") == [("p", "x", 0)]
+
+    def test_script_subtree_dropped(self):
+        assert B("<p>keep<script>if (1 < 2) {}</script></p>") == [
+            ("p", "keep", 0)
+        ]
+
+    def test_nested_blocks_attribute_to_innermost(self):
+        blocks = B("<div>outer one<p>inner</p>outer two</div>")
+        assert blocks == [
+            ("div", "outer one", 0),
+            ("p", "inner", 0),
+            ("div", "outer two", 0),
+        ]
+
+    def test_text_outside_any_block(self):
+        assert B("free floating") == [("", "free floating", 0)]
+
+    def test_unclosed_blocks_flush_at_eof(self):
+        assert B("<div><p>dangling") == [("p", "dangling", 0)]
+
+    def test_anchor_across_nbsp_and_ws_normalized(self):
+        blocks = B("<p><a>two\xa0 words</a></p>")
+        assert blocks == [("p", "two words", 9)]
+
+    def test_hr_delimits(self):
+        assert B("<p>a<hr/>b</p>") == [("p", "a", 0), ("p", "b", 0)]
+
+    def test_spark_rows_shape_and_error_posture(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "<nav><a>Home</a></nav><p>body text</p>"),
+                (2, None),  # NULL page -> zero block rows
+            ],
+            "doc_id long, page string",
+        )
+        out = html_blocks_rows(df, "doc_id", "page")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan
+        assert "BatchEvalPython" not in plan
+        rows = sorted(
+            (
+                (r["doc_id"], r["block_idx"], r["tag"], r["text"],
+                 r["anchor_chars"])
+                for r in out.collect()
+            )
+        )
+        assert rows == [
+            (1, 0, "nav", "Home", 4),
+            (1, 1, "p", "body text", 0),
+        ]

@@ -1075,6 +1075,82 @@ class TestQualityModel:
         assert "NotImplementedError" in src
         assert "linear_quality_score" in src
 
+    def test_quantized_trained_model_agrees_with_float(self, spark):
+        """r12 verdict directive 7: fit LR on this corpus, quantize
+        at WEIGHT_SCALE, score through the exact-integer path — the
+        quantized keep decisions must agree with the float model's
+        predictions (rounding shifts the boundary by <= ~1e-6 of a
+        typical score, so only razor-borderline docs may flip; this
+        corpus has none)."""
+        pytest.importorskip("pyspark.ml")
+        from pyspark.ml.feature import VectorAssembler
+
+        from garmin_data_pipeline_spark.operators.quality_model import (
+            fit_and_quantize,
+            linear_quality_score,
+            quality_features_exact,
+            train_quality_classifier,
+            trained_quality_score,
+        )
+
+        docs = self._corpus(spark)
+        labeled = docs.join(
+            linear_quality_score(docs, "doc_id", "text").select(
+                "doc_id", F.col("keep").alias("label")
+            ),
+            "doc_id",
+        )
+        model = train_quality_classifier(
+            labeled, "doc_id", "text", "label"
+        )
+        weights = fit_and_quantize(docs, "doc_id", "text")
+        assert all(isinstance(v, int) for v in weights.values())
+        assert set(weights) == {
+            "f_tokens", "f_mwl_ppm", "f_stop_ppm", "f_dist_ppm",
+            "f_dup2_ppm", "bias",
+        }
+        cols = [
+            "f_tokens", "f_mwl_ppm", "f_stop_ppm", "f_dist_ppm",
+            "f_dup2_ppm",
+        ]
+        assembled = VectorAssembler(
+            inputCols=cols, outputCol="features"
+        ).transform(
+            quality_features_exact(docs, "doc_id", "text").select(
+                "doc_id",
+                *[F.col(c).cast("double").alias(c) for c in cols],
+            )
+        )
+        float_pred = {
+            r["doc_id"]: int(r["prediction"])
+            for r in model.transform(assembled).collect()
+        }
+        quant_pred = {
+            r["doc_id"]: r["keep"]
+            for r in trained_quality_score(
+                docs, "doc_id", "text", weights=weights
+            ).collect()
+        }
+        assert float_pred == quant_pred
+
+    def test_committed_trained_weights_separate_classes(self, spark):
+        """The COMMITTED sf0.01-fitted quantized weights (the t26b
+        oracle's constants) transfer to this held-out corpus: prose
+        kept, spam/jargon dropped — same separation the rule labels
+        define."""
+        from garmin_data_pipeline_spark.operators.quality_model import (
+            trained_quality_score,
+        )
+
+        out = trained_quality_score(
+            self._corpus(spark), "doc_id", "text"
+        ).collect()
+        keep = {r["doc_id"]: r["keep"] for r in out}
+        assert all(keep[i] == 1 for i in range(80)), "prose kept"
+        assert all(keep[i] == 0 for i in range(80, 240)), (
+            "spam/jargon dropped"
+        )
+
 
 class TestUrlCuration:
     """URL/domain curation operators (s16, operators/urls.py)."""
@@ -1694,6 +1770,12 @@ def test_text_query_oracles_on_edge_corpus(spark, tmp_path):
         # s16 derives URLs from doc_id alone — included to pin the
         # window/cap behavior on a tiny skewed id set
         "s16_url_curation",
+        # r13 additions — s17's canonicalization/dedup on the tiny id
+        # set, s18's block kernel over empty/NULL/short doc bodies,
+        # t26b's trained-weight scoring on zero-token docs (same
+        # guarded divisions as t26)
+        "s17_url_canonical_dedup", "s18_main_content_blocks",
+        "t26b_quality_trained_score",
     ]
     failures = {}
     for name in targets:
@@ -1780,6 +1862,10 @@ def test_text_query_oracles_on_multibyte_corpus(spark, tmp_path):
         # crawl front-end: UTF-8 through WARC bytes, HTML entities,
         # and the fused pipeline
         "s14_warc_scan", "s15_html_extract", "e2e_crawl",
+        # r13: block segmentation over multibyte bodies (char-domain
+        # lengths: the © / CJK / emoji blocks must count codepoints
+        # identically), and the trained-weight integer scorer
+        "s18_main_content_blocks", "t26b_quality_trained_score",
     ]
     failures = {}
     for name in targets:

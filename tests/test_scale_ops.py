@@ -269,6 +269,11 @@ def test_registered_plans_stay_jvm_side(spark, sf_dir):
         # e2e_crawl: the fused crawl front-end — s14's two Arrow
         # stages + s15's one; everything downstream is JVM-side
         "e2e_crawl",
+        # s18: block segmentation is one Arrow mapInPandas pass (the
+        # parser is the same stdlib kernel family as s15); the
+        # jusText scoring + keep policy stay JVM-side column
+        # expressions
+        "s18_main_content_blocks",
     }
     # per-plan justifications live with the allowlist in plans/lint.py
     # (shared with tools/explain_audit.py's footer so prose and gate

@@ -366,3 +366,166 @@ class TestAqeSkewJoin:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestTwoPhaseDomainCap:
+    """r12 verdict directive 1a: domain_cap's single-window form
+    shipped every row of the hot domain to ONE task (the cap bounds
+    the output, not the sort input). The two-phase form pre-caps per
+    (domain, salt-bucket) and exactly re-ranks the <= buckets*k
+    survivors — same contract family as cumulative_sum_sharded."""
+
+    K = 25
+    BUCKETS = 16
+
+    def test_matches_single_window_on_50pct_hot_key(self, skewed):
+        from garmin_data_pipeline_spark.operators.urls import (
+            domain_cap,
+            domain_rank,
+        )
+
+        naive = {
+            (r["seq"], r["domain_rank"])
+            for r in skewed.withColumn(
+                "domain_rank",
+                domain_rank("seq", "key").cast("bigint"),
+            )
+            .filter(F.col("domain_rank") <= self.K)
+            .collect()
+        }
+        got = {
+            (r["seq"], r["domain_rank"])
+            for r in domain_cap(
+                skewed, "seq", "key", self.K, buckets=self.BUCKETS
+            ).collect()
+        }
+        assert got == naive
+        # the cap binds: every key (each holds > K rows) emits
+        # exactly K — the hot one included, down from its 20k
+        n_keys = skewed.select("key").distinct().count()
+        assert len(got) == self.K * n_keys
+
+    def test_phase1_divides_the_hot_partition(self, skewed):
+        """Data-level balance contract: the phase-1 window keys
+        (domain, bucket) split the 50%-of-table hot domain into
+        ~equal bucket slices — largest slice <= 2x the hot domain's
+        mean slice, where the unsharded partitioning has a 20k-row
+        group."""
+        from garmin_data_pipeline_spark.operators.urls import (
+            _rank_hash,
+        )
+
+        h = _rank_hash("seq", "s16-v1")
+        b = F.pmod(
+            F.conv(F.substring(h, 25, 8), 16, 10).cast("long"),
+            F.lit(self.BUCKETS),
+        )
+        sizes = [
+            r["n"]
+            for r in skewed.filter(F.col("key") == "HOT")
+            .groupBy(b.alias("b"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ]
+        hot_total = sum(sizes)
+        assert hot_total == N_ROWS // 2
+        assert len(sizes) == self.BUCKETS
+        assert max(sizes) <= 2 * (hot_total / self.BUCKETS)
+
+    def test_plan_prewindow_keys_include_bucket(self, skewed):
+        from garmin_data_pipeline_spark.operators.urls import (
+            domain_cap,
+        )
+
+        plan = (
+            domain_cap(skewed, "seq", "key", self.K)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # phase 1 partitions by (key, __b); only the bounded re-rank
+        # partitions by key alone
+        assert "windowspecdefinition(key" in plan
+        assert "__b" in plan
+
+
+class TestCrawlDedupAnnotationShape:
+    """r12 verdict directive 1b: e2e_crawl's dedup annotation must be
+    the partial-aggregating groupBy + join-back, never a per-hash
+    window (a viral page's hash would sort whole on one task with no
+    partial combine)."""
+
+    def test_e2e_plan_has_no_text_hash_window(self, spark, sf_dir):
+        from garmin_data_pipeline_spark.plans.llm_queries import (
+            e2e_crawl,
+        )
+
+        plan = (
+            e2e_crawl(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "windowspecdefinition(text_hash" not in plan
+        # the aggregate/join shape: a hash aggregate keyed by
+        # text_hash with a partial phase before its Exchange
+        assert "HashAggregate" in plan
+        assert "partial_count" in plan or "partial" in plan.lower()
+
+    def test_e2e_upstream_single_extraction_and_url_window(
+        self, spark, sf_dir
+    ):
+        """The lazy checkpoint hides the upstream from the outer
+        EXPLAIN, so the pre-checkpoint relation carries the two
+        upstream shape pins: the extraction kernel appears EXACTLY
+        once (the .asNondeterministic() single-eval guarantee — the
+        r12 regression was Catalyst cloning it into filters), and the
+        URL-dedup window is keyed by canonical_url (partitioned,
+        never global)."""
+        from garmin_data_pipeline_spark.plans.llm_queries import (
+            _e2e_crawl_kept,
+        )
+
+        plan = (
+            _e2e_crawl_kept(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("ArrowEvalPython") == 1, plan.count(
+            "ArrowEvalPython"
+        )
+        assert "windowspecdefinition(canonical_url" in plan
+
+    def test_groupby_joinback_matches_window_on_hot_hash(self, spark):
+        """Semantics pin on a 50%-hot-hash relation: the skew-safe
+        shape is row-identical to the window form it replaced."""
+        from pyspark.sql.window import Window
+
+        kept = spark.range(40_000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 2 == 0, F.lit("viral"))
+            .otherwise(F.concat(F.lit("h"), (F.col("id") % 999).cast("string")))
+            .alias("text_hash"),
+        )
+        w = Window.partitionBy("text_hash")
+        want = {
+            tuple(r)
+            for r in kept.select(
+                "doc_id",
+                "text_hash",
+                F.min("doc_id").over(w).alias("canonical_id"),
+                F.count(F.lit(1)).over(w).alias("n_dups"),
+            ).collect()
+        }
+        groups = kept.groupBy("text_hash").agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        got = {
+            tuple(r)
+            for r in kept.join(groups, "text_hash")
+            .select("doc_id", "text_hash", "canonical_id", "n_dups")
+            .collect()
+        }
+        assert got == want

@@ -164,9 +164,16 @@ PROBES = [
     # t26 is a zero-shuffle row-local projection — expected in the
     # pure scan band
     "t26_quality_linear_score",
-    # s16: one window shuffle whose output the per-domain cap bounds
-    # (output rows CONSTANT at 10x input — the cap is the point)
+    # s16: two bounded window shuffles (the r13 two-phase cap); the
+    # cap keeps output rows CONSTANT at 10x input — that is the point
     "s16_url_curation",
+    # r13: s17 is row-local expressions + one canonical-URL window
+    # (group size = re-fetch count, input-size independent); s18 is
+    # one Arrow segmentation pass (the m5/s15 per-row-kernel band,
+    # output 6 blocks/doc); t26b shares t26's zero-shuffle scan band
+    "s17_url_canonical_dedup",
+    "s18_main_content_blocks",
+    "t26b_quality_trained_score",
 ]
 
 WARMUPS = 1
