@@ -53,6 +53,14 @@ WARMUPS = 2
 # (t4: 0.957/1.909). 0.25 catches both documented stalls while a
 # false trip only costs one extra 3-rep cell run whose result is
 # kept anyway if it agrees.
+# Warm-up caveat (r13 review): a tripped cell's re-run executes
+# after 3 extra same-plan reps, so its median can be faster purely
+# from deeper JIT warming, not host idleness — tripped cells are
+# therefore measured slightly warmer than untripped ones. This bias
+# points TOWARD the bench's declared metric (steady-state
+# throughput, per the module docstring), not away from it, and both
+# series ship in the payload so the audit can see the difference;
+# it is accepted rather than corrected.
 STALL_SPREAD_FRACTION = 0.25
 STALL_MIN_MEDIAN_S = 0.15
 

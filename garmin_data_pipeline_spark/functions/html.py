@@ -197,11 +197,22 @@ class _BlockExtractor(HTMLParser):
     * ``anchor_chars`` counts DATA characters inside ``<a>`` elements
       (same normalization, concatenated WITHOUT tag separators —
       '<a>Home</a><a>About</a>' contributes 9, not 10): the jusText
-      link-density numerator;
+      link-density numerator. Anchor scope is BLOCK-LOCAL: a block
+      boundary closes any open anchor for accounting, so an unclosed
+      ``<a>`` (ubiquitous in crawl soup) cannot poison every later
+      block's density and silently delete the page's main content
+      (r13 review finding); the cost is that a rare legitimately
+      block-spanning anchor counts only inside its first block —
+      deterministic either way;
     * script/style/template subtrees drop with their content (the
       same stack rule as the text extractor); comments/doctypes
-      vanish.
+      vanish; VOID block elements (``<hr>``) delimit but are never
+      pushed as open blocks — a bare ``<hr>`` has no closer and
+      would otherwise corrupt the label stack for the whole rest of
+      the document (r13 review finding).
     """
+
+    _VOID_BLOCKS = frozenset({"hr"})
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -220,13 +231,16 @@ class _BlockExtractor(HTMLParser):
             self.blocks.append((label, text, len(anchor)))
         self._parts = []
         self._anchor_parts = []
+        # anchor accounting is block-local (see class docstring)
+        self._anchor_depth = 0
 
     def handle_starttag(self, tag, attrs):  # noqa: D102
         if tag in _SKIP_CONTENT:
             self._skip.append(tag)
         if tag in BLOCK_TAGS:
             self._flush()
-            self._stack.append(tag)
+            if tag not in self._VOID_BLOCKS:
+                self._stack.append(tag)
         else:
             self._parts.append(" ")
             if tag == "a":

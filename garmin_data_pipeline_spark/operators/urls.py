@@ -181,9 +181,14 @@ HOSTPORT_PATTERN = r"(?i)^https?://(?:[^/@?#]*@)?([^/?#]+)"
 
 # Tracking params every production canonicalizer strips (the utm_*
 # family plus the major ad-click ids). Anchored alternation so 'a=1'
-# or a hypothetical 'refresh=1' never matches.
+# or a hypothetical 'refresh=1' never matches. Case-insensitive
+# ((?i) — works in Java regex AND RE2): 'UTM_SOURCE=x' is the same
+# tracker, and leaving it case-sensitive would let uppercase-spelled
+# re-crawls evade the dedup (r13 review finding). Param names are
+# NOT case-normalized in the output — only the drop decision is
+# case-blind.
 TRACKING_PARAM_PATTERN = (
-    r"^(utm_[a-z0-9_]*|fbclid|gclid|dclid|msclkid|mc_cid|mc_eid|"
+    r"(?i)^(utm_[a-z0-9_]*|fbclid|gclid|dclid|msclkid|mc_cid|mc_eid|"
     r"igshid|yclid|twclid|wbraid|gbraid|_ga|_gl|ref_src|ref_url)="
 )
 
@@ -407,7 +412,10 @@ def sql_canonicalize_url(url_expr: str) -> str:
 
 
 def url_dedup_latest(
-    df: DataFrame, id_col: str, url_col: str
+    df: DataFrame,
+    id_col: str,
+    url_col: str,
+    tiebreakers: tuple[str, ...] = (),
 ) -> DataFrame:
     """Keep the LATEST fetch per canonical URL (max ``id_col`` — ids
     are fetch-ordered), adding ``canonical_url`` and ``n_fetches``.
@@ -416,9 +424,18 @@ def url_dedup_latest(
     domain-cap-style hot key arises (a hot DOMAIN spreads over its
     many URLs); the window is the right tool here where it wasn't in
     :func:`domain_cap`. Run BEFORE extraction so the dominant kernel
-    never touches a superseded re-crawl."""
+    never touches a superseded re-crawl.
+
+    REPRODUCIBILITY: ``(id_col, *tiebreakers)`` must totally order
+    each canonical-URL group, or the argmax is partition-order
+    dependent (r13 review finding). A unique fetch id needs no
+    tiebreaker; a second-granularity fetch TIMESTAMP does — pass a
+    content hash (ties with identical content are then
+    output-identical under either winner, making the whole pick
+    deterministic in its observable effects)."""
     w = Window.partitionBy("canonical_url").orderBy(
-        F.col(id_col).desc()
+        F.col(id_col).desc(),
+        *[F.col(c).desc() for c in tiebreakers],
     )
     return (
         df.withColumn("canonical_url", canonicalize_url(F.col(url_col)))

@@ -2904,13 +2904,21 @@ def _e2e_crawl_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # URL-level dedup FIRST (latest WARC-Date per canonical URL —
     # ISO-8601 strings sort chronologically), so the extraction
-    # kernel below never runs on a superseded fetch
+    # kernel below never runs on a superseded fetch. WARC-Date has
+    # second granularity, so a same-second re-fetch would tie — the
+    # content-md5 tiebreaker makes the pick deterministic (ties with
+    # identical content are output-identical either way; see
+    # url_dedup_latest's reproducibility contract)
     latest = url_dedup_latest(
         recs.filter(F.col("parse_error").isNull()).select(
-            "target_uri", "warc_date", "content"
+            "target_uri",
+            "warc_date",
+            "content",
+            F.md5("content").alias("__content_md5"),
         ),
         "warc_date",
         "target_uri",
+        tiebreakers=("__content_md5",),
     )
     pages = latest.select(
         F.regexp_extract(F.col("canonical_url"), r"doc/(\d+)", 1)

@@ -182,6 +182,31 @@ class TestBlockSegmentation:
     def test_hr_delimits(self):
         assert B("<p>a<hr/>b</p>") == [("p", "a", 0), ("p", "b", 0)]
 
+    def test_bare_hr_delimits_without_corrupting_labels(self):
+        """r13 review: bare <hr> (the HTML5 spelling) is a VOID
+        element — it must delimit but never become an open block, or
+        every later block is mislabeled 'hr' and enclosing closers
+        stop popping."""
+        assert B("<div>intro<hr>main content</div><p>after</p>") == [
+            ("div", "intro", 0),
+            ("div", "main content", 0),
+            ("p", "after", 0),
+        ]
+
+    def test_unclosed_anchor_does_not_poison_later_blocks(self):
+        """r13 review: anchor accounting is block-local — one
+        malformed unclosed <a> must not count every later block's
+        text as anchor chars (which would classify the page's whole
+        main content as boilerplate)."""
+        blocks = B(
+            '<div><a href="/m">read more</div>'
+            "<p>This is the long main article text of the page</p>"
+        )
+        assert blocks == [
+            ("div", "read more", 9),
+            ("p", "This is the long main article text of the page", 0),
+        ]
+
     def test_spark_rows_shape_and_error_posture(self, spark):
         df = spark.createDataFrame(
             [

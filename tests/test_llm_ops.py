@@ -1263,6 +1263,12 @@ class TestUrlCuration:
                 "https://example.com/x?utm_campaign=1&utm_medium=2",
                 "https://example.com/x",
             ),
+            # r13 review: uppercase-spelled trackers are the same
+            # trackers — the drop decision is case-blind
+            (
+                "https://example.com/x?UTM_SOURCE=y&FBCLID=z&a=1",
+                "https://example.com/x?a=1",
+            ),
         ]
         df = spark.createDataFrame(
             [(i, u) for i, (u, _) in enumerate(cases)],
@@ -1293,6 +1299,7 @@ class TestUrlCuration:
             "http://a.b",
             "https://x.y/p/q?b=1&a=2&a=1",
             "https://x.y:444/p",
+            "https://x.y/p?UTM_SOURCE=up&GcLiD=mix&keep=1",
         ]
         df = spark.createDataFrame(
             [(i, u) for i, u in enumerate(urls)], "i long, url string"
