@@ -432,7 +432,16 @@ def url_dedup_latest(
     tiebreaker; a second-granularity fetch TIMESTAMP does — pass a
     content hash (ties with identical content are then
     output-identical under either winner, making the whole pick
-    deterministic in its observable effects)."""
+    deterministic in its observable effects).
+
+    100 TB note: when fetch BODIES travel inline through this
+    relation, a ``groupBy(canonical_url).agg(max_by(struct(*cols),
+    order), count)`` spells the same argmax with map-side partial
+    combine (≤ 1 row per key per map task crosses the wire, no
+    per-group sort) — worth switching to if re-fetch fan-in ever
+    stops being politeness-bounded; the window form is kept here
+    because it preserves every column without struct packing and the
+    group sizes are small by construction."""
     w = Window.partitionBy("canonical_url").orderBy(
         F.col(id_col).desc(),
         *[F.col(c).desc() for c in tiebreakers],

@@ -2198,7 +2198,9 @@ def test_repetition_metrics_semantics(spark, tmp_path):
     )
     out = {
         r["doc_id"]: r
-        for r in plans.queries()["t14_repetition_metrics"](
+        # t14 is pytest-tier since its r13 demotion — same fn/oracle
+        # contract, resolved via PYTEST_QUERIES
+        for r in plans.PYTEST_QUERIES["t14_repetition_metrics"].fn(
             spark, str(tmp_path)
         ).collect()
     }
@@ -2213,7 +2215,7 @@ def test_repetition_metrics_semantics(spark, tmp_path):
         f"'{tmp_path}/documents.parquet'"
     )
     odf = con.execute(
-        plans.oracle_sql()["t14_repetition_metrics"]
+        plans.PYTEST_QUERIES["t14_repetition_metrics"].oracle
     ).df()
     ocol = {
         int(r["doc_id"]): r["dup_2gram_frac"]

@@ -188,6 +188,15 @@ def main() -> None:
         "reader; a truncated ReadSchema falls back to the FileScan's",
         "bracketed output list — the same pruned column set).",
         "",
+        "Checkpoint visibility: `e2e_crawl` lazily localCheckpoints",
+        "its extracted relation (one kernel pass feeds both dedup-",
+        "annotation join sides), so the outer plan audited here shows",
+        "only the aggregate/join tail — the upstream (grouped Arrow",
+        "WARC build, record explode, partitioned canonical-URL window,",
+        "SINGLE-evaluation extraction kernel) is asserted directly on",
+        "the pre-checkpoint relation by",
+        "tests/test_skew_hardening.py::TestCrawlDedupAnnotationShape.",
+        "",
         "| query | shuffles | joins | codegen | python | win | pushed | cols |",
         "|---|---|---|---|---|---|---|---|",
         *rows,
