@@ -62,7 +62,14 @@ WARMUPS = 2
 # series ship in the payload so the audit can see the difference;
 # it is accepted rather than corrected.
 STALL_SPREAD_FRACTION = 0.25
-STALL_MIN_MEDIAN_S = 0.15
+# The floor is compared against the TRIPPING series' median, and a
+# stall INFLATES the median (r12: 0.296s code read 1.909s, 0.410s
+# code read 2.855s) — so the floor only needs to sit below stalled
+# medians, not below true walls. 0.5s skips the sub-noise-floor
+# churn the first r13 bench showed (13 cells with 0.2-0.6s medians
+# re-ran on scheduler noise, every kept median within noise of the
+# first) while still catching any stall big enough to matter.
+STALL_MIN_MEDIAN_S = 0.5
 
 
 def is_stall_suspect(reps: list[float]) -> bool:

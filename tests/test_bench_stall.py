@@ -22,13 +22,19 @@ class TestStallAdjudication:
         assert bench.is_stall_suspect([2.855, 2.445, 3.277])
         # the r12 t4 cell: median 1.909, spread 0.957 (50%)
         assert bench.is_stall_suspect([1.909, 1.40, 2.357])
-        # one stalled rep out of three also trips it
-        assert bench.is_stall_suspect([0.45, 0.47, 1.90])
+        # two stalled reps inflate the median itself — tripped even
+        # when the code's true wall is far below the floor (a SINGLE
+        # stalled rep is absorbed by the median-of-3 and correctly
+        # left alone below the floor)
+        assert bench.is_stall_suspect([0.45, 1.85, 1.90])
 
     def test_noise_floor_exempt(self):
-        # sub-0.15s walls: spread/median is scheduler noise, a re-run
-        # decides nothing
+        # sub-floor medians: spread/median is scheduler noise there,
+        # a re-run decides nothing — and a REAL stall inflates the
+        # median past the floor anyway (the r12 stalls read 1.9-2.9s
+        # on 0.3-0.4s code), so nothing that matters is exempted
         assert not bench.is_stall_suspect([0.05, 0.02, 0.11])
+        assert not bench.is_stall_suspect([0.35, 0.25, 0.49])
 
     def test_boundary_uses_median_fraction(self):
         med = 1.0

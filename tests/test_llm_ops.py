@@ -1133,6 +1133,37 @@ class TestQualityModel:
         }
         assert float_pred == quant_pred
 
+    def test_committed_trained_weights_reproduce_from_sf001(
+        self, spark
+    ):
+        """Provenance pin: refitting on the exact training set the
+        module documents (/root/testdata/sf0.01 documents, rule
+        labels) and quantizing reproduces the committed
+        TRAINED_WEIGHTS. LBFGS is deterministic given the data; the
+        1e-6-relative tolerance absorbs any last-ulp float-path
+        difference across BLAS builds without weakening the pin
+        (WEIGHT_SCALE rounding only flips a quantized integer when
+        the float sits within 0.5e-12 of a boundary)."""
+        pytest.importorskip("pyspark.ml")
+        import os
+
+        sf_dir = "/root/testdata/sf0.01"
+        if not os.path.exists(f"{sf_dir}/documents.parquet"):
+            pytest.skip("sf0.01 testdata absent")
+        from garmin_data_pipeline_spark.operators.quality_model import (
+            TRAINED_WEIGHTS,
+            fit_and_quantize,
+        )
+        from garmin_data_pipeline_spark.plans.registry import table
+
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        got = fit_and_quantize(docs, "doc_id", "text")
+        for k, want in TRAINED_WEIGHTS.items():
+            tol = max(2, abs(want) * 1e-6)
+            assert abs(got[k] - want) <= tol, (k, got[k], want)
+
     def test_committed_trained_weights_separate_classes(self, spark):
         """The COMMITTED sf0.01-fitted quantized weights (the t26b
         oracle's constants) transfer to this held-out corpus: prose
