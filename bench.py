@@ -412,6 +412,10 @@ HEADLINE = [
     "s17_url_canonical_dedup",
     "s18_main_content_blocks",
     "t26b_quality_trained_score",
+    # r13 fourth wave: the fused front-end with main-content
+    # extraction (block segmentation + keep policy + bounded per-doc
+    # reassembly replacing the tag-strip kernel).
+    "e2e_crawl_mc",
 ]
 
 

@@ -287,45 +287,60 @@ def extract_html_blocks(html: str) -> list[tuple[str, str, int]]:
 
 
 def html_blocks_rows(
-    df, id_col: str, html_col: str
+    df, id_col: str, html_col: str, extras: dict[str, str] | None = None
 ):
     """Explode a page relation into per-block ROWS:
-    ``(id, block_idx, tag, text, anchor_chars)`` — one Arrow-batched
-    ``mapInPandas`` pass (row-group-local, no shuffle, no state;
-    scoring stays JVM-side in the caller). Error-row posture: a NULL
-    page or a kernel failure contributes zero block rows rather than
-    a dead task."""
+    ``(id, block_idx, tag, text, anchor_chars, *extras)`` — one
+    Arrow-batched ``mapInPandas`` pass (row-group-local, no shuffle,
+    no state; scoring stays JVM-side in the caller). Error-row
+    posture: a NULL page or a kernel failure contributes zero block
+    rows rather than a dead task.
+
+    ``extras`` maps page-level column names to their DDL types; each
+    is replicated onto every block row of its page — the cheap way
+    to carry metadata (fetch counts, source tags) through the
+    explode without a corpus-sized join back to the page relation."""
     import pandas as pd
 
+    extras = extras or {}
     schema = (
         f"{id_col} long, block_idx int, tag string, text string, "
         "anchor_chars long"
+        + "".join(f", {c} {t}" for c, t in extras.items())
     )
 
     def kernel(batches):
         for pdf in batches:
             ids, idxs, tags, texts, anchors = [], [], [], [], []
-            for rid, h in zip(pdf[id_col], pdf[html_col]):
+            extra_vals: dict[str, list] = {c: [] for c in extras}
+            for row in pdf.itertuples(index=False):
+                h = getattr(row, html_col)
                 if h is None:
                     continue
                 try:
                     blocks = extract_html_blocks(h)
                 except Exception:  # noqa: BLE001 — error-row posture
                     continue
+                rid = getattr(row, id_col)
                 for i, (tag, text, anchor) in enumerate(blocks):
                     ids.append(rid)
                     idxs.append(i)
                     tags.append(tag)
                     texts.append(text)
                     anchors.append(anchor)
-            yield pd.DataFrame(
-                {
-                    id_col: pd.Series(ids, dtype="int64"),
-                    "block_idx": pd.Series(idxs, dtype="int32"),
-                    "tag": tags,
-                    "text": texts,
-                    "anchor_chars": pd.Series(anchors, dtype="int64"),
-                }
-            )
+                    for c in extras:
+                        extra_vals[c].append(getattr(row, c))
+            out = {
+                id_col: pd.Series(ids, dtype="int64"),
+                "block_idx": pd.Series(idxs, dtype="int32"),
+                "tag": tags,
+                "text": texts,
+                "anchor_chars": pd.Series(anchors, dtype="int64"),
+            }
+            for c in extras:
+                out[c] = extra_vals[c]
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, html_col).mapInPandas(kernel, schema)
+    return df.select(id_col, html_col, *extras).mapInPandas(
+        kernel, schema
+    )

@@ -57,12 +57,16 @@ from garmin_data_pipeline_spark.plans.queries import (
 #       t13/v5/t14, each with FOUR green hash-matched driver rows
 #       r5/r7/r9/r11 and a trivial row-local single-projection
 #       plan). Registry stays at 95, comfortably under the 100 cap.
-#   never: the three r13 registrations take their FIRST driver rows
+#   never: the four r13 registrations take their FIRST driver rows
 #       this round — s17 = URL canonicalization + URL-level dedup
 #       (r12 verdict directive 4), s18 = main-content/boilerplate
 #       block filtering (directive 6), t26b = the TRAINED quality
 #       model quantized to oracle-certifiable integer plan constants
-#       (directive 7). Plan-changed queries this round (policy 1):
+#       (directive 7), and e2e_crawl_mc = the fused front-end with
+#       s18's main-content extraction in place of tag-stripping (the
+#       production WET path; its head slot comes from returning the
+#       o5 holdover to the tail — a legal tail-out, green r12 with
+#       unchanged code). Plan-changed queries this round (policy 1):
 #       e2e_crawl (URL-dedup stage + skew-safe dedup annotation) and
 #       s16 (host normalization + PSL + two-phase cap) — both
 #       already in the head as first-timers.
@@ -71,6 +75,7 @@ _HEAD = [
     "s17_url_canonical_dedup",
     "s18_main_content_blocks",
     "t26b_quality_trained_score",
+    "e2e_crawl_mc",
     # --- r12 first-timers: second consecutive rows ---
     "s15_html_extract",
     "e2e_crawl",
@@ -81,7 +86,6 @@ _HEAD = [
     "d1_exact_dedup",
     "q5_local_supplier_volume",
     "b1_bucketed_join_agg",
-    "o5_median_quantity",
     # --- r12's tail rotates back in (green r11, code unchanged) ---
     "d8_prefix_jaccard_pairs",
     "v8_pq_codes",
@@ -172,6 +176,9 @@ _TAIL = [
     "j8_snapshot_diff",
     "w8_scd2_intervals",
     "d6_edit_distance_pairs",
+    # green r12, code unchanged — was an r13 holdover until the
+    # e2e_crawl_mc registration took its head slot (policy 2 tail-out)
+    "o5_median_quantity",
 ]
 # Policy 4: demoted to the pytest oracle tier (r6 verdict's named
 # candidate list — all single-operator projections/filters/aggregates

@@ -2713,7 +2713,10 @@ _E2E_RECRAWL_URI = (
 )
 
 
-def _e2e_crawl_oracle() -> str:
+def _e2e_latest_cte() -> str:
+    """The shared oracle front half (crawl fetch classes →
+    canonicalization → latest-fetch dedup) — one source of truth for
+    both fused-pipeline oracles, mirroring _e2e_latest_fetches."""
     from garmin_data_pipeline_spark.operators.urls import (
         sql_canonicalize_url,
     )
@@ -2749,7 +2752,11 @@ def _e2e_crawl_oracle() -> str:
                         AS BIGINT) AS n_fetches
             FROM canon
         ) WHERE rn = 1
-    ), ext AS (
+    )"""
+
+
+def _e2e_crawl_oracle() -> str:
+    return f"""{_e2e_latest_cte()}, ext AS (
         SELECT doc_id, n_fetches,
                trim(regexp_replace(replace(
                    '{_CRAWL_PREFIX}' || COALESCE(text, '') ||
@@ -2759,7 +2766,15 @@ def _e2e_crawl_oracle() -> str:
         FROM latest
     ), m AS (
         SELECT doc_id, n_fetches, text, {_TOKS} AS toks FROM ext
-    ), k AS (
+    ){_e2e_gate_dedup_cte()}"""
+
+
+def _e2e_gate_dedup_cte() -> str:
+    """The shared oracle back half (gates → lang+hash → dedup groups
+    → annotated output), mirroring _gate_and_hash + the skew-safe
+    groupBy/join-back — one source of truth for both fused
+    oracles. Expects a CTE ``m(doc_id, n_fetches, text, toks)``."""
+    return f""", k AS (
         SELECT doc_id, n_fetches,
                {_sql_langid()} AS lang,
                md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
@@ -2844,18 +2859,6 @@ def _e2e_crawl_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang, text_hash). Exposed un-checkpointed so plan tests can see
     the upstream shape."""
     from garmin_data_pipeline_spark.functions.html import html_to_text
-    from garmin_data_pipeline_spark.operators.dedup_scale import (
-        normalize_text,
-    )
-    from garmin_data_pipeline_spark.operators.text import (
-        language_guess,
-        shingles,
-        stopword_hits,
-        tokens,
-    )
-    from garmin_data_pipeline_spark.operators.urls import (
-        url_dedup_latest,
-    )
 
     html = F.concat(
         F.lit(
@@ -2871,6 +2874,155 @@ def _e2e_crawl_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
             " &#x4F; &nbsp;end</div></body></html>"
         ),
     )
+    latest = _e2e_latest_fetches(spark, sf_dir, html)
+    pages = latest.select(
+        F.regexp_extract(F.col("canonical_url"), r"doc/(\d+)", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "n_fetches",
+        html_to_text(_http_body_expr()).alias("text"),
+    )
+    return _gate_and_hash(pages)
+
+
+# ---------------------------------------------------------------------------
+# E2E-CRAWL-MC — the fused front-end with MAIN-CONTENT extraction
+# (s18) in place of plain tag-stripping: the production WET path.
+# Same front half as e2e_crawl (three fetch classes → WARC → URL
+# canonicalization + latest-fetch dedup) and same back half (gates →
+# skew-safe dedup annotation), but the page is wrapped in REAL
+# boilerplate (link-dense nav/aside, boilerplate footer, short
+# title/h1 — the s18 fixture blocks) and extraction segments it into
+# blocks, scores them relationally, and reassembles only the kept
+# main content. Plain s15-style extraction would prepend the SAME
+# nav/footer text to every page — here it never reaches the corpus.
+# Of the six fixture blocks only the main <p> can pass the keep
+# policy by construction, so the oracle predicts the reassembled
+# main text directly (the s15 recipe) and gates it exactly like
+# e2e_crawl.
+# ---------------------------------------------------------------------------
+def _e2e_crawl_mc_oracle() -> str:
+    return f"""{_e2e_latest_cte()}, ext AS (
+        SELECT doc_id, n_fetches,
+               trim(regexp_replace(replace(
+                   '{_S15_MB} ' || COALESCE(text, ''),
+                   chr(160), ' '), '[ \\t\\n\\r\\f]+', ' ', 'g')
+               ) AS text
+        FROM latest
+    ), mc AS (
+        -- of the six fixture blocks only the main <p> can pass the
+        -- jusText keep policy (title/nav/h1/aside too short or too
+        -- link-dense by construction, footer link-dense), so the
+        -- reassembled main content IS the p-block text — present
+        -- only when long enough
+        SELECT * FROM ext WHERE length(text) >= {_S18_MIN_CHARS}
+    ), m AS (
+        SELECT doc_id, n_fetches, text, {_TOKS} AS toks FROM mc
+    ){_e2e_gate_dedup_cte()}"""
+
+
+@register(
+    "e2e_crawl_mc",
+    _e2e_crawl_mc_oracle(),
+    doc="Fused crawl front-end with MAIN-CONTENT extraction: WARC "
+    "ingest → URL canonicalization + latest-fetch dedup → block "
+    "segmentation + jusText keep policy + main-text reassembly (the "
+    "s18 stage, replacing plain tag-stripping — boilerplate "
+    "nav/aside/footer text never reaches the corpus) → language ID "
+    "→ Gopher gates → skew-safe exact-dedup annotation, ONE "
+    "Catalyst plan. Scale shape: adds one bounded per-doc aggregate "
+    "(≤ 6 block rows/doc reassemble) to e2e_crawl's; everything "
+    "else identical.",
+)
+def e2e_crawl_mc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept = (
+        _e2e_crawl_mc_kept(spark, sf_dir)
+        # same single-kernel-pass checkpoint as e2e_crawl
+        .localCheckpoint(eager=False)
+    )
+    groups = kept.groupBy("text_hash").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+    return kept.join(groups, "text_hash").select(
+        "doc_id",
+        "n_fetches",
+        "lang",
+        "text_hash",
+        "canonical_id",
+        "n_dups",
+        (F.col("doc_id") == F.col("canonical_id"))
+        .cast("int")
+        .alias("is_canonical"),
+    )
+
+
+def _e2e_crawl_mc_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e2e_crawl_mc up to the dedup annotation, un-checkpointed (the
+    plan-shape tests look here). The page carries the s18 fixture's
+    boilerplate blocks around the doc text; block segmentation +
+    the relational keep policy + ordered reassembly recover ONLY the
+    main content."""
+    from garmin_data_pipeline_spark.functions.html import (
+        html_blocks_rows,
+    )
+
+    html = F.concat(
+        F.lit(
+            "<!DOCTYPE html><html><head><title>Boilerplate Fixture"
+            '</title><script>if (1 < 2) { track("&x"); }</script>'
+            f"</head><body>{_S18_NAV}<h1>Crawl Result</h1>"
+            f'<p><span lang="zh">{_S15_MB}</span> '
+        ),
+        _escape_html(F.col("text")),
+        F.lit(f"</p>{_S18_ASIDE}{_S18_FOOTER}</body></html>"),
+    )
+    latest = _e2e_latest_fetches(spark, sf_dir, html)
+    pages = latest.select(
+        F.regexp_extract(F.col("canonical_url"), r"doc/(\d+)", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "n_fetches",
+        _http_body_expr().alias("page"),
+    )
+    # page-level metadata rides the explode as an extras column —
+    # no corpus-sized join back to the page relation
+    blocks = html_blocks_rows(
+        pages, "doc_id", "page", extras={"n_fetches": "bigint"}
+    )
+    n = F.length("text")
+    kept_blocks = blocks.filter(
+        (n >= _S18_MIN_CHARS)
+        & (2 * F.col("anchor_chars") < n)
+    )
+    # reassemble main content in block order: one BOUNDED per-doc
+    # aggregate (≤ 6 block rows per page by fixture construction;
+    # ≤ page block count in general — never corpus-shaped)
+    main = kept_blocks.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("block_idx", "text"))
+                ),
+                lambda s: s["text"],
+            ),
+            " ",
+        ).alias("text"),
+        F.min("n_fetches").alias("n_fetches"),
+    )
+    return _gate_and_hash(main)
+
+
+def _e2e_latest_fetches(
+    spark: SparkSession, sf_dir: str, html: "F.Column"
+) -> DataFrame:
+    """Shared e2e front half: three planted fetch classes → real WARC
+    build/parse → URL canonicalization + latest-fetch dedup. Returns
+    the survivor records (canonical_url, n_fetches, content …)."""
+    from garmin_data_pipeline_spark.operators.urls import (
+        url_dedup_latest,
+    )
+
     base = table(spark, sf_dir, "documents").select("doc_id", "text")
     jan = F.lit("2026-01-01T00:00:00Z").alias("date")
     # three planted fetch classes (see the oracle's `crawl` CTE —
@@ -2904,12 +3056,12 @@ def _e2e_crawl_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # URL-level dedup FIRST (latest WARC-Date per canonical URL —
     # ISO-8601 strings sort chronologically), so the extraction
-    # kernel below never runs on a superseded fetch. WARC-Date has
-    # second granularity, so a same-second re-fetch would tie — the
-    # content-md5 tiebreaker makes the pick deterministic (ties with
-    # identical content are output-identical either way; see
+    # kernel downstream never runs on a superseded fetch. WARC-Date
+    # has second granularity, so a same-second re-fetch would tie —
+    # the content-md5 tiebreaker makes the pick deterministic (ties
+    # with identical content are output-identical either way; see
     # url_dedup_latest's reproducibility contract)
-    latest = url_dedup_latest(
+    return url_dedup_latest(
         recs.filter(F.col("parse_error").isNull()).select(
             "target_uri",
             "warc_date",
@@ -2920,13 +3072,21 @@ def _e2e_crawl_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
         "target_uri",
         tiebreakers=("__content_md5",),
     )
-    pages = latest.select(
-        F.regexp_extract(F.col("canonical_url"), r"doc/(\d+)", 1)
-        .cast("bigint")
-        .alias("doc_id"),
-        "n_fetches",
-        html_to_text(_http_body_expr()).alias("text"),
+
+
+def _gate_and_hash(pages: DataFrame) -> DataFrame:
+    """Shared e2e back half: the t2/t19 gates over extracted text,
+    then (doc_id, n_fetches, lang, text_hash) for the dedup stage."""
+    from garmin_data_pipeline_spark.operators.dedup_scale import (
+        normalize_text,
     )
+    from garmin_data_pipeline_spark.operators.text import (
+        language_guess,
+        shingles,
+        stopword_hits,
+        tokens,
+    )
+
     text = F.col("text")
     toks = tokens(text)
     n_tokens = F.size(toks)

@@ -1811,9 +1811,10 @@ def test_text_query_oracles_on_edge_corpus(spark, tmp_path):
         # r13 additions — s17's canonicalization/dedup on the tiny id
         # set, s18's block kernel over empty/NULL/short doc bodies,
         # t26b's trained-weight scoring on zero-token docs (same
-        # guarded divisions as t26)
+        # guarded divisions as t26), and the main-content fused
+        # pipeline whose block filter must drop every degenerate doc
         "s17_url_canonical_dedup", "s18_main_content_blocks",
-        "t26b_quality_trained_score",
+        "t26b_quality_trained_score", "e2e_crawl_mc",
     ]
     failures = {}
     for name in targets:
@@ -1902,8 +1903,10 @@ def test_text_query_oracles_on_multibyte_corpus(spark, tmp_path):
         "s14_warc_scan", "s15_html_extract", "e2e_crawl",
         # r13: block segmentation over multibyte bodies (char-domain
         # lengths: the © / CJK / emoji blocks must count codepoints
-        # identically), and the trained-weight integer scorer
+        # identically), the trained-weight integer scorer, and the
+        # main-content fused pipeline end to end
         "s18_main_content_blocks", "t26b_quality_trained_score",
+        "e2e_crawl_mc",
     ]
     failures = {}
     for name in targets:

@@ -274,6 +274,11 @@ def test_registered_plans_stay_jvm_side(spark, sf_dir):
         # jusText scoring + keep policy stay JVM-side column
         # expressions
         "s18_main_content_blocks",
+        # e2e_crawl_mc: e2e_crawl's Arrow stages with the s18 block
+        # kernel replacing the tag-strip kernel (the checkpoint hides
+        # them from the outer plan; the upstream is asserted in
+        # tests/test_skew_hardening.py)
+        "e2e_crawl_mc",
     }
     # per-plan justifications live with the allowlist in plans/lint.py
     # (shared with tools/explain_audit.py's footer so prose and gate

@@ -497,6 +497,35 @@ class TestCrawlDedupAnnotationShape:
         )
         assert "windowspecdefinition(canonical_url" in plan
 
+    def test_e2e_mc_upstream_single_block_kernel(self, spark, sf_dir):
+        """The main-content variant: exactly ONE block-segmentation
+        kernel (plus the two WARC fixture Arrow stages), the
+        partitioned URL window, and no per-hash window — same pins
+        as e2e_crawl with the block kernel in the extraction seat."""
+        from garmin_data_pipeline_spark.plans.llm_queries import (
+            _e2e_crawl_mc_kept,
+            e2e_crawl_mc,
+        )
+
+        up = (
+            _e2e_crawl_mc_kept(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # MapInPandas x2: the WARC record explode + the block kernel
+        assert up.count("MapInPandas") == 2, up.count("MapInPandas")
+        assert "ArrowEvalPython" not in up  # no tag-strip kernel here
+        assert "windowspecdefinition(canonical_url" in up
+        outer = (
+            e2e_crawl_mc(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "windowspecdefinition(text_hash" not in outer
+        assert "HashAggregate" in outer
+
     def test_groupby_joinback_matches_window_on_hot_hash(self, spark):
         """Semantics pin on a 50%-hot-hash relation: the skew-safe
         shape is row-identical to the window form it replaced."""

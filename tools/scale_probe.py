@@ -174,6 +174,9 @@ PROBES = [
     "s17_url_canonical_dedup",
     "s18_main_content_blocks",
     "t26b_quality_trained_score",
+    # e2e_crawl_mc: e2e_crawl's stages with the block kernel + one
+    # bounded per-doc reassembly aggregate — expected in e2e's band
+    "e2e_crawl_mc",
 ]
 
 WARMUPS = 1
