@@ -1233,6 +1233,32 @@ class TestUrlCuration:
         assert got[8] == ("localhost", "", "", 1)
         assert got[9] == ("co.uk", "", "uk", 1)
 
+    def test_psl_table_is_well_formed(self):
+        """The shipped public-suffix subset must hold the invariants
+        the join shape assumes: lowercase, deduplicated, 2-3 labels
+        (single-label TLDs need no table; >3-label suffixes are
+        documented out of scope), label charset [a-z0-9-], and the
+        DuckDB VALUES mirror contains exactly the same rows."""
+        from garmin_data_pipeline_spark.operators.urls import (
+            PUBLIC_SUFFIXES,
+            sql_psl_values,
+        )
+        import re
+
+        assert len(PUBLIC_SUFFIXES) == len(set(PUBLIC_SUFFIXES))
+        for s in PUBLIC_SUFFIXES:
+            assert s == s.lower(), s
+            labels = s.split(".")
+            assert 2 <= len(labels) <= 3, s
+            assert all(
+                re.fullmatch(r"[a-z0-9-]+", x) for x in labels
+            ), s
+        vals = sql_psl_values()
+        assert vals.count("('") == len(PUBLIC_SUFFIXES)
+        for s in ("co.uk", "gov.uk", "com.au", "github.io",
+                  "blogspot.com"):
+            assert f"('{s}')" in vals  # the fixture's load-bearing rows
+
     def test_two_phase_cap_matches_single_window(self, spark):
         """The two-phase skew-safe cap is row-identical (ids AND
         ranks) to the naive single-window form — the equivalence the
