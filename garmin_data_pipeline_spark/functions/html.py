@@ -205,11 +205,20 @@ class _BlockExtractor(HTMLParser):
       block-spanning anchor counts only inside its first block —
       deterministic either way;
     * script/style/template subtrees drop with their content (the
-      same stack rule as the text extractor); comments/doctypes
+      same stack rule as the text extractor) — and the subtree is
+      fully INERT: tags inside it neither separate, nor open/close
+      blocks, nor touch the anchor accounting (ADVICE r13: an
+      unclosed ``<a>`` inside a skipped ``<template>`` must not leak
+      anchor chars into the enclosing block); comments/doctypes
       vanish; VOID block elements (``<hr>``) delimit but are never
       pushed as open blocks — a bare ``<hr>`` has no closer and
       would otherwise corrupt the label stack for the whole rest of
-      the document (r13 review finding).
+      the document (r13 review finding);
+    * a mismatched block closer pops THROUGH the stack to its
+      matching open tag, browser-style implied end tags (ADVICE
+      r13: ``<div><p>a</div>b`` closes the implied ``</p>`` too, so
+      ``b`` is not mislabeled 'p'); a closer with no matching open
+      block pops nothing.
     """
 
     _VOID_BLOCKS = frozenset({"hr"})
@@ -235,8 +244,21 @@ class _BlockExtractor(HTMLParser):
         self._anchor_depth = 0
 
     def handle_starttag(self, tag, attrs):  # noqa: D102
+        if self._skip:
+            # mirror handle_data: a skipped subtree's INTERIOR is
+            # fully inert — no separators, no block/anchor
+            # bookkeeping (ADVICE r13) — except that nested skip
+            # openers still stack so their closers match up
+            if tag in _SKIP_CONTENT:
+                self._skip.append(tag)
+            return
         if tag in _SKIP_CONTENT:
             self._skip.append(tag)
+            # the skip element's own boundary still separates, like
+            # any inline tag (html_to_text parity: 'a<script>x'
+            # '</script>b' reads 'a b')
+            self._parts.append(" ")
+            return
         if tag in BLOCK_TAGS:
             self._flush()
             if tag not in self._VOID_BLOCKS:
@@ -247,17 +269,27 @@ class _BlockExtractor(HTMLParser):
                 self._anchor_depth += 1
 
     def handle_startendtag(self, tag, attrs):  # noqa: D102
+        if self._skip:
+            return
         if tag in BLOCK_TAGS:  # <hr/> and friends still delimit
             self._flush()
         else:
             self._parts.append(" ")
 
     def handle_endtag(self, tag):  # noqa: D102
-        if self._skip and self._skip[-1] == tag:
-            self._skip.pop()
+        if self._skip:
+            if self._skip[-1] == tag:
+                self._skip.pop()
+                if not self._skip:
+                    # outermost skip closer: boundary separator
+                    self._parts.append(" ")
+            return
         if tag in BLOCK_TAGS:
             self._flush()
-            if self._stack and self._stack[-1] == tag:
+            if tag in self._stack:
+                # implied end tags: pop through to the match
+                while self._stack[-1] != tag:
+                    self._stack.pop()
                 self._stack.pop()
         else:
             self._parts.append(" ")
@@ -287,7 +319,11 @@ def extract_html_blocks(html: str) -> list[tuple[str, str, int]]:
 
 
 def html_blocks_rows(
-    df, id_col: str, html_col: str, extras: dict[str, str] | None = None
+    df,
+    id_col: str,
+    html_col: str,
+    extras: dict[str, str] | None = None,
+    id_type: str = "long",
 ):
     """Explode a page relation into per-block ROWS:
     ``(id, block_idx, tag, text, anchor_chars, *extras)`` — one
@@ -299,13 +335,18 @@ def html_blocks_rows(
     ``extras`` maps page-level column names to their DDL types; each
     is replicated onto every block row of its page — the cheap way
     to carry metadata (fetch counts, source tags) through the
-    explode without a corpus-sized join back to the page relation."""
+    explode without a corpus-sized join back to the page relation.
+    ``id_type`` is the id column's DDL type (default ``long``; pass
+    ``string`` for string-keyed page relations — VERDICT r13 nit)."""
     import pandas as pd
 
     extras = extras or {}
+    id_dtype = {
+        "long": "int64", "bigint": "int64", "int": "int32",
+    }.get(id_type, "object")
     schema = (
-        f"{id_col} long, block_idx int, tag string, text string, "
-        "anchor_chars long"
+        f"{id_col} {id_type}, block_idx int, tag string, "
+        "text string, anchor_chars long"
         + "".join(f", {c} {t}" for c, t in extras.items())
     )
 
@@ -331,7 +372,7 @@ def html_blocks_rows(
                     for c in extras:
                         extra_vals[c].append(getattr(row, c))
             out = {
-                id_col: pd.Series(ids, dtype="int64"),
+                id_col: pd.Series(ids, dtype=id_dtype),
                 "block_idx": pd.Series(idxs, dtype="int32"),
                 "tag": tags,
                 "text": texts,
@@ -344,3 +385,157 @@ def html_blocks_rows(
     return df.select(id_col, html_col, *extras).mapInPandas(
         kernel, schema
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-SENSITIVE block classification (VERDICT r13 directive 1).
+# The r13 keep policy was context-free (len >= 25 AND link-light),
+# which unconditionally dropped every heading and short paragraph —
+# measurable content loss on every real page. Full jusText adds two
+# signals, both relational:
+#   * stopword density — prose carries function words; a long,
+#     link-light block with almost none (tag clouds, keyword lists,
+#     code gutters) is boilerplate;
+#   * the NEIGHBOR rule — a short block (heading, short paragraph)
+#     adjacent to good content is content; a short island amid
+#     boilerplate is boilerplate.
+# Pinned policy (simplified jusText, certified by the s18 oracle):
+#   cls = 'bad'   if 2*anchor_chars >= n_chars          (link-dense)
+#         'short' elif n_chars < BLOCK_MIN_CHARS        (undecided)
+#         'good'  elif stop_ppm >= BLOCK_STOP_MIN_PPM   (prose)
+#         'bad'   otherwise                     (stopword-free slab)
+#   kept = good, or short whose NEAREST DECIDED neighbor (previous
+#          or next non-short block, by block_idx within the page)
+#          is good.
+# ---------------------------------------------------------------------------
+BLOCK_MIN_CHARS = 25
+# the t19 Gopher gate's stopword floor (5%), in the ppm integer
+# domain — one shared constant family across the quality kit
+BLOCK_STOP_MIN_PPM = 50_000
+
+
+def classify_blocks(
+    blocks, id_col: str = "doc_id", lang: str = "en"
+):
+    """Add ``n_chars``, ``link_density_ppm``, ``stop_ppm``, ``cls``
+    and ``kept`` to a block relation (from :func:`html_blocks_rows`).
+
+    All scoring is pure column expressions (exact ppm integers — the
+    t24 ``div`` discipline, hash-stable cross-engine); the neighbor
+    rule is two windows over ``block_idx`` partitioned by page.
+    Scale shape: partitions are PAGE-sized (a page's block count —
+    never corpus-shaped, no hot key), and the one Exchange on
+    ``id_col`` is exactly the partitioning any per-doc reassembly
+    downstream needs, so Catalyst reuses it instead of shuffling
+    twice (plan-asserted in tests/test_skew_hardening.py)."""
+    from pyspark.sql.window import Window
+
+    from garmin_data_pipeline_spark.operators.text import (
+        stopword_hits,
+        tokens,
+    )
+
+    toks = tokens(F.col("text"))
+    df = blocks.withColumns(
+        {
+            "n_chars": F.length("text").cast("bigint"),
+            # widen to long BEFORE the ppm multiply (int32 overflow
+            # is a job-killing error under ANSI)
+            "__stop_num": stopword_hits(toks, lang).cast("long")
+            * 1_000_000,
+            "__n_toks": F.greatest(
+                F.size(toks).cast("long"), F.lit(1)
+            ),
+        }
+    ).withColumns(
+        {
+            "link_density_ppm": F.expr(
+                "CAST(anchor_chars * 1000000 AS BIGINT) "
+                "div CAST(greatest(n_chars, 1) AS BIGINT)"
+            ),
+            "stop_ppm": F.expr("__stop_num div __n_toks"),
+        }
+    )
+    cls = (
+        F.when(
+            2 * F.col("anchor_chars") >= F.col("n_chars"),
+            F.lit("bad"),
+        )
+        .when(F.col("n_chars") < BLOCK_MIN_CHARS, F.lit("short"))
+        .when(
+            F.col("stop_ppm") >= BLOCK_STOP_MIN_PPM, F.lit("good")
+        )
+        .otherwise(F.lit("bad"))
+    )
+    df = df.withColumn("cls", cls)
+    decided = F.when(F.col("cls") != "short", F.col("cls"))
+    order = Window.partitionBy(id_col).orderBy("block_idx")
+    prev_d = F.last(decided, ignorenulls=True).over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    next_d = F.first(decided, ignorenulls=True).over(
+        order.rowsBetween(1, Window.unboundedFollowing)
+    )
+    kept = (F.col("cls") == "good") | (
+        (F.col("cls") == "short")
+        & ((prev_d == "good") | (next_d == "good"))
+    )
+    return df.withColumn(
+        "kept", F.coalesce(kept, F.lit(False)).cast("int")
+    ).drop("__stop_num", "__n_toks")
+
+
+def sql_classify_blocks(id_expr: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`classify_blocks` as a CTE fragment:
+    given a relation ``b(id, block_idx, tag, text, anchor_chars)``,
+    appends ``, cls0 AS (...), clsn AS (...)`` where ``clsn`` adds
+    the scored/classified columns — byte-identical policy arithmetic
+    (same ppm integers, same CASE chain, same IGNORE NULLS
+    windows)."""
+    from garmin_data_pipeline_spark.operators.text import (
+        sql_stopword_hits,
+        sql_tokens,
+    )
+
+    toks = sql_tokens("text")
+    hits = sql_stopword_hits("toks", "en")
+    return f""", cls0 AS (
+        SELECT *, CAST(length(text) AS BIGINT) AS n_chars,
+               (CAST(anchor_chars AS BIGINT) * 1000000)
+                   // greatest(CAST(length(text) AS BIGINT), 1)
+                   AS link_density_ppm,
+               (CAST({hits} AS BIGINT) * 1000000)
+                   // greatest(CAST(len(toks) AS BIGINT), 1)
+                   AS stop_ppm
+        FROM (SELECT *, {toks} AS toks FROM b)
+    ), clsn AS (
+        SELECT * EXCLUDE (toks, __cls),
+               __cls AS cls,
+               CAST(COALESCE(
+                   __cls = 'good'
+                   OR (__cls = 'short' AND (
+                       LAST_VALUE(CASE WHEN __cls <> 'short'
+                                       THEN __cls END IGNORE NULLS)
+                           OVER (PARTITION BY {id_expr}
+                                 ORDER BY block_idx
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) = 'good'
+                       OR
+                       FIRST_VALUE(CASE WHEN __cls <> 'short'
+                                        THEN __cls END IGNORE NULLS)
+                           OVER (PARTITION BY {id_expr}
+                                 ORDER BY block_idx
+                                 ROWS BETWEEN 1 FOLLOWING
+                                          AND UNBOUNDED FOLLOWING)
+                               = 'good')),
+                   FALSE) AS INT) AS kept
+        FROM (
+            SELECT *,
+                   CASE WHEN 2 * anchor_chars >= n_chars THEN 'bad'
+                        WHEN n_chars < {BLOCK_MIN_CHARS} THEN 'short'
+                        WHEN stop_ppm >= {BLOCK_STOP_MIN_PPM}
+                            THEN 'good'
+                        ELSE 'bad' END AS __cls
+            FROM cls0
+        )
+    )"""

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from garmin_data_pipeline_spark.functions import html as H
 from garmin_data_pipeline_spark.operators import text as T
 from garmin_data_pipeline_spark.operators.dedup_scale import (
     _minhash_params,
@@ -2458,10 +2459,14 @@ def _s17_oracle() -> str:
 
     return f"""
     WITH f AS (
-        SELECT doc_id AS fetch_id, {_S17_BASE_URL} AS url
+        -- fetch_id = doc_id*2 + class (0 base / 1 re-crawl): the
+        -- re-crawl is strictly later per doc and the id spaces stay
+        -- disjoint at EVERY scale factor (ADVICE r13 — the former
+        -- +1e6 offset aliases real doc ids past 1e6 rows)
+        SELECT doc_id * 2 AS fetch_id, {_S17_BASE_URL} AS url
         FROM documents
         UNION ALL
-        SELECT doc_id + 1000000 AS fetch_id, {_S17_RECRAWL_URL}
+        SELECT doc_id * 2 + 1 AS fetch_id, {_S17_RECRAWL_URL}
         FROM documents WHERE doc_id % 4 = 0
     ), c AS (
         SELECT fetch_id,
@@ -2500,12 +2505,14 @@ def s17_url_canonical_dedup(
     )
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
+    # fetch_id = doc_id*2 + class — scale-safe planted ids (see the
+    # oracle's comment; ADVICE r13)
     fetches = docs.select(
-        F.col("doc_id").alias("fetch_id"),
+        (F.col("doc_id") * 2).alias("fetch_id"),
         F.expr(_S17_BASE_URL).alias("url"),
     ).unionByName(
         docs.filter(F.col("doc_id") % 4 == 0).select(
-            (F.col("doc_id") + 1000000).alias("fetch_id"),
+            (F.col("doc_id") * 2 + 1).alias("fetch_id"),
             F.expr(_S17_RECRAWL_URL).alias("url"),
         )
     )
@@ -2516,21 +2523,30 @@ def s17_url_canonical_dedup(
 
 # ---------------------------------------------------------------------------
 # S18 — main-content / boilerplate block filtering (r12 verdict
-# directive 6): plain tag-stripping (s15) keeps nav/footer/sidebar
-# text it cannot distinguish; production WET pipelines (trafilatura /
-# jusText class) segment pages into BLOCKS and keep the main content
-# by link density + length. The kernel (functions/html.py
-# html_blocks_rows) does only the segmentation; the jusText-style
-# scoring — link_density_ppm = anchor_chars·10⁶ div n_chars, keep =
-# long enough AND link-light — is pure column expressions, so the
-# POLICY is relational and oracle-certified. The fixture builds a
-# page per doc with a title, a link-dense <nav>, a short <h1>, the
-# doc text in the main <p>, a link-dense <aside> and a boilerplate
-# <footer>; the oracle predicts every block row WITHOUT parsing HTML
-# (the s15 recipe) and the keep flag drops exactly the
-# nav/aside/footer/short blocks that plain s15 keeps.
+# directive 6; CONTEXT-SENSITIVE per r13 directive 1): plain
+# tag-stripping (s15) keeps nav/footer/sidebar text it cannot
+# distinguish; production WET pipelines (trafilatura / jusText class)
+# segment pages into BLOCKS and classify each relationally. The
+# kernel (functions/html.py html_blocks_rows) does only the
+# segmentation; the POLICY — link density, block length, stopword
+# density, and the jusText NEIGHBOR rule (a short block beside good
+# content is content; a short island amid boilerplate is boilerplate)
+# — is pure column expressions + two page-bounded windows
+# (functions/html.py classify_blocks), so it stays relational and
+# oracle-certified. The fixture builds a page per doc whose blocks
+# exercise every policy arm: a short title then a link-dense <nav>
+# (short-next-to-bad → dropped), a short <h1> heading directly
+# before the main <p> (short-next-to-GOOD → KEPT — the r13 verdict's
+# heading-retention case), the doc text in the <p> (good iff long +
+# link-light + stopword-bearing), a long stopword-free keyword <div>
+# (the NEW stopword-density discriminator: the old context-free
+# policy kept it), a link-dense <aside>, a short cookie-notice <div>
+# between two bad blocks (short island → dropped), and a link-dense
+# <footer>. The oracle predicts every block row WITHOUT parsing HTML
+# (the s15 recipe) and applies the byte-identical policy SQL
+# (sql_classify_blocks).
 # ---------------------------------------------------------------------------
-_S18_MIN_CHARS = 25
+_S18_MIN_CHARS = H.BLOCK_MIN_CHARS
 _S18_NAV = (
     '<nav><a href="/">Home</a><a href="/about">About</a>'
     '<a href="/archive">Archive</a></nav>'
@@ -2540,6 +2556,15 @@ _S18_FOOTER = (
     "<footer><a>Terms of Use</a> <a>Privacy Policy</a> "
     "<a>Contact Us</a> © Corpus</footer>"
 )
+# long + link-light + stopword-FREE: boilerplate under the
+# context-aware policy (a tag cloud), kept by the old r13 policy
+_S18_TAGCLOUD = (
+    "<div>spark hadoop flink kafka beam arrow parquet avro "
+    "iceberg presto trino druid pinot clickhouse duckdb</div>"
+)
+# short + link-light, islanded between two bad blocks: dropped by
+# the neighbor rule
+_S18_COOKIE = "<div>Cookie settings</div>"
 # predicted block texts + anchor-char counts (the kernel's pinned
 # semantics: anchors concatenate WITHOUT separators)
 _S18_NAV_TEXT = "Home About Archive"  # anchors: HomeAboutArchive=16
@@ -2547,6 +2572,11 @@ _S18_ASIDE_TEXT = "Ad one here Ad two there"  # 23 anchor chars
 _S18_FOOTER_TEXT = (
     "Terms of Use Privacy Policy Contact Us © Corpus"  # 36 anchor
 )
+_S18_TAGCLOUD_TEXT = (
+    "spark hadoop flink kafka beam arrow parquet avro iceberg "
+    "presto trino druid pinot clickhouse duckdb"
+)
+_S18_COOKIE_TEXT = "Cookie settings"
 
 
 def _s18_oracle() -> str:
@@ -2572,41 +2602,43 @@ def _s18_oracle() -> str:
         UNION ALL
         SELECT doc_id, 3, 'p', {p_text}, 0 FROM documents
         UNION ALL
-        SELECT doc_id, 4, 'aside', '{_S18_ASIDE_TEXT}', 23
+        SELECT doc_id, 4, 'div', '{_S18_TAGCLOUD_TEXT}', 0
         FROM documents
         UNION ALL
-        SELECT doc_id, 5, 'footer', '{_S18_FOOTER_TEXT}', 36
+        SELECT doc_id, 5, 'aside', '{_S18_ASIDE_TEXT}', 23
         FROM documents
-    )
-    SELECT doc_id, block_idx, tag, text,
-           CAST(length(text) AS BIGINT) AS n_chars,
-           anchor_chars,
-           CAST(anchor_chars * 1000000 AS BIGINT)
-               // CAST(greatest(length(text), 1) AS BIGINT)
-               AS link_density_ppm,
-           CASE WHEN length(text) >= {_S18_MIN_CHARS}
-                     AND 2 * anchor_chars < length(text)
-                THEN 1 ELSE 0 END AS kept
-    FROM b
+        UNION ALL
+        SELECT doc_id, 6, 'div', '{_S18_COOKIE_TEXT}', 0
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 7, 'footer', '{_S18_FOOTER_TEXT}', 36
+        FROM documents
+    ){H.sql_classify_blocks("doc_id")}
+    SELECT doc_id, block_idx, tag, text, n_chars, anchor_chars,
+           link_density_ppm, stop_ppm, cls, kept
+    FROM clsn
     """
 
 
 @register(
     "s18_main_content_blocks",
     _s18_oracle(),
-    doc="Main-content / boilerplate block filtering (jusText-class): "
-    "segment pages into blocks at block-level tags (one Arrow "
-    "mapInPandas pass), then score relationally — link density "
-    "(anchor chars / block chars, exact ppm integers) and block "
-    "length — keeping main content and dropping the nav/aside/"
-    "footer text plain tag-stripping cannot distinguish. Scale "
-    "shape: row-group-local kernel, zero shuffle; scoring and the "
-    "keep policy are pure column expressions.",
+    doc="Main-content / boilerplate block filtering (jusText-class, "
+    "context-SENSITIVE): segment pages into blocks at block-level "
+    "tags (one Arrow mapInPandas pass), then classify relationally "
+    "— link density + length + stopword density (exact ppm "
+    "integers) and the jusText neighbor rule (short blocks beside "
+    "good content are kept: headings survive; short islands amid "
+    "boilerplate drop). Scale shape: row-group-local kernel; "
+    "scoring is pure column expressions; the neighbor rule is two "
+    "windows over page-bounded partitions whose Exchange any "
+    "per-doc reassembly downstream reuses.",
 )
 def s18_main_content_blocks(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from garmin_data_pipeline_spark.functions.html import (
+        classify_blocks,
         html_blocks_rows,
     )
 
@@ -2623,29 +2655,25 @@ def s18_main_content_blocks(
         did,
         F.lit(" body "),
         _escape_html(F.col("text")),
-        F.lit(f"</p>{_S18_ASIDE}{_S18_FOOTER}</body></html>"),
+        F.lit(
+            f"</p>{_S18_TAGCLOUD}{_S18_ASIDE}{_S18_COOKIE}"
+            f"{_S18_FOOTER}</body></html>"
+        ),
     )
     blocks = html_blocks_rows(
         docs.select("doc_id", html.alias("page")), "doc_id", "page"
     )
-    n = F.length("text")
-    return blocks.select(
+    return classify_blocks(blocks, "doc_id").select(
         "doc_id",
         "block_idx",
         "tag",
         "text",
-        n.cast("bigint").alias("n_chars"),
+        "n_chars",
         "anchor_chars",
-        F.expr(
-            "CAST(anchor_chars * 1000000 AS BIGINT) "
-            "div CAST(greatest(length(text), 1) AS BIGINT)"
-        ).alias("link_density_ppm"),
-        (
-            (n >= _S18_MIN_CHARS)
-            & (2 * F.col("anchor_chars") < n)
-        )
-        .cast("int")
-        .alias("kept"),
+        "link_density_ppm",
+        "stop_ppm",
+        "cls",
+        "kept",
     )
 
 
@@ -2699,17 +2727,21 @@ _CRAWL_SUFFIX = " raw &amp; <b> Hi O end"
 # Fetch URIs (cross-engine exprs over doc_id — run verbatim in the
 # Spark plan and the DuckDB oracle). Base and re-crawl spell the SAME
 # canonical URL two messy ways; the mirror is a different site.
+# Planted ids are doc_id*10 + class (base 0 / mirror 1 / re-crawl 2)
+# — disjoint-by-residue at EVERY scale factor, unlike the former
+# +1e6/+2e6 offsets which alias real doc ids once the corpus passes
+# 1e6 rows (ADVICE r13). The same expressions run on both sides.
 _E2E_BASE_URI = (
-    "'https://Corpus.EXAMPLE/doc/' || CAST(doc_id AS STRING) "
+    "'https://Corpus.EXAMPLE/doc/' || CAST(doc_id * 10 AS STRING) "
     "|| '?b=2&a=1'"
 )
 _E2E_MIRROR_URI = (
     "'https://mirror.example/doc/' || "
-    "CAST(doc_id + 1000000 AS STRING)"
+    "CAST(doc_id * 10 + 1 AS STRING)"
 )
 _E2E_RECRAWL_URI = (
     "'HTTPS://crawler@CORPUS.EXAMPLE:443/doc/' || "
-    "CAST(doc_id AS STRING) || '?a=1&utm_source=feed&b=2#top'"
+    "CAST(doc_id * 10 AS STRING) || '?a=1&utm_source=feed&b=2#top'"
 )
 
 
@@ -2728,15 +2760,15 @@ def _e2e_latest_cte() -> str:
         -- later) — the three duplicate classes a crawl front-end
         -- exists to tell apart (the synthetic corpus has no natural
         -- dups, so all three are planted in-query on BOTH sides)
-        SELECT doc_id, text, {_E2E_BASE_URI} AS uri,
+        SELECT doc_id * 10 AS doc_id, text, {_E2E_BASE_URI} AS uri,
                '2026-01-01T00:00:00Z' AS fetch_date
         FROM documents
         UNION ALL
-        SELECT doc_id + 1000000 AS doc_id, text, {_E2E_MIRROR_URI},
+        SELECT doc_id * 10 + 1 AS doc_id, text, {_E2E_MIRROR_URI},
                '2026-01-01T00:00:00Z'
         FROM documents WHERE doc_id % 50 = 0
         UNION ALL
-        SELECT doc_id, text, {_E2E_RECRAWL_URI},
+        SELECT doc_id * 10 AS doc_id, text, {_E2E_RECRAWL_URI},
                '2026-02-01T00:00:00Z'
         FROM documents WHERE doc_id % 40 = 0
     ), canon AS (
@@ -2893,15 +2925,24 @@ def _e2e_crawl_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
 # skew-safe dedup annotation), but the page is wrapped in REAL
 # boilerplate (link-dense nav/aside, boilerplate footer, short
 # title/h1 — the s18 fixture blocks) and extraction segments it into
-# blocks, scores them relationally, and reassembles only the kept
-# main content. Plain s15-style extraction would prepend the SAME
-# nav/footer text to every page — here it never reaches the corpus.
-# Of the six fixture blocks only the main <p> can pass the keep
-# policy by construction, so the oracle predicts the reassembled
-# main text directly (the s15 recipe) and gates it exactly like
-# e2e_crawl.
+# blocks, classifies them relationally (context-SENSITIVE per r13
+# directive 1), and reassembles only the kept content. Plain
+# s15-style extraction would prepend the SAME nav/footer text to
+# every page — here it never reaches the corpus. Under the
+# context-aware policy the short <h1> heading directly before a GOOD
+# main <p> is now KEPT (the r13 verdict's heading-retention case —
+# the reassembled corpus text carries its heading), while the
+# title/tagcloud/aside/cookie/footer blocks can never pass (short
+# beside bad, stopword-free, or link-dense by construction). So the
+# oracle predicts the reassembly as 'Crawl Result ' || p-text,
+# present exactly when the p block is good (long + link-light +
+# stopword-bearing).
 # ---------------------------------------------------------------------------
 def _e2e_crawl_mc_oracle() -> str:
+    stop_ppm = (
+        f"(CAST({T.sql_stopword_hits('toks', 'en')} AS BIGINT) "
+        "* 1000000) // greatest(CAST(len(toks) AS BIGINT), 1)"
+    )
     return f"""{_e2e_latest_cte()}, ext AS (
         SELECT doc_id, n_fetches,
                trim(regexp_replace(replace(
@@ -2910,12 +2951,17 @@ def _e2e_crawl_mc_oracle() -> str:
                ) AS text
         FROM latest
     ), mc AS (
-        -- of the six fixture blocks only the main <p> can pass the
-        -- jusText keep policy (title/nav/h1/aside too short or too
-        -- link-dense by construction, footer link-dense), so the
-        -- reassembled main content IS the p-block text — present
-        -- only when long enough
-        SELECT * FROM ext WHERE length(text) >= {_S18_MIN_CHARS}
+        -- the main <p> is 'good' iff long + link-light (0 anchors
+        -- by construction) + stopword-bearing; its h1 neighbor
+        -- ('Crawl Result', short) is kept exactly when the p is
+        -- good (nearest decided neighbor), so the reassembled text
+        -- is heading + ' ' + p-text — and no other fixture block
+        -- can ever be kept (see the s18 fixture analysis)
+        SELECT doc_id, n_fetches,
+               'Crawl Result ' || text AS text
+        FROM (SELECT *, {_TOKS} AS toks FROM ext)
+        WHERE length(text) >= {_S18_MIN_CHARS}
+          AND {stop_ppm} >= {H.BLOCK_STOP_MIN_PPM}
     ), m AS (
         SELECT doc_id, n_fetches, text, {_TOKS} AS toks FROM mc
     ){_e2e_gate_dedup_cte()}"""
@@ -2961,9 +3007,10 @@ def _e2e_crawl_mc_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     """e2e_crawl_mc up to the dedup annotation, un-checkpointed (the
     plan-shape tests look here). The page carries the s18 fixture's
     boilerplate blocks around the doc text; block segmentation +
-    the relational keep policy + ordered reassembly recover ONLY the
-    main content."""
+    the relational context-aware policy + ordered reassembly recover
+    ONLY the main content — heading included (r13 directive 1)."""
     from garmin_data_pipeline_spark.functions.html import (
+        classify_blocks,
         html_blocks_rows,
     )
 
@@ -2975,7 +3022,10 @@ def _e2e_crawl_mc_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
             f'<p><span lang="zh">{_S15_MB}</span> '
         ),
         _escape_html(F.col("text")),
-        F.lit(f"</p>{_S18_ASIDE}{_S18_FOOTER}</body></html>"),
+        F.lit(
+            f"</p>{_S18_TAGCLOUD}{_S18_ASIDE}{_S18_COOKIE}"
+            f"{_S18_FOOTER}</body></html>"
+        ),
     )
     latest = _e2e_latest_fetches(spark, sf_dir, html)
     pages = latest.select(
@@ -2990,13 +3040,15 @@ def _e2e_crawl_mc_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks = html_blocks_rows(
         pages, "doc_id", "page", extras={"n_fetches": "bigint"}
     )
-    n = F.length("text")
-    kept_blocks = blocks.filter(
-        (n >= _S18_MIN_CHARS)
-        & (2 * F.col("anchor_chars") < n)
+    # context-aware classification (s18's policy, shared helper):
+    # its windows partition by doc_id — the SAME partitioning the
+    # reassembly aggregate below needs, so Catalyst plans ONE
+    # Exchange for both (plan-asserted in test_skew_hardening)
+    kept_blocks = classify_blocks(blocks, "doc_id").filter(
+        F.col("kept") == 1
     )
     # reassemble main content in block order: one BOUNDED per-doc
-    # aggregate (≤ 6 block rows per page by fixture construction;
+    # aggregate (≤ 8 block rows per page by fixture construction;
     # ≤ page block count in general — never corpus-shaped)
     main = kept_blocks.groupBy("doc_id").agg(
         F.array_join(
@@ -3027,15 +3079,20 @@ def _e2e_latest_fetches(
     jan = F.lit("2026-01-01T00:00:00Z").alias("date")
     # three planted fetch classes (see the oracle's `crawl` CTE —
     # the corpus has no natural dups). The helper's doc_id column is
-    # the UNIQUE fetch key (+2M for re-crawls); doc identity travels
-    # in the URI path and is recovered from the canonical URL.
+    # the UNIQUE fetch key — doc_id*10 + class (0 base / 1 mirror /
+    # 2 re-crawl), disjoint by residue at every scale factor (ADVICE
+    # r13); doc identity travels in the URI path and is recovered
+    # from the canonical URL.
     fetches = (
         base.select(
-            "doc_id", "text", F.expr(_E2E_BASE_URI).alias("uri"), jan
+            (F.col("doc_id") * 10).alias("doc_id"),
+            "text",
+            F.expr(_E2E_BASE_URI).alias("uri"),
+            jan,
         )
         .unionByName(
             base.filter(F.col("doc_id") % 50 == 0).select(
-                (F.col("doc_id") + 1000000).alias("doc_id"),
+                (F.col("doc_id") * 10 + 1).alias("doc_id"),
                 "text",
                 F.expr(_E2E_MIRROR_URI).alias("uri"),
                 jan,
@@ -3043,7 +3100,7 @@ def _e2e_latest_fetches(
         )
         .unionByName(
             base.filter(F.col("doc_id") % 40 == 0).select(
-                (F.col("doc_id") + 2000000).alias("doc_id"),
+                (F.col("doc_id") * 10 + 2).alias("doc_id"),
                 "text",
                 F.expr(_E2E_RECRAWL_URI).alias("uri"),
                 F.lit("2026-02-01T00:00:00Z").alias("date"),

@@ -207,6 +207,43 @@ class TestBlockSegmentation:
             ("p", "This is the long main article text of the page", 0),
         ]
 
+    def test_skipped_subtree_is_inert_for_anchors(self):
+        """ADVICE r13: an unclosed <a> inside a skipped <template>
+        must not leak anchor accounting into the enclosing block."""
+        blocks = B(
+            "<p><template><a></template>main long article text</p>"
+        )
+        assert blocks == [("p", "main long article text", 0)]
+
+    def test_skipped_subtree_is_inert_for_blocks(self):
+        """Block tags inside a skipped subtree neither flush nor
+        open blocks (the old code flushed mid-block on a <div>
+        inside <template>)."""
+        assert B("<p>a<template><div>x</div></template>b</p>") == [
+            ("p", "a b", 0)
+        ]
+
+    def test_skip_element_boundary_still_separates(self):
+        # html_to_text parity: 'a<script>x</script>b' reads 'a b'
+        assert B("<p>a<script>x</script>b</p>") == [("p", "a b", 0)]
+        assert X("a<script>x</script>b") == "a b"
+
+    def test_implied_end_tags_pop_through(self):
+        """ADVICE r13: '</div>' with an open <p> closes the implied
+        </p> too (browser behavior), so later runs aren't mislabeled
+        'p'; a stray closer with no matching open block pops
+        nothing."""
+        assert B("<div><p>a</div>b") == [
+            ("p", "a", 0),
+            ("", "b", 0),
+        ]
+        assert B("</div><p>a</p>") == [("p", "a", 0)]
+        # well-formed nesting unchanged
+        assert B("<div><p>a</p>b</div>") == [
+            ("p", "a", 0),
+            ("div", "b", 0),
+        ]
+
     def test_spark_rows_shape_and_error_posture(self, spark):
         df = spark.createDataFrame(
             [
@@ -230,3 +267,112 @@ class TestBlockSegmentation:
             (1, 0, "nav", "Home", 4),
             (1, 1, "p", "body text", 0),
         ]
+
+
+class TestClassifyBlocks:
+    """The context-SENSITIVE keep policy (VERDICT r13 directive 1):
+    stopword density + the jusText neighbor rule, as pure relational
+    expressions over the block rows."""
+
+    def _classify(self, spark, rows):
+        from garmin_data_pipeline_spark.functions.html import (
+            classify_blocks,
+        )
+
+        df = spark.createDataFrame(
+            rows,
+            "doc_id long, block_idx int, tag string, text string,"
+            " anchor_chars long",
+        )
+        return {
+            (r["doc_id"], r["block_idx"]): (r["cls"], r["kept"])
+            for r in classify_blocks(df, "doc_id").collect()
+        }
+
+    GOOD = "this is the main text of the page and it is long"
+    BAD_CLOUD = (
+        "spark hadoop flink kafka beam arrow parquet avro iceberg"
+    )
+
+    def test_heading_between_bad_and_good_is_kept(self, spark):
+        """The r13 verdict's heading-retention case: a short <h1>
+        whose NEXT decided neighbor is good main content must be
+        KEPT (the old context-free policy dropped every heading)."""
+        out = self._classify(
+            spark,
+            [
+                (1, 0, "nav", "Home About", 9),
+                (1, 1, "h1", "Page Title", 0),
+                (1, 2, "p", self.GOOD, 0),
+            ],
+        )
+        assert out[(1, 0)] == ("bad", 0)
+        assert out[(1, 1)] == ("short", 1)  # KEPT via neighbor rule
+        assert out[(1, 2)] == ("good", 1)
+
+    def test_short_island_amid_boilerplate_dropped(self, spark):
+        out = self._classify(
+            spark,
+            [
+                (1, 0, "aside", "Ad one here Ad two there", 23),
+                (1, 1, "div", "Cookie settings", 0),
+                (1, 2, "footer", "Terms of Use Privacy", 18),
+            ],
+        )
+        assert out[(1, 1)] == ("short", 0)
+
+    def test_stopword_free_slab_is_bad(self, spark):
+        """Long + link-light but stopword-free (tag cloud): the NEW
+        discriminator — the r13 context-free policy kept it."""
+        out = self._classify(spark, [(1, 0, "div", self.BAD_CLOUD, 0)])
+        assert out[(1, 0)] == ("bad", 0)
+
+    def test_short_after_good_kept_via_prev_neighbor(self, spark):
+        out = self._classify(
+            spark,
+            [
+                (1, 0, "p", self.GOOD, 0),
+                (1, 1, "p", "A short coda.", 0),
+            ],
+        )
+        assert out[(1, 1)] == ("short", 1)
+
+    def test_all_short_page_keeps_nothing(self, spark):
+        # no decided neighbor at all -> NULL windows -> coalesce(F)
+        out = self._classify(
+            spark,
+            [(1, 0, "p", "one", 0), (1, 1, "p", "two", 0)],
+        )
+        assert out[(1, 0)] == ("short", 0)
+        assert out[(1, 1)] == ("short", 0)
+
+    def test_link_dense_short_is_bad_not_short(self, spark):
+        # the link-density arm decides BEFORE the length arm
+        out = self._classify(spark, [(1, 0, "nav", "Home About", 9)])
+        assert out[(1, 0)] == ("bad", 0)
+
+    def test_exchange_reused_by_downstream_groupby(self, spark):
+        """classify_blocks' windows partition by doc_id — the same
+        partitioning a per-doc reassembly needs, so the plan carries
+        ONE doc_id Exchange, not two (the 100 TB shape claim)."""
+        from pyspark.sql import functions as F
+
+        from garmin_data_pipeline_spark.functions.html import (
+            classify_blocks,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 0, "p", self.GOOD, 0)],
+            "doc_id long, block_idx int, tag string, text string,"
+            " anchor_chars long",
+        )
+        out = (
+            classify_blocks(df, "doc_id")
+            .filter(F.col("kept") == 1)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning(doc_id") == 1, (
+            plan
+        )
