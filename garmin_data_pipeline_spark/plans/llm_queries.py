@@ -2316,18 +2316,27 @@ def s15_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no bare VARCHAR; DuckDB aliases STRING to VARCHAR) — this expr runs
 # verbatim in the Spark plan AND the DuckDB oracle
 _S16_HOST = (
-    "CASE WHEN doc_id % 20 < 8 THEN 'en.wikipedia.org' "
-    "WHEN doc_id % 20 < 11 THEN "
+    "CASE WHEN doc_id % 24 < 8 THEN 'en.wikipedia.org' "
+    "WHEN doc_id % 24 < 11 THEN "
     "'u' || CAST(doc_id % 7 AS STRING) || '.blogspot.com' "
-    "WHEN doc_id % 20 < 13 THEN 'crawler@SPAM-MILL.EXAMPLE:80' "
-    "WHEN doc_id % 20 < 15 THEN 'news.BBC.co.UK' "
-    "WHEN doc_id % 20 < 16 THEN 'example.com.au' "
-    "WHEN doc_id % 20 < 17 THEN 'docs.github.io' "
-    "WHEN doc_id % 20 < 18 THEN 'www.gov.uk' "
+    "WHEN doc_id % 24 < 13 THEN 'crawler@SPAM-MILL.EXAMPLE:80' "
+    "WHEN doc_id % 24 < 15 THEN 'news.BBC.co.UK' "
+    "WHEN doc_id % 24 < 16 THEN 'example.com.au' "
+    "WHEN doc_id % 24 < 17 THEN 'docs.github.io' "
+    "WHEN doc_id % 24 < 18 THEN 'www.gov.uk' "
+    # PSL wildcard rule *.ck: nelson.ck is itself a public suffix
+    "WHEN doc_id % 24 < 19 THEN 'store.nelson.ck' "
+    # PSL exception rule !www.ck (+ case normalization): the one
+    # host under *.ck whose registered domain is www.ck itself
+    "WHEN doc_id % 24 < 20 THEN 'visit.WWW.CK' "
+    # *.kawasaki.jp wildcard (2-label base) …
+    "WHEN doc_id % 24 < 21 THEN 'blog.sakura.kawasaki.jp' "
+    # … and its !city.kawasaki.jp exception
+    "WHEN doc_id % 24 < 22 THEN 'go.city.kawasaki.jp' "
     "ELSE 'arxiv.org' END"
 )
 _S16_SCHEME = (
-    "CASE WHEN doc_id % 20 >= 11 AND doc_id % 20 < 13 "
+    "CASE WHEN doc_id % 24 >= 11 AND doc_id % 24 < 13 "
     "THEN 'HTTP://' ELSE 'https://' END"
 )
 _S16_URL = (
@@ -2342,38 +2351,26 @@ _S16_RANK_HASH = "md5(CAST(doc_id AS VARCHAR) || '#s16-v1')"
 def _s16_oracle() -> str:
     from garmin_data_pipeline_spark.operators.urls import (
         HOST_PATTERN,
-        sql_psl_values,
+        sql_reg_domain_query,
     )
 
     path = "regexp_replace(url, '(?i)^https?://[^/]+', '')"
+    inner = (
+        "SELECT doc_id, url, lower(regexp_extract(url, "
+        f"'{HOST_PATTERN}', 1)) AS host FROM u"
+    )
     return f"""
     WITH u AS (
         SELECT doc_id, {_S16_URL} AS url FROM documents
-    ), s AS (
-        SELECT doc_id, url,
-               lower(regexp_extract(url, '{HOST_PATTERN}', 1)) AS host
-        FROM u
-    ), c AS (
-        SELECT *,
-               regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS suf2,
-               regexp_extract(host,
-                   '([^.]+\\.[^.]+\\.[^.]+)$', 1) AS suf3,
-               regexp_extract(host,
-                   '((?:[^.]+\\.){{3}}[^.]+)$', 1) AS suf4
-        FROM s
-    ), psl(suffix) AS (
-        VALUES {sql_psl_values()}
+    ), p0 AS (
+        {sql_reg_domain_query(inner, "doc_id, url")}
     ), p AS (
-        SELECT doc_id, url, host,
-               CASE WHEN p3.suffix IS NOT NULL THEN suf4
-                    WHEN p2.suffix IS NOT NULL THEN suf3
-                    ELSE suf2 END AS reg_domain,
+        SELECT doc_id, host, reg_domain,
                regexp_extract(host, '\\.([a-z0-9-]+)$', 1) AS tld,
                CAST(length({path})
                     - length(replace({path}, '/', ''))
                     AS BIGINT) AS path_depth
-        FROM c LEFT JOIN psl p3 ON c.suf3 = p3.suffix
-               LEFT JOIN psl p2 ON c.suf2 = p2.suffix
+        FROM p0
     ), kept AS (
         SELECT *,
                CAST(ROW_NUMBER() OVER (
@@ -2392,16 +2389,17 @@ def _s16_oracle() -> str:
     "s16_url_curation",
     _s16_oracle(),
     doc="URL/domain curation: host normalization (lowercase, strip "
-    "userinfo/port), public-suffix registered domains (longest "
-    "matching suffix via TWO broadcast LEFT joins against the "
-    "shipped PSL subset — a .co.uk site no longer shares a cap with "
-    "the whole UK), UT1-style blocklist anti-join, and the per-"
-    f"domain cap at {_S16_K} docs by salted-md5 rank (the C4/Gopher "
-    "anti-domination device) — TWO-PHASE: per (domain, bucket) "
-    "pre-cap then exact re-rank of ≤ buckets×k survivors, so a hot "
-    "domain sorts on `buckets` tasks, never one. Scale shape: "
-    "row-local parses, three broadcast joins, two bounded window "
-    "shuffles.",
+    "userinfo/port), registered domains by the FULL publicsuffix."
+    "org algorithm — exception rules win, else longest match with "
+    "wildcards counting one label past their base (*.ck / !www.ck "
+    "included) — via one broadcast LEFT join per rule depth against "
+    "the shipped PSL data file, UT1-style blocklist anti-join, and "
+    f"the per-domain cap at {_S16_K} docs by salted-md5 rank (the "
+    "C4/Gopher anti-domination device) — TWO-PHASE: per (domain, "
+    "bucket) pre-cap then exact re-rank of ≤ buckets×k survivors, "
+    "so a hot domain sorts on `buckets` tasks, never one. Scale "
+    "shape: row-local parses, seven broadcast joins, two bounded "
+    "window shuffles.",
 )
 def s16_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from garmin_data_pipeline_spark.operators.urls import (

@@ -1210,6 +1210,16 @@ class TestUrlCuration:
                 (8, "http://localhost/health"),
                 # host IS a public suffix: not registrable
                 (9, "https://co.uk/"),
+                # wildcard rule *.ck: nelson.ck is a public suffix
+                (10, "https://store.nelson.ck/buy"),
+                # exception rule !www.ck beats the wildcard
+                (11, "https://visit.WWW.CK/"),
+                # host IS a wildcard public suffix: not registrable
+                (12, "https://nelson.ck/"),
+                # 2-label wildcard base *.kawasaki.jp …
+                (13, "https://blog.sakura.kawasaki.jp/p"),
+                # … and its !city.kawasaki.jp exception, any depth
+                (14, "https://deep.go.city.kawasaki.jp/x"),
             ],
             "doc_id long, url string",
         )
@@ -1232,19 +1242,41 @@ class TestUrlCuration:
         assert got[7] == ("example.com.au", "example.com.au", "au", 1)
         assert got[8] == ("localhost", "", "", 1)
         assert got[9] == ("co.uk", "", "uk", 1)
+        assert got[10] == (
+            "store.nelson.ck", "store.nelson.ck", "ck", 1
+        )
+        assert got[11] == ("visit.www.ck", "www.ck", "ck", 1)
+        assert got[12] == ("nelson.ck", "", "ck", 1)
+        assert got[13] == (
+            "blog.sakura.kawasaki.jp",
+            "blog.sakura.kawasaki.jp",
+            "jp",
+            1,
+        )
+        assert got[14] == (
+            "deep.go.city.kawasaki.jp", "city.kawasaki.jp", "jp", 1
+        )
 
     def test_psl_table_is_well_formed(self):
-        """The shipped public-suffix subset must hold the invariants
-        the join shape assumes: lowercase, deduplicated, 2-3 labels
-        (single-label TLDs need no table; >3-label suffixes are
-        documented out of scope), label charset [a-z0-9-], and the
-        DuckDB VALUES mirror contains exactly the same rows."""
+        """The shipped public-suffix rule file must hold the
+        invariants the join/VALUES shape assumes: lowercase,
+        deduplicated, label charset [a-z0-9-] in every rule kind
+        (the loader asserts this too — belt and suspenders for the
+        f-string VALUES mirror), shipped normal rules 2-3 labels
+        (the LOADER handles any depth — the full upstream file is a
+        drop-in — but the shipped snapshot is curated), every
+        exception covered by a wildcard it excepts, and the DuckDB
+        VALUES mirror contains exactly the normal rows."""
         from garmin_data_pipeline_spark.operators.urls import (
+            PSL_EXCEPTIONS,
+            PSL_PATH,
+            PSL_WILDCARD_BASES,
             PUBLIC_SUFFIXES,
             sql_psl_values,
         )
         import re
 
+        assert PSL_PATH.is_file()
         assert len(PUBLIC_SUFFIXES) == len(set(PUBLIC_SUFFIXES))
         for s in PUBLIC_SUFFIXES:
             assert s == s.lower(), s
@@ -1253,6 +1285,20 @@ class TestUrlCuration:
             assert all(
                 re.fullmatch(r"[a-z0-9-]+", x) for x in labels
             ), s
+        for group in (PSL_WILDCARD_BASES, PSL_EXCEPTIONS):
+            assert len(group) == len(set(group))
+            for s in group:
+                assert s == s.lower(), s
+                assert all(
+                    re.fullmatch(r"[a-z0-9-]+", x)
+                    for x in s.split(".")
+                ), s
+        # each exception must strip to a wildcard base it excepts
+        for e in PSL_EXCEPTIONS:
+            base = e.split(".", 1)[1]
+            assert base in PSL_WILDCARD_BASES, e
+        assert "ck" in PSL_WILDCARD_BASES
+        assert "www.ck" in PSL_EXCEPTIONS
         vals = sql_psl_values()
         assert vals.count("('") == len(PUBLIC_SUFFIXES)
         for s in ("co.uk", "gov.uk", "com.au", "github.io",
