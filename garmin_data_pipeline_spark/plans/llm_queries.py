@@ -3326,6 +3326,85 @@ def t26b_quality_trained_score(
 
 
 # ---------------------------------------------------------------------------
+# T28 — model-based language ID (r13 verdict directive 3): the
+# stopword-ratio heuristic (t2) distilled into a TRAINED multinomial
+# classifier over char-class features — marker grams + Unicode-script
+# counts as exact ppm integers — with the fitted coefficients
+# quantized to plan constants (the t26b recipe; provenance +
+# refit-reproduces pin in operators/langid_model.py). Covers ru
+# (Cyrillic) and el (Greek) — non-Latin scripts the heuristic could
+# never see. The fixture plants a per-class language snippet (the
+# training families, held-out word order) in FRONT of a 120-char
+# slice of the English-ish doc text, so every document is
+# MIXED-language — the realistic crawl case the mixed training rows
+# exist for — and the model must out-vote the English filler. The
+# oracle computes the same integer features, dot products and argmax
+# CASE chain from the same constants.
+# ---------------------------------------------------------------------------
+_T28_SNIPPET = (
+    "CASE doc_id % 6 "
+    "WHEN 0 THEN 'the quick brown fox jumps over the lazy dog "
+    "and runs with great speed of thought' "
+    "WHEN 1 THEN 'der schnelle braune fuchs springt über den "
+    "faulen hund und läuft nicht mit großer übung' "
+    "WHEN 2 THEN 'el rápido zorro marrón salta sobre el perro "
+    "perezoso y corre con una velocidad que los años' "
+    "WHEN 3 THEN 'le renard brun rapide saute par dessus le chien "
+    "paresseux et il est une des forêts' "
+    "WHEN 4 THEN 'быстрая коричневая лиса прыгает через ленивую "
+    "собаку и бежит с большой скоростью' "
+    "ELSE 'η γρήγορη καφέ αλεπού πηδάει πάνω από το τεμπέλικο "
+    "σκυλί και τρέχει με μεγάλη ταχύτητα' END"
+)
+_T28_TEXT = (
+    f"({_T28_SNIPPET}) || ' ' || "
+    "COALESCE(substr(text, 1, 120), '')"
+)
+
+
+def _t28_oracle() -> str:
+    from garmin_data_pipeline_spark.operators.langid_model import (
+        FEATURE_COLS,
+        sql_langid_features,
+        sql_langid_model_score,
+    )
+
+    return f"""
+    WITH t AS (
+        SELECT doc_id, {_T28_TEXT} AS text FROM documents
+    ), f AS (
+        SELECT doc_id, {sql_langid_features("text")} FROM t
+    )
+    SELECT doc_id, {', '.join(FEATURE_COLS)},
+           {sql_langid_model_score()}
+    FROM f
+    """
+
+
+@register(
+    "t28_langid_model",
+    _t28_oracle(),
+    doc="TRAINED language-ID model: multinomial LogisticRegression "
+    "over char-class features (marker grams + Cyrillic/Greek script "
+    "counts, exact ppm integers), coefficients quantized to integer "
+    "plan constants (the t26b recipe, refit-provenance pinned) — "
+    "covering non-Latin scripts the stopword heuristic cannot. "
+    "Scored on mixed-language fixtures (planted snippet + English "
+    "filler). Scale shape: pure row-local regexp-count projections, "
+    "zero shuffle, zero UDF, weights are plan constants.",
+)
+def t28_langid_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from garmin_data_pipeline_spark.operators.langid_model import (
+        langid_model_score,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_T28_TEXT).alias("text")
+    )
+    return langid_model_score(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
 # T25 — iterative BPE trainer + encoder (VERDICT r11 directive 4):
 # t18 computes ONE merge step; t25 loops it K times into a trained
 # vocabulary and then encodes every document under it — the full

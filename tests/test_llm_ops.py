@@ -1183,6 +1183,123 @@ class TestQualityModel:
         )
 
 
+class TestLangidModel:
+    """t28: TRAINED multinomial language ID over char-class features
+    (operators/langid_model.py) — the t26b recipe applied to langID
+    per the r13 verdict's directive 3."""
+
+    def test_committed_langid_weights_reproduce(self, spark):
+        """Provenance pin: refitting on the deterministic in-repo
+        corpus reproduces the committed quantized weights (LBFGS is
+        deterministic given the data; the relative tolerance absorbs
+        last-ulp BLAS differences without weakening the pin)."""
+        pytest.importorskip("pyspark.ml")
+        from garmin_data_pipeline_spark.operators.langid_model import (
+            TRAINED_LANGID_BIAS,
+            TRAINED_LANGID_WEIGHTS,
+            fit_and_quantize_langid,
+        )
+
+        weights, bias = fit_and_quantize_langid()
+        for lang, ws in TRAINED_LANGID_WEIGHTS.items():
+            for k, want in ws.items():
+                tol = max(2, abs(want) * 1e-6)
+                assert abs(weights[lang][k] - want) <= tol, (
+                    lang, k, weights[lang][k], want,
+                )
+        for lang, want in TRAINED_LANGID_BIAS.items():
+            tol = max(2, abs(want) * 1e-6)
+            assert abs(bias[lang] - want) <= tol, (lang,)
+
+    def test_model_classifies_pure_training_families(self, spark):
+        """The committed weights classify held-out rotations of each
+        language family perfectly (pure text — the easy case)."""
+        from garmin_data_pipeline_spark.operators.langid_model import (
+            MODEL_LANGS,
+            _WORDS,
+            langid_model_score,
+        )
+
+        rows = []
+        for li, lang in enumerate(MODEL_LANGS):
+            w = _WORDS[lang]
+            for i in range(5):
+                k = (13 * i + 3) % len(w)  # offsets unseen at fit
+                rows.append(
+                    (li * 10 + i, lang, " ".join(w[k:] + w[:k]))
+                )
+        df = spark.createDataFrame(
+            rows, "row_id long, want string, text string"
+        )
+        out = langid_model_score(df, "row_id", "text").collect()
+        want = {r[0]: r[1] for r in rows}
+        assert all(r["lang"] == want[r["row_id"]] for r in out)
+
+    def test_model_survives_english_mixture(self, spark):
+        """Mixed text: a 9-word snippet of each non-English language
+        followed by EQUAL-length marker-dense English filler must
+        still classify as the snippet's language (what the mixed
+        training rows buy; the t28 fixture — snippet + 120 chars of
+        marker-sparse jargon — is an easier case and scores 100%).
+        Known limit, stated: past ~4:3 filler:snippet against the
+        marker-densest English text, the Latin languages tip to en —
+        the honest behavior of a 7-feature model; the non-Latin
+        scripts hold far longer (script counts don't dilute as fast
+        as marker grams)."""
+        from garmin_data_pipeline_spark.operators.langid_model import (
+            _WORDS,
+            langid_model_score,
+        )
+
+        filler = " ".join(_WORDS["en"][:9])
+        df = spark.createDataFrame(
+            [
+                (1, "ru", " ".join(_WORDS["ru"][:9]) + " " + filler),
+                (2, "el", " ".join(_WORDS["el"][:9]) + " " + filler),
+                (3, "de", " ".join(_WORDS["de"][:9]) + " " + filler),
+                (4, "es", " ".join(_WORDS["es"][:9]) + " " + filler),
+                (5, "fr", " ".join(_WORDS["fr"][:9]) + " " + filler),
+            ],
+            "row_id long, want string, text string",
+        )
+        got = {
+            r["row_id"]: r["lang"]
+            for r in langid_model_score(df, "row_id", "text").collect()
+        }
+        assert got == {1: "ru", 2: "el", 3: "de", 4: "es", 5: "fr"}
+
+    def test_t28_fixture_accuracy_is_total(self, spark, sf_dir):
+        """Every planted class in the registered t28 fixture is
+        recovered — the model out-votes the English doc-text filler
+        on all six languages."""
+        from garmin_data_pipeline_spark.plans import QUERIES
+        from garmin_data_pipeline_spark.operators.langid_model import (
+            MODEL_LANGS,
+        )
+
+        out = QUERIES["t28_langid_model"].fn(spark, sf_dir)
+        planted = F.element_at(
+            F.array(*[F.lit(x) for x in MODEL_LANGS]),
+            (F.col("doc_id") % 6 + 1).cast("int"),
+        )
+        bad = out.filter(F.col("lang") != planted).count()
+        assert bad == 0
+
+    def test_no_python_udf_in_scoring_plan(self, spark, sf_dir):
+        from garmin_data_pipeline_spark.plans import QUERIES
+
+        plan = (
+            QUERIES["t28_langid_model"]
+            .fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "Exchange" not in plan  # pure row-local projection
+
+
 class TestUrlCuration:
     """URL/domain curation operators (s16, operators/urls.py)."""
 
