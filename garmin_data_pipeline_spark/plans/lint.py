@@ -93,6 +93,9 @@ DECIMAL_CAST_ALLOWLIST: dict[str, str] = {
     "q3_sql_revenue_topk": "revenue products < 1e7 << 2**45",
     # mean token log-prob at s=6: |log p| < 25 << 3.5e13
     "t21_unigram_logprob": "log-probs bounded ~25 << 2**45",
+    # same bound, bigram order: the interpolation floor is
+    # (1-λ)·c(w2)/T >= 0.25/T, so |ln p| < ln(4T) ~ 25 at any SF
+    "t27_bigram_logprob": "log-probs bounded ~25 << 2**45",
     # squared mean log-prob at s=12: < 650 << 5.5e11 (plus t21's own
     # cast, inherited through composition)
     "t22_lm_quality_zscore": "squares bounded ~650 << 2**39",

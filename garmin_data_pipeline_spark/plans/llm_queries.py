@@ -4661,6 +4661,132 @@ def t21_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# T27 — interpolated BIGRAM-LM document scoring (r13 verdict
+# directive 6): t21 is a unigram LM; CCNet-class quality scoring
+# uses higher-order LMs. This is the next member of the family —
+# mean token log-probability under an interpolated bigram model
+# built from the corpus's own counts:
+#     p(w2 | w1) = λ·c(w1,w2)/c(w1) + (1−λ)·c(w2)/T
+# (simple linear interpolation with the unigram distribution, so
+# unseen continuations never hit log 0; c(·) are corpus unigram
+# counts, T the corpus token total). Bigram instances are encoded as
+# 'w1 w2' strings — tokens are [a-z0-9]+ so the space-join is
+# injective and one equi-join key covers the pair. Per-instance ln
+# values round through DECIMAL(18,6) before the order-independent
+# sum (the t21 discipline — JVM-vs-C libm ULP differences cannot
+# reach the hash; the λ-mix itself is plain IEEE double arithmetic,
+# identical on both engines). Swap the count joins for a KenLM
+# export and the plan shape is unchanged — the same claim t21 makes,
+# one order higher.
+# ---------------------------------------------------------------------------
+_T27_LAMBDA = 0.75
+
+
+@register(
+    "t27_bigram_logprob",
+    f"""
+    WITH tk AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), tok AS (
+        SELECT doc_id, UNNEST(toks) AS token FROM tk
+    ), vocab AS (
+        SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+    ), tot AS (SELECT COUNT(*) AS total FROM tok),
+    bgi AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        FROM tk
+    ), bgc AS (
+        SELECT bg, COUNT(*) AS c12 FROM bgi GROUP BY bg
+    )
+    SELECT bgi.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(
+               CAST(SUM(CAST(ln(
+                   {_T27_LAMBDA} * (CAST(bgc.c12 AS DOUBLE) / v1.cnt)
+                   + {1 - _T27_LAMBDA} * (CAST(v2.cnt AS DOUBLE)
+                                          / tot.total)
+               ) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6
+           ) AS mean_logp
+    FROM bgi
+    JOIN bgc USING (bg)
+    JOIN vocab v1 ON string_split(bg, ' ')[1] = v1.token
+    JOIN vocab v2 ON string_split(bg, ' ')[2] = v2.token
+    CROSS JOIN tot
+    GROUP BY bgi.doc_id
+    """,
+    doc="Mean token log-probability under an interpolated BIGRAM LM "
+    "(λ·bigram MLE + (1−λ)·unigram backoff, counts from the corpus "
+    "itself): ONE tokenize pass (lazy checkpoint) feeds the unigram "
+    "explode (vocab + total) and the bigram-instance explode "
+    "(bigram counts + scoring joins); pairs travel as injective "
+    "'w1 w2' string keys so each join is a plain equi-join — AQE "
+    "broadcasts the count relations at small SFs and skew-splits "
+    "the Zipf-head tokens at web scale; counts partial-aggregate "
+    "map-side. Per-instance ln rounds through DECIMAL(18,6) before "
+    "the order-independent sum (t21 discipline).",
+)
+def t27_bigram_logprob(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # one tokenize pass feeds both explodes (unigram + bigram)
+    tk = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", T.tokens(F.col("text")).alias("toks"))
+        .localCheckpoint(eager=False)
+    )
+    tok = tk.select(
+        "doc_id", F.explode("toks").alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    # bigram instances as 'w1 w2' strings (injective: tokens are
+    # [a-z0-9]+). transform over 1..size-1; the CASE guards the
+    # descending-sequence trap on 0/1-token docs.
+    bgi = tk.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN "
+                "transform(sequence(2, size(toks)), "
+                "i -> concat(toks[i - 2], ' ', toks[i - 1])) "
+                "ELSE array() END"
+            )
+        ).alias("bg"),
+    )
+    bgc = bgi.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    w2 = F.split(F.col("bg"), " ").getItem(1)
+    v1 = vocab.select(
+        F.col("token").alias("__t1"), F.col("cnt").alias("c1")
+    )
+    v2 = vocab.select(
+        F.col("token").alias("__t2"), F.col("cnt").alias("c2")
+    )
+    p = F.lit(_T27_LAMBDA) * (
+        F.col("c12").cast("double") / F.col("c1")
+    ) + F.lit(1 - _T27_LAMBDA) * (
+        F.col("c2").cast("double") / F.col("total")
+    )
+    return (
+        bgi.join(bgc, "bg")
+        .join(v1, w1 == F.col("__t1"))
+        .join(v2, w2 == F.col("__t2"))
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(F.log(p).cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_logp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # V8 — product quantization codes: the memory tier below int8 (64-dim
 # float32 256 B -> 8 B at m=8). Oracle generated from the SAME
 # codebook constants with the SAME left-fold association order, so
