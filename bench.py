@@ -83,13 +83,59 @@ def is_stall_suspect(reps: list[float]) -> bool:
 
 
 def pick_series(first: list[float], rerun: list[float]) -> str:
-    """Which series to report after a stall re-run: the lower median
-    ('rerun' on ties — it is the later, settled measurement)."""
-    return (
-        "first"
-        if statistics.median(first) < statistics.median(rerun)
-        else "rerun"
-    )
+    """Which series to report after a stall re-run. ADVICE r13:
+    always keeping the lower median is a min-of-two-medians
+    selection that biases genuinely-noisy (non-stall) cells downward
+    relative to untripped cells, compounded by the warmer-JIT rerun.
+    The re-run therefore replaces the first series only on a CLEAR
+    stall signature — its median improves on the first median by
+    more than the stall spread fraction (a real host stall inflates
+    medians far past that: r12's st2 read 7x, t4 read 6.5x their
+    true walls). Anything smaller is ordinary variance and the
+    first, JIT-comparable series stands."""
+    f = statistics.median(first)
+    r = statistics.median(rerun)
+    return "rerun" if (f - r) > STALL_SPREAD_FRACTION * f else "first"
+
+
+def cross_round_suspects(
+    timings: dict[str, float],
+    prior: dict[str, float],
+    factor: float = 2.0,
+    floor: float = 0.5,
+) -> dict[str, dict[str, float]]:
+    """Cross-round sanity flag (r13 verdict directive 5): cells whose
+    kept median exceeds ``factor`` x the previous committed round's
+    wall (above the noise floor) — the uniformly-slow-window stall
+    the within-session spread trigger cannot see (r13: g1 committed
+    5.84s vs 1.59s prior with BOTH rep series stalled; idle-host
+    re-time read 1.84s). Flagged cells are SUSPECT, not adjudicated:
+    a plan change legitimately moves a wall, so the flag records the
+    pair for the verdict's audit rather than re-running anything."""
+    out = {}
+    for name, t in timings.items():
+        p = prior.get(name)
+        if p is not None and p >= floor and t > factor * p:
+            out[name] = {"now": t, "prior": p}
+    return out
+
+
+def load_prior_bench(here: Path) -> tuple[dict[str, float], str]:
+    """The most recent committed bench_full_r*.json's per-query
+    medians (empty when none exists)."""
+    import re
+
+    best, best_no = None, -1
+    for p in here.glob("bench_full_r*.json"):
+        m = re.match(r"bench_full_r(\d+)\.json", p.name)
+        if m and int(m.group(1)) > best_no:
+            best, best_no = p, int(m.group(1))
+    if best is None:
+        return {}, ""
+    try:
+        return json.loads(best.read_text()).get("queries", {}), best.name
+    except (OSError, ValueError):
+        return {}, ""
 
 # --- Host-speed calibration (r6 verdict directive 2) -----------------
 # Same-code anchor totals drifted up to ~1.6x between round VMs (r5:
@@ -593,6 +639,10 @@ def main() -> None:
     normalized = {
         n: round(t / host_factor, 3) for n, t in timings.items()
     }
+    prior_timings, prior_artifact = load_prior_bench(
+        Path(__file__).resolve().parent
+    )
+    suspects = cross_round_suspects(timings, prior_timings)
     payload = {
                 # r1-r4 name: headline_queries_total_wall. Renamed per
                 # ADVICE r4 so the name matches the definition; the
@@ -719,6 +769,30 @@ def main() -> None:
                     "value_full cover the grown headline set incl. "
                     "LSH/IVF serve paths; timings are steady-state "
                     "(2 untimed warm-ups per query since r5)"
+                ),
+                "cross_round_suspects": suspects,
+                "cross_round_suspect_prior_artifact": prior_artifact,
+                "cross_round_suspect_note": (
+                    "r13 verdict directive 5: any kept median > 2x "
+                    "the previous committed round's wall (>= 0.5s) "
+                    "is flagged here — the uniformly-slow-window "
+                    "stall the within-session spread trigger cannot "
+                    "see. Flags are SUSPECT markers for the audit, "
+                    "not adjudications: plan-changed queries "
+                    "legitimately move"
+                ),
+                "r13_adjudication_note": (
+                    "the two suspect r13 cells were idle-host "
+                    "re-timed by the r13 verdict and adjudicated "
+                    "CLEAN: g1_pagerank_bipartite committed 5.839s, "
+                    "idle-host median 1.84s (both bench series were "
+                    "stalled — the double-stall this round's "
+                    "cross_round_suspects flag exists to catch); "
+                    "v9ps_ivfpq_product_serve_q500 committed 7.862s, "
+                    "idle-host steady-state 5.52s (slow-window, "
+                    "tight spread). Neither was a code regression; "
+                    "serve tiers re-priced via tools/serving_bench.py "
+                    "this round"
                 ),
                 "sf1_probe": sf1_probe,
                 "host_note": (

@@ -1,7 +1,10 @@
 """The bench's mechanical stall-adjudication protocol (r12 verdict
-directive 2): cells whose timed-rep spread exceeds half their median
-get one same-session re-run and the lower-median series is reported.
-Pure-Python logic — no Spark session needed."""
+directive 2, tightened per ADVICE r13): cells whose timed-rep spread
+exceeds a quarter of their median get one same-session re-run, and
+the re-run replaces the first series only on a CLEAR stall signature
+(median improvement past the spread fraction); plus the r13-directive
+cross-round suspect flag. Pure-Python logic — no Spark session
+needed."""
 
 from __future__ import annotations
 
@@ -43,14 +46,68 @@ class TestStallAdjudication:
         assert not bench.is_stall_suspect(just_under)
         assert bench.is_stall_suspect(just_over)
 
-    def test_pick_series_keeps_lower_median(self):
+    def test_pick_series_keeps_clear_stall_rerun(self):
+        # a real stall: the settled re-run improves the median 6x —
+        # far past the spread fraction — so it replaces the series
         stalled = [2.855, 2.023, 3.011]
         settled = [0.452, 0.488, 0.471]
         assert bench.pick_series(stalled, settled) == "rerun"
         assert bench.pick_series(settled, stalled) == "first"
 
-    def test_pick_series_tie_prefers_rerun(self):
-        # equal medians: the later, settled measurement wins
-        assert bench.pick_series([1.0, 1.0, 1.0], [1.0, 0.9, 1.1]) == (
-            "rerun"
+    def test_pick_series_keeps_first_on_ordinary_variance(self):
+        """ADVICE r13: a cell that trips on genuine variance (the
+        re-run lands within the spread threshold of the first
+        median) keeps the FIRST series — taking the lower of two
+        medians would bias tripped cells downward, compounded by
+        the warmer-JIT re-run."""
+        first = [2.0, 1.7, 2.4]  # spread 0.7 > 0.25 x 2.0 -> trips
+        rerun = [1.9, 1.8, 2.0]  # 5% better: noise, not a stall
+        assert bench.pick_series(first, rerun) == "first"
+        # exactly-at-threshold improvement is still variance
+        assert bench.pick_series(
+            [2.0, 2.0, 2.0], [1.5, 1.5, 1.5]
+        ) == "first"
+        # just past the threshold: a stall signature
+        assert bench.pick_series(
+            [2.0, 2.0, 2.0], [1.4, 1.4, 1.4]
+        ) == "rerun"
+
+
+class TestCrossRoundSuspects:
+    """r13 verdict directive 5: the cross-round sanity flag for
+    uniformly-slow-window stalls (g1's double-stall escaped the
+    within-session trigger)."""
+
+    def test_flags_doubled_wall(self):
+        got = bench.cross_round_suspects(
+            {"g1": 5.839, "v1": 1.0}, {"g1": 1.59, "v1": 0.95}
         )
+        assert got == {"g1": {"now": 5.839, "prior": 1.59}}
+
+    def test_respects_floor_and_missing_prior(self):
+        got = bench.cross_round_suspects(
+            {"tiny": 0.9, "new_query": 10.0},
+            {"tiny": 0.3},  # prior below the 0.5s floor; new: absent
+        )
+        assert got == {}
+
+    def test_within_band_not_flagged(self):
+        assert bench.cross_round_suspects(
+            {"q": 2.9}, {"q": 1.5}
+        ) == {}
+
+    def test_load_prior_bench_picks_latest(self, tmp_path):
+        import json
+
+        (tmp_path / "bench_full_r08.json").write_text(
+            json.dumps({"queries": {"q": 1.0}})
+        )
+        (tmp_path / "bench_full_r11.json").write_text(
+            json.dumps({"queries": {"q": 2.0}})
+        )
+        prior, name = bench.load_prior_bench(tmp_path)
+        assert prior == {"q": 2.0}
+        assert name == "bench_full_r11.json"
+
+    def test_load_prior_bench_empty_dir(self, tmp_path):
+        assert bench.load_prior_bench(tmp_path) == ({}, "")
