@@ -9,6 +9,10 @@ tables (``list``/``run``/``explain``), without writing a script.
 Commands
 --------
 pipeline <base_dir> [...]   full ETL (see pipelines/runner.py --help)
+corpus <sf_dir> <out_dir>   full corpus production (crawl front-end →
+                            dedup → excision → decontamination →
+                            quality gate → mixture → split → packing
+                            → sharded export; see pipelines/corpus.py)
 list [--tier all]           registered queries (name + one-line doc)
 run <query> [--sf-dir DIR] [--limit N] [--csv]
 explain <query> [--sf-dir DIR]   formatted physical plan
@@ -62,6 +66,15 @@ def main(argv: list[str] | None = None) -> int:
         "pytest-tier queries",
     )
 
+    corp = sub.add_parser(
+        "corpus",
+        help="full corpus production: crawl front-end -> dedup -> "
+        "excision -> decontamination -> quality gate -> mixture -> "
+        "split -> packing -> sharded parquet export",
+    )
+    corp.add_argument("sf_dir")
+    corp.add_argument("out_dir")
+
     for cmd in ("run", "explain"):
         cp = sub.add_parser(cmd)
         cp.add_argument("query")
@@ -90,6 +103,19 @@ def main(argv: list[str] | None = None) -> int:
         for name, q in _queries(args.tier).items():
             doc = " ".join((q.doc or "").split())
             print(f"{name:<32} {doc[:80]}")
+        return 0
+
+    if args.cmd == "corpus":
+        from garmin_data_pipeline_spark.pipelines.corpus import (
+            run_corpus,
+        )
+        from garmin_data_pipeline_spark.session import get_spark
+
+        counts = run_corpus(
+            get_spark("corpus"), args.sf_dir, args.out_dir
+        )
+        for split, n in sorted(counts.items()):
+            print(f"{split}\t{n}")
         return 0
 
     from garmin_data_pipeline_spark.session import get_spark
