@@ -462,6 +462,14 @@ HEADLINE = [
     # extraction (block segmentation + keep policy + bounded per-doc
     # reassembly replacing the tag-strip kernel).
     "e2e_crawl_mc",
+    # r14 registrations: the interpolated bigram LM (one tokenize
+    # pass, two explodes, three equi-joins on count relations —
+    # prices the higher-order LM against t21's unigram pass) and the
+    # trained quantized language-ID model (pure row-local
+    # regexp-count projections — prices the feature-extraction scan;
+    # zero shuffle, zero UDF).
+    "t27_bigram_logprob",
+    "t28_langid_model",
 ]
 
 

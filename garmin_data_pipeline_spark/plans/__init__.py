@@ -39,102 +39,45 @@ from garmin_data_pipeline_spark.plans.queries import (
 #      that keeps that bound.
 #
 # Coverage ledger (round each query last had a green driver row):
-#   r12 (50/50 green; CORRECTNESS_r12.json): the whole r12 _HEAD —
-#       rotating out to the tail now (policy 2), EXCEPT (a) the five
-#       r12 first-timers (s15, e2e_crawl, t25, t26, s16) which keep
+#   r13 (50/50 green; CORRECTNESS_r13.json): the whole r13 _HEAD —
+#       rotating out to the tail now (policy 2), EXCEPT (a) the four
+#       r13 first-timers (s17, s18, t26b, e2e_crawl_mc) which keep
 #       head slots for their second consecutive rows (the standing
-#       first-timer treatment, honored exactly as the r12 verdict
-#       directed), and (b) FOUR cheap holdovers (d1, q5, b1, o5)
-#       kept only because the head must be exactly 50 and the
-#       returning tail + first-timers + new registrations sum to 46
-#       — d1 chosen because e2e_crawl's dedup annotation was just
-#       rewritten onto its exact_duplicates shape, the other three
-#       as the cheapest plans in the r12 head (third consecutive
-#       rows are wasteful, so the cheapest carry them).
-#   r11: the 41 oracled queries of the r12 tail — rotating back in
-#       NOW (policy 3), minus THREE demoted to the pytest tier
-#       funding the three r13 registrations (see _PYTEST_TIER:
-#       t13/v5/t14, each with FOUR green hash-matched driver rows
-#       r5/r7/r9/r11 and a trivial row-local single-projection
-#       plan). Registry stays at 95, comfortably under the 100 cap.
-#   never: the four r13 registrations take their FIRST driver rows
-#       this round — s17 = URL canonicalization + URL-level dedup
-#       (r12 verdict directive 4), s18 = main-content/boilerplate
-#       block filtering (directive 6), t26b = the TRAINED quality
-#       model quantized to oracle-certifiable integer plan constants
-#       (directive 7), and e2e_crawl_mc = the fused front-end with
-#       s18's main-content extraction in place of tag-stripping (the
-#       production WET path; its head slot comes from returning the
-#       o5 holdover to the tail — a legal tail-out, green r12 with
-#       unchanged code). Plan-changed queries this round (policy 1):
-#       e2e_crawl (URL-dedup stage + skew-safe dedup annotation) and
-#       s16 (host normalization + PSL + two-phase cap) — both
-#       already in the head as first-timers.
+#       first-timer treatment, honored exactly as the r13 verdict's
+#       directive 2 prescribes), and (b) the two PLAN-CHANGED
+#       queries (policy 1): s16 (full publicsuffix.org rule file —
+#       wildcard/exception rules, new ccTLD fixtures) and e2e_crawl
+#       (scale-safe planted fetch ids, ADVICE r13). s18 and
+#       e2e_crawl_mc are ALSO plan-changed this round (context-
+#       sensitive block policy, r13 directive 1) — already in the
+#       head as first-timers, so their r14 rows certify the new
+#       plans. No holdovers needed: the returning tail +
+#       first-timers + plan-changed + new registrations sum to
+#       exactly 50.
+#   r12: the 42 oracled queries of the r13 tail — rotating back in
+#       NOW (policy 3). No demotions this round: the two new
+#       registrations grow the registry to 98, still under the 100
+#       cap with the tail at 48 <= 50, so the two-round
+#       certification bound holds without funding.
+#   never: the two r14 registrations take their FIRST driver rows
+#       this round — t27 = interpolated bigram-LM scoring (r13
+#       verdict directive 6) and t28 = the TRAINED quantized
+#       multinomial language-ID model (directive 3).
 _HEAD = [
-    # --- first driver rows (r13 registrations) ---
+    # --- first driver rows (r14 registrations) ---
+    "t27_bigram_logprob",
+    "t28_langid_model",
+    # --- r13 first-timers: second consecutive rows (s18 and
+    #     e2e_crawl_mc under the NEW context-aware block policy) ---
     "s17_url_canonical_dedup",
     "s18_main_content_blocks",
     "t26b_quality_trained_score",
     "e2e_crawl_mc",
-    # --- r12 first-timers: second consecutive rows ---
-    "s15_html_extract",
-    "e2e_crawl",
-    "t25_bpe_train_encode",
-    "t26_quality_linear_score",
+    # --- plan-changed this round (policy 1): full-PSL s16,
+    #     scale-safe-fixture e2e_crawl ---
     "s16_url_curation",
-    # --- holdovers (see ledger note above) ---
-    "d1_exact_dedup",
-    "q5_local_supplier_volume",
-    "b1_bucketed_join_agg",
-    # --- r12's tail rotates back in (green r11, code unchanged) ---
-    "d8_prefix_jaccard_pairs",
-    "v8_pq_codes",
-    "d7_canonical_docs",
-    "t22_lm_quality_zscore",
-    "v6p_semantic_dedup_product",
-    "t19_quality_verdicts",
-    "t20_stratified_take_k",
-    "w6_rolling_7d",
-    "c2_decontaminated_corpus",
-    "q3_sql_revenue_topk",
-    "t21_unigram_logprob",
-    "o4_topk_orders_per_customer",
-    "d2_token_jaccard_pairs",
-    "d3p_minhash_lsh_pairs",
-    "d4p_simhash_candidates",
-    "t8p_rolling_fingerprint",
-    "v1_cosine_topk_bruteforce",
-    "t6_sequence_packing",
-    "st2_sessionize",
-    "st3_replay_dedup",
-    "t6b_sequence_packing_sharded",
-    "j1_master_daily_join",
-    "w5_densify_ffill",
-    "a14_salted_event_stats",
-    "j4_spatial_join",
-    "t15_vocab_topk",
-    "st4_attribution",
-    "m4_frame_checksums",
-    "c1_contamination",
-    "v2mp_lsh_multiprobe",
-    "e2e_master_daily",
-    "v6_semantic_dedup",
-    "t17_tfidf_matrix",
-    "a15_cube_events",
-    "a16_decile_stats",
-    "p15_semi_anti_orders",
-    "g1_pagerank_bipartite",
-    "g2_dup_triangles",
-]
-_TAIL = [
-    # rows-only variants — PERMANENT tail residents (see policy 2);
-    # their oracle-backed twins carry the correctness signal:
-    "d3_minhash_lsh_pairs",
-    "d4_simhash_candidates",
-    "v4_cosine_topk_ivf",
-    "t8_rolling_fingerprint",
-    # green r12 (CORRECTNESS_r12), code unchanged — rotating out per
-    # policy 2; back in the r14 head per policy 3:
+    "e2e_crawl",
+    # --- r13's tail rotates back in (green r12, code unchanged) ---
     "d10_exact_substring_spans",
     "d10x_substring_excision",
     "d7p_canonical_docs_lsh",
@@ -176,9 +119,61 @@ _TAIL = [
     "j8_snapshot_diff",
     "w8_scd2_intervals",
     "d6_edit_distance_pairs",
-    # green r12, code unchanged — was an r13 holdover until the
-    # e2e_crawl_mc registration took its head slot (policy 2 tail-out)
     "o5_median_quantity",
+]
+_TAIL = [
+    # rows-only variants — PERMANENT tail residents (see policy 2);
+    # their oracle-backed twins carry the correctness signal:
+    "d3_minhash_lsh_pairs",
+    "d4_simhash_candidates",
+    "v4_cosine_topk_ivf",
+    "t8_rolling_fingerprint",
+    # green r13 (CORRECTNESS_r13), code unchanged — rotating out per
+    # policy 2; back in the r15 head per policy 3:
+    "s15_html_extract",
+    "t25_bpe_train_encode",
+    "t26_quality_linear_score",
+    "d1_exact_dedup",
+    "q5_local_supplier_volume",
+    "b1_bucketed_join_agg",
+    "d8_prefix_jaccard_pairs",
+    "v8_pq_codes",
+    "d7_canonical_docs",
+    "t22_lm_quality_zscore",
+    "v6p_semantic_dedup_product",
+    "t19_quality_verdicts",
+    "t20_stratified_take_k",
+    "w6_rolling_7d",
+    "c2_decontaminated_corpus",
+    "q3_sql_revenue_topk",
+    "t21_unigram_logprob",
+    "o4_topk_orders_per_customer",
+    "d2_token_jaccard_pairs",
+    "d3p_minhash_lsh_pairs",
+    "d4p_simhash_candidates",
+    "t8p_rolling_fingerprint",
+    "v1_cosine_topk_bruteforce",
+    "t6_sequence_packing",
+    "st2_sessionize",
+    "st3_replay_dedup",
+    "t6b_sequence_packing_sharded",
+    "j1_master_daily_join",
+    "w5_densify_ffill",
+    "a14_salted_event_stats",
+    "j4_spatial_join",
+    "t15_vocab_topk",
+    "st4_attribution",
+    "m4_frame_checksums",
+    "c1_contamination",
+    "v2mp_lsh_multiprobe",
+    "e2e_master_daily",
+    "v6_semantic_dedup",
+    "t17_tfidf_matrix",
+    "a15_cube_events",
+    "a16_decile_stats",
+    "p15_semi_anti_orders",
+    "g1_pagerank_bipartite",
+    "g2_dup_triangles",
 ]
 # Policy 4: demoted to the pytest oracle tier (r6 verdict's named
 # candidate list — all single-operator projections/filters/aggregates

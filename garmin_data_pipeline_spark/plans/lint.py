@@ -63,6 +63,10 @@ NLJ_ALLOWLIST: dict[str, str] = {
     "e2e_master_daily": "master x broadcast 1-row mean",
     "t17_tfidf_matrix": "tf x broadcast 1-row corpus count",
     "t21_unigram_logprob": "tokens x broadcast 1-row total",
+    "t27_bigram_logprob": (
+        "bigram instances x broadcast 1-row token total (t21's "
+        "pattern, one LM order higher)"
+    ),
     "t22_lm_quality_zscore": "t21's 1-row total + 1-row moments",
     "t24_temperature_mix": (
         "#sources-row stats x broadcast 1-row total/denominator "

@@ -2004,6 +2004,10 @@ def test_text_query_oracles_on_edge_corpus(spark, tmp_path):
         # pipeline whose block filter must drop every degenerate doc
         "s17_url_canonical_dedup", "s18_main_content_blocks",
         "t26b_quality_trained_score", "e2e_crawl_mc",
+        # r14 additions — t27's bigram joins on zero/one-token docs
+        # (no bigram rows), t28's feature extraction over empty/NULL
+        # text (guarded char-count divisions)
+        "t27_bigram_logprob", "t28_langid_model",
     ]
     failures = {}
     for name in targets:
@@ -2096,6 +2100,11 @@ def test_text_query_oracles_on_multibyte_corpus(spark, tmp_path):
         # main-content fused pipeline end to end
         "s18_main_content_blocks", "t26b_quality_trained_score",
         "e2e_crawl_mc",
+        # r14: the bigram LM over multibyte tokens, and the langID
+        # model whose script-count features are the very point —
+        # CJK/emoji/fullwidth chars must count identically in both
+        # engines' regexp_extract_all
+        "t27_bigram_logprob", "t28_langid_model",
     ]
     failures = {}
     for name in targets:

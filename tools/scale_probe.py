@@ -177,6 +177,12 @@ PROBES = [
     # e2e_crawl_mc: e2e_crawl's stages with the block kernel + one
     # bounded per-doc reassembly aggregate — expected in e2e's band
     "e2e_crawl_mc",
+    # r14: t27 stacks t21's explode/count shape one order higher —
+    # bigram vocab grows faster than unigram vocab but is bounded by
+    # instance count, so the join sides stay corpus-linear; t28 is a
+    # zero-shuffle regexp-count projection (the t26 scan band)
+    "t27_bigram_logprob",
+    "t28_langid_model",
 ]
 
 WARMUPS = 1
