@@ -122,7 +122,11 @@ def cross_round_suspects(
 
 def load_prior_bench(here: Path) -> tuple[dict[str, float], str]:
     """The most recent committed bench_full_r*.json's per-query
-    medians (empty when none exists)."""
+    NORMALIZED medians (falling back to raw for pre-normalization
+    artifacts; empty when none exists). Normalized, because the
+    suspect comparison crosses VMs — raw-vs-raw would false-flag on
+    the documented ~1.6x host drift and miss real stalls on a fast
+    host (r14 review finding)."""
     import re
 
     best, best_no = None, -1
@@ -133,7 +137,12 @@ def load_prior_bench(here: Path) -> tuple[dict[str, float], str]:
     if best is None:
         return {}, ""
     try:
-        return json.loads(best.read_text()).get("queries", {}), best.name
+        payload = json.loads(best.read_text())
+        return (
+            payload.get("queries_normalized")
+            or payload.get("queries", {}),
+            best.name,
+        )
     except (OSError, ValueError):
         return {}, ""
 
@@ -650,7 +659,9 @@ def main() -> None:
     prior_timings, prior_artifact = load_prior_bench(
         Path(__file__).resolve().parent
     )
-    suspects = cross_round_suspects(timings, prior_timings)
+    # compare in NORMALIZED (host-factor-corrected) space on both
+    # sides — cross-round raw walls differ by VM speed alone
+    suspects = cross_round_suspects(normalized, prior_timings)
     payload = {
                 # r1-r4 name: headline_queries_total_wall. Renamed per
                 # ADVICE r4 so the name matches the definition; the
@@ -781,13 +792,15 @@ def main() -> None:
                 "cross_round_suspects": suspects,
                 "cross_round_suspect_prior_artifact": prior_artifact,
                 "cross_round_suspect_note": (
-                    "r13 verdict directive 5: any kept median > 2x "
-                    "the previous committed round's wall (>= 0.5s) "
-                    "is flagged here — the uniformly-slow-window "
-                    "stall the within-session spread trigger cannot "
-                    "see. Flags are SUSPECT markers for the audit, "
-                    "not adjudications: plan-changed queries "
-                    "legitimately move"
+                    "r13 verdict directive 5: any NORMALIZED kept "
+                    "median > 2x the previous committed round's "
+                    "normalized wall (>= 0.5s) is flagged here — "
+                    "the uniformly-slow-window stall the within-"
+                    "session spread trigger cannot see. Normalized "
+                    "on both sides so VM-speed drift neither "
+                    "false-flags nor masks. Flags are SUSPECT "
+                    "markers for the audit, not adjudications: "
+                    "plan-changed queries legitimately move"
                 ),
                 "r13_adjudication_note": (
                     "the two suspect r13 cells were idle-host "

@@ -427,7 +427,8 @@ def classify_blocks(
     never corpus-shaped, no hot key), and the one Exchange on
     ``id_col`` is exactly the partitioning any per-doc reassembly
     downstream needs, so Catalyst reuses it instead of shuffling
-    twice (plan-asserted in tests/test_skew_hardening.py)."""
+    twice (plan-asserted in tests/test_html.py
+    ::test_exchange_reused_by_downstream_groupby)."""
     from pyspark.sql.window import Window
 
     from garmin_data_pipeline_spark.operators.text import (

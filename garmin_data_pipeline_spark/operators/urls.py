@@ -24,8 +24,9 @@ the expensive extraction stage. The relational pieces:
   fall back to last-two-labels (the default ``*`` rule). Rules load
   from the shipped publicsuffix.org-format data file
   (:data:`PSL_PATH`); the full upstream file is a drop-in
-  replacement (same loader, arbitrary rule depths). IPv6-literal
-  and pre-punycode (raw IDN) hosts are out of scope — stated, not
+  replacement (same loader, arbitrary rule depths; its IDN U-label
+  rules are SKIPPED with a count — see :func:`_load_psl`).
+  IPv6-literal and raw-IDN hosts are out of scope — stated, not
   fudged.
 * :func:`blocklist_filter` — broadcast LEFT ANTI join against a
   blocklist relation (at UT1 scale the list is millions of rows:
@@ -68,7 +69,8 @@ from pyspark.sql.window import Window
 # shipped file is a curated offline snapshot (see its header); the
 # full ~15k-line upstream file is a drop-in replacement: the loader
 # and the join builder handle ANY rule depth (join count = number of
-# distinct rule depths, all broadcast).
+# distinct rule depths, all broadcast), and upstream's IDN U-label
+# rules are skipped with a count rather than crashed on.
 PSL_PATH = (
     Path(__file__).resolve().parent.parent
     / "data"
@@ -89,26 +91,35 @@ def _load_psl(
     wildcard BASES with ``*.`` stripped, exception rules with ``!``
     stripped). Single-label normal rules are skipped — they restate
     the default ``*`` rule the last-two-labels fallback implements.
-    Every label is validated against ``[a-z0-9-]`` (the shipped-list
-    well-formedness invariant the f-string VALUES mirror relies on;
-    IDNA rules are expected pre-punycoded, as upstream ships them)."""
+
+    Every ACTIVE rule's labels must match ``[a-z0-9-]`` (the
+    invariant the f-string VALUES mirror relies on). The upstream
+    file ships IDN rules as Unicode U-labels (e.g. the .срб
+    second-level registries), NOT punycode — those rules are SKIPPED
+    with a count (:data:`PSL_SKIPPED_IDN_RULES`), not crashed on:
+    raw-IDN hosts are out of scope for this parser (stated, not
+    fudged; a punycoding normalizer in front of both the host column
+    and the rule table is the upgrade path, and ``xn--``-form rules
+    pass the charset and load today)."""
     normal, wild, exc = [], [], []
+    skipped = 0
     for raw in path.read_text(encoding="utf-8").splitlines():
         line = raw.strip()
         if not line or line.startswith("//"):
             continue
         rule = line.split()[0].lower()
+        bare = rule.lstrip("!").removeprefix("*.")
+        if not all(_PSL_LABEL.fullmatch(x) for x in bare.split(".")):
+            skipped += 1  # IDN U-label rule — documented out of scope
+            continue
         if rule.startswith("!"):
             exc.append(rule[1:])
         elif rule.startswith("*."):
             wild.append(rule[2:])
         elif "." in rule:
             normal.append(rule)
-    for group in (normal, wild, exc):
-        for rule in group:
-            assert all(
-                _PSL_LABEL.fullmatch(x) for x in rule.split(".")
-            ), f"malformed PSL rule: {rule!r}"
+    global PSL_SKIPPED_IDN_RULES
+    PSL_SKIPPED_IDN_RULES = skipped
     return (
         tuple(sorted(set(normal))),
         tuple(sorted(set(wild))),
@@ -116,13 +127,21 @@ def _load_psl(
     )
 
 
+# number of upstream IDN U-label rules the loader skipped (0 for the
+# shipped ASCII snapshot; nonzero when the full upstream file is
+# dropped in)
+PSL_SKIPPED_IDN_RULES = 0
+
+
 PUBLIC_SUFFIXES, PSL_WILDCARD_BASES, PSL_EXCEPTIONS = _load_psl()
 
 
 
 def sql_psl_values() -> str:
-    """The shipped public-suffix table as a SQL ``VALUES`` list — the
-    DuckDB oracles join against exactly the rows Spark broadcasts."""
+    """The NORMAL public-suffix rules as a SQL ``VALUES`` list.
+    Since r14 the s16 oracle builds its joins through
+    :func:`sql_reg_domain_query` (all three rule kinds); this stays
+    as the well-formedness test's mirror surface."""
     return ", ".join(f"('{s}')" for s in PUBLIC_SUFFIXES)
 
 
@@ -196,9 +215,7 @@ def _psl_match_arms(
     return arms, depths
 
 
-def parse_url_columns(
-    df: DataFrame, url_col: str, psl: DataFrame | None = None
-) -> DataFrame:
+def parse_url_columns(df: DataFrame, url_col: str) -> DataFrame:
     """Add ``host``, ``reg_domain``, ``tld``, ``path_depth`` parsed
     from an absolute http(s) URL column.
 
@@ -212,26 +229,19 @@ def parse_url_columns(
     label, defaulting to last-two-labels. Empty ``reg_domain`` means
     the host has fewer labels than the rule needs (single-label
     hosts, or the host IS a public suffix — not registrable).
-
-    ``psl`` (optional) overrides the rule set with a DataFrame of
-    NORMAL rules only (single ``suffix`` column — the pre-r14 test
-    hook); rule relations are suffix tables of at most PSL size, so
-    materializing one to the driver to build the per-depth broadcast
-    tables is a sanctioned small-cardinality collect.
+    (The pre-r14 ``psl`` override parameter is gone: it silently
+    dropped wildcard/exception semantics and nothing used it —
+    r14 review finding. Swap the DATA FILE to change the rules.)
 
     Scale shape: row-local regex projections + one broadcast LEFT
     equi-join per distinct rule depth (6 for the shipped file, each
     against a tiny table) — zero shuffle.
     """
-    if psl is None:
-        normal, wild, exc = (
-            PUBLIC_SUFFIXES,
-            PSL_WILDCARD_BASES,
-            PSL_EXCEPTIONS,
-        )
-    else:
-        normal = tuple(r[0] for r in psl.collect())
-        wild, exc = (), ()
+    normal, wild, exc = (
+        PUBLIC_SUFFIXES,
+        PSL_WILDCARD_BASES,
+        PSL_EXCEPTIONS,
+    )
     arms, depths = _psl_match_arms(normal, wild, exc)
     rules = {"n": normal, "w": wild, "e": exc}
     url = F.col(url_col)

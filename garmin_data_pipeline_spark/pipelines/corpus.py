@@ -57,10 +57,16 @@ SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
 def crawl_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stage 1 — the certified crawl front-end: e2e_crawl_mc's
-    canonical survivors mapped back to source doc ids (planted fetch
-    ids are doc_id*10 + class; canonical rows are always the base
-    fetch, residue 0), re-joined to the source relation for
-    text/source metadata. Returns (doc_id, text, lang, source)."""
+    canonical survivors mapped back to source doc ids. Planted ids
+    are doc_id*10 + class (0 base / 1 mirror); RE-CRAWL rows carry
+    the BASE identity (recovered from the canonical URL path), so
+    every text-hash group contains its base id (a mirror only
+    exists alongside its same-text base) and canonical_id =
+    min(group) always lands on residue 0 — the `div 10` below is
+    exact. Integer div, NOT `/` (double division would round past
+    2^53 — the scale-aliasing class ADVICE r13 closed; r14 review).
+    Re-joined to the source relation for text/source metadata;
+    returns (doc_id, text, lang, source)."""
     from garmin_data_pipeline_spark.plans.llm_queries import (
         e2e_crawl_mc,
     )
@@ -68,7 +74,7 @@ def crawl_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     crawl = e2e_crawl_mc(spark, sf_dir)
     surv = crawl.filter(F.col("is_canonical") == 1).select(
-        (F.col("doc_id") / 10).cast("bigint").alias("doc_id"),
+        F.expr("doc_id div 10").alias("doc_id"),
         F.col("lang").alias("crawl_lang"),
     )
     docs = table(spark, sf_dir, "documents").select(
@@ -139,8 +145,13 @@ def apply_substring_excision(corpus: DataFrame) -> DataFrame:
     )
     from garmin_data_pipeline_spark.operators.text import tokens
 
+    # NO broadcast hint: span_sets is one row per doc carrying any
+    # duplicated window — corpus-fraction-sized on real web data
+    # (Lee et al. excise whole percents of tokens), so forcing a
+    # broadcast would OOM at exactly the scale this module targets
+    # (r14 review finding). AQE picks broadcast when it truly fits.
     return (
-        corpus.join(F.broadcast(span_sets), "doc_id", "left")
+        corpus.join(span_sets, "doc_id", "left")
         .withColumn("__toks", tokens(F.col("text")))
         .withColumn(
             "text",

@@ -2975,7 +2975,7 @@ def _e2e_crawl_mc_oracle() -> str:
     "nav/aside/footer text never reaches the corpus) → language ID "
     "→ Gopher gates → skew-safe exact-dedup annotation, ONE "
     "Catalyst plan. Scale shape: adds one bounded per-doc aggregate "
-    "(≤ 6 block rows/doc reassemble) to e2e_crawl's; everything "
+    "(≤ 8 block rows/doc reassemble) to e2e_crawl's; everything "
     "else identical.",
 )
 def e2e_crawl_mc(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -96,18 +96,33 @@ class TestCrossRoundSuspects:
             {"q": 2.9}, {"q": 1.5}
         ) == {}
 
-    def test_load_prior_bench_picks_latest(self, tmp_path):
+    def test_load_prior_bench_picks_latest_normalized(self, tmp_path):
         import json
 
         (tmp_path / "bench_full_r08.json").write_text(
             json.dumps({"queries": {"q": 1.0}})
         )
+        # normalized preferred over raw when present (r14 review:
+        # cross-VM comparison must be host-factor-corrected)
         (tmp_path / "bench_full_r11.json").write_text(
-            json.dumps({"queries": {"q": 2.0}})
+            json.dumps(
+                {
+                    "queries": {"q": 2.0},
+                    "queries_normalized": {"q": 2.5},
+                }
+            )
         )
         prior, name = bench.load_prior_bench(tmp_path)
-        assert prior == {"q": 2.0}
+        assert prior == {"q": 2.5}
         assert name == "bench_full_r11.json"
+
+    def test_load_prior_bench_raw_fallback(self, tmp_path):
+        import json
+
+        (tmp_path / "bench_full_r03.json").write_text(
+            json.dumps({"queries": {"q": 1.5}})
+        )
+        assert bench.load_prior_bench(tmp_path)[0] == {"q": 1.5}
 
     def test_load_prior_bench_empty_dir(self, tmp_path):
         assert bench.load_prior_bench(tmp_path) == ({}, "")
