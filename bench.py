@@ -479,6 +479,10 @@ HEADLINE = [
     # zero shuffle, zero UDF).
     "t27_bigram_logprob",
     "t28_langid_model",
+    # r14 third wave: CCNet-style perplexity tiering — t21's scoring
+    # plan + two tiny cutoff aggregates broadcast back (prices the
+    # quality-tier pass over the scored corpus).
+    "t29_perplexity_buckets",
 ]
 
 

@@ -55,18 +55,23 @@ from garmin_data_pipeline_spark.plans.queries import (
 #       first-timers + plan-changed + new registrations sum to
 #       exactly 50.
 #   r12: the 42 oracled queries of the r13 tail — rotating back in
-#       NOW (policy 3). No demotions this round: the two new
-#       registrations grow the registry to 98, still under the 100
-#       cap with the tail at 48 <= 50, so the two-round
-#       certification bound holds without funding.
-#   never: the two r14 registrations take their FIRST driver rows
+#       NOW (policy 3). Funding: t27/t28 register unfunded (the
+#       registry stays under the 100 cap with the tail at 48 <= 50,
+#       so the two-round certification bound holds); t29's head
+#       slot comes from demoting o5 to the pytest tier (see
+#       _PYTEST_TIER). Registry 98.
+#   never: the three r14 registrations take their FIRST driver rows
 #       this round — t27 = interpolated bigram-LM scoring (r13
-#       verdict directive 6) and t28 = the TRAINED quantized
-#       multinomial language-ID model (directive 3).
+#       verdict directive 6), t28 = the TRAINED quantized
+#       multinomial language-ID model (directive 3), and t29 =
+#       CCNet-style perplexity head/middle/tail tiering (funded by
+#       demoting o5 — 4x-certified trivial percentile aggregate —
+#       to the pytest tier).
 _HEAD = [
     # --- first driver rows (r14 registrations) ---
     "t27_bigram_logprob",
     "t28_langid_model",
+    "t29_perplexity_buckets",
     # --- r13 first-timers: second consecutive rows (s18 and
     #     e2e_crawl_mc under the NEW context-aware block policy) ---
     "s17_url_canonical_dedup",
@@ -119,7 +124,6 @@ _HEAD = [
     "j8_snapshot_diff",
     "w8_scd2_intervals",
     "d6_edit_distance_pairs",
-    "o5_median_quantity",
 ]
 _TAIL = [
     # rows-only variants — PERMANENT tail residents (see policy 2);
@@ -182,6 +186,11 @@ _TAIL = [
 # oracle on every pytest run; tests/test_scale_ops.py keeps them under
 # the plan-shape invariants.
 _PYTEST_TIER = [
+    # r14 demotion (funding the t29_perplexity_buckets registration):
+    # o5 has green hash-matched driver rows in r7/r8/r10/r12 and a
+    # trivial single percentile aggregate — and its midpoint-exact
+    # interpolation rule lives on as t29's cutoff discipline
+    "o5_median_quantity",
     # r13 demotions (funding the s17/s18/t26b registrations): each
     # has FOUR green hash-matched driver rows (r5/r7/r9/r11) — the
     # t11/t12 precedent — and a trivial row-local single-projection

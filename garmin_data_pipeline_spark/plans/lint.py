@@ -68,6 +68,11 @@ NLJ_ALLOWLIST: dict[str, str] = {
         "pattern, one LM order higher)"
     ),
     "t22_lm_quality_zscore": "t21's 1-row total + 1-row moments",
+    "t29_perplexity_buckets": (
+        "scores x broadcast 1-row median then 1-row quartile "
+        "cutoffs (plus t21's 1-row total inside the composed "
+        "scoring plan)"
+    ),
     "t24_temperature_mix": (
         "#sources-row stats x broadcast 1-row total/denominator "
         "(t17/t21's pattern) for the exact mixture rates"
@@ -100,6 +105,8 @@ DECIMAL_CAST_ALLOWLIST: dict[str, str] = {
     # same bound, bigram order: the interpolation floor is
     # (1-λ)·c(w2)/T >= 0.25/T, so |ln p| < ln(4T) ~ 25 at any SF
     "t27_bigram_logprob": "log-probs bounded ~25 << 2**45",
+    # composes t21's plan (and so its cast), same bound
+    "t29_perplexity_buckets": "t21's cast inherited, bounded ~25",
     # squared mean log-prob at s=12: < 650 << 5.5e11 (plus t21's own
     # cast, inherited through composition)
     "t22_lm_quality_zscore": "squares bounded ~650 << 2**39",

@@ -4787,6 +4787,113 @@ def t27_bigram_logprob(
 
 
 # ---------------------------------------------------------------------------
+# T29 — CCNet-style perplexity bucketing: split the corpus into
+# head / middle / tail quality tiers by its own LM score
+# distribution (CCNet trains a KenLM and buckets by perplexity
+# terciles; downstream recipes train on head+middle or sample by
+# tier). Here the LM score is t21's mean unigram log-prob (swap in
+# t27's bigram score or a KenLM export — the plan shape is
+# unchanged), micro-scaled to a BIGINT so the score itself is
+# cross-engine exact.
+#
+# Cutoff discipline (the o5 lesson): general quantile interpolation
+# does NOT hash cross-engine (Spark computes (1-g)a+gb, DuckDB
+# a+(b-a)g — ULP-different). Median interpolation of INTEGER-valued
+# doubles is the exception: the midpoint (a+b)/2 is exact under
+# both formulas. So the tiers are quartile-bounded via
+# MEDIAN-OF-HALVES — m = median(score), q_lo = median(score <= m),
+# q_hi = median(score >= m) — three exact cutoffs, head = top ~25%,
+# tail = bottom ~25%, middle the rest: the CCNet tiering with every
+# boundary midpoint-representable.
+#
+# Scale shape: t21's certified plan produces the 1-row-per-doc
+# score relation (lazily checkpointed — scored once, read three
+# times); the cutoffs are two tiny aggregates whose 1-row results
+# broadcast back (the t17/t21 pattern — allowlisted BNLJ); the
+# bucket label is a row-local CASE. Nothing new is corpus-shaped.
+# ---------------------------------------------------------------------------
+def _t29_oracle() -> str:
+    from garmin_data_pipeline_spark.plans.registry import QUERIES
+
+    t21 = QUERIES["t21_unigram_logprob"].oracle
+    return f"""
+    WITH s AS (
+        SELECT doc_id,
+               CAST(round(mean_logp * 1000000) AS BIGINT)
+                   AS score_micro
+        FROM ({t21})
+    ), m AS (
+        SELECT CAST(quantile_cont(CAST(score_micro AS DOUBLE), 0.5)
+                    AS DOUBLE) AS med
+        FROM s
+    ), q AS (
+        SELECT
+            (SELECT quantile_cont(CAST(score_micro AS DOUBLE), 0.5)
+             FROM s, m WHERE score_micro <= med) AS q_lo,
+            (SELECT quantile_cont(CAST(score_micro AS DOUBLE), 0.5)
+             FROM s, m WHERE score_micro >= med) AS q_hi
+    )
+    SELECT s.doc_id, s.score_micro,
+           CASE WHEN s.score_micro >= q.q_hi THEN 'head'
+                WHEN s.score_micro <= q.q_lo THEN 'tail'
+                ELSE 'middle' END AS bucket
+    FROM s, q
+    """
+
+
+@register(
+    "t29_perplexity_buckets",
+    _t29_oracle(),
+    doc="CCNet-style perplexity tiering: head/middle/tail buckets by "
+    "the corpus's own LM score distribution (t21's mean log-prob, "
+    "micro-scaled to exact BIGINTs). Cutoffs are median-of-halves "
+    "quartiles — the one quantile family whose interpolation is "
+    "cross-engine bit-exact on integer-valued inputs (the o5 "
+    "midpoint rule). Scale shape: t21's certified plan + two tiny "
+    "aggregates broadcast back as 1-row relations + a row-local "
+    "CASE; nothing new corpus-shaped.",
+)
+def t29_perplexity_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # one t21 scoring pass feeds the median, the two half-medians
+    # and the final bucketing
+    s = (
+        t21_unigram_logprob(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.round(F.col("mean_logp") * 1_000_000, 0)
+            .cast("bigint")
+            .alias("score_micro"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    med = s.agg(
+        F.expr(
+            "percentile(CAST(score_micro AS DOUBLE), 0.5)"
+        ).alias("med")
+    )
+    q = s.crossJoin(F.broadcast(med)).agg(
+        F.expr(
+            "percentile(CAST(score_micro AS DOUBLE), 0.5) "
+            "FILTER (WHERE score_micro <= med)"
+        ).alias("q_lo"),
+        F.expr(
+            "percentile(CAST(score_micro AS DOUBLE), 0.5) "
+            "FILTER (WHERE score_micro >= med)"
+        ).alias("q_hi"),
+    )
+    return s.crossJoin(F.broadcast(q)).select(
+        "doc_id",
+        "score_micro",
+        F.when(F.col("score_micro") >= F.col("q_hi"), "head")
+        .when(F.col("score_micro") <= F.col("q_lo"), "tail")
+        .otherwise("middle")
+        .alias("bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # V8 — product quantization codes: the memory tier below int8 (64-dim
 # float32 256 B -> 8 B at m=8). Oracle generated from the SAME
 # codebook constants with the SAME left-fold association order, so

@@ -1300,6 +1300,79 @@ class TestLangidModel:
         assert "Exchange" not in plan  # pure row-local projection
 
 
+class TestPerplexityBuckets:
+    """t29: CCNet-style head/middle/tail tiering by the corpus's own
+    LM score distribution, with midpoint-exact quartile cutoffs (the
+    o5 interpolation rule carried forward)."""
+
+    def test_bucket_proportions_roughly_quartile(self, spark, sf_dir):
+        from garmin_data_pipeline_spark.plans import QUERIES
+
+        out = QUERIES["t29_perplexity_buckets"].fn(spark, sf_dir)
+        counts = {
+            r["bucket"]: r["n"]
+            for r in out.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n = sum(counts.values())
+        # head/tail ~25% each, middle ~50% (ties at the cutoffs can
+        # shift a few docs — the bounds are generous)
+        assert 0.15 <= counts.get("head", 0) / n <= 0.35, counts
+        assert 0.15 <= counts.get("tail", 0) / n <= 0.35, counts
+        assert 0.35 <= counts.get("middle", 0) / n <= 0.65, counts
+
+    def test_head_scores_above_tail(self, spark, sf_dir):
+        from garmin_data_pipeline_spark.plans import QUERIES
+
+        rows = QUERIES["t29_perplexity_buckets"].fn(
+            spark, sf_dir
+        ).collect()
+        head = [r["score_micro"] for r in rows if r["bucket"] == "head"]
+        mid = [r["score_micro"] for r in rows if r["bucket"] == "middle"]
+        tail = [r["score_micro"] for r in rows if r["bucket"] == "tail"]
+        assert min(head) >= max(mid) or not mid
+        assert (not mid) or min(mid) >= max(tail)
+
+    def test_degenerate_all_equal_scores(self, spark, tmp_path):
+        """All-equal scores: q_lo == q_hi == median, so every doc is
+        'head' (score >= q_hi fires first) — deterministic, no
+        NULL/empty-bucket surprises."""
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(6),
+                "text": ["same words here"] * 6,
+                "lang": ["en"] * 6,
+                "source": ["web"] * 6,
+                "n_chars": [15] * 6,
+            }
+        )
+        pdf.to_parquet(tmp_path / "documents.parquet")
+        from garmin_data_pipeline_spark.plans import QUERIES
+
+        rows = QUERIES["t29_perplexity_buckets"].fn(
+            spark, str(tmp_path)
+        ).collect()
+        assert rows and all(r["bucket"] == "head" for r in rows)
+
+    def test_plan_no_global_sort_or_udf(self, spark, sf_dir):
+        from garmin_data_pipeline_spark.plans import QUERIES
+
+        plan = (
+            QUERIES["t29_perplexity_buckets"]
+            .fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        # Spark's percentile is a hash-aggregate, never a global sort
+        assert "windowspecdefinition()" not in plan
+
+
 class TestUrlCuration:
     """URL/domain curation operators (s16, operators/urls.py)."""
 
@@ -2006,8 +2079,11 @@ def test_text_query_oracles_on_edge_corpus(spark, tmp_path):
         "t26b_quality_trained_score", "e2e_crawl_mc",
         # r14 additions — t27's bigram joins on zero/one-token docs
         # (no bigram rows), t28's feature extraction over empty/NULL
-        # text (guarded char-count divisions)
+        # text (guarded char-count divisions), t29's cutoffs over a
+        # tiny score relation (degenerate docs produce no t21 score
+        # rows at all)
         "t27_bigram_logprob", "t28_langid_model",
+        "t29_perplexity_buckets",
     ]
     failures = {}
     for name in targets:
@@ -2105,6 +2181,7 @@ def test_text_query_oracles_on_multibyte_corpus(spark, tmp_path):
         # CJK/emoji/fullwidth chars must count identically in both
         # engines' regexp_extract_all
         "t27_bigram_logprob", "t28_langid_model",
+        "t29_perplexity_buckets",
     ]
     failures = {}
     for name in targets:

@@ -183,6 +183,9 @@ PROBES = [
     # zero-shuffle regexp-count projection (the t26 scan band)
     "t27_bigram_logprob",
     "t28_langid_model",
+    # t29 composes t21's plan + two 1-row aggregates — expected in
+    # t21's band (the cutoff passes are score-relation-sized)
+    "t29_perplexity_buckets",
 ]
 
 WARMUPS = 1
