@@ -55,7 +55,11 @@ PACK_SHARDS = 64
 SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
 
-def crawl_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def crawl_survivors(
+    spark: SparkSession,
+    sf_dir: str,
+    use_trained_langid: bool = False,
+) -> DataFrame:
     """Stage 1 — the certified crawl front-end: e2e_crawl_mc's
     canonical survivors mapped back to source doc ids. Planted ids
     are doc_id*10 + class (0 base / 1 mirror); RE-CRAWL rows carry
@@ -66,7 +70,13 @@ def crawl_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact. Integer div, NOT `/` (double division would round past
     2^53 — the scale-aliasing class ADVICE r13 closed; r14 review).
     Re-joined to the source relation for text/source metadata;
-    returns (doc_id, text, lang, source)."""
+    returns (doc_id, text, lang, source).
+
+    ``use_trained_langid=True`` swaps the crawl annotation's
+    stopword-heuristic language into the TRAINED quantized t28
+    model's prediction over the survivor text (the r13 verdict's
+    optional directive-3 seat swap) — a zero-shuffle row-local
+    re-projection, nothing upstream changes."""
     from garmin_data_pipeline_spark.plans.llm_queries import (
         e2e_crawl_mc,
     )
@@ -83,9 +93,24 @@ def crawl_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the survivor set is gate-filtered (a fraction of the corpus);
     # the join back for text is by the corpus key — sort-merge under
     # AQE, broadcast when the survivor relation is small enough
-    return docs.join(surv, "doc_id").select(
+    out = docs.join(surv, "doc_id").select(
         "doc_id", "text", F.col("crawl_lang").alias("lang"), "source"
     )
+    if use_trained_langid:
+        from garmin_data_pipeline_spark.operators.langid_model import (
+            langid_model_score,
+        )
+
+        model_lang = langid_model_score(
+            out, "doc_id", "text"
+        ).select("doc_id", F.col("lang").alias("model_lang"))
+        out = (
+            out.drop("lang")
+            .join(model_lang, "doc_id")
+            .withColumnRenamed("model_lang", "lang")
+            .select("doc_id", "text", "lang", "source")
+        )
+    return out
 
 
 def near_dup_retention(corpus: DataFrame) -> DataFrame:
@@ -248,14 +273,18 @@ def mix_split_pack(corpus: DataFrame) -> DataFrame:
 
 
 def corpus_stages(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    use_trained_langid: bool = False,
 ) -> dict[str, DataFrame]:
     """Every stage boundary as a DataFrame — the differential test's
     hook (and a debugging surface). ``final`` is the export-ready
     manifest."""
     from garmin_data_pipeline_spark.plans.registry import table
 
-    surv = crawl_survivors(spark, sf_dir)
+    surv = crawl_survivors(
+        spark, sf_dir, use_trained_langid=use_trained_langid
+    )
     # the held-out eval docs (the c1/c2 convention) are excluded
     # from the train corpus BEFORE decontamination scans against
     # them

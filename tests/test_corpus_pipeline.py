@@ -265,3 +265,40 @@ class TestExport:
         assert {"doc_id", "split", "bin_id", "text"} <= set(
             back.columns
         )
+
+
+class TestTrainedLangidSeat:
+    def test_trained_langid_swap_changes_only_lang(
+        self, spark, sf_dir, stages
+    ):
+        """use_trained_langid=True: same survivor ids/text/source,
+        the lang column re-projected through the quantized t28
+        model (the r13 verdict's optional directive-3 seat swap) —
+        and the values agree with langid_model_score applied
+        independently."""
+        from garmin_data_pipeline_spark.operators.langid_model import (
+            langid_model_score,
+        )
+
+        swapped = C.crawl_survivors(
+            spark, sf_dir, use_trained_langid=True
+        )
+        base = {
+            r["doc_id"]: (r["text"], r["source"])
+            for r in stages["survivors"].collect()
+        }
+        got = {
+            r["doc_id"]: (r["text"], r["source"], r["lang"])
+            for r in swapped.collect()
+        }
+        assert set(got) == set(base)
+        assert all(
+            got[d][:2] == base[d] for d in base
+        ), "ids/text/source must be untouched"
+        want = {
+            r["doc_id"]: r["lang"]
+            for r in langid_model_score(
+                stages["survivors"], "doc_id", "text"
+            ).collect()
+        }
+        assert all(got[d][2] == want[d] for d in got)
