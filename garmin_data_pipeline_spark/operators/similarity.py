@@ -25,6 +25,47 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _fmt_d(x) -> str:
+    """A double as a Spark-SQL literal token. ``repr`` of a Python
+    float is its shortest exact decimal (round-trips bit-for-bit),
+    so parsing it back yields the identical double."""
+    v = float(x)
+    if v != v or v in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite literal {x!r}")
+    return repr(v) + "D"
+
+
+def lit_double_array(xs) -> "F.Column":
+    """``array<double>`` literal built as ONE parsed SQL expression.
+
+    r14 optimization (guide §1.2 step 2): the idiomatic
+    ``F.array(*[F.lit(x) for x in xs])`` costs one py4j round trip
+    PER ELEMENT — ~100 ms per 128-double codebook — and the ANN serve
+    tiers build several codebooks per call, so Python-side plan
+    construction dominated their bench walls (measured: v9r spent
+    ~6 s building vs ~1.5 s executing). One ``F.expr`` parse is
+    ~150x cheaper and constant-folds to the IDENTICAL Literal
+    (value-parity pinned in tests/test_llm_ops.py)."""
+    if not xs:
+        raise ValueError("empty literal array")
+    return F.expr("array(" + ",".join(_fmt_d(x) for x in xs) + ")")
+
+
+def lit_double_matrix(rows) -> "F.Column":
+    """``array<array<double>>`` literal via ONE parsed SQL expression
+    (see :func:`lit_double_array`)."""
+    if not rows:
+        raise ValueError("empty literal matrix")
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_fmt_d(x) for x in r) + ")"
+            for r in rows
+        )
+        + ")"
+    )
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -109,6 +150,13 @@ def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
+def sql_double_array(col_sql: str) -> str:
+    """SQL fragment casting an array column to ``array<double>`` —
+    the text mirror of :func:`as_double_array` for the SQL-built
+    expression paths."""
+    return f"transform({col_sql}, x -> CAST(x AS DOUBLE))"
+
+
 def lsh_bucket(vec_col, planes: list[list[float]]):
     """Sign-bit bucket id for a double-array column under ``planes``.
 
@@ -119,14 +167,32 @@ def lsh_bucket(vec_col, planes: list[list[float]]):
     re-inlines that HOF into every one of the 8x64 ``get`` terms and
     CodegenFallback evaluates it per term. The aggregate form
     evaluates the array once per plane and its sequential summation
-    order matches the oracle's ``list_dot_product`` bit-for-bit."""
+    order matches the oracle's ``list_dot_product`` bit-for-bit.
+
+    ``vec_col`` as a STRING is treated as a SQL fragment (a bare
+    column name is one) and the whole bucket expression is built as
+    ONE parsed ``F.expr`` — the r14 fast construction path (~0.5 s of
+    py4j per call saved; same tree, same values). Column inputs keep
+    the legacy py4j construction."""
+    if isinstance(vec_col, str):
+        terms = ["CAST(0 AS BIGINT)"]
+        for i, plane in enumerate(planes):
+            arr = (
+                "array(" + ",".join(_fmt_d(x) for x in plane) + ")"
+            )
+            dot = (
+                f"aggregate(zip_with({vec_col}, {arr}, "
+                "(x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+            )
+            terms.append(
+                f"(CASE WHEN {dot} >= 0 THEN CAST({1 << i} AS "
+                "BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            )
+        return F.expr(" + ".join(terms))
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(x) for x in plane])
-        d = _dot(
-            F.col(vec_col) if isinstance(vec_col, str) else vec_col,
-            lit_plane,
-        )
+        lit_plane = lit_double_array(plane)
+        d = _dot(vec_col, lit_plane)
         bucket = bucket + F.when(d >= 0, F.lit(1 << i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -1140,6 +1206,29 @@ def fit_pq_codebooks(
     return books
 
 
+def _pq_subdists_sql(
+    vec_sql: str, j: int, book: list[list[float]], subdim: int
+) -> str:
+    """Spark-SQL text of :func:`_pq_subdists` over a SQL vector
+    fragment — the same HOF tree spelled once and parsed JVM-side
+    instead of assembled through hundreds of py4j calls (r14
+    optimization; see :func:`lit_double_array` for the measurement)."""
+    book_sql = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(_fmt_d(w) for w in cw) + ")"
+            for cw in book
+        )
+        + ")"
+    )
+    return (
+        f"transform({book_sql}, cw -> aggregate(zip_with("
+        f"slice({vec_sql}, {j * subdim + 1}, {subdim}), cw, "
+        "(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)"
+        "), 0.0D, (acc, x) -> acc + x))"
+    )
+
+
 def _pq_subdists(vec, j: int, book: list[list[float]], subdim: int):
     """Array of squared L2 distances from subvector j to every
     codeword of its book, via array higher-order functions. A fully
@@ -1148,11 +1237,16 @@ def _pq_subdists(vec, j: int, book: list[list[float]], subdim: int):
     of codegen, and ran 20x slower interpreted; the HOF form keeps the
     tree O(1). The fold is left-to-right over zip order — the SAME
     association the oracle's hand-unrolled sum uses, so the doubles
-    stay bit-identical (float + is not associative)."""
+    stay bit-identical (float + is not associative).
+
+    ``vec`` may be a Column (legacy py4j construction) or a SQL
+    fragment STRING — the fast path every serve tier uses: one
+    ``F.expr`` parse instead of ~70 ms of py4j lambda plumbing per
+    subspace (value-identical; parity pinned in tests)."""
+    if isinstance(vec, str):
+        return F.expr(_pq_subdists_sql(vec, j, book, subdim))
     sub = F.slice(vec, j * subdim + 1, subdim)
-    book_lit = F.array(
-        *[F.array(*[F.lit(w) for w in cw]) for cw in book]
-    )
+    book_lit = lit_double_matrix(book)
     return F.transform(
         book_lit,
         lambda cw: F.aggregate(
@@ -1186,10 +1280,9 @@ def pq_encode(
     array_min(arr)). NULL vectors encode as NULL (kept, flagged) —
     dropping rows in an encoder would silently shrink the corpus.
     """
-    vec = F.col(vec_col)
     return emb.select(
         F.col(id_col),
-        _pq_code_expr(vec, m, k, subdim, books).alias("pq_code"),
+        _pq_code_expr(vec_col, m, k, subdim, books).alias("pq_code"),
     )
 
 
@@ -1219,9 +1312,27 @@ def _pq_code_expr(
     too-short vectors). ``books`` defaults to the deterministic grid
     codebooks; pass :func:`fit_pq_codebooks` output for trained ones
     — the expression tree (and so the plan) is identical either way,
-    only the literals differ."""
+    only the literals differ.
+
+    ``vec`` may be a Column or a SQL fragment string (the fast
+    construction path — see :func:`_pq_subdists`)."""
     if books is None:
         books = pq_codebooks(m, k, subdim)
+    if isinstance(vec, str):
+        codes = []
+        for j, book in enumerate(books):
+            d = _pq_subdists_sql(vec, j, book, subdim)
+            codes.append(
+                F.expr(
+                    f"CAST(array_position({d}, array_min({d})) - 1 "
+                    "AS INT)"
+                )
+            )
+        ve = F.expr(vec)
+        return F.when(
+            ve.isNotNull() & (F.size(ve) >= m * subdim),
+            F.array(*codes),
+        )
     codes = []
     for j, book in enumerate(books):
         dists = _pq_subdists(vec, j, book, subdim)
@@ -1257,8 +1368,10 @@ def build_pq_lsh_index(
         F.col(vec_col).isNotNull() & (F.size(vec_col) >= dim)
     ).select(
         F.col(id_col).alias("vec_id"),
-        lsh_bucket(vec, planes).alias("bucket"),
-        _pq_code_expr(F.col(vec_col), m, k, subdim, books).alias(
+        lsh_bucket(sql_double_array(vec_col), planes).alias(
+            "bucket"
+        ),
+        _pq_code_expr(vec_col, m, k, subdim, books).alias(
             "pq_code"
         ),
     )
@@ -1268,16 +1381,28 @@ def _adc_fold(pq_m: int):
     """ADC score: sum of m LUT lookups (lut[j][code[j]]) — the only
     per-candidate arithmetic in any PQ serve tier. Shared by the
     LSH-bucketed (:func:`search_pq_lsh`) and IVF-residual
-    (:func:`search_ivf_pq`) serves."""
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(pq_m - 1)),
-        F.lit(0.0),
-        lambda acc, j: acc
-        + F.element_at(
-            F.element_at(F.col("lut"), (j + 1).cast("int")),
-            (F.element_at(F.col("pq_code"), (j + 1).cast("int")) + 1),
-        ),
-    )
+    (:func:`search_ivf_pq`) serves.
+
+    UNROLLED (r14 optimization, guide §1.2 step 2 / §4.1): the former
+    ``F.aggregate(F.sequence(...))`` higher-order form is
+    CodegenFallback — interpreted per candidate row, allocating the
+    index array and invoking the lambda m times, and it is evaluated
+    on EVERY candidate of every probed cell (the hottest expression
+    in all seven PQ serve tiers). The flat ``lit(0.0) + t0 + ... +
+    t(m-1)`` chain below is whole-stage-codegen'd. Summation order is
+    IDENTICAL to the fold (left-to-right from the 0.0 seed), so the
+    double result is bit-for-bit the same — the v9pss/v9rp oracle
+    rows stay hash-green. The lsh_bucket re-inlining trap does not
+    apply: ``lut``/``pq_code`` are materialized attribute columns in
+    every caller (checkpointed LUT relation, persisted index), and
+    the fold form referenced them once per lambda invocation anyway."""
+    expr = F.lit(0.0)
+    for j in range(pq_m):
+        expr = expr + F.element_at(
+            F.element_at(F.col("lut"), j + 1),
+            F.element_at(F.col("pq_code"), j + 1) + 1,
+        )
+    return expr
 
 
 
@@ -1310,10 +1435,9 @@ def search_pq_lsh(
     planes = hyperplanes(n_planes, dim)
     if books is None:
         books = pq_codebooks(pq_m, pq_k, subdim)
-    qv = as_double_array(query_vec_col)
     lut = F.array(
         *[
-            _pq_subdists(F.col(query_vec_col), j, books[j], subdim)
+            _pq_subdists(query_vec_col, j, books[j], subdim)
             for j in range(pq_m)
         ]
     )
@@ -1326,7 +1450,9 @@ def search_pq_lsh(
         F.col(query_id_col).alias("query_id"),
         lut.alias("lut"),
         probe_buckets(
-            lsh_bucket(qv, planes), n_planes, probe_hamming
+            lsh_bucket(sql_double_array(query_vec_col), planes),
+            n_planes,
+            probe_hamming,
         ).alias("probes"),
     ).localCheckpoint(eager=False)
     q = q_base.select(
@@ -1422,7 +1548,7 @@ def build_ivf_pq_index(
     index = resid.select(
         "vec_id",
         "cell",
-        _pq_code_expr(F.col("residual"), m, k, subdim, books).alias(
+        _pq_code_expr("residual", m, k, subdim, books).alias(
             "pq_code"
         ),
     )
@@ -1489,18 +1615,14 @@ def _build_ivf_pq_index_product(
     )
     # per-half argmin codes: n x 2*kc half-dim distance chains — the
     # O(n^1.5) replacement for the flat n x C full-dim transform
-    code = _pq_code_expr(F.col(vec_col), 2, kc, half, coarse)
+    code = _pq_code_expr(vec_col, 2, kc, half, coarse)
     assigned = filtered.select(
         F.col(id_col).alias("vec_id"),
         as_double_array(vec_col).alias("v"),
         code.alias("__cc"),
     )
-    book_a = F.array(
-        *[F.array(*[F.lit(x) for x in row]) for row in coarse[0]]
-    )
-    book_b = F.array(
-        *[F.array(*[F.lit(x) for x in row]) for row in coarse[1]]
-    )
+    book_a = lit_double_matrix(coarse[0])
+    book_b = lit_double_matrix(coarse[1])
     r_a = F.zip_with(
         F.slice("v", 1, half),
         F.element_at(book_a, F.col("__cc")[0] + 1),
@@ -1528,7 +1650,7 @@ def _build_ivf_pq_index_product(
     index = resid.select(
         "vec_id",
         "cell",
-        _pq_code_expr(F.col("residual"), m, k, subdim, books).alias(
+        _pq_code_expr("residual", m, k, subdim, books).alias(
             "pq_code"
         ),
     )
@@ -1593,10 +1715,12 @@ def search_ivf_pq(
         )
         .filter(F.col("crank") <= n_probe)
     )
-    rq = F.zip_with(F.col("qv"), F.col("centroid"), lambda a, b: a - b)
+    # rq inline as a SQL fragment: same tree the Column form built
+    # (each subdist slices its own copy — unchanged), parsed once
+    rq_sql = "zip_with(qv, centroid, (a, b) -> a - b)"
     lut = F.array(
         *[
-            _pq_subdists(rq, j, books[j], subdim)
+            _pq_subdists(rq_sql, j, books[j], subdim)
             for j in range(pq_m)
         ]
     )
@@ -1675,7 +1799,7 @@ def search_ivf_pq_product(
 
     def top_half(level: int, cell_name: str, d_name: str) -> DataFrame:
         dists = _pq_subdists(
-            F.col("qv"), level, coarse_books[level], half
+            "qv", level, coarse_books[level], half
         )
         lvl = q.select(
             "query_id",
@@ -1713,12 +1837,8 @@ def search_ivf_pq_product(
             (F.col("ha") * kc + F.col("hb")).alias("cell"),
         )
     )
-    book_a = F.array(
-        *[F.array(*[F.lit(x) for x in row]) for row in coarse_books[0]]
-    )
-    book_b = F.array(
-        *[F.array(*[F.lit(x) for x in row]) for row in coarse_books[1]]
-    )
+    book_a = lit_double_matrix(coarse_books[0])
+    book_b = lit_double_matrix(coarse_books[1])
     rq = F.concat(
         F.zip_with(
             F.slice("qv", 1, half),
@@ -1741,7 +1861,7 @@ def search_ivf_pq_product(
     ).localCheckpoint(eager=False)
     lut = F.array(
         *[
-            _pq_subdists(F.col("rq"), j, books[j], subdim)
+            _pq_subdists("rq", j, books[j], subdim)
             for j in range(pq_m)
         ]
     )
@@ -1901,7 +2021,7 @@ def build_ivf_pq_grid_index(
     return resid.select(
         "vec_id",
         "cell",
-        _pq_code_expr(F.col("residual"), m, k, subdim, books).alias(
+        _pq_code_expr("residual", m, k, subdim, books).alias(
             "pq_code"
         ),
     )

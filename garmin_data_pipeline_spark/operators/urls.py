@@ -10,10 +10,11 @@ limits). It also canonicalizes URLs and collapses re-crawls BEFORE
 the expensive extraction stage. The relational pieces:
 
 * :func:`parse_url_columns` — host / registered-domain / TLD / path
-  depth as pure column expressions plus per-rule-depth broadcast
-  LEFT joins against the public-suffix rule tables (regexes written
-  to mean the same thing in Java regex and RE2, so the DuckDB oracle
-  mirrors exactly). Hosts are normalized first — lowercased,
+  depth as pure column expressions plus per-rule-depth codegen'd
+  IN-set membership tests against the public-suffix rule sets
+  (regexes written to mean the same thing in Java regex and RE2, so
+  the DuckDB oracle — which keeps the equivalent LEFT-join spelling
+  — mirrors exactly). Hosts are normalized first — lowercased,
   userinfo and port stripped (ADVICE r12:
   'HTTP://SPAM-MILL.EXAMPLE:80/' must not evade a lowercase
   blocklist). Registered domains implement the FULL publicsuffix.org
@@ -233,9 +234,18 @@ def parse_url_columns(df: DataFrame, url_col: str) -> DataFrame:
     dropped wildcard/exception semantics and nothing used it —
     r14 review finding. Swap the DATA FILE to change the rules.)
 
-    Scale shape: row-local regex projections + one broadcast LEFT
-    equi-join per distinct rule depth (6 for the shipped file, each
-    against a tiny table) — zero shuffle.
+    Scale shape (r14 optimization, guide §2.4/§3.1): row-local regex
+    projections + one codegen'd IN-set membership test per rule arm.
+    The pre-r14 form spelled each arm as a broadcast LEFT equi-join
+    against a tiny literal table — 6 BroadcastHashJoins and 6
+    broadcast exchanges built PER QUERY RUN for what is a constant
+    set lookup; ``Column.isin`` over a literal rule set compiles to
+    an O(1) hash-set probe (``InSet``) inside the same
+    whole-stage-codegen projection: zero joins, zero exchanges, zero
+    broadcast builds, byte-identical ``reg_domain`` (a suffix equals
+    a rule ⟺ the old join key matched). The full ~15k-rule upstream
+    file stays a drop-in: an InSet over thousands of strings is
+    still one hash probe per row.
     """
     normal, wild, exc = (
         PUBLIC_SUFFIXES,
@@ -256,21 +266,10 @@ def parse_url_columns(df: DataFrame, url_col: str) -> DataFrame:
             for d in sorted(depths)
         }
     )
-    spark = df.sparkSession
-    for kind, md, _ in arms:
-        flag = f"__{kind}{md}"
-        rows = [
-            (r,) for r in rules[kind] if _labels(r) == md
-        ]
-        t = F.broadcast(
-            spark.createDataFrame(rows, f"{flag} string")
-        )
-        out = out.join(
-            t, F.col(f"__suf{md}") == F.col(flag), "left"
-        )
     reg = None
     for kind, md, rd in arms:
-        cond = F.col(f"__{kind}{md}").isNotNull()
+        rule_set = [r for r in rules[kind] if _labels(r) == md]
+        cond = F.col(f"__suf{md}").isin(*rule_set)
         val = F.col(f"__suf{rd}")
         reg = F.when(cond, val) if reg is None else reg.when(
             cond, val
@@ -291,10 +290,7 @@ def parse_url_columns(df: DataFrame, url_col: str) -> DataFrame:
                 - F.length(F.regexp_replace(path, "/", ""))
             ).cast("bigint"),
         }
-    ).drop(
-        *[f"__suf{d}" for d in sorted(depths)],
-        *[f"__{kind}{md}" for kind, md, _ in arms],
-    )
+    ).drop(*[f"__suf{d}" for d in sorted(depths)])
 
 
 def sql_reg_domain_query(

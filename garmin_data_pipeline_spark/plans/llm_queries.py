@@ -2147,7 +2147,15 @@ def _warc_fixture_records(docs: DataFrame, content_type: str) -> DataFrame:
         return pd.DataFrame(
             {
                 "archive_id": [int(pdf["archive_id"].iloc[0])],
-                "payload": [encode_warc(recs, gzip_members=True)],
+                # level 1: the archive is re-parsed in the very next
+                # stage — deflate effort buys nothing (decoded records
+                # are identical at every level); the member-gzip
+                # LAYOUT (what s14/e2e certify) is level-independent
+                "payload": [
+                    encode_warc(
+                        recs, gzip_members=True, compresslevel=1
+                    )
+                ],
             }
         )
 
