@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from garmin_data_pipeline_spark.operators.text import (
-    shingles,
+    shingles_from_tokens,
     stopword_hits,
     tokens,
 )
@@ -109,8 +109,18 @@ def quality_features_exact(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
     """Per-doc engineered quality features as exact integers
-    (ppm-scaled via integer div — hash-stable cross-engine)."""
-    t = tokens(F.col(text_col))
+    (ppm-scaled via integer div — hash-stable cross-engine).
+
+    r14 optimization (guide §1.2 step 2): tokenize ONCE into a
+    column and derive every feature from it. The feature subtrees
+    sit inside when-branches (exempt from codegen subexpression
+    elimination), so inlining ``tokens(text)`` re-ran the tokenizer
+    regex per feature; the projection barrier survives because
+    CollapseProject refuses to duplicate a non-cheap alias used more
+    than once. Values are untouched — same trees over the same
+    array."""
+    df = df.withColumn("__toks", tokens(F.col(text_col)))
+    t = F.col("__toks")
     n = F.size(t)
     n_pairs = n - 1
     sum_len = F.aggregate(
@@ -118,7 +128,7 @@ def quality_features_exact(
     )
     n_distinct = F.size(F.array_distinct(t))
     sw = stopword_hits(t, "en")
-    n_sh2 = F.size(shingles(F.col(text_col), 2))
+    n_sh2 = F.size(shingles_from_tokens(t, 2))
     # ppm ratios via SQL `div` over guarded denominators (the t24
     # exact-integer discipline): numerators are zeroed when the
     # denominator is degenerate, so the greatest(…, 1) guard never

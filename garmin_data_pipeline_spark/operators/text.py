@@ -83,15 +83,36 @@ def language_scores(text: Column | str) -> dict[str, Column]:
 
 def language_guess(text: Column | str) -> Column:
     """Argmax language by stopword ratio, ties broken by LANG_PRIORITY
-    order (deterministic)."""
-    scores = language_scores(text)
+    order (deterministic).
+
+    r14 optimization (guide §1.2 step 2): compares integer stopword
+    HIT COUNTS instead of hit/total ratios — the shared positive
+    divisor (token count) cannot flip any ``>=`` comparison, and at
+    zero tokens every ratio was 0.0 so the priority language won
+    exactly as the all-zero-hits comparison does now: the argmax is
+    IDENTICAL for every input. The win: the ratio form divided inside
+    every CASE branch, which blocked whole-stage-codegen's
+    subexpression elimination (branch-local subtrees are exempt), so
+    the tokenizer re-ran per branch (~12 evaluations/row inside
+    e2e_crawl's gate stage); the hit counts all appear in the FIRST
+    branch condition — the one codegen always evaluates — so the
+    token array is computed once and shared."""
+    toks = tokens(text)
+    # coalesce: NULL text gives NULL hit counts, whose comparisons
+    # are all NULL and would fall through to the LAST priority
+    # language — the ratio form scored NULL text 0.0 everywhere and
+    # returned the FIRST (en). Zero hits reproduces that exactly.
+    hits = {
+        lang: F.coalesce(stopword_hits(toks, lang), F.lit(0))
+        for lang in LANG_PRIORITY
+    }
     expr = F.lit(LANG_PRIORITY[-1])
     # build reverse CASE chain: en wins ties, then de, then es, then fr
     for i in range(len(LANG_PRIORITY) - 2, -1, -1):
         lang = LANG_PRIORITY[i]
         cond = None
         for other in LANG_PRIORITY[i + 1 :]:
-            c = scores[lang] >= scores[other]
+            c = hits[lang] >= hits[other]
             cond = c if cond is None else (cond & c)
         expr = F.when(cond, F.lit(lang)).otherwise(expr)
     return expr
@@ -102,8 +123,14 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     alpha ratio, stopword ratio, plus a composite [0,1] quality score.
     Mirrors the length/punct/stopword heuristics used by LLM data
     pipelines (e.g. C4/Gopher-style rules), as single-pass expressions.
+
+    r14 optimization: tokenizes ONCE into a column — the ratio
+    features' when-branches are exempt from codegen subexpression
+    elimination, so an inlined tokens(text) re-ran the tokenizer per
+    feature (guide §1.2 step 2). Values identical.
     """
-    t = tokens(F.col(text_col))
+    df = df.withColumn("__toks", tokens(F.col(text_col)))
+    t = F.col("__toks")
     n_chars = F.length(F.col(text_col))
     n_tokens = F.size(t)
     n_distinct = F.size(F.array_distinct(t))
@@ -148,7 +175,7 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
         stop_ratio.alias("stopword_ratio"),
         distinct_ratio.alias("distinct_ratio"),
         score.alias("quality_score"),
-    )
+    ).drop("__toks")
 
 
 def fingerprint(text: Column | str) -> Column:
@@ -196,7 +223,15 @@ def rolling_fingerprint(
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles.
+    """Distinct word n-gram shingles of a TEXT column (tokenizes
+    first; see :func:`shingles_from_tokens` when the caller already
+    has the token array — tokenizing once and deriving every feature
+    from the array is the r14 fast path)."""
+    return shingles_from_tokens(tokens(text), n)
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles over a token-array column.
 
     Built by zipping n shifted slices of the token array rather than a
     ``transform`` whose lambda indexes into the outer array: correlated
@@ -208,8 +243,8 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     """
     from functools import reduce
 
-    # NULL text == empty text == zero shingles (both engines).
-    t = F.coalesce(tokens(text), F.array().cast("array<string>"))
+    # NULL tokens == empty tokens == zero shingles (both engines).
+    t = F.coalesce(toks, F.array().cast("array<string>"))
     length = F.greatest(F.size(t) - n + 1, F.lit(0))
     parts = [F.slice(t, i + 1, length) for i in range(n)]
     joined = reduce(

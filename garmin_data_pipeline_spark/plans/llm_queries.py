@@ -1841,23 +1841,35 @@ def _sql_dup_frac(n: int) -> str:
 )
 def t14_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from garmin_data_pipeline_spark.operators.text import (
-        shingles,
+        shingles_from_tokens,
         tokens,
     )
 
+    # tokenize ONCE into a column (r14, guide §1.2 step 2): the
+    # shingle subtrees live in when-branches — exempt from codegen
+    # CSE — so inlined tokens(text) re-ran the tokenizer per n-gram
+    # size (measured 34 tokenizer-regex copies in the plan, 2.3s ->
+    # 0.9s at sf0.1 with the column; values identical)
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "__toks", tokens(F.col("text"))
+    )
+    n_toks = F.size(F.col("__toks"))
+
     def dup_frac(n: int):
-        n_toks = F.size(tokens(F.col("text")))
         total = n_toks - n + 1
         return F.when(
             n_toks >= n,
             F.round(
-                1.0 - F.size(shingles(F.col("text"), n)) / total, 6
+                1.0
+                - F.size(shingles_from_tokens(F.col("__toks"), n))
+                / total,
+                6,
             ),
         ).otherwise(F.lit(0.0))
 
-    return table(spark, sf_dir, "documents").select(
+    return docs.select(
         "doc_id",
-        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        n_toks.alias("n_tokens"),
         dup_frac(2).alias("dup_2gram_frac"),
         dup_frac(3).alias("dup_3gram_frac"),
         dup_frac(4).alias("dup_4gram_frac"),
@@ -2116,52 +2128,63 @@ def _warc_fixture_records(docs: DataFrame, content_type: str) -> DataFrame:
     )
 
     extras = [c for c in ("uri", "date") if c in docs.columns]
-    docs = docs.select(
-        "doc_id",
-        "body",
-        *extras,
-        (F.col("doc_id") / 50).cast("bigint").alias("archive_id"),
-    )
+    docs = docs.select("doc_id", "body", *extras)
     header = (
         f"HTTP/1.1 200 OK\r\nContent-Type: {content_type}\r\n\r\n"
     ).encode("ascii")
     has_uri, has_date = "uri" in extras, "date" in extras
 
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")  # deterministic archive bytes
-        recs = [
-            {
-                "type": "response",
-                "uri": (
-                    str(r.uri)
-                    if has_uri
-                    else f"http://corpus.example/doc/{int(r.doc_id)}"
-                ),
-                "date": (
-                    str(r.date) if has_date else "2026-01-01T00:00:00Z"
-                ),
-                "content": header + str(r.body).encode("utf-8"),
-            }
-            for r in pdf.itertuples()
-        ]
-        return pd.DataFrame(
-            {
-                "archive_id": [int(pdf["archive_id"].iloc[0])],
+    # r14 optimization (guide §2.4): archives are packed PARTITION-
+    # LOCALLY (one mapInPandas pass, ~50 records per archive) instead
+    # of shuffling every page body through a groupBy(doc_id/50) +
+    # applyInPandas. Which archive a fetch lands in is NOT observable
+    # in the parsed output (records_from_archives re-explodes to one
+    # row per record with per-record fields only), so the relation —
+    # and every oracle built on it — is byte-identical; what the
+    # fixture certifies (real multi-record per-member-gzip WARC
+    # round-trip through the production parser) is unchanged. The
+    # former shuffle moved every HTML body across an Exchange purely
+    # to pick archive membership — the guide-§8 anti-pattern.
+    def build(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values("doc_id")  # deterministic in-batch
+            payloads = []
+            for start in range(0, len(pdf), 50):
+                chunk = pdf.iloc[start : start + 50]
+                recs = [
+                    {
+                        "type": "response",
+                        "uri": (
+                            str(r.uri)
+                            if has_uri
+                            else "http://corpus.example/doc/"
+                            f"{int(r.doc_id)}"
+                        ),
+                        "date": (
+                            str(r.date)
+                            if has_date
+                            else "2026-01-01T00:00:00Z"
+                        ),
+                        "content": header
+                        + str(r.body).encode("utf-8"),
+                    }
+                    for r in chunk.itertuples()
+                ]
                 # level 1: the archive is re-parsed in the very next
-                # stage — deflate effort buys nothing (decoded records
-                # are identical at every level); the member-gzip
-                # LAYOUT (what s14/e2e certify) is level-independent
-                "payload": [
+                # stage — deflate effort buys nothing (decoded
+                # records are identical at every level); the
+                # member-gzip LAYOUT (what s14/e2e certify) is
+                # level-independent
+                payloads.append(
                     encode_warc(
                         recs, gzip_members=True, compresslevel=1
                     )
-                ],
-            }
-        )
+                )
+            yield pd.DataFrame({"payload": payloads})
 
-    archives = docs.groupBy("archive_id").applyInPandas(
-        build, schema="archive_id bigint, payload binary"
-    )
+    archives = docs.mapInPandas(build, schema="payload binary")
     return records_from_archives(archives, "payload")
 
 
@@ -3153,20 +3176,34 @@ def _gate_and_hash(pages: DataFrame) -> DataFrame:
     text = F.col("text")
     toks = tokens(text)
     n_tokens = F.size(toks)
-    mwl = F.when(
-        n_tokens > 0,
+    # r14 optimization (guide §1.2 step 2): the gate arithmetic is
+    # UNCONDITIONAL — the former per-gate F.when(n_tokens > 0, ...)
+    # guards put every tokenizer/aggregate subtree inside a CASE
+    # branch, which exempts it from whole-stage-codegen subexpression
+    # elimination, so tokens(text) re-evaluated once per gate
+    # (measured: 29 copies of the tokenizer regex in the executed
+    # plan). Unguarded, the shared subtrees are CSE'd to one
+    # evaluation per operator. Decision parity is exact: double
+    # division never throws (long/int -> double; 0-token rows yield
+    # NaN/Infinity which fail every >= gate), and every row the
+    # guards used to rescue (n_tokens < 2) already fails the
+    # 30..5000 length gate, so the conjunction is unchanged for
+    # every input (pinned in tests/test_expr_fastpath.py).
+    # try_divide, not "/": ANSI integral division THROWS on a zero
+    # divisor; try_divide yields NULL there (same value everywhere
+    # else), and a NULL conjunct can never make the filter true —
+    # exactly the rows the 30..5000 gate already rejects.
+    mwl = F.try_divide(
         F.aggregate(
             toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-        )
-        / n_tokens,
-    ).otherwise(F.lit(0.0))
-    swr = F.when(
-        n_tokens > 0, stopword_hits(toks, "en") / n_tokens
-    ).otherwise(F.lit(0.0))
-    dup2 = F.when(
-        n_tokens >= 2,
-        F.round(1.0 - F.size(shingles(text, 2)) / (n_tokens - 1), 6),
-    ).otherwise(F.lit(0.0))
+        ),
+        n_tokens,
+    )
+    swr = F.try_divide(stopword_hits(toks, "en"), n_tokens)
+    dup2 = F.round(
+        1.0 - F.try_divide(F.size(shingles(text, 2)), n_tokens - 1),
+        6,
+    )
     keep = (
         n_tokens.between(30, 5000)
         & (mwl >= 3.0)
@@ -4428,13 +4465,15 @@ _T19_RULES = (
 )
 def t19_quality_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from garmin_data_pipeline_spark.operators.text import (
-        shingles,
+        shingles_from_tokens,
         stopword_hits,
         tokens,
     )
 
-    text = F.col("text")
-    toks = tokens(text)
+    # tokenize ONCE into a column (r14 — the t14 treatment; the
+    # guarded gate expressions below are unchanged, they just read
+    # the array instead of re-running the tokenizer per gate)
+    toks = F.col("__toks")
     n_tokens = F.size(toks)
     mwl = F.when(
         n_tokens > 0,
@@ -4448,13 +4487,19 @@ def t19_quality_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit(0.0))
     dup2 = F.when(
         n_tokens >= 2,
-        F.round(1.0 - F.size(shingles(text, 2)) / (n_tokens - 1), 6),
+        F.round(
+            1.0
+            - F.size(shingles_from_tokens(toks, 2)) / (n_tokens - 1),
+            6,
+        ),
     ).otherwise(F.lit(0.0))
     ok_length = n_tokens.between(30, 5000)
     ok_word_len = (mwl >= 3.0) & (mwl <= 10.0)
     ok_stopwords = swr >= 0.05
     ok_repetition = dup2 <= 0.4
-    return table(spark, sf_dir, "documents").select(
+    return table(spark, sf_dir, "documents").withColumn(
+        "__toks", tokens(F.col("text"))
+    ).select(
         "doc_id",
         ok_length.cast("int").alias("ok_length"),
         ok_word_len.cast("int").alias("ok_word_len"),

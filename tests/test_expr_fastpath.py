@@ -95,3 +95,111 @@ class TestSqlFastPathParity:
             _pq_code_expr("embedding", 8, 16, 8, books).alias("b"),
         ).collect()
         assert all(r["a"] == r["b"] for r in got)
+
+
+class TestGateAndLangidParity:
+    """The r14 unconditional-gate rewrite (plans/llm_queries.py
+    _gate_and_hash) and the integer-hits language argmax
+    (operators/text.py language_guess) must make the SAME decisions
+    as the guarded ratio forms they replaced, on the corpus AND on
+    the degenerate rows the guards used to rescue."""
+
+    def _docs(self, spark):
+        from pyspark.sql import functions as F
+
+        base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        edge = spark.createDataFrame(
+            [
+                (100001, ""),
+                (100002, "   "),
+                (100003, "word"),
+                (100004, "the the"),
+                (100005, None),
+                (100006, "der die das und ist nicht ein zu mit"),
+                (100007, "el la los las y es de que un en"),
+                (100008, "le la les et est un une des du que"),
+            ],
+            "doc_id long, text string",
+        )
+        return base.select("doc_id", "text").unionByName(edge)
+
+    def test_language_guess_matches_ratio_argmax(self, spark):
+        from pyspark.sql import functions as F
+
+        from garmin_data_pipeline_spark.operators.text import (
+            LANG_PRIORITY,
+            language_guess,
+            language_scores,
+        )
+
+        docs = self._docs(spark)
+        scores = language_scores(F.col("text"))
+        ratio = F.lit(LANG_PRIORITY[-1])
+        for i in range(len(LANG_PRIORITY) - 2, -1, -1):
+            lang = LANG_PRIORITY[i]
+            cond = None
+            for other in LANG_PRIORITY[i + 1 :]:
+                c = scores[lang] >= scores[other]
+                cond = c if cond is None else (cond & c)
+            ratio = F.when(cond, F.lit(lang)).otherwise(ratio)
+        rows = docs.select(
+            language_guess(F.col("text")).alias("fast"),
+            ratio.alias("ref"),
+        ).collect()
+        assert all(r["fast"] == r["ref"] for r in rows)
+
+    def test_gate_keep_set_matches_guarded_form(self, spark):
+        from pyspark.sql import functions as F
+
+        from garmin_data_pipeline_spark.plans.llm_queries import (
+            _gate_and_hash,
+        )
+        from garmin_data_pipeline_spark.operators.text import (
+            shingles,
+            stopword_hits,
+            tokens,
+        )
+
+        docs = self._docs(spark).select(
+            "doc_id",
+            F.lit(1).cast("bigint").alias("n_fetches"),
+            "text",
+        )
+        got = {
+            r["doc_id"]
+            for r in _gate_and_hash(docs).select("doc_id").collect()
+        }
+        # the pre-r14 guarded formulation, verbatim
+        text = F.col("text")
+        toks = tokens(text)
+        n_tokens = F.size(toks)
+        mwl = F.when(
+            n_tokens > 0,
+            F.aggregate(
+                toks,
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + F.length(x),
+            )
+            / n_tokens,
+        ).otherwise(F.lit(0.0))
+        swr = F.when(
+            n_tokens > 0, stopword_hits(toks, "en") / n_tokens
+        ).otherwise(F.lit(0.0))
+        dup2 = F.when(
+            n_tokens >= 2,
+            F.round(
+                1.0 - F.size(shingles(text, 2)) / (n_tokens - 1), 6
+            ),
+        ).otherwise(F.lit(0.0))
+        keep = (
+            n_tokens.between(30, 5000)
+            & (mwl >= 3.0)
+            & (mwl <= 10.0)
+            & (swr >= 0.05)
+            & (dup2 <= 0.4)
+        )
+        ref = {
+            r["doc_id"]
+            for r in docs.filter(keep).select("doc_id").collect()
+        }
+        assert got == ref
