@@ -513,8 +513,13 @@ class TestCrawlDedupAnnotationShape:
             .executedPlan()
             .toString()
         )
-        # MapInPandas x2: the WARC record explode + the block kernel
-        assert up.count("MapInPandas") == 2, up.count("MapInPandas")
+        # MapInPandas x3: the WARC archive PACK (r14 — partition-
+        # local, replacing the groupBy/applyInPandas shuffle), the
+        # record explode, and the block kernel — still exactly ONE
+        # block-segmentation pass
+        assert up.count("MapInPandas") == 3, up.count("MapInPandas")
+        # the pack stage must NOT reintroduce the archive shuffle
+        assert "FlatMapGroupsInPandas" not in up
         assert "ArrowEvalPython" not in up  # no tag-strip kernel here
         assert "windowspecdefinition(canonical_url" in up
         outer = (
