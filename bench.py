@@ -1,9 +1,16 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE compact JSON contract line (LAST on stdout):
     {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {"q": sec, ...}, "spread": {"q": sec, ...}, "sf": 0.1}
+     "queries": {"q": sec, ...}, "sf": 0.1, "cpus": "...",
+     "value_full": sec, "calibration_s": sec, "host_factor": x,
+     "full_payload": "bench_full_rNN.json"}
+The full payload (spreads, stall re-run series, normalized walls,
+sf1 probe, methodology notes) is written to the named
+bench_full_rNN.json next to this script — r14 verdict: the old
+everything-on-one-line output grew past the driver's capture window
+and a truncated line killed an entire round-over-round table.
 
 Queries are executed with the noop sink (full plan runs, nothing is
 collected to the driver). Each query gets ``WARMUPS`` untimed
@@ -96,6 +103,31 @@ def pick_series(first: list[float], rerun: list[float]) -> str:
     f = statistics.median(first)
     r = statistics.median(rerun)
     return "rerun" if (f - r) > STALL_SPREAD_FRACTION * f else "first"
+
+
+def contract_line(
+    payload: dict, out_name: str | None
+) -> dict:
+    """The compact stdout contract (r14 verdict "What's wrong" #2):
+    exactly the driver's required keys (metric/value/unit/queries/sf)
+    plus a few SCALAR extras and the name of the full-payload file.
+    Everything bulky (spreads, stall series, normalized walls, the
+    sf1 probe, methodology notes) stays in the bench_full file only,
+    so the one-line JSON can never again outgrow the driver's output
+    capture. The per-query medians in `queries` are byte-identical
+    to the full payload's."""
+    return {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "queries": payload["queries"],
+        "sf": payload["sf"],
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+        "value_full": payload["value_full"],
+        "calibration_s": payload["calibration_s"],
+        "host_factor": payload["host_factor"],
+        "full_payload": out_name,
+    }
 
 
 def cross_round_suspects(
@@ -829,16 +861,14 @@ def main() -> None:
                     "any cross-round comparison"
                 ),
             }
-    line = json.dumps(payload)
-    print(line)
-
-    # The driver's BENCH_r{N}.json preserves only a 2000-char tail of
-    # this line, which loses the early per-query medians (r5: the d3/d4
-    # cells the r4 verdict asked to pin fell outside the window). Also
-    # persist the FULL payload to a committed per-round artifact so
-    # every median+spread stays auditable. Round number: explicit
-    # $SPARK_GRAFT_ROUND, else 1 + the highest BENCH_r*.json the driver
-    # has already recorded next to this script.
+    # Persist the FULL payload (medians + spreads + stall series +
+    # normalization + sf1 probe + methodology notes) to a committed
+    # per-round artifact so every number stays auditable. Round
+    # number: explicit $SPARK_GRAFT_ROUND, else 1 + the highest
+    # BENCH_r*.json the driver has already recorded next to this
+    # script. Written BEFORE the contract line so a crash between the
+    # two can only lose the redundant copy.
+    out_name = None
     try:
         here = Path(__file__).resolve().parent
         round_no = os.environ.get("SPARK_GRAFT_ROUND")
@@ -853,8 +883,22 @@ def main() -> None:
             round_no = str(max(seen, default=0) + 1)
         out = here / f"bench_full_r{int(round_no):02d}.json"
         out.write_text(json.dumps(payload, indent=2) + "\n")
+        out_name = out.name
     except OSError:
         pass  # bench output on stdout is the contract; the file is extra
+
+    # The stdout CONTRACT LINE is printed LAST and kept COMPACT
+    # (r14 verdict "What's wrong" #2: the full payload had grown to
+    # one enormous line — 109 medians + spreads + stall series + the
+    # sf1 probe + session history — and the r13 run's line was
+    # truncated in the driver's output capture, killing the entire
+    # round-over-round table; BENCH_r13.json's tail starts
+    # mid-object). The line carries exactly the driver contract
+    # (metric/value/unit/queries/sf) plus a few scalar extras
+    # (~4 KB); everything bulky lives only in the bench_full file
+    # named here. No number changed meaning: `queries` are the same
+    # per-query medians as before.
+    print(json.dumps(contract_line(payload, out_name)))
 
 
 if __name__ == "__main__":

@@ -126,3 +126,56 @@ class TestCrossRoundSuspects:
 
     def test_load_prior_bench_empty_dir(self, tmp_path):
         assert bench.load_prior_bench(tmp_path) == ({}, "")
+
+
+class TestContractLine:
+    """r14 verdict "What's wrong" #2: the stdout contract line must
+    stay small enough that the driver's output capture can never
+    truncate it mid-object again — required keys plus scalars only,
+    with the bulky payload diverted to the bench_full file."""
+
+    PAYLOAD = {
+        "metric": "anchor18_queries_total_wall",
+        "value": 11.3,
+        "unit": "sec",
+        "queries": {f"q{i}": 0.5 for i in range(120)},
+        "sf": 0.1,
+        "value_full": 178.3,
+        "calibration_s": 2.97,
+        "host_factor": 0.878,
+        # bulky keys that must NOT leak onto the line
+        "spread": {f"q{i}": 0.1 for i in range(120)},
+        "stall_reruns": {"q1": {"first": [1, 2, 3]}},
+        "queries_normalized": {f"q{i}": 0.6 for i in range(120)},
+        "sf1_probe": {"queries_sf1": {f"q{i}": 1.0 for i in range(60)}},
+        "host_note": "x" * 2000,
+    }
+
+    def test_required_driver_keys_present(self):
+        line = bench.contract_line(self.PAYLOAD, "bench_full_r15.json")
+        for key in ("metric", "value", "unit", "queries", "sf"):
+            assert key in line
+        assert line["queries"] == self.PAYLOAD["queries"]
+        assert line["value"] == 11.3
+
+    def test_bulky_keys_excluded_and_line_compact(self):
+        import json
+
+        line = bench.contract_line(self.PAYLOAD, "bench_full_r15.json")
+        for key in (
+            "spread",
+            "stall_reruns",
+            "queries_normalized",
+            "sf1_probe",
+            "host_note",
+        ):
+            assert key not in line
+        # ~120 medians serialize to ~2-4 KB; anything over 16 KB
+        # risks the r13 truncation again
+        assert len(json.dumps(line)) < 16384
+
+    def test_round_trips_through_json(self):
+        import json
+
+        line = bench.contract_line(self.PAYLOAD, None)
+        assert json.loads(json.dumps(line)) == line
